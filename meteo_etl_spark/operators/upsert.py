@@ -1,0 +1,232 @@
+"""U1: keyed upsert (merge), last-write-wins — on plain parquet.
+
+Reference semantics (`etl/load.py:35-57`, constraint `etl/db.py:118`):
+multi-row ``INSERT ... ON CONFLICT ON CONSTRAINT u_loc_time DO UPDATE``
+— on conflict the measure columns and ``fetch_id`` come from the new
+row, ``updated_at`` is refreshed, while ``id`` and ``created_at`` are
+preserved.
+
+Spark stance: vanilla Spark has no MERGE on parquet (Delta/Iceberg jars
+are not in this image — SURVEY.md §4), so the engine implements the
+documented union+full-outer rewrite with **partition-pruned rewrites**:
+
+1. the target is laid out ``partitionBy(partition_col)`` (for
+   observations: the observation date — the natural pruning key for
+   time-series);
+2. a merge only reads+rewrites the partitions the update batch touches
+   (``left_semi`` against the distinct partition values, which Catalyst
+   turns into partition pruning on the parquet scan);
+3. the rewrite lands via dynamic partition overwrite
+   (``spark.sql.sources.partitionOverwriteMode=dynamic``), staged
+   through a scratch directory because Spark refuses to overwrite a
+   path it is simultaneously reading.
+
+At 100 TB this is the same I/O shape a Delta MERGE performs (read
+matched files, rewrite them); the win is that a day's upsert touches a
+day's partitions, not the table. On a real deployment you'd swap this
+module for Delta/Iceberg MERGE without touching callers — the public
+function signature is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MergeStats:
+    """Row accounting for a merge (insert/update split)."""
+
+    inserted: int
+    updated: int
+    target_rows: int
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True if a parquet table has been written at ``path``."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def dedup_last_write_wins(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column] | None
+) -> DataFrame:
+    """Resolve batch-internal duplicates on the merge key.
+
+    Postgres would reject a multi-row upsert touching the same key twice
+    (SURVEY.md §7 watch list); the engine keeps the last write per key.
+    With no ordering given, an arbitrary-but-single row survives
+    (``dropDuplicates``).
+    """
+    if order_cols is None:
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    update_cols: list[str] | None = None,
+    matched_set: dict[str, Column] | None = None,
+    not_matched_set: dict[str, Column] | None = None,
+    dedup_order: list[Column] | None = None,
+    partition_col: str | None = None,
+    partition_expr: Column | None = None,
+) -> MergeStats:
+    """MERGE ``updates`` into the parquet table at ``path``.
+
+    - ``update_cols``: columns copied from the update row when matched
+      (default: every update column except the key).
+    - ``matched_set`` / ``not_matched_set``: extra column assignments for
+      the matched / not-matched branch (e.g. ``updated_at``, generated
+      ``id``). A value may be a plain Column or a callable
+      ``(t, u) -> Column`` receiving the aliased target/update sides
+      (for conditional rules like "preserve unless the update finishes
+      the row"). Target columns missing from the update side stay NULL
+      on insert and keep their value on match unless listed in
+      ``update_cols``.
+    - ``partition_col`` (+ optional ``partition_expr`` deriving it from
+      update rows): physical layout and merge pruning key.
+    """
+    updates = dedup_last_write_wins(updates, key_cols, dedup_order)
+    if partition_col and partition_col not in updates.columns:
+        if partition_expr is None:
+            raise ValueError(f"updates lack partition col {partition_col!r} and no partition_expr given")
+        updates = updates.withColumn(partition_col, partition_expr)
+
+    update_cols = update_cols or [c for c in updates.columns if c not in key_cols]
+    matched_set = matched_set or {}
+    not_matched_set = not_matched_set or {}
+
+    if not table_exists(spark, path):
+        inserts = updates
+        for col, expr in not_matched_set.items():
+            if callable(expr):
+                raise ValueError(
+                    f"not_matched_set[{col!r}] is conditional but the target table "
+                    "does not exist yet — create it with plain Column defaults first"
+                )
+            inserts = inserts.withColumn(col, expr)
+        n = _write(inserts, path, partition_col, overwrite_dynamic=False)
+        return MergeStats(inserted=n, updated=0, target_rows=n)
+
+    target = spark.read.parquet(path)
+
+    if partition_col:
+        # Prune: only partitions the batch touches are read & rewritten.
+        affected = updates.select(partition_col).distinct()
+        target_subset = target.join(F.broadcast(affected), partition_col, "left_semi")
+    else:
+        target_subset = target
+
+    # Alias-qualified references (F.col("t.x") / F.col("u.x")) — the
+    # pruning semi-join gives target_subset and updates shared lineage,
+    # so unqualified Column extraction would be ambiguous.
+    class _Side:
+        def __init__(self, prefix: str):
+            self._p = prefix
+
+        def __getitem__(self, c: str) -> Column:
+            return F.col(f"{self._p}.{c}")
+
+    t, u = _Side("t"), _Side("u")
+    joined = target_subset.alias("t").join(
+        updates.alias("u"),
+        [t[k].eqNullSafe(u[k]) for k in key_cols],
+        "full_outer",
+    )
+
+    u_present = u[key_cols[0]].isNotNull()
+    t_present = t[key_cols[0]].isNotNull()
+
+    out_cols: list[Column] = []
+    target_cols = target.columns
+    for c in target_cols:
+        if c in key_cols:
+            expr = F.coalesce(u[c], t[c])
+        elif c in matched_set or c in not_matched_set:
+            on_match = matched_set.get(c, u[c] if c in updates.columns else t[c])
+            on_insert = not_matched_set.get(c, u[c] if c in updates.columns else F.lit(None))
+            if callable(on_match):
+                on_match = on_match(t, u)
+            if callable(on_insert):
+                on_insert = on_insert(t, u)
+            expr = (
+                F.when(u_present & t_present, on_match)
+                .when(u_present, on_insert)
+                .otherwise(t[c])
+            )
+        elif c in update_cols and c in updates.columns:
+            expr = F.when(u_present, u[c]).otherwise(t[c])
+        else:
+            expr = t[c]
+        out_cols.append(expr.alias(c))
+
+    merged = joined.select(*out_cols)
+
+    # Stats before the rewrite (counts force one extra pass; cheap
+    # relative to the write and required for lineage reporting).
+    n_updates = updates.count()
+    n_matched = target_subset.alias("t").join(
+        updates.alias("u"), [t[k].eqNullSafe(u[k]) for k in key_cols], "left_semi"
+    ).count()
+    n_inserted = n_updates - n_matched
+
+    _rewrite_partitions(spark, merged, path, partition_col)
+    total = spark.read.parquet(path).count()
+    return MergeStats(inserted=n_inserted, updated=n_matched, target_rows=total)
+
+
+def _write(df: DataFrame, path: str, partition_col: str | None, *, overwrite_dynamic: bool) -> int:
+    writer = df.write.mode("overwrite" if overwrite_dynamic else "append")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+    return df.sparkSession.read.parquet(path).count() if not overwrite_dynamic else -1
+
+
+def _rewrite_partitions(
+    spark: SparkSession, merged: DataFrame, path: str, partition_col: str | None
+) -> None:
+    """Stage the merged rows, then land them with dynamic partition
+    overwrite (only the affected partitions are replaced)."""
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    try:
+        w = merged.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(staging)
+
+        staged = spark.read.parquet(staging)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            w2 = staged.write.mode("overwrite")
+            if partition_col:
+                w2 = w2.partitionBy(partition_col)
+            w2.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Spark's shared file-status cache may still list the replaced
+        # files; invalidate so subsequent scans see the rewrite.
+        spark.catalog.refreshByPath(path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,110 @@
+"""Warehouse layout + the silver observations merge (U1 + P1).
+
+Medallion-on-parquet layout (SURVEY.md §7):
+
+- ``{root}/bronze``  — raw payload JSON, date-partitioned (immutable).
+- ``{root}/silver/observations`` — merge-maintained on the natural key
+  ``(latitude, longitude, timestamp)``, physically partitioned by
+  ``obs_date`` (date of the observation timestamp) so merges and
+  time-range queries prune to the touched dates.
+- ``{root}/control/fetch_metadata`` — job lifecycle table (small).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.errors import LoadError
+from meteo_etl_spark.operators.upsert import MergeStats, merge_parquet, table_exists
+from meteo_etl_spark.schemas import DROPPED_AT_LOAD, OBSERVATION_KEY, OBSERVATIONS_SCHEMA
+
+
+@dataclass(frozen=True)
+class Warehouse:
+    root: str
+
+    @property
+    def bronze_dir(self) -> str:
+        return os.path.join(self.root, "bronze")
+
+    @property
+    def observations_path(self) -> str:
+        return os.path.join(self.root, "silver", "observations")
+
+    @property
+    def control_path(self) -> str:
+        return os.path.join(self.root, "control", "fetch_metadata")
+
+
+#: silver partition layout: daily partitions on the observation date.
+OBS_PARTITION_COL = "obs_date"
+
+
+def merge_observations(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    records: DataFrame,
+    fetch_id: str | None = None,
+) -> MergeStats:
+    """MERGE normalized weather records into the silver table.
+
+    Reproduces the reference load semantics exactly
+    (`etl/load.py:22-64`):
+
+    - P1 projection: record fields absent from the table are dropped
+      (`soil_temperature`, `soil_moisture`, `wind_direction`,
+      `cloud_cover` — reference `etl/load.py:31-43`);
+    - `timezone` is carried as NULL (no writer populates it —
+      reference `etl/models.py:38-48` vs `etl/db.py:103`);
+    - on conflict on ``(latitude, longitude, timestamp)`` the measures
+      and ``fetch_id`` take the new values and ``updated_at`` refreshes,
+      while ``id`` / ``created_at`` are preserved
+      (`etl/load.py:45-55`);
+    - batch-internal duplicates on the key collapse to one row
+      (documented deviation: Postgres would error).
+    """
+    try:
+        updates = records.drop(*DROPPED_AT_LOAD)
+        if "timezone" not in updates.columns:
+            updates = updates.withColumn("timezone", F.lit(None).cast("string"))
+        if "fetch_id" not in updates.columns:
+            updates = updates.withColumn("fetch_id", F.lit(fetch_id).cast("string"))
+
+        now = F.current_timestamp()
+        return merge_parquet(
+            spark,
+            warehouse.observations_path,
+            updates,
+            key_cols=list(OBSERVATION_KEY),
+            update_cols=["timezone", "temperature", "precipitation", "wind_speed", "fetch_id"],
+            matched_set={"updated_at": now},
+            not_matched_set={
+                "id": F.expr("uuid()"),
+                "created_at": now,
+                "updated_at": now,
+            },
+            partition_col=OBS_PARTITION_COL,
+            partition_expr=F.to_date("timestamp"),
+        )
+    except Exception as exc:
+        if isinstance(exc, LoadError):
+            raise
+        raise LoadError(f"observations merge failed: {exc}") from exc
+
+
+def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
+    """Silver scan in the declared column order (partition col last).
+
+    Path-based parquet DataFrames snapshot the file listing at read
+    time — call this again after a merge rather than reusing an older
+    DataFrame (a table format with a transaction log lifts this at
+    scale; SURVEY.md §4).
+    """
+    if not table_exists(spark, warehouse.observations_path):
+        return spark.createDataFrame([], schema=OBSERVATIONS_SCHEMA)
+    df = spark.read.parquet(warehouse.observations_path)
+    return df.select(*[f.name for f in OBSERVATIONS_SCHEMA.fields])

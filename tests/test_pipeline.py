@@ -1,0 +1,110 @@
+"""Batch lifecycle tests (reference `tests/etl/test_app.py`): success
+path persists rows + SUCCESS metadata; error paths map to the right
+status codes and persist ERROR; bronze strategy records payload_path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.errors import ETLError, ExtractError, LoadError
+from meteo_etl_spark.pipeline import batch, control
+from meteo_etl_spark.pipeline.warehouse import read_observations
+from meteo_etl_spark.schemas import FETCH_STATUS_SUCCESS
+from tests.conftest import N_HOURS, golden_payload
+
+
+@pytest.fixture()
+def offline_source(monkeypatch):
+    """Monkeypatch the extractor (reference `override_meteo_api`,
+    `tests/conftest.py:88-93`)."""
+    from meteo_etl_spark.sources.registry import Source
+
+    monkeypatch.setattr(Source, "extract", lambda self, **extra: golden_payload())
+
+
+def test_etl_success(spark, warehouse, offline_source):
+    result = batch.run_etl(spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    assert result.status == FETCH_STATUS_SUCCESS
+    assert result.data.inserted == N_HOURS
+
+    obs = read_observations(spark, warehouse)
+    assert obs.filter(F.col("fetch_id") == result.fetch_id).count() == N_HOURS
+
+    meta = control.read_fetch_metadata(spark, warehouse).collect()
+    assert len(meta) == 1
+    row = meta[0]
+    assert row.status == "success"
+    assert row.response_status == 200
+    assert row.finished_at is not None
+    assert row.request_url.startswith("https://")
+    assert row.request_params["latitude"] == "3.06"
+
+
+def test_etl_is_idempotent(spark, warehouse, offline_source):
+    r1 = batch.run_etl(spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    r2 = batch.run_etl(spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    assert r2.data.updated == N_HOURS and r2.data.target_rows == N_HOURS
+    obs = read_observations(spark, warehouse)
+    # Rows now carry the second fetch's lineage (last-write-wins).
+    assert obs.filter(F.col("fetch_id") == r2.fetch_id).count() == N_HOURS
+    assert r1.fetch_id != r2.fetch_id
+
+
+@pytest.mark.parametrize(
+    "exc,expected_code,expected_kind",
+    [
+        (LoadError("boom"), 200, "load"),
+        (ExtractError("upstream 503", status=503), 503, "extract"),
+        (json.JSONDecodeError("bad", "{", 0), 200, "json"),
+        (RuntimeError("surprise"), 500, "unexpected"),
+    ],
+)
+def test_error_taxonomy(spark, warehouse, monkeypatch, exc, expected_code, expected_kind):
+    """T8 mapping (reference `etl/app.py:170-200` + `tests/etl/test_app.py:26-96`)."""
+
+    def failing_job(spark_, source, fetch_id, wh):
+        raise exc
+
+    with pytest.raises(ETLError) as ei:
+        batch.run_etl(
+            spark, warehouse, "meteo", {"latitude": 1, "longitude": 2}, fetch_job=failing_job
+        )
+    fetch_id = ei.value.fetch_id
+
+    row = (
+        control.read_fetch_metadata(spark, warehouse)
+        .filter(F.col("id") == fetch_id)
+        .collect()[0]
+    )
+    assert row.status == "error"
+    assert row.response_status == expected_code
+    assert json.loads(row.error_data)["error"] == expected_kind
+    assert row.finished_at is not None
+
+
+def test_bronze_strategy_records_payload_path(spark, warehouse, offline_source):
+    result = batch.run_etl(
+        spark,
+        warehouse,
+        "meteo",
+        {"latitude": 3.06, "longitude": 5.25},
+        fetch_job=batch.extract_and_save_to_disk,
+    )
+    meta = control.read_fetch_metadata(spark, warehouse).collect()[0]
+    assert meta.payload_path == result.data
+    assert meta.payload_path.startswith(warehouse.bronze_dir)
+    # Path layout: bronze/YYYY/MM/DD/meteo_{fetch_id}.json (T11).
+    assert meta.payload_path.endswith(f"meteo_{result.fetch_id}.json")
+    with open(meta.payload_path) as f:
+        assert json.load(f)["latitude"] == 3.06
+
+
+def test_missing_required_params():
+    from meteo_etl_spark.errors import TransformError
+    from meteo_etl_spark.sources.registry import create_source
+
+    with pytest.raises(TransformError):
+        create_source("meteo", {"latitude": 1.0})
