@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark — driver contract.
+
+Runs the bench-flagged queries from the declared surface at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query is materialized with a count-style
+collect (``df.collect()`` for bounded results — every headline query
+returns a small/top-k result set, so collect is cheap and measures
+the full plan). One warmup query is run first so JVM/codegen startup
+is not attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from meteo_etl_spark.plans import queries as _q
+from meteo_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # scale factor from the dir name (sf0.1 -> 0.1); fall back to 0.1
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    spark = get_spark("meteo-etl-spark-bench")
+
+    bench_specs = {n: s for n, s in _q.all_queries().items() if s.bench}
+
+    # Warmup: run the cheapest query once to absorb JVM/codegen startup.
+    warm = bench_specs.get("q7_grouped_count") or next(iter(bench_specs.values()))
+    warm.fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
