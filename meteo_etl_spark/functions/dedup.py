@@ -1,0 +1,308 @@
+"""Deduplication kernels for training-data pipelines.
+
+Four families, in increasing sophistication (SURVEY.md §2.4):
+
+- **exact** — hash-groupBy on the content hash; one shuffle on the
+  digest, map-side partial agg. The 100 TB workhorse.
+- **n-gram Jaccard** — word-shingle inverted index: explode distinct
+  shingles, self-equi-join on the shingle, count common per pair.
+  Scale note: at 100 TB you cap the index by dropping shingles whose
+  document frequency exceeds a bound (they generate O(df²) pairs and
+  carry no signal); not applied here because the oracle must see the
+  exact result.
+- **MinHash + LSH** — md5-salted minhash signatures, banded into
+  bucket keys; candidate pairs share ≥1 band bucket; candidates are
+  then verified with the exact Jaccard. The bucket join replaces the
+  all-pairs shingle join — the classic sub-quadratic near-dup path.
+- **SimHash** — per-token md5 bit votes folded into a B-bit sign
+  vector; Hamming-band candidates (hamming ≤ max_h over ``bands``
+  bands guarantees ≥1 identical band by pigeonhole — candidate
+  generation is therefore lossless, not probabilistic).
+
+Everything is JVM-side expression work (higher-order array functions
+inside whole-stage codegen); md5 is used as the hash family because it
+is bit-identical in the DuckDB oracle. Production swaps in xxhash64.
+
+Reference parity: extends the reference's only dedup-like kernel — the
+keyed last-write-wins upsert (`etl/load.py:45-55`, SURVEY.md U1) — to
+content-defined duplicate keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared with the DuckDB oracle generators (plans/llm_queries.py).
+SHINGLE_K = 3
+MINHASH_HASHES = 12
+MINHASH_BANDS = 4  # rows per band = MINHASH_HASHES // MINHASH_BANDS = 3
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band
+SIMHASH_MAX_HAMMING = 3  # <= bands - 1 keeps candidate generation lossless
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: one row per distinct text, the
+    smallest id wins, copy count retained. Single shuffle on md5."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles of a space-tokenized text column.
+    Docs with fewer than k tokens get an empty set."""
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(k))
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, ' ')) >= {k} THEN
+          array_distinct(transform(
+            sequence(1, size(split({text_col}, ' ')) - {k - 1}),
+            i -> concat_ws(' ', {parts})))
+        ELSE array() END
+        """.replace("__w", f"split({text_col}, ' ')")
+    )
+
+
+def _shingle_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh: array<string>) with non-empty distinct shingle sets."""
+    return (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def _pair_jaccard(sh_docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard per doc pair from the shingle inverted index.
+    ``candidates`` (doc_a, doc_b) restricts the pair space (LSH path);
+    None means all co-shingled pairs (exact path)."""
+    ex = sh_docs.select("id", F.explode("sh").alias("s"))
+    sizes = sh_docs.select("id", F.size("sh").alias("n"))
+
+    if candidates is None:
+        x = ex.alias("x")
+        y = ex.alias("y")
+        common = (
+            x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        # Probe only candidate pairs: explode each side's shingles and
+        # equi-join on the shingle within the pair.
+        common = (
+            candidates.join(ex.withColumnRenamed("id", "doc_a"), "doc_a")
+            .join(
+                ex.withColumnRenamed("id", "doc_b").withColumnRenamed("s", "s2"),
+                "doc_b",
+            )
+            .filter(F.col("s") == F.col("s2"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    na = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold
+    (exact, via the inverted index)."""
+    sh_docs = _shingle_docs(docs, id_col, text_col)
+    return (
+        _pair_jaccard(sh_docs, None)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
+    )
+
+
+def minhash_band_keys(sh_col: str = "sh") -> list[Column]:
+    """One md5 bucket key per LSH band, from md5-salted minhashes.
+    Hash h of shingle s = md5('h{h}:' || s); minhash = lexicographic
+    min (uniform over the md5 codomain, so a valid MinHash family)."""
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    mins = [
+        F.array_min(F.transform(F.col(sh_col), lambda s, h=h: F.md5(F.concat(F.lit(f"h{h}:"), s))))
+        for h in range(MINHASH_HASHES)
+    ]
+    keys = []
+    for b in range(MINHASH_BANDS):
+        parts: list[Column] = []
+        for r in range(rows):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(mins[b * rows + r])
+        keys.append(F.md5(F.concat(*parts)).alias(f"band{b}"))
+    return keys
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify.
+
+    Candidate generation is one equi-join on (band, bucket-key) —
+    sub-quadratic; verification touches candidates only. With b=4
+    bands of r=3 rows, the S-curve midpoint is (1/4)^(1/3) ≈ 0.63, so
+    pairs at the 0.8 threshold are caught with P ≈ 1-(1-0.8³)⁴ ≈ 0.95
+    per band-sketch — and the md5 family is deterministic, so the
+    oracle (same pipeline in SQL) matches exactly.
+    """
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
+    bands = sh_docs.select("id", *minhash_band_keys("sh"))
+    melted = bands.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+    a = melted.alias("a")
+    b = melted.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        _pair_jaccard(sh_docs, candidates)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
+    )
+
+
+def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """B-bit SimHash as a '0'/'1' string: per token, md5 hex char b
+    votes bit b up when its high nibble bit is set (hex >= '8', i.e.
+    ascii >= 56 covers '8','9','a'-'f'); bit = 1 iff the vote sum is
+    positive. String form keeps the oracle portable; production packs
+    into a BIGINT."""
+    hs = f"transform(split({text_col}, ' '), t -> md5(t))"
+    bit_exprs = ", ".join(
+        f"if(aggregate({hs}, 0, (a, h) -> a + if(ascii(substring(h, {b}, 1)) >= 56, 1, -1)) > 0, '1', '0')"
+        for b in range(1, bits + 1)
+    )
+    return F.expr(f"concat({bit_exprs})")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Document pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidates come from exact-match joins on ``SIMHASH_BANDS`` bit
+    bands: any pair within max_hamming <= bands-1 differs in at most
+    bands-1 bands, so at least one band matches exactly (pigeonhole) —
+    candidate generation is lossless, and the verify step just computes
+    the true distance."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    sims = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sim")
+    ).cache()
+    melted = sims.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("sim", b * width + 1, width).alias("key"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+    a = melted.alias("a")
+    b = melted.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    sb = sims.select(F.col("id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    hamming = F.expr(
+        f"aggregate(sequence(1, {SIMHASH_BITS}), 0, "
+        "(a, i) -> a + if(substring(sim_a, i, 1) = substring(sim_b, i, 1), 0, 1))"
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold over all pairs.
+
+    Norms are computed once per vector before the pair join. The pair
+    space is quadratic — correct as the oracle-checked baseline; the
+    scale path blocks the space first (see similarity.ann_lsh_topk's
+    hyperplane buckets) and verifies within blocks, same shape as
+    minhash_lsh_pairs."""
+    from meteo_etl_spark.functions.similarity import dot, norm
+
+    v = F.col(vec_col).cast("array<double>")
+    sided = emb.select(F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"))
+    a = sided.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = sided.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as opaque ``binary`` payload columns next to typed
+metadata — the same pointer-to-payload pattern the reference uses for
+its bronze files (`streaming/schemas/fetch_event.avsc:22` carries a
+path, not the data; SURVEY.md §2.4). At 100 TB the payload column
+lives in its own parquet files (or is a path into object storage) and
+decode runs as Arrow-batched Python over ``mapInPandas`` —
+per-partition batches, bounded memory, no driver involvement.
+
+The actual codecs (PIL/ffmpeg/librosa) are not in this container, so
+``decode_media`` is a STUB: the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested,
+while the pixel/sample decode is a clearly-marked deterministic fake
+(``fake=True``, metadata derived from the byte length) or
+``NotImplementedError`` when a real codec is requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Decoded-media metadata: one row per payload.
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("frames", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+#: Payload column schema fragment (binary + pointer metadata).
+PAYLOAD_FIELDS = [
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+]
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column (here: the utf-8 bytes of
+    the text column — the testdata has no real media) plus its size."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "n_bytes", F.octet_length(payload)
+    )
+
+
+def fake_decode_cols(n_bytes: Column) -> dict[str, Column]:
+    """The deterministic fake decode as pure JVM expressions — the
+    contract the mapInPandas stub must reproduce (tested for equality).
+    Dimensions are a fixed function of payload size."""
+    return {
+        "width": (F.lit(16) + F.pmod(n_bytes, F.lit(64))).cast("long"),
+        # (n/7) cast to long truncates toward zero == floor for n >= 0,
+        # matching the stub's integer division.
+        "height": (F.lit(16) + F.pmod((n_bytes / F.lit(7)).cast("long"), F.lit(64))).cast("long"),
+        "frames": (F.lit(1) + F.pmod(n_bytes, F.lit(5))).cast("long"),
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Decode binary payloads to media metadata via mapInPandas.
+
+    Arrow-batched: each partition streams in as pandas batches; the
+    decode touches bytes only inside the executor. ``codec='fake'``
+    produces the deterministic metadata of :func:`fake_decode_cols`;
+    any real codec raises NotImplementedError (libs not installed).
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real media codecs (PIL/ffmpeg) are not "
+            "available in this environment; only the deterministic "
+            "'fake' decode is implemented"
+        )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            n = batch["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "width": 16 + n % 64,
+                    "height": 16 + (n // 7) % 64,
+                    "frames": 1 + n % 5,
+                    "format": "fake",
+                }
+            )
+
+    return src.mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:
+    """Explode one row per sampled frame index — frame *sampling* is
+    native explode/sequence (JVM-side), only frame *decode* would be
+    Python. ``every`` keeps each k-th frame."""
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,410 @@
+"""Training-data pipeline query surface (SURVEY.md §2.4, BASELINE.json
+north-star): dedup, similarity search, text analysis, multimodal.
+
+Every oracle below is generated from the SAME constants (hash salts,
+thresholds, LSH planes, stopword lists) as the Spark implementation in
+``meteo_etl_spark/functions/*`` — both engines run the same
+deterministic algorithm, so even the probabilistic-looking sketches
+(MinHash-LSH, SimHash, hyperplane-LSH) hash-match exactly.
+
+Floating-point parity: all vector math folds sequentially from 0.0 on
+both sides (Spark ``aggregate``; DuckDB ``list_reduce(list_prepend(...))``)
+so summation order — and therefore the last ulp — is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions import dedup as dd
+from meteo_etl_spark.functions import multimodal as mm
+from meteo_etl_spark.functions import similarity as sim
+from meteo_etl_spark.functions import text as tx
+from meteo_etl_spark.plans.queries import query
+from meteo_etl_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment generators (shared-constant mirrors of functions/*)
+# ---------------------------------------------------------------------------
+
+_DIM = sim.EMBEDDING_DIM
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Sequential left fold from 0.0 — same order as similarity.dot."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}), "
+        f"i -> ({a})[i] * ({b})[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_plane(table: int, plane: int) -> str:
+    vals = ", ".join(str(w) for w in sim.hyperplane(table, plane))
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _duck_bucket(v: str, table: int) -> str:
+    bits = ", ".join(
+        f"CASE WHEN {_duck_dot(v, _duck_plane(table, p))} > 0 THEN '1' ELSE '0' END"
+        for p in range(sim.LSH_PLANES)
+    )
+    return f"concat({bits})"
+
+
+_K = dd.SHINGLE_K
+# toks/sh CTEs shared by the shingle-based dedups (k = SHINGLE_K).
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w) - {_K - 2}),
+                            i -> array_to_string(w[i:i+{_K - 1}], ' '))) AS s
+       FROM toks WHERE len(w) >= {_K}),
+ex AS (SELECT doc_id, UNNEST(s) AS tok FROM sh),
+cnt AS (SELECT doc_id, len(s) AS n FROM sh)
+"""
+
+_DUCK_JACCARD_TAIL = f"""
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE), 3) AS jaccard
+FROM common JOIN cnt p ON p.doc_id = doc_a JOIN cnt q ON q.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE) >= {dd.JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _duck_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> md5('h{h}:' || x)))"
+        for h in range(dd.MINHASH_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def _duck_simhash_bits() -> str:
+    exprs = ", ".join(
+        "CASE WHEN CAST(list_sum(list_transform(h, x -> "
+        f"CASE WHEN ascii(substr(x, {b}, 1)) >= 56 THEN 1 ELSE -1 END)) AS BIGINT) > 0 "
+        "THEN '1' ELSE '0' END"
+        for b in range(1, dd.SIMHASH_BITS + 1)
+    )
+    return f"concat({exprs})"
+
+
+_STOP_HITS = {
+    lang: "len(list_filter(string_split(text, ' '), t -> t IN ({})))".format(
+        ", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in tx.STOPWORDS.items()
+}
+
+
+def _duck_lang_case() -> str:
+    total = " + ".join(f"h_{lang}" for lang in tx.LANGS)
+    whens = []
+    for lang in tx.LANGS[:-1]:
+        cond = " AND ".join(
+            f"h_{lang} >= h_{other}" for other in tx.LANGS if other != lang
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return (
+        f"CASE WHEN {total} = 0 THEN 'und' "
+        + " ".join(whens)
+        + f" ELSE '{tx.LANGS[-1]}' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS n_bpe,
+              ROUND((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                    / len(string_split(text, ' ')), 3) AS mean_token_len
+       FROM documents ORDER BY doc_id""",
+    doc="Token counting: whitespace tokens + BPE-ish regex pre-tokens + "
+    "mean token length, all codegen'd expressions — the per-document "
+    "stats a data-mix pipeline keys on. No shuffle (pure map).",
+    bench=True,
+)
+def text_token_stats(spark, sf_dir):
+    c = F.col("text")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            tx.token_count(c).alias("n_tokens"),
+            tx.bpe_token_count(c).alias("n_bpe"),
+            F.round(tx.mean_token_len(c), 3).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""SELECT doc_id, {_duck_lang_case().replace('h_', '__h_')} AS lang_pred
+       FROM (SELECT doc_id,
+                    {', '.join(f'{expr} AS __h_{lang}' for lang, expr in _STOP_HITS.items())}
+             FROM documents)
+       ORDER BY doc_id""",
+    doc="Language-ID: stopword-profile argmax with deterministic "
+    "tie-break (n-gram heuristic family). Pure map; the profile table "
+    "is a compile-time constant, not a join.",
+)
+def text_lang_id(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality",
+    """SELECT doc_id, score,
+              score >= 0.5 AS keep
+       FROM (SELECT doc_id,
+                    CAST(floor((0.4 * least((__h * 1.0 / __n) * 5, 1.0)
+                        + 0.3 * least(__n / 100.0, 1.0)
+                        + 0.3 * least(((length(text) - (__n - 1)) * 1.0 / __n) / 8.0, 1.0))
+                        * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS score
+             FROM (SELECT doc_id, text,
+                          {hits} AS __h,
+                          len(string_split(text, ' ')) AS __n
+                   FROM documents))
+       ORDER BY doc_id""".format(hits=_STOP_HITS["en"]),
+    doc="Quality scoring: saturated blend of stopword density, length, "
+    "and mean token length (Gopher/C4-style filters) + the keep flag "
+    "a filtering pipeline would apply. Pure map.",
+)
+def text_quality(spark, sf_dir):
+    score = tx.quality_score(F.col("text"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", score.alias("score"))
+        .withColumn("keep", F.col("score") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ' '),
+                                 t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+                (acc, x) -> (acc * {tx.FP_BASE} + x) % {tx.FP_MOD}) AS fp
+       FROM documents ORDER BY doc_id""",
+    doc="Document fingerprinting: Karp-Rabin-style rolling hash over "
+    "tokens (order-sensitive). Exact-dup detection joins on fp instead "
+    "of the full text — constant-width shuffle keys at 100 TB.",
+)
+def text_fingerprint(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+       GROUP BY 1 ORDER BY keep_id""",
+    doc="Exact dedup by content digest over a doubled corpus (the "
+    "testdata has no planted exact dups, so the union provides them): "
+    "hash-groupBy, map-side partial agg, one shuffle on the digest. "
+    "The 100 TB workhorse — digest keys are 32 bytes regardless of "
+    "document size.",
+    bench=True,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.exact_dedup(docs.unionAll(docs), "text", "doc_id")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"WITH {_DUCK_SHINGLES},"
+    """common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                  FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)"""
+    f"{_DUCK_JACCARD_TAIL}",
+    doc="Exact n-gram (3-word shingle) Jaccard near-dup pairs via the "
+    "shingle inverted index. Quadratic in co-shingled pairs — the "
+    "exactness baseline the LSH variant is checked against. At 100 TB "
+    "you'd cap shingle document-frequency first.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"WITH {_DUCK_SHINGLES},"
+    f"""sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM sh),
+    bands AS (SELECT doc_id, b,
+                     md5(m[3*b+1] || '|' || m[3*b+2] || '|' || m[3*b+3]) AS key
+              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands a JOIN bands bb
+               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
+    common AS (SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
+               FROM cand cd
+               JOIN ex x ON x.doc_id = cd.doc_a
+               JOIN ex y ON y.doc_id = cd.doc_b AND y.tok = x.tok
+               GROUP BY 1, 2)"""
+    f"{_DUCK_JACCARD_TAIL}",
+    doc="MinHash(12 md5-salted hashes) + LSH(4 bands × 3 rows) "
+    "candidates, exact-Jaccard verify on candidates only — the "
+    "sub-quadratic near-dup path. The oracle runs the same "
+    "deterministic sketch, so the match is exact, not statistical.",
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_simhash",
+    f"""WITH hs AS (SELECT doc_id,
+                         list_transform(string_split(text, ' '), t -> md5(t)) AS h
+                  FROM documents),
+    sims AS (SELECT doc_id, {_duck_simhash_bits()} AS sim FROM hs),
+    bands AS (SELECT doc_id, b,
+                     substr(sim, b * {dd.SIMHASH_BITS // dd.SIMHASH_BANDS} + 1,
+                            {dd.SIMHASH_BITS // dd.SIMHASH_BANDS}) AS key
+              FROM sims, UNNEST(range(0, {dd.SIMHASH_BANDS})) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands a JOIN bands bb
+               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
+    pairs AS (SELECT doc_a, doc_b,
+                     CAST(list_sum(list_transform(range(1, {dd.SIMHASH_BITS + 1}),
+                          i -> CASE WHEN substr(sa.sim, i, 1) = substr(sb.sim, i, 1)
+                                    THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+              FROM cand JOIN sims sa ON sa.doc_id = doc_a
+                        JOIN sims sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {dd.SIMHASH_MAX_HAMMING} ORDER BY doc_a, doc_b""",
+    doc=f"SimHash({dd.SIMHASH_BITS}-bit md5 votes) near-dup pairs with "
+    f"Hamming <= {dd.SIMHASH_MAX_HAMMING}; candidates from "
+    f"{dd.SIMHASH_BANDS} exact-match bit-band joins — lossless by "
+    "pigeonhole (<= bands-1 diffs leave one band identical), so the "
+    "banding is a pure pruning step, never a recall loss.",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM v),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_raw
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, ROUND(cos_raw, 4) AS cos FROM p
+    WHERE cos_raw >= {dd.COSINE_DUP_THRESHOLD} ORDER BY vec_a, vec_b""",
+    doc="Embedding-cosine near-dup pairs (norms precomputed per vector, "
+    "sequential-fold dot products). All-pairs is the oracle-checked "
+    "baseline; the scale path routes through hyperplane buckets first "
+    "(see sim_ann_lsh) exactly like MinHash-LSH prunes Jaccard.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(emb).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_cosine",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM v, q WHERE vec_id <> 0)
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 10""",
+    doc="Brute-force cosine top-k (k=10, query = vec_id 0): broadcast "
+    "the query vector, one embarrassingly-parallel scan, "
+    "TakeOrderedAndProject top-k (per-partition heaps, no global "
+    "sort). The exactness baseline for ANN.",
+    bench=True,
+)
+def sim_topk_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, query_id=0, k=10)
+
+
+@query(
+    "sim_ann_lsh",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_bucket('v', 0)} AS b0, {_duck_bucket('v', 1)} AS b1 FROM v),
+    q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM c WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM c, q WHERE vec_id <> 0 AND (b0 = qb0 OR b1 = qb1))
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc=f"ANN top-k via random-hyperplane LSH ({sim.LSH_TABLES} tables × "
+    f"{sim.LSH_PLANES} md5-seeded sign planes): bucket-routed candidates, "
+    "exact cosine re-rank of candidates only. The bucket id is the "
+    "IVF-style partition key at 100 TB — a query reads a handful of "
+    "partitions, not the corpus.",
+)
+def sim_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(emb, query_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_meta",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              16 + octet_length(encode(text)) % 64 AS width,
+              16 + (octet_length(encode(text)) // 7) % 64 AS height,
+              1 + octet_length(encode(text)) % 5 AS frames,
+              'fake' AS format
+       FROM documents ORDER BY doc_id""",
+    doc="Multimodal decode plumbing: binary payload column -> "
+    "Arrow-batched mapInPandas decode stub (deterministic fake codec; "
+    "real codecs aren't in this container) -> typed metadata rows. "
+    "The oracle states the decode contract in SQL; the Spark side "
+    "actually runs the mapInPandas path, so the hash check covers the "
+    "UDF batch shape end to end.",
+)
+def mm_decode_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.with_binary_payload(docs)
+    return (
+        mm.decode_media(with_payload)
+        .select("doc_id", "n_bytes", "width", "height", "frames", "format")
+        .orderBy("doc_id")
+    )

@@ -474,9 +474,18 @@ def tpch_q1(spark, sf_dir):
     )
 
 
+def _ensure_registered() -> None:
+    # llm_queries imports this module's `query` decorator, so it can't
+    # be imported at module top (circular); first registry access pulls
+    # it in.
+    from meteo_etl_spark.plans import llm_queries  # noqa: F401
+
+
 def get(name: str) -> QuerySpec:
+    _ensure_registered()
     return REGISTRY[name]
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    _ensure_registered()
     return dict(REGISTRY)

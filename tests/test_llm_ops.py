@@ -1,0 +1,99 @@
+"""Training-data ops: invariants the DuckDB oracles don't cover —
+multimodal mapInPandas batch plumbing, LSH candidate losslessness,
+fingerprint order-sensitivity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions import dedup as dd
+from meteo_etl_spark.functions import multimodal as mm
+from meteo_etl_spark.functions import text as tx
+from meteo_etl_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_decode_media_matches_jvm_contract(spark, docs):
+    """The Arrow-batched mapInPandas decode must equal the pure-JVM
+    expression contract (fake_decode_cols) row for row."""
+    src = mm.with_binary_payload(docs)
+    decoded = mm.decode_media(src).select(
+        "doc_id", "n_bytes", "width", "height", "frames"
+    )
+    contract = src.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[c.alias(n) for n, c in mm.fake_decode_cols(F.col("n_bytes")).items()],
+    )
+    assert decoded.exceptAll(contract).count() == 0
+    assert contract.exceptAll(decoded).count() == 0
+
+
+def test_decode_media_real_codec_raises(spark, docs):
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_media(mm.with_binary_payload(docs), codec="jpeg")
+
+
+def test_sample_frames_explodes_per_frame(spark, docs):
+    decoded = mm.decode_media(mm.with_binary_payload(docs))
+    total = decoded.agg(F.sum("frames")).collect()[0][0]
+    assert mm.sample_frames(decoded).count() == total
+
+
+def test_minhash_lsh_subset_of_exact(spark, docs):
+    """LSH output is candidate-pruned exact Jaccard: it can only miss
+    pairs (band collision failure), never invent or mis-score them."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in dd.minhash_lsh_pairs(docs).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    assert all(j >= dd.JACCARD_THRESHOLD - 5e-4 for j in lsh.values())
+
+
+def test_simhash_banding_is_lossless(spark, docs):
+    """Pigeonhole: every pair within max_hamming must survive the
+    band-candidate pruning — verify against a full cross-join."""
+    sims = docs.select(
+        F.col("doc_id").alias("id"), dd.simhash("text").alias("sim")
+    )
+    a, b = sims.alias("a"), sims.alias("b")
+    hamming = F.expr(
+        f"aggregate(sequence(1, {dd.SIMHASH_BITS}), 0, "
+        "(acc, i) -> acc + if(substring(a.sim, i, 1) = substring(b.sim, i, 1), 0, 1))"
+    )
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            hamming.alias("h"),
+        )
+        .filter(F.col("h") <= dd.SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    banded = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs).collect()}
+    assert banded == brute
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], ["text"]
+    ).select(tx.fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[2] != fps[1]
+
+
+def test_exact_dedup_doubled_corpus(spark, docs):
+    out = dd.exact_dedup(docs.unionAll(docs), "text", "doc_id").collect()
+    assert len(out) == docs.count()
+    assert all(r.n_copies == 2 for r in out)
