@@ -1,0 +1,159 @@
+"""The streaming consumer (ST1-ST4): fetch events → silver merge.
+
+Structured-Streaming re-expression of the reference's poll loop
+(`streaming/consumer.py:44-135`):
+
+- **bounded intake / graceful stop** (ST1): ``trigger(availableNow)``
+  drains what exists and stops — the `max_messages` analogue;
+  continuous mode is the same query with a processing-time trigger.
+- **at-least-once + idempotent sink = effectively exactly-once**
+  (ST2): the checkpoint commits source offsets only after the batch
+  succeeds; re-delivered events re-run the keyed MERGE, which is
+  idempotent on (latitude, longitude, timestamp).
+- **poison-pill skip** (ST3): events that fail PERMISSIVE parsing
+  surface as null structs, are appended to the dead-letter dir, and
+  their offsets still commit (skip-forever). A *job* failure raises,
+  the batch aborts, nothing commits — redelivery (reference
+  `streaming/consumer.py:122-134`).
+- **transport error frames** (ST4) are handled inside the source.
+
+The batch body is set-oriented: all payload files referenced by the
+batch's events are read in one scan, fetch_ids recovered from the
+bronze filename contract (``{source}_{fetch_id}.json``), normalized
+per source, and merged once — at 100 TB a trigger processes thousands
+of fetches with a constant number of jobs, not a job per event.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from meteo_etl_spark.pipeline.warehouse import Warehouse, merge_observations
+from meteo_etl_spark.sources.registry import get_source_by_url
+from meteo_etl_spark.streaming.events import parse_wire_json
+
+#: bronze filename contract: `{source}_{uuid4}.json` (sources.bronze).
+_FETCH_ID_FROM_FILE = r"_([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})\.json$"
+
+
+@dataclass
+class ConsumeStats:
+    """Per-run accounting (filled by the foreachBatch bodies)."""
+
+    batches: int = 0
+    events: int = 0
+    poison: int = 0
+    merged_rows: int = 0
+    sources: list[str] = field(default_factory=list)
+
+
+def process_event_batch(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    events: DataFrame,
+    stats: ConsumeStats | None = None,
+) -> None:
+    """Merge the observations referenced by a batch of fetch events.
+
+    ``events`` carries parsed FetchEvent rows. Events are grouped by
+    source (the registry probe J3 — reference `etl/sources.py:97-100`),
+    each group's payload files are read in ONE schema'd scan, fetch_ids
+    are recovered from the filename, and one MERGE lands the group.
+    """
+    rows = events.select("source", "path").filter(F.col("path").isNotNull()).collect()
+    by_source: dict[str, list[str]] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.path)
+
+    for url, paths in sorted(by_source.items()):
+        spec = get_source_by_url(url)
+        payloads = (
+            spark.read.schema(spec.payload_schema)
+            .json(paths)
+            .withColumn(
+                "fetch_id",
+                F.regexp_extract(F.input_file_name(), _FETCH_ID_FROM_FILE, 1),
+            )
+        )
+        records = spec.normalize(payloads)  # fetch_id passes through (T1-T4)
+        merge_stats = merge_observations(spark, warehouse, records)
+        if stats is not None:
+            stats.sources.append(spec.name)
+            stats.merged_rows += merge_stats.inserted + merge_stats.updated
+    if stats is not None:
+        stats.events += len(rows)
+
+
+def consume_fetch_events(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    topic_dir: str,
+    checkpoint_dir: str,
+    *,
+    dead_letter_dir: str | None = None,
+    available_now: bool = True,
+    processing_interval: str = "10 seconds",
+    stats: ConsumeStats | None = None,
+) -> StreamingQuery:
+    """Start the consumer stream over the file topic.
+
+    Returns the StreamingQuery; with ``available_now`` the caller
+    awaits termination (bounded drain, the test/backfill mode), else
+    it runs until ``query.stop()`` (reference `stop_event`,
+    `streaming/consumer.py:102-109`).
+    """
+    raw = (
+        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+        .text(topic_dir)
+        .withColumnRenamed("value", "value")
+    )
+    parsed = parse_wire_json(raw)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            # PERMISSIVE from_json yields an all-null struct (not a null
+            # struct) on corrupt input — a real event always carries its
+            # non-null fetch_id, so that's the poison discriminator.
+            ok = batch_df.filter(F.col("event.fetch_id").isNotNull()).select("event.*")
+            poison = batch_df.filter(F.col("event.fetch_id").isNull()).select("raw_value")
+            n_poison = poison.count()
+            if n_poison and dead_letter_dir:
+                # Skip-forever: record and move on; the batch still
+                # succeeds so these offsets commit (ST3).
+                os.makedirs(dead_letter_dir, exist_ok=True)
+                poison.write.mode("append").text(dead_letter_dir)
+            process_event_batch(spark, warehouse, ok, stats=stats)
+            if stats is not None:
+                stats.batches += 1
+                stats.poison += n_poison
+        finally:
+            batch_df.unpersist()
+
+    writer = parsed.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
+def kafka_source_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Real-Kafka source wiring (S4): ``spark.readStream.format("kafka")
+    .options(**kafka_source_options(...))`` — `startingOffsets=earliest`
+    mirrors the reference consumer's `auto.offset.reset`
+    (`streaming/consumer.py:27-41`); offset commits become the
+    checkpoint's job."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }

@@ -1,0 +1,154 @@
+"""Streaming pipeline tests (reference `tests/streaming/*` strategy,
+SURVEY.md §5): event round-trip equality, produce→consume→count e2e,
+poison-pill skip with dead-letter, checkpointed no-reprocessing, and
+idempotent redelivery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.pipeline import batch, control
+from meteo_etl_spark.pipeline.warehouse import read_observations
+from meteo_etl_spark.streaming import consume, events, produce
+from tests.conftest import N_HOURS, golden_payload
+
+
+@pytest.fixture()
+def offline_source(monkeypatch):
+    from meteo_etl_spark.sources.registry import Source
+
+    monkeypatch.setattr(Source, "extract", lambda self, **extra: golden_payload())
+
+
+@pytest.fixture()
+def topic(tmp_path):
+    return str(tmp_path / "topic")
+
+
+def _publish_one(spark, warehouse, topic) -> str:
+    """Producer path (reference `streaming/cli.py:28-61`): ETL with the
+    bronze strategy, then publish the finished fetch's event."""
+    result = batch.run_etl(
+        spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25},
+        fetch_job=batch.extract_and_save_to_disk,
+    )
+    produce.publish_finished_fetch(spark, warehouse, result.fetch_id, topic)
+    return result.fetch_id
+
+
+def test_event_roundtrip(spark, warehouse, offline_source, topic):
+    """Serialize → deserialize equality incl. ms truncation (reference
+    `tests/streaming/test_producer.py:8-37`, `test_events.py:13-25`)."""
+    fetch_id = _publish_one(spark, warehouse, topic)
+
+    row = control.read_fetch_metadata(spark, warehouse).filter(F.col("id") == fetch_id)
+    ev = events.events_from_control(row)
+    wire = events.to_wire_json(ev)
+    back = events.parse_wire_json(wire).select("event.*")
+
+    orig, parsed = ev.collect()[0], back.collect()[0]
+    assert parsed.asDict() == orig.asDict()
+    assert parsed.fetch_id == fetch_id
+    assert parsed.source.startswith("https://")
+    assert parsed.path.endswith(f"meteo_{fetch_id}.json")
+    # epoch-ms truncation round-trips to a ms-precision timestamp (T5)
+    ts = row.select(events.millis_to_timestamp(F.lit(parsed.finished_at)).alias("t")).collect()[0].t
+    assert ts.microsecond % 1000 == 0
+
+
+def test_consume_e2e(spark, warehouse, offline_source, topic, tmp_path):
+    """produce → publish → consume → silver count (reference
+    `tests/streaming/test_consumer.py:22-55`)."""
+    fetch_id = _publish_one(spark, warehouse, topic)
+
+    stats = consume.ConsumeStats()
+    q = consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "ckpt"), stats=stats
+    )
+    q.awaitTermination(120)
+
+    assert stats.events == 1 and stats.poison == 0 and stats.sources == ["meteo"]
+    obs = read_observations(spark, warehouse)
+    assert obs.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
+
+
+def test_checkpoint_prevents_reprocessing(spark, warehouse, offline_source, topic, tmp_path):
+    _publish_one(spark, warehouse, topic)
+    ckpt = str(tmp_path / "ckpt")
+
+    s1 = consume.ConsumeStats()
+    consume.consume_fetch_events(spark, warehouse, topic, ckpt, stats=s1).awaitTermination(120)
+    s2 = consume.ConsumeStats()
+    consume.consume_fetch_events(spark, warehouse, topic, ckpt, stats=s2).awaitTermination(120)
+
+    assert s1.events == 1
+    assert s2.events == 0  # offsets committed — nothing redelivered
+
+
+def test_redelivery_is_idempotent(spark, warehouse, offline_source, topic, tmp_path):
+    """Fresh checkpoint = full redelivery; the keyed MERGE keeps the
+    silver table stable (ST2: at-least-once + idempotent sink)."""
+    fetch_id = _publish_one(spark, warehouse, topic)
+
+    consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "c1")
+    ).awaitTermination(120)
+    n1 = read_observations(spark, warehouse).count()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "c2")
+    ).awaitTermination(120)
+    obs = read_observations(spark, warehouse)
+    assert obs.count() == n1 == N_HOURS
+    assert obs.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
+
+
+def test_poison_pill_skipped_and_dead_lettered(
+    spark, warehouse, offline_source, topic, tmp_path
+):
+    """Corrupt message: dead-lettered + offset committed (skip-forever),
+    good messages in the same topic still processed (reference
+    `streaming/consumer.py:128-134`, `tests/streaming/test_consumer.py:
+    135-186`)."""
+    fetch_id = _publish_one(spark, warehouse, topic)
+    with open(os.path.join(topic, "zz_poison.json"), "w") as f:
+        f.write("{not json at all\n")
+
+    dl = str(tmp_path / "dead")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, ckpt, dead_letter_dir=dl, stats=s1
+    ).awaitTermination(120)
+
+    assert s1.poison == 1 and s1.events == 1
+    assert read_observations(spark, warehouse).filter(
+        F.col("fetch_id") == fetch_id
+    ).count() == N_HOURS
+    dead = [r.value for r in spark.read.text(dl).collect()]
+    assert dead == ["{not json at all"]
+
+    # skip-forever: a re-run does not see the poison message again
+    s2 = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, ckpt, dead_letter_dir=dl, stats=s2
+    ).awaitTermination(120)
+    assert s2.poison == 0 and s2.events == 0
+
+
+def test_wire_json_matches_declared_schema(spark, warehouse, offline_source, topic):
+    """The wire value is a flat JSON object with exactly the FetchEvent
+    fields (fastavro-conformance analogue, `tests/streaming/test_events
+    .py:13-25`)."""
+    fetch_id = _publish_one(spark, warehouse, topic)
+    with open(os.path.join(topic, f"{fetch_id}.json")) as f:
+        msg = json.loads(f.read())
+    from meteo_etl_spark.schemas import FETCH_EVENT_SCHEMA
+
+    assert set(msg) <= {f.name for f in FETCH_EVENT_SCHEMA.fields}
+    assert msg["fetch_id"] == fetch_id
+    assert msg["status"] == "success"
+    assert isinstance(msg["finished_at"], int)
