@@ -10,7 +10,7 @@ Four families, in increasing sophistication (SURVEY.md §2.4):
   document frequency exceeds a bound (they generate O(df²) pairs and
   carry no signal); not applied here because the oracle must see the
   exact result.
-- **MinHash + LSH** — md5-salted minhash signatures, banded into
+- **MinHash + LSH** — rotation-family minhash signatures, banded into
   bucket keys; candidate pairs share ≥1 band bucket; candidates are
   then verified with the exact Jaccard. The bucket join replaces the
   all-pairs shingle join — the classic sub-quadratic near-dup path.
@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 
 # Shared with the DuckDB oracle generators (plans/llm_queries.py).
 SHINGLE_K = 3
-MINHASH_HASHES = 12
-MINHASH_BANDS = 4  # rows per band = MINHASH_HASHES // MINHASH_BANDS = 3
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4  # rows per band = MINHASH_HASHES // MINHASH_BANDS = 2
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band
@@ -56,27 +56,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles of a space-tokenized text column.
-    Docs with fewer than k tokens get an empty set."""
-    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(k))
+def shingles(tokens_col: str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles from a pre-split token-array column.
+
+    Takes tokens, not text: inlining ``split()`` here would re-execute
+    it inside every lambda iteration (measured 18x slower at sf0.1) —
+    callers project the split once (see ``_shingle_docs``), which the
+    optimizer keeps materialized because it is referenced many times.
+    ``slice`` builds each shingle in one call. Docs with fewer than k
+    tokens get an empty set."""
     return F.expr(
         f"""
-        CASE WHEN size(split({text_col}, ' ')) >= {k} THEN
+        CASE WHEN size({tokens_col}) >= {k} THEN
           array_distinct(transform(
-            sequence(1, size(split({text_col}, ' ')) - {k - 1}),
-            i -> concat_ws(' ', {parts})))
+            sequence(1, size({tokens_col}) - {k - 1}),
+            i -> concat_ws(' ', slice({tokens_col}, i, {k}))))
         ELSE array() END
-        """.replace("__w", f"split({text_col}, ' ')")
+        """
     )
 
 
 def _shingle_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh: array<string>) with non-empty distinct shingle sets."""
-    return (
-        docs.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    toks = docs.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
+    return toks.select("id", shingles("w").alias("sh")).filter(F.size("sh") > 0)
 
 
 def _pair_jaccard(sh_docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
@@ -140,15 +143,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_band_keys(sh_col: str = "sh") -> list[Column]:
-    """One md5 bucket key per LSH band, from md5-salted minhashes.
-    Hash h of shingle s = md5('h{h}:' || s); minhash = lexicographic
-    min (uniform over the md5 codomain, so a valid MinHash family)."""
+def minhash_band_keys(hashes_col: str = "hsh") -> list[Column]:
+    """One md5 bucket key per LSH band, from rotation-family minhashes.
+
+    Each shingle is md5-hashed ONCE (the ``hashes_col`` projection);
+    hash function h is a rotation of that hex digest by 2h chars —
+    "one hash, k permutations" minhashing, which replaces k md5 calls
+    per shingle with k cheap substrings. A rotation is a bijection of
+    the digest space, so each rotated value stays uniform and its
+    lexicographic min is a valid minhash; the k functions are not
+    mutually independent (the classic one-permutation trade-off), which
+    widens the S-curve slightly — irrelevant here because candidates
+    are verified with the exact Jaccard anyway."""
     rows = MINHASH_HASHES // MINHASH_BANDS
-    mins = [
-        F.array_min(F.transform(F.col(sh_col), lambda s, h=h: F.md5(F.concat(F.lit(f"h{h}:"), s))))
-        for h in range(MINHASH_HASHES)
-    ]
+
+    def rot(h: int) -> Column:
+        if h == 0:
+            return F.array_min(F.col(hashes_col))
+        return F.array_min(
+            F.transform(
+                F.col(hashes_col),
+                lambda x: F.concat(
+                    F.substring(x, 2 * h + 1, 32 - 2 * h), F.substring(x, 1, 2 * h)
+                ),
+            )
+        )
+
+    mins = [rot(h) for h in range(MINHASH_HASHES)]
     keys = []
     for b in range(MINHASH_BANDS):
         parts: list[Column] = []
@@ -170,13 +191,17 @@ def minhash_lsh_pairs(
 
     Candidate generation is one equi-join on (band, bucket-key) —
     sub-quadratic; verification touches candidates only. With b=4
-    bands of r=3 rows, the S-curve midpoint is (1/4)^(1/3) ≈ 0.63, so
-    pairs at the 0.8 threshold are caught with P ≈ 1-(1-0.8³)⁴ ≈ 0.95
-    per band-sketch — and the md5 family is deterministic, so the
+    bands of r=2 rows, the S-curve midpoint is (1/4)^(1/2) = 0.5, so
+    pairs at the 0.8 threshold are caught with P ≈ 1-(1-0.8²)⁴ ≈ 0.98
+    per sketch — and the md5 family is deterministic, so the
     oracle (same pipeline in SQL) matches exactly.
     """
-    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
-    bands = sh_docs.select("id", *minhash_band_keys("sh"))
+    sh_docs = (
+        _shingle_docs(docs, id_col, text_col)
+        .withColumn("hsh", F.transform(F.col("sh"), F.md5))
+        .cache()
+    )
+    bands = sh_docs.select("id", *minhash_band_keys("hsh"))
     melted = bands.select(
         "id",
         F.explode(
@@ -206,18 +231,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
-    """B-bit SimHash as a '0'/'1' string: per token, md5 hex char b
-    votes bit b up when its high nibble bit is set (hex >= '8', i.e.
-    ascii >= 56 covers '8','9','a'-'f'); bit = 1 iff the vote sum is
-    positive. String form keeps the oracle portable; production packs
+def simhash_from_hashes(hashes_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """B-bit SimHash as a '0'/'1' string over a pre-hashed token column
+    (array of md5 hex strings): hex char b of each token hash votes bit
+    b up when its high nibble bit is set (hex >= '8', i.e. ascii >= 56
+    covers '8','9','a'-'f'); bit = 1 iff the vote sum is positive.
+
+    Takes token *hashes*, not text: each of the B bit expressions folds
+    over the array, so an inlined ``transform(split(...), md5)`` would
+    be re-executed B times per row (see shingles() for the same
+    pitfall). String form keeps the oracle portable; production packs
     into a BIGINT."""
-    hs = f"transform(split({text_col}, ' '), t -> md5(t))"
     bit_exprs = ", ".join(
-        f"if(aggregate({hs}, 0, (a, h) -> a + if(ascii(substring(h, {b}, 1)) >= 56, 1, -1)) > 0, '1', '0')"
+        f"if(aggregate({hashes_col}, 0, (a, h) -> a + if(ascii(substring(h, {b}, 1)) >= 56, 1, -1)) > 0, '1', '0')"
         for b in range(1, bits + 1)
     )
     return F.expr(f"concat({bit_exprs})")
+
+
+def simhash_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sim) — tokens are split+md5-hashed once in a projection,
+    then the B bit-folds run over the materialized hash array."""
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.split(text_col, " "), F.md5).alias("hs"),
+    )
+    return hashed.select("id", simhash_from_hashes("hs").alias("sim"))
 
 
 def simhash_pairs(
@@ -234,9 +275,7 @@ def simhash_pairs(
     candidate generation is lossless, and the verify step just computes
     the true distance."""
     width = SIMHASH_BITS // SIMHASH_BANDS
-    sims = docs.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sim")
-    ).cache()
+    sims = simhash_docs(docs, id_col, text_col).cache()
     melted = sims.select(
         "id",
         F.explode(

@@ -73,11 +73,18 @@ ORDER BY doc_a, doc_b
 
 
 def _duck_minhash_sig() -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(s, x -> md5('h{h}:' || x)))"
-        for h in range(dd.MINHASH_HASHES)
-    )
-    return f"[{mins}]"
+    """Rotation-family minhashes over pre-hashed shingles ``hh``
+    (mirror of dedup.minhash_band_keys: one md5 per shingle, hash h =
+    hex rotation by 2h chars)."""
+    mins = []
+    for h in range(dd.MINHASH_HASHES):
+        if h == 0:
+            mins.append("list_min(hh)")
+        else:
+            mins.append(
+                f"list_min(list_transform(hh, x -> substr(x, {2 * h + 1}) || substr(x, 1, {2 * h})))"
+            )
+    return f"[{', '.join(mins)}]"
 
 
 def _duck_simhash_bits() -> str:
@@ -258,9 +265,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "dedup_minhash_lsh",
     f"WITH {_DUCK_SHINGLES},"
-    f"""sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM sh),
+    f"""hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hh FROM sh),
+    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
     bands AS (SELECT doc_id, b,
-                     md5(m[3*b+1] || '|' || m[3*b+2] || '|' || m[3*b+3]) AS key
+                     md5(m[2*b+1] || '|' || m[2*b+2]) AS key
               FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
              FROM bands a JOIN bands bb

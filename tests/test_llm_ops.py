@@ -62,9 +62,7 @@ def test_minhash_lsh_subset_of_exact(spark, docs):
 def test_simhash_banding_is_lossless(spark, docs):
     """Pigeonhole: every pair within max_hamming must survive the
     band-candidate pruning — verify against a full cross-join."""
-    sims = docs.select(
-        F.col("doc_id").alias("id"), dd.simhash("text").alias("sim")
-    )
+    sims = dd.simhash_docs(docs)
     a, b = sims.alias("a"), sims.alias("b")
     hamming = F.expr(
         f"aggregate(sequence(1, {dd.SIMHASH_BITS}), 0, "
