@@ -1,0 +1,164 @@
+"""CLI surface (reference `etl/cli.py` + `streaming/cli.py`).
+
+argparse-based (typer/rich are not in this image) with the same
+command set and semantics:
+
+- ``fetch``             — extract + transform, print records (S9 sink:
+  pretty ``show()`` or JSON lines — reference `etl/cli.py:51-56`).
+- ``fetch-and-store``   — the batch ETL lifecycle (reference
+  `etl/cli.py:60-80`).
+- ``fetch-and-publish`` — bronze strategy + event publish (reference
+  `streaming/cli.py:28-61`).
+- ``consume-fetch-events`` — bounded/continuous consumer (reference
+  `streaming/cli.py:64-77`).
+- ``dashboard``         — the analytics tiles (reference
+  `dashboard/streamlit_app.py:53-87`) printed to stdout.
+
+T10: repeatable ``-p key=value`` params parsed with the reference's
+partition-split validation (`etl/cli.py:21-28`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Sequence
+
+from meteo_etl_spark.errors import TransformError
+
+
+def parse_cli_params(params: Sequence[str]) -> dict[str, str]:
+    """T10: `"k=v"` strings → dict; malformed input raises (reference
+    `etl/cli.py:21-28` — typer.BadParameter → TransformError here)."""
+    out: dict[str, str] = {}
+    for p in params:
+        key, sep, value = p.partition("=")
+        if not key or sep == "":
+            raise TransformError(f"Invalid parameter {p!r}, expected <key>=<value>")
+        out[key] = value
+    return out
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="meteo-etl-spark",
+        description="PySpark-native weather ETL (reference-parity CLI)",
+    )
+    ap.add_argument("--warehouse", default="./warehouse", help="warehouse root dir")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def add_fetch_args(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--long", type=float, required=True, help="longitude")
+        p.add_argument("--lat", type=float, required=True, help="latitude")
+        p.add_argument("--source", default="meteo")
+        p.add_argument(
+            "-p", "--param", action="append", default=[], help="<key>=<value>"
+        )
+
+    f = sub.add_parser("fetch", help="extract + transform, print records")
+    add_fetch_args(f)
+    f.add_argument("--no-pretty", action="store_true", help="JSON lines instead of table")
+
+    add_fetch_args(sub.add_parser("fetch-and-store", help="full batch ETL"))
+
+    fp = sub.add_parser("fetch-and-publish", help="bronze + event publish")
+    add_fetch_args(fp)
+    fp.add_argument("--topic-dir", required=True)
+
+    c = sub.add_parser("consume-fetch-events", help="run the consumer")
+    c.add_argument("--topic-dir", required=True)
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--dead-letter")
+    c.add_argument(
+        "--continuous", action="store_true",
+        help="processing-time trigger instead of a bounded availableNow drain",
+    )
+
+    sub.add_parser("dashboard", help="print the analytics tiles")
+    return ap
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from meteo_etl_spark.pipeline.warehouse import Warehouse
+    from meteo_etl_spark.session import get_spark
+
+    spark = get_spark("meteo-etl-spark-cli")
+    wh = Warehouse(root=args.warehouse)
+
+    if args.command == "fetch":
+        from meteo_etl_spark.sources.registry import create_source
+
+        source = create_source(
+            args.source,
+            {"latitude": args.lat, "longitude": args.long, **parse_cli_params(args.param)},
+        )
+        records = source.extract_and_transform(spark)
+        if args.no_pretty:
+            for line in records.toJSON().collect():  # S9 JSON-lines sink
+                print(line)
+        else:
+            records.show(truncate=False)  # S9 pretty sink
+        return 0
+
+    if args.command in ("fetch-and-store", "fetch-and-publish"):
+        from meteo_etl_spark.pipeline import batch
+
+        job = (
+            batch.extract_and_save_to_disk
+            if args.command == "fetch-and-publish"
+            else batch.extract_and_load
+        )
+        result = batch.run_etl(
+            spark,
+            wh,
+            args.source,
+            {"latitude": args.lat, "longitude": args.long, **parse_cli_params(args.param)},
+            fetch_job=job,
+        )
+        print(f"fetch_id={result.fetch_id} status={result.status}")
+        if args.command == "fetch-and-publish":
+            from meteo_etl_spark.streaming.produce import publish_finished_fetch
+
+            path = publish_finished_fetch(spark, wh, result.fetch_id, args.topic_dir)
+            print(f"published={path}")
+        return 0
+
+    if args.command == "consume-fetch-events":
+        from meteo_etl_spark.streaming import consume
+
+        stats = consume.ConsumeStats()
+        q = consume.consume_fetch_events(
+            spark,
+            wh,
+            args.topic_dir,
+            args.checkpoint,
+            dead_letter_dir=args.dead_letter,
+            available_now=not args.continuous,
+            stats=stats,
+        )
+        q.awaitTermination()
+        print(
+            f"batches={stats.batches} events={stats.events} "
+            f"poison={stats.poison} merged_rows={stats.merged_rows}"
+        )
+        return 0
+
+    if args.command == "dashboard":
+        from meteo_etl_spark.plans import analytics
+
+        obs_n, meta_n, loc_n = analytics.get_counts(spark, wh)
+        print(f"Locations recorded: {loc_n}")
+        print(f"Observations recorded: {obs_n}")
+        print(f"Jobs recorded: {meta_n}")
+        for measure, mean in analytics.mean_tiles(spark, wh).items():
+            print(f"Global mean {measure}: {mean}")
+        print(f"Last status recorded: {analytics.last_job_status(spark, wh)}")
+        return 0
+
+    return 2  # unreachable — argparse enforces the command set
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Dashboard analytics parity (pandas describe as the oracle —
+reference `dashboard/streamlit_app.py:67-79`) and the CLI surface."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from meteo_etl_spark import cli
+from meteo_etl_spark.errors import TransformError
+from meteo_etl_spark.pipeline import batch
+from meteo_etl_spark.pipeline.warehouse import read_observations
+from meteo_etl_spark.plans import analytics
+from tests.conftest import N_HOURS, golden_payload
+
+
+@pytest.fixture()
+def offline_source(monkeypatch):
+    from meteo_etl_spark.sources.registry import Source
+
+    calls = {"n": 0}
+
+    def extract(self, **extra):
+        calls["n"] += 1
+        # two distinct locations across calls
+        return golden_payload(lat=3.06 + calls["n"], lon=5.25)
+
+    monkeypatch.setattr(Source, "extract", extract)
+
+
+@pytest.fixture()
+def seeded(spark, warehouse, offline_source):
+    for _ in range(2):
+        batch.run_etl(spark, warehouse, "meteo", {"latitude": 1.0, "longitude": 2.0})
+    return warehouse
+
+
+def test_counts(spark, seeded):
+    obs_n, meta_n, loc_n = analytics.get_counts(spark, seeded)
+    assert obs_n == 2 * N_HOURS
+    assert meta_n == 2
+    assert loc_n == 2
+
+
+def test_describe_matches_pandas(spark, seeded):
+    """Engine-side describe() == pandas describe() (count, mean, std,
+    min, linear-interpolated quartiles, max)."""
+    pdf = read_observations(spark, seeded).toPandas()
+    expected = pdf[list(analytics.SUMMARY_COLS)].describe()
+    got = {r.measure: r for r in analytics.describe_observations(spark, seeded).collect()}
+
+    for m in analytics.SUMMARY_COLS:
+        e, g = expected[m], got[m]
+        assert g["count"] == e["count"]
+        for stat, key in [
+            ("mean", "mean"), ("std", "std"), ("min", "min"),
+            ("25%", "p25"), ("50%", "p50"), ("75%", "p75"), ("max", "max"),
+        ]:
+            assert math.isclose(g[key], e[stat], rel_tol=1e-9), (m, stat)
+
+
+def test_mean_tiles_rounding(spark, seeded):
+    pdf = read_observations(spark, seeded).toPandas()
+    tiles = analytics.mean_tiles(spark, seeded)
+    for m in analytics.SUMMARY_COLS:
+        assert tiles[m] == pytest.approx(round(pdf[m].mean(), 2), abs=5e-3)
+
+
+def test_last_job_status_label(spark, seeded):
+    assert analytics.last_job_status(spark, seeded) == "🟢 Success"
+
+
+def test_last_job_status_empty(spark, warehouse):
+    assert analytics.last_job_status(spark, warehouse) is None
+
+
+def test_parse_cli_params():
+    assert cli.parse_cli_params(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
+    with pytest.raises(TransformError, match="expected <key>=<value>"):
+        cli.parse_cli_params(["noequals"])
+
+
+def test_cli_fetch_and_store_then_dashboard(
+    spark, warehouse, offline_source, capsys
+):
+    rc = cli.main(
+        ["--warehouse", warehouse.root, "fetch-and-store",
+         "--long", "5.25", "--lat", "3.06", "-p", "forecast_days=7"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "status=success" in out
+
+    rc = cli.main(["--warehouse", warehouse.root, "dashboard"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Observations recorded: {N_HOURS}" in out
+    assert "Last status recorded: 🟢 Success" in out
+
+
+def test_cli_fetch_prints_json_lines(spark, warehouse, offline_source, capsys):
+    rc = cli.main(
+        ["fetch", "--long", "5.25", "--lat", "3.06", "--no-pretty"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == N_HOURS
