@@ -491,6 +491,119 @@ def _ensure_registered() -> None:
     from meteo_etl_spark.plans import llm_queries  # noqa: F401
 
 
+@query(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3-shaped 3-way join + agg + top-k. Join-tree shape the "
+    "plan must pick at scale: the filtered customer side broadcasts "
+    "into orders, the joined (orderkey, orderdate) side then joins "
+    "lineitem on its key; both date filters are pushed to the parquet "
+    "scans; top-10 via TakeOrderedAndProject, never a global sort.",
+    bench=True,
+)
+def tpch_q3(spark, sf_dir):
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """SELECT n_name,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey
+                                  AND c_nationkey = s_nationkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    doc="TPC-H Q5-shaped 6-way join: region/nation/supplier dims "
+    "broadcast (region filter prunes nations before any fact touches "
+    "them), the fact-side orders∞lineitem join shuffles on orderkey, "
+    "and the same-nation predicate rides the supplier broadcast. One "
+    "shuffle-heavy join + tiny group-by — the canonical star-join plan.",
+    bench=True,
+)
+def tpch_q5(spark, sf_dir):
+    nations_in_region = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def get(name: str) -> QuerySpec:
     _ensure_registered()
     return REGISTRY[name]

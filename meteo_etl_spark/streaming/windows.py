@@ -1,0 +1,63 @@
+"""Event-time windowed aggregation with watermarks (stretch surface).
+
+The reference has NO windows/watermarks — late data is absorbed by the
+idempotent keyed upsert (SURVEY.md §2.1 "absent streaming machinery").
+This module adds the windowed layer a scaled deployment wants on top:
+tumbling event-time rollups of the observation stream with bounded
+state (the watermark ages out window state; without it, state grows
+unboundedly at 100 TB ingest).
+
+Semantics: aggregates are keyed on (event-time window, location);
+events later than ``watermark_delay`` behind the stream's max event
+time are dropped from the windowed rollup — while the silver MERGE
+path still absorbs them row-wise, so the base table stays complete and
+only the incremental rollup is bounded-late. That split (exact base
+table + watermark-bounded rollup) is the standard lambda-free design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_observation_stats(
+    observations: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Tumbling per-location weather rollup over an observation stream
+    (works identically on a batch DataFrame — Structured Streaming's
+    unified semantics; the watermark only has effect on streams).
+
+    Output: (window_start, window_end, latitude, longitude, n,
+    avg_temperature, max_wind_speed, sum_precipitation).
+    """
+    df = observations
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            "latitude",
+            "longitude",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("temperature"), 2).alias("avg_temperature"),
+            F.max("wind_speed").alias("max_wind_speed"),
+            F.round(F.sum("precipitation"), 2).alias("sum_precipitation"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "latitude",
+            "longitude",
+            "n",
+            "avg_temperature",
+            "max_wind_speed",
+            "sum_precipitation",
+        )
+    )

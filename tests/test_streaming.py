@@ -152,3 +152,37 @@ def test_wire_json_matches_declared_schema(spark, warehouse, offline_source, top
     assert msg["fetch_id"] == fetch_id
     assert msg["status"] == "success"
     assert isinstance(msg["finished_at"], int)
+
+
+def test_windowed_stats_stream_matches_batch(spark, warehouse, offline_source, tmp_path):
+    """Stretch: tumbling event-time rollup with watermark — the
+    streaming result (availableNow drain) must equal the same aggregate
+    computed in batch (unified semantics)."""
+    from meteo_etl_spark.schemas import OBSERVATIONS_SCHEMA
+    from meteo_etl_spark.streaming.windows import windowed_observation_stats
+
+    batch.run_etl(spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    obs = read_observations(spark, warehouse)
+
+    src = str(tmp_path / "obs_stream")
+    obs.write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema(OBSERVATIONS_SCHEMA).json(src)
+    windowed = windowed_observation_stats(stream, window_duration="1 day")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM win_rollup").collect()
+    exp = windowed_observation_stats(obs, window_duration="1 day").collect()
+    key = lambda r: (r.window_start, r.latitude, r.longitude)
+    assert sorted([r.asDict() for r in got], key=lambda d: d["window_start"]) == sorted(
+        [r.asDict() for r in exp], key=lambda d: d["window_start"]
+    )
+    assert len(got) == 7  # 7 daily windows in the golden payload
+    assert {r.n for r in got} == {24}
