@@ -1,0 +1,52 @@
+"""Skew mitigation: salted joins (the manual fallback behind AQE).
+
+The engine's first line of defense is AQE skew-join splitting
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py). Salting is
+the explicit fallback for cases AQE can't fix — e.g. a skewed key
+feeding a non-splittable aggregation-after-join, or stream-static joins
+where AQE doesn't apply:
+
+- the FACT side gets a deterministic salt in ``[0, buckets)``;
+- the DIM side is replicated once per salt value (``explode(sequence)``
+  — a narrow generate, no shuffle);
+- the join key becomes (key, salt), so one hot key's rows spread over
+  ``buckets`` reducer partitions instead of one.
+
+The result is provably identical to the unsalted join (each fact row
+still meets exactly one copy of its dim row) — the oracle-checked
+``skew_salted_join`` query states that equivalence against DuckDB.
+
+At 100 TB, ``buckets`` is sized to the hottest key's row count divided
+by the target partition size; salting only the hot keys (a two-branch
+union of hot/cold) cuts the dim replication cost further.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salt_src: Column,
+    buckets: int = DEFAULT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``key`` with salt-spread reducers.
+
+    ``salt_src`` is any fact-side expression with per-row variance (a
+    row id, an event id, even ``rand()`` if determinism is not needed);
+    the salt is ``pmod(salt_src, buckets)``.
+    """
+    salted_fact = fact.withColumn("__salt", F.pmod(salt_src, F.lit(buckets)).cast("int"))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -14,6 +14,7 @@ so summation order — and therefore the last ulp — is identical.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.functions import dedup as dd
@@ -385,6 +386,98 @@ def sim_topk_cosine(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_lsh_topk(emb, query_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization
+# ---------------------------------------------------------------------------
+
+#: gap that starts a new session (ms).
+SESSION_GAP_MS = 86_400_000  # 1 day
+
+
+@query(
+    "events_sessionize",
+    f"""WITH o AS (SELECT user_id, event_id, ts,
+                        epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS gap_ms
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    m AS (SELECT user_id, event_id, ts,
+                 CASE WHEN gap_ms IS NULL OR gap_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS is_new
+          FROM o),
+    s AS (SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+    SELECT user_id, session_id, COUNT(*) AS n,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="Gap-based sessionization (1-day inactivity gap): lag + running "
+    "sum over one (user_id, ts) window — session assignment reuses a "
+    "single shuffle/sort, and the same partitioning carries into the "
+    "per-session aggregate (no second shuffle on the prefix key). The "
+    "streaming equivalent is session_window/applyInPandasWithState; "
+    "this is the batch/backfill form.",
+    bench=True,
+)
+def events_sessionize(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join",
+    """SELECT e.event_type,
+              COUNT(*) AS n,
+              ROUND(SUM(e.value * length(e.event_type)), 2) AS weighted
+       FROM events e
+       JOIN (SELECT DISTINCT event_type FROM events) d
+         ON e.event_type = d.event_type
+       GROUP BY e.event_type ORDER BY e.event_type""",
+    doc="Salted join (operators/skew.py): the fact side is salted with "
+    "pmod(event_id, 8), the dim side replicated per salt, the join key "
+    "becomes (event_type, salt) so a hot key spreads over 8 reducers. "
+    "The oracle states the plain unsalted join — the query proves the "
+    "rewrite is result-identical. shuffle_hash hint keeps the demo a "
+    "real shuffle join (broadcast would hide the salting).",
+)
+def skew_salted_join(spark, sf_dir):
+    from meteo_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().hint("shuffle_hash")
+    joined = salted_join(ev, dim, "event_type", salt_src=F.col("event_id"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.length("event_type")), 2).alias("weighted"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
