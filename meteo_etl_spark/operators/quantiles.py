@@ -1,0 +1,108 @@
+"""Exact distributed quantiles (linear interpolation) at scale.
+
+``F.percentile`` is exact but buffers EVERY value into a single
+aggregation buffer that is merged onto one reducer — fine at 600k
+rows, an OOM at 100 TB. This module computes the same exact result
+with bounded memory:
+
+1. one aggregate pass: total count + an ``approx_percentile`` bracket
+   around each target rank (the sketch is only used to *locate*, never
+   to *answer*);
+2. one pass: rank of each bracket's lower bound (count of values
+   below) + the bracketed values themselves (a tiny, validated slice);
+3. driver-side: select the two exact order statistics around the
+   target rank and linearly interpolate — identical semantics to
+   ``percentile`` / pandas / DuckDB ``quantile_cont``.
+
+If a bracket is too tight (the sketch erred more than its accuracy
+bound) or too wide (slice above ``max_slice`` rows), the bracket is
+widened / the accuracy raised and the pass retried — exactness never
+depends on the sketch.
+
+Cost: 2 full scans (vs 1 for the buffering version) but O(slice)
+memory; both scans are embarrassingly parallel map+partial-agg jobs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: max rows a bracket slice may hold before we consider it too wide.
+DEFAULT_MAX_SLICE = 1_000_000
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    *,
+    accuracy: int = 10_000,
+    max_slice: int = DEFAULT_MAX_SLICE,
+    _max_retries: int = 4,
+) -> list[float | None]:
+    """Exact linear-interpolation percentiles of ``df[col]``.
+
+    Returns one value per q in ``qs`` (None on an empty column).
+    """
+    c = F.col(col)
+    eps_q = 1.0 / accuracy
+
+    for attempt in range(_max_retries):
+        # Pass 1: count + sketch brackets (one aggregate, one job).
+        lo_qs = [max(0.0, q - eps_q) for q in qs]
+        hi_qs = [min(1.0, q + eps_q) for q in qs]
+        first = df.agg(
+            F.count(c).alias("n"),
+            F.approx_percentile(c, F.array(*[F.lit(q) for q in lo_qs]), F.lit(accuracy)).alias("lo"),
+            F.approx_percentile(c, F.array(*[F.lit(q) for q in hi_qs]), F.lit(accuracy)).alias("hi"),
+        ).collect()[0]
+        n = first.n
+        if n == 0:
+            return [None] * len(qs)
+        if n <= max_slice:
+            # Small column: the buffering exact aggregate is cheaper.
+            row = df.agg(
+                F.percentile(c, F.array(*[F.lit(q) for q in qs])).alias("p")
+            ).collect()[0]
+            return list(row.p)
+
+        los, his = list(first.lo), list(first.hi)
+
+        # Pass 2: exact rank of each lower bound + the bracket slices.
+        aggs = []
+        for i, (lo, hi) in enumerate(zip(los, his)):
+            aggs.append(F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"below{i}"))
+            aggs.append(
+                F.sort_array(
+                    F.collect_list(F.when((c >= lo) & (c <= hi), c))
+                ).alias(f"slice{i}")
+            )
+        second = df.agg(*aggs).collect()[0]
+
+        out: list[float | None] = []
+        ok = True
+        for i, q in enumerate(qs):
+            below = second[f"below{i}"] or 0
+            values = second[f"slice{i}"]
+            if len(values) > max_slice:
+                ok = False  # bracket too wide — raise accuracy, retry
+                break
+            k = (n - 1) * q  # target rank, 0-based fractional
+            k_lo, k_hi = math.floor(k), math.ceil(k)
+            # Order statistics k_lo/k_hi must sit inside the slice:
+            if not (below <= k_lo and k_hi < below + len(values)):
+                ok = False  # sketch erred past its bound — widen, retry
+                break
+            v_lo = values[k_lo - below]
+            v_hi = values[k_hi - below]
+            out.append(v_lo + (k - k_lo) * (v_hi - v_lo) if k_hi != k_lo else v_lo)
+        if ok:
+            return out
+        accuracy *= 4
+        eps_q = 1.0 / accuracy
+    raise RuntimeError(
+        f"exact_percentiles failed to bracket {qs} on {col!r} after {_max_retries} retries"
+    )

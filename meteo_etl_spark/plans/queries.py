@@ -136,8 +136,11 @@ def q4(spark, sf_dir):
        FROM lineitem""",
     doc="A3 8-statistic summary (pandas describe parity) — exact "
     "F.percentile with linear interpolation (percentile_approx would "
-    "break the oracle); single-pass aggregate. At 100 TB switch to "
-    "approx_percentile with a tuned accuracy. "
+    "break the oracle); single-pass aggregate with ONE array-form "
+    "percentile buffer. The buffering aggregate is the right plan up "
+    "to ~10M values; past that, operators/quantiles.exact_percentiles "
+    "computes the same exact result with bounded memory "
+    "(approx-bracket + refine, 2 scans). "
     "Reference: dashboard/streamlit_app.py:67-79.",
     bench=True,
 )
