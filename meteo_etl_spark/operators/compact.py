@@ -1,0 +1,103 @@
+"""Small-file compaction for partitioned parquet tables.
+
+Streaming triggers and per-fetch batch merges leave many small files
+per partition (the classic streaming-lake pathology: at 100 TB, file
+listing and task scheduling start to dominate scan time). Compaction
+rewrites each touched partition into ~``target_file_bytes`` files,
+preserving rows exactly — the maintenance job a table format (Delta
+OPTIMIZE / Iceberg rewrite_data_files) runs; here it is explicit and
+uses the same staged dynamic-partition-overwrite machinery as the
+merge (operators/upsert.py), so readers never see a partial rewrite.
+
+Partition selection: by default only partitions whose file count
+exceeds ``min_files_to_compact`` are rewritten — an incremental
+OPTIMIZE, not a full-table rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.upsert import _rewrite_partitions, table_exists
+
+
+@dataclass
+class CompactStats:
+    partitions_compacted: int
+    files_before: int
+    files_after: int
+
+
+def _partition_files(path: str, partition_col: str | None) -> dict[str, list[str]]:
+    """partition-dir (or '' for unpartitioned) -> parquet file paths."""
+    out: dict[str, list[str]] = {}
+    for root, _dirs, files in os.walk(path):
+        parquet = [f for f in files if f.endswith(".parquet")]
+        if not parquet:
+            continue
+        rel = os.path.relpath(root, path)
+        key = "" if rel == "." else rel
+        out.setdefault(key, []).extend(os.path.join(root, f) for f in parquet)
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> CompactStats:
+    """Rewrite fragmented partitions into ~target-sized files.
+
+    Rows are preserved exactly (count-verified); only partitions with
+    more than ``min_files_to_compact`` files are touched.
+    """
+    if not table_exists(spark, path):
+        return CompactStats(0, 0, 0)
+
+    by_part = _partition_files(path, partition_col)
+    fragmented = {
+        p: files for p, files in by_part.items() if len(files) > min_files_to_compact
+    }
+    files_before = sum(len(f) for f in by_part.values())
+    if not fragmented:
+        return CompactStats(0, files_before, files_before)
+
+    df = spark.read.parquet(path)
+    if partition_col:
+        # Prune the rewrite to the fragmented partitions only.
+        values = [p.split("=", 1)[1] for p in fragmented if "=" in p]
+        subset = df.filter(F.col(partition_col).cast("string").isin(values))
+    else:
+        subset = df
+    n_before = subset.count()
+
+    bytes_total = sum(
+        os.path.getsize(f) for files in fragmented.values() for f in files
+    )
+    n_files = max(1, round(bytes_total / target_file_bytes))
+    compacted = subset.repartition(n_files, *( [partition_col] if partition_col else [] ))
+
+    _rewrite_partitions(spark, compacted, path, partition_col)
+
+    n_after = (
+        spark.read.parquet(path).filter(
+            F.col(partition_col).cast("string").isin(values)
+        ).count()
+        if partition_col
+        else spark.read.parquet(path).count()
+    )
+    assert n_after == n_before, f"compaction changed row count: {n_before} -> {n_after}"
+
+    files_after = sum(len(f) for f in _partition_files(path, partition_col).values())
+    return CompactStats(
+        partitions_compacted=len(fragmented),
+        files_before=files_before,
+        files_after=files_after,
+    )

@@ -1,0 +1,62 @@
+"""Compaction: fragmented partitions collapse to few files, rows and
+values preserved exactly, untouched partitions left alone."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.compact import compact_table
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_partitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).withColumn("p", (F.col("id") % 3).cast("string"))
+    # fragment: 10 appends -> ~30 files across 3 partitions
+    for i in range(10):
+        df.filter((F.col("id") >= i * 100) & (F.col("id") < (i + 1) * 100)).write.mode(
+            "append"
+        ).partitionBy("p").parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(r.id for r in before.collect())
+    n_files_before = len(_parquet_files(path))
+    assert n_files_before >= 30
+
+    stats = compact_table(spark, path, partition_col="p")
+
+    assert stats.partitions_compacted == 3
+    assert stats.files_after < stats.files_before == n_files_before
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == rows_before
+    assert len(_parquet_files(path)) == stats.files_after <= 6
+
+
+def test_compact_skips_healthy_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 100).repartition(2).withColumn("p", F.lit("a")).write.partitionBy(
+        "p"
+    ).parquet(path)
+    stats = compact_table(spark, path, partition_col="p", min_files_to_compact=4)
+    assert stats.partitions_compacted == 0
+    assert stats.files_before == stats.files_after
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    stats = compact_table(spark, path)
+    assert stats.partitions_compacted == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 50
+    assert stats.files_after < stats.files_before
