@@ -389,6 +389,50 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Approximate scale-path variants (rows-only checks: sketch outputs are
+# engine-specific, so no DuckDB hash-match is possible — the exact
+# twins q3/q5 above carry the oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_approx_distinct",
+    None,
+    doc="Scale path of q3: approx_count_distinct (HLL++, rsd 2%) — "
+    "constant-size sketch per partition instead of the exact-distinct "
+    "shuffle of every (partkey, suppkey) pair. At 100 TB the exact "
+    "form shuffles billions of keys; this shuffles kilobytes. "
+    "Rows-only check: HLL estimates are engine-specific.",
+)
+def q3_approx(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct(
+            F.concat_ws("|", "l_partkey", "l_suppkey"), rsd=0.02
+        ).alias("n_approx")
+    )
+
+
+@query(
+    "q5_approx_summary",
+    None,
+    doc="Scale path of q5: approx_percentile (KLL-ish quantile sketch, "
+    "accuracy 10k) — bounded-memory partial aggregation instead of "
+    "buffering every value on one reducer. For EXACT percentiles at "
+    "scale, operators/quantiles.exact_percentiles brackets with this "
+    "sketch then refines. Rows-only check: sketch outputs are "
+    "engine-specific.",
+)
+def q5_approx(spark, sf_dir):
+    c = F.col("l_extendedprice")
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(c).alias("n"),
+        F.approx_percentile(
+            c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("pcts_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization
 # ---------------------------------------------------------------------------
 
