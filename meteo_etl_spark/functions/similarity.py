@@ -93,6 +93,80 @@ def brute_force_topk(
     )
 
 
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus bucket-partitioned (IVF-style inverted file).
+
+    Each vector is written once per hash table under
+    ``table=<t>/bucket=<sign-pattern>`` — at 100 TB this is the layout
+    that turns ANN from a full-corpus scan into a partition-pruned read
+    of a handful of buckets (the partition filter is visible in the
+    query plan; see ``query_lsh_index``). Rebuild cost is one narrow
+    pass over the corpus per table.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    corpus = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    tables = [
+        corpus.select(
+            "vec_id", "v", F.lit(t).alias("table"), _bucket(F.col("v"), t).alias("bucket")
+        )
+        for t in range(LSH_TABLES)
+    ]
+    df = tables[0]
+    for t in tables[1:]:
+        df = df.unionAll(t)
+    df.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over the persisted IVF index: compute the query's bucket
+    per table driver-side (P·dim flops on a constant), then scan ONLY
+    the matching (table, bucket) partitions — Catalyst turns the
+    bucket equality into PartitionFilters, so I/O is proportional to
+    the candidate set, not the corpus."""
+    qv = [float(x) for x in query_vec]
+
+    def bucket_of(table: int) -> str:
+        bits = []
+        for p in range(LSH_PLANES):
+            plane = hyperplane(table, p)
+            s = 0.0
+            for a, b in zip(qv, plane):
+                s += a * b
+            bits.append("1" if s > 0 else "0")
+        return "".join(bits)
+
+    df = spark.read.parquet(path)
+    match_any = None
+    for t in range(LSH_TABLES):
+        m = (F.col("table") == t) & (F.col("bucket") == bucket_of(t))
+        match_any = m if match_any is None else match_any | m
+    cand = df.filter(match_any)
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    # a vector in both tables' matching buckets appears twice — dedup
+    cand = cand.select("vec_id", "v").dropDuplicates(["vec_id"])
+    return (
+        cand.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_id: int,

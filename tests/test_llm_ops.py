@@ -95,3 +95,26 @@ def test_exact_dedup_doubled_corpus(spark, docs):
     out = dd.exact_dedup(docs.unionAll(docs), "text", "doc_id").collect()
     assert len(out) == docs.count()
     assert all(r.n_copies == 2 for r in out)
+
+
+def test_ivf_index_matches_inline_ann(spark, tmp_path):
+    """The persisted bucket-partitioned index must return exactly the
+    inline ann_lsh_topk result, and the scan must be partition-pruned
+    (PartitionFilters on table/bucket in the plan)."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "lsh_index")
+    sim.build_lsh_index(emb, idx)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = sim.query_lsh_index(spark, idx, qv, k=5, exclude_id=0)
+    exp = sim.ann_lsh_topk(emb, query_id=0, k=5)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in exp.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan must not read every partition
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter list is empty"
