@@ -24,8 +24,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
-    IntegerType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -116,6 +117,52 @@ def decode_media(
             )
 
     return src.mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+#: fake embedding dimensionality (kept small; real encoders emit 512+).
+EMBED_DIM = 8
+
+
+def embed_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary payload → embedding vector via mapInPandas (the
+    feature-extract step of a multimodal pipeline; a real encoder —
+    CLIP/wav2vec — is not in this container, so the embedding is a
+    deterministic byte-statistics fake with the REAL plumbing: Arrow
+    batches in, fixed-width array<double> out, composable with
+    functions/similarity.* downstream)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType()), False),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def embed(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            vecs = []
+            for buf in batch["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                # deterministic per-stripe byte statistics, L2-normalized
+                stripes = np.array_split(arr, EMBED_DIM) if len(arr) else []
+                v = np.array(
+                    [s.mean() if len(s) else 0.0 for s in stripes]
+                    + [0.0] * (EMBED_DIM - len(stripes))
+                )
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).tolist())
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "embedding": vecs}
+            )
+
+    return src.mapInPandas(embed, out_schema)
 
 
 def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:

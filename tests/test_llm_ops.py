@@ -118,3 +118,30 @@ def test_ivf_index_matches_inline_ann(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "partition filter list is empty"
+
+
+def test_multimodal_pipeline_composes_with_similarity(spark, docs, tmp_path):
+    """decode → embed → ANN composition: the multimodal fake embeddings
+    flow through the real similarity stack (schema + batch plumbing are
+    what's under test, not the fake features)."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = mm.embed_media(mm.with_binary_payload(docs)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    assert dict(emb.dtypes)["embedding"] == "array<double>"
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    assert len(row.embedding) == mm.EMBED_DIM
+    assert abs(sum(x * x for x in row.embedding) - 1.0) < 1e-9  # L2-normalized
+
+    # brute-force top-k over the fake embeddings runs end to end
+    got = sim.brute_force_topk(emb, query_id=0, k=3)
+    rows = got.collect()
+    assert len(rows) == 3
+    assert all(-1.0 <= r.sim <= 1.0 for r in rows)
+    # determinism: same pipeline, same result
+    again = sim.brute_force_topk(
+        mm.embed_media(mm.with_binary_payload(docs)).withColumnRenamed("doc_id", "vec_id"),
+        query_id=0, k=3,
+    ).collect()
+    assert [r.asDict() for r in rows] == [r.asDict() for r in again]
