@@ -1,0 +1,106 @@
+"""Randomized query corpus vs the DuckDB oracle (SQL-logic-test style;
+the reference has nothing comparable — SURVEY.md §5).
+
+Hypothesis draws small query shapes (filters → optional group-by →
+aggregates → sort) and builds the SAME query twice: once as a Spark
+DataFrame plan, once as SQL for DuckDB. Results must match exactly
+(aggregate floats are rounded in-query on both sides, same as the
+declared surface does)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tests.oracle import compare, duckdb_connection
+
+#: filterable columns: (name, duckdb literal formatter, sample values)
+FILTERS = {
+    "l_quantity": ("num", [1.0, 10.0, 25.0, 49.0]),
+    "l_discount": ("num", [0.0, 0.02, 0.05, 0.08]),
+    "l_returnflag": ("str", ["A", "N", "R"]),
+    "l_linestatus": ("str", ["F", "O"]),
+    "l_suppkey": ("num", [1, 5, 25, 77]),
+}
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+GROUPS = ["l_returnflag", "l_linestatus", "l_shipdate"]
+AGGS = {
+    "cnt": ("COUNT(*)", lambda: F.count(F.lit(1))),
+    "sum_qty": ("ROUND(SUM(l_quantity), 2)", lambda: F.round(F.sum("l_quantity"), 2)),
+    "min_price": ("MIN(l_extendedprice)", lambda: F.min("l_extendedprice")),
+    "max_disc": ("MAX(l_discount)", lambda: F.max("l_discount")),
+    "avg_tax": ("ROUND(AVG(l_tax), 4)", lambda: F.round(F.avg("l_tax"), 4)),
+}
+
+filter_st = st.builds(
+    lambda col, op, vi: (col, op, FILTERS[col][1][vi % len(FILTERS[col][1])]),
+    st.sampled_from(sorted(FILTERS)),
+    st.sampled_from(OPS),
+    st.integers(min_value=0, max_value=3),
+)
+
+query_st = st.fixed_dictionaries(
+    {
+        "filters": st.lists(filter_st, min_size=0, max_size=3),
+        "groups": st.lists(st.sampled_from(GROUPS), min_size=0, max_size=2, unique=True),
+        "aggs": st.lists(st.sampled_from(sorted(AGGS)), min_size=1, max_size=3, unique=True),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+def _lit_sql(kind: str, v) -> str:
+    return f"'{v}'" if kind == "str" else repr(v)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=query_st)
+def test_random_query_matches_oracle(spark, lineitem, oracle_con, q):
+    df = lineitem
+    where = []
+    for col, op, v in q["filters"]:
+        kind = FILTERS[col][0]
+        where.append(f"l.{col} {op} {_lit_sql(kind, v)}")
+        spark_op = {
+            "<": "__lt__", "<=": "__le__", ">": "__gt__",
+            ">=": "__ge__", "=": "__eq__", "<>": "__ne__",
+        }[op]
+        df = df.filter(getattr(F.col(col), spark_op)(v))
+
+    agg_cols = [AGGS[a][1]().alias(a) for a in q["aggs"]]
+    agg_sql = ", ".join(f"{AGGS[a][0]} AS {a}" for a in q["aggs"])
+
+    if q["groups"]:
+        df = df.groupBy(*q["groups"]).agg(*agg_cols).orderBy(*q["groups"])
+        group_sql = ", ".join(q["groups"])
+        sql = (
+            f"SELECT {group_sql}, {agg_sql} FROM lineitem l"
+            + (f" WHERE {' AND '.join(where)}" if where else "")
+            + f" GROUP BY {group_sql} ORDER BY {group_sql}"
+        )
+    else:
+        df = df.agg(*agg_cols)
+        sql = (
+            f"SELECT {agg_sql} FROM lineitem l"
+            + (f" WHERE {' AND '.join(where)}" if where else "")
+        )
+
+    compare(df, oracle_con.execute(sql).fetchdf(), name=sql)
