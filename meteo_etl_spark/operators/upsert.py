@@ -90,6 +90,7 @@ def merge_parquet(
     dedup_order: list[Column] | None = None,
     partition_col: str | None = None,
     partition_expr: Column | None = None,
+    sort_within_partitions: list[str] | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``path``.
 
@@ -105,6 +106,11 @@ def merge_parquet(
       ``update_cols``.
     - ``partition_col`` (+ optional ``partition_expr`` deriving it from
       update rows): physical layout and merge pruning key.
+    - ``sort_within_partitions``: cluster rewritten files on these
+      columns (Z-order-lite): parquet row-group min/max stats become
+      tight on the key, so point/range probes skip row groups — the
+      index analogue of the reference's composite (lat,long,ts) index
+      (`etl/db.py:119`).
     """
     updates = dedup_last_write_wins(updates, key_cols, dedup_order)
     if partition_col and partition_col not in updates.columns:
@@ -118,6 +124,8 @@ def merge_parquet(
 
     if not table_exists(spark, path):
         inserts = updates
+        if sort_within_partitions:
+            inserts = inserts.sortWithinPartitions(*sort_within_partitions)
         for col, expr in not_matched_set.items():
             if callable(expr):
                 raise ValueError(
@@ -190,6 +198,8 @@ def merge_parquet(
     ).count()
     n_inserted = n_updates - n_matched
 
+    if sort_within_partitions:
+        merged = merged.sortWithinPartitions(*sort_within_partitions)
     _rewrite_partitions(spark, merged, path, partition_col)
     total = spark.read.parquet(path).count()
     return MergeStats(inserted=n_inserted, updated=n_matched, target_rows=total)

@@ -89,6 +89,9 @@ def merge_observations(
             },
             partition_col=OBS_PARTITION_COL,
             partition_expr=F.to_date("timestamp"),
+            # cluster files on the natural key: tight row-group stats
+            # = the composite-index analogue (reference etl/db.py:119)
+            sort_within_partitions=list(OBSERVATION_KEY),
         )
     except Exception as exc:
         if isinstance(exc, LoadError):
