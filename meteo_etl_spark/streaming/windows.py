@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on a key: keep the first arrival of each
+    key, drop re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a key is
+    remembered only until the watermark passes its event time — the
+    streaming twin of functions/dedup.exact_dedup, and the generic
+    guard in front of any at-least-once source whose sink is NOT
+    idempotent (when the sink is a keyed MERGE, as in consume.py, the
+    merge itself absorbs duplicates and this operator is unnecessary).
+    On a batch DataFrame it degrades to plain dropDuplicates.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_observation_stats(
     observations: DataFrame,
     *,

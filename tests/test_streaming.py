@@ -186,3 +186,50 @@ def test_windowed_stats_stream_matches_batch(spark, warehouse, offline_source, t
     )
     assert len(got) == 7  # 7 daily windows in the golden payload
     assert {r.n for r in got} == {24}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events (same event_id) are dropped by the streaming
+    dedup; distinct events all arrive. Batch mode degrades to
+    dropDuplicates."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from meteo_etl_spark.streaming.windows import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    base = datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10),
+        (2, base, 20),
+        (1, base, 10),  # duplicate delivery
+        (3, base, 30),
+        (2, base, 20),  # duplicate delivery
+    ]
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows, schema).repartition(1).write.json(src)
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]
+
+    # batch degradation
+    batch_out = dedup_stream(spark.createDataFrame(rows, schema), ["event_id"])
+    assert batch_out.count() == 3
