@@ -71,11 +71,24 @@ def parse_wire_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def avro_available() -> bool:
+    """True only if the spark-avro datasource actually executes — the
+    Python wrapper always imports; the JVM class may be absent (it is
+    an external module), which only surfaces at evaluation time
+    (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE). So: probe with a
+    one-row encode."""
     try:
-        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+        from pyspark.sql import SparkSession
+        from pyspark.sql.avro.functions import to_avro
 
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        probe = spark.range(1).select(
+            F.struct(F.lit("x").alias("a")).alias("s")
+        )
+        probe.select(to_avro("s")).collect()
         return True
-    except ImportError:
+    except Exception:
         return False
 
 

@@ -233,3 +233,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch degradation
     batch_out = dedup_stream(spark.createDataFrame(rows, schema), ["event_id"])
     assert batch_out.count() == 3
+
+
+def test_avro_gate_reflects_runtime(spark):
+    """avro_available() must report actual executability, not mere
+    importability (the wrapper imports even without the datasource
+    jar); when unavailable, the avro codecs raise rather than
+    silently corrupt."""
+    ok = events.avro_available()
+    from meteo_etl_spark.schemas import FETCH_EVENT_SCHEMA
+    import pyspark.sql.functions as SF
+
+    row = spark.createDataFrame(
+        [("f1", "https://s", "success", None, {"a": "1"}, 123)],
+        FETCH_EVENT_SCHEMA,
+    )
+    if ok:
+        wire = events.to_avro_value(row)
+        back = events.from_avro_value(wire).select("event.*").collect()[0]
+        assert back.fetch_id == "f1"
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            events.to_avro_value(row).collect()
