@@ -104,3 +104,75 @@ def test_random_query_matches_oracle(spark, lineitem, oracle_con, q):
         )
 
     compare(df, oracle_con.execute(sql).fetchdf(), name=sql)
+
+
+# ---------------------------------------------------------------------------
+# Join shapes: orders ⋈ customer with random join type / filters / aggs.
+# ---------------------------------------------------------------------------
+
+JOIN_TYPES = ["inner", "left", "left_semi", "left_anti"]
+CUST_FILTERS = [("c_acctbal", ">", 0.0), ("c_mktsegment", "=", "BUILDING"),
+                ("c_nationkey", "<", 13), ("c_acctbal", "<=", 5000.0)]
+
+join_st = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(JOIN_TYPES),
+        "cust_filter": st.one_of(st.none(), st.sampled_from(CUST_FILTERS)),
+        "status_filter": st.one_of(st.none(), st.sampled_from(["F", "O", "P"])),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=join_st)
+def test_random_join_matches_oracle(spark, orders, customer, oracle_con, q):
+    cust = customer
+    cust_where = ""
+    if q["cust_filter"] is not None:
+        col, op, v = q["cust_filter"]
+        lit = f"'{v}'" if isinstance(v, str) else repr(v)
+        cust_where = f"WHERE {col} {op} {lit}"
+        spark_op = {"<": "__lt__", "<=": "__le__", ">": "__gt__", "=": "__eq__"}[op]
+        cust = cust.filter(getattr(F.col(col), spark_op)(v))
+
+    ords = orders
+    ord_where = ""
+    if q["status_filter"] is not None:
+        ord_where = f"WHERE o_orderstatus = '{q['status_filter']}'"
+        ords = ords.filter(F.col("o_orderstatus") == q["status_filter"])
+
+    joined = ords.join(cust, ords.o_custkey == cust.c_custkey, q["how"])
+    df = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+    semi = {"left_semi": "SEMI", "left_anti": "ANTI"}.get(q["how"])
+    if semi:
+        sql = f"""
+            SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM (SELECT * FROM orders {ord_where}) o
+            {semi} JOIN (SELECT * FROM customer {cust_where}) c
+              ON o.o_custkey = c.c_custkey"""
+    else:
+        how_sql = {"inner": "JOIN", "left": "LEFT JOIN"}[q["how"]]
+        sql = f"""
+            SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM (SELECT * FROM orders {ord_where}) o
+            {how_sql} (SELECT * FROM customer {cust_where}) c
+              ON o.o_custkey = c.c_custkey"""
+    compare(df, oracle_con.execute(sql).fetchdf(), name=sql)
