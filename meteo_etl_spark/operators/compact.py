@@ -56,7 +56,10 @@ def compact_table(
     """Rewrite fragmented partitions into ~target-sized files.
 
     Rows are preserved exactly (count-verified); only partitions with
-    more than ``min_files_to_compact`` files are touched.
+    more than ``min_files_to_compact`` files are touched. Supports a
+    single partition column (the engine's layouts — obs_date — are
+    single-level; multi-level layouts would need hierarchical
+    partition-value parsing here).
     """
     if not table_exists(spark, path):
         return CompactStats(0, 0, 0)
