@@ -176,3 +176,71 @@ def test_random_join_matches_oracle(spark, orders, customer, oracle_con, q):
             {how_sql} (SELECT * FROM customer {cust_where}) c
               ON o.o_custkey = c.c_custkey"""
     compare(df, oracle_con.execute(sql).fetchdf(), name=sql)
+
+
+# ---------------------------------------------------------------------------
+# Window shapes: ranking/offset/frame aggregates with unique-key tiebreak.
+# ---------------------------------------------------------------------------
+
+WINDOW_PARTS = ["o_orderstatus", "o_orderpriority"]
+WINDOW_FNS = {
+    "rn": (
+        "ROW_NUMBER() OVER w",
+        lambda w: F.row_number().over(w),
+    ),
+    "rnk": (
+        "RANK() OVER w",
+        lambda w: F.rank().over(w),
+    ),
+    "prev_price": (
+        "LAG(o_totalprice) OVER w",
+        lambda w: F.lag("o_totalprice").over(w),
+    ),
+    "run_sum": (
+        # integer running sum: exact in both engines regardless of the
+        # window aggregator's internal summation order
+        "SUM(o_orderkey) OVER (PARTITION BY __part ORDER BY __ord ROWS UNBOUNDED PRECEDING)",
+        lambda w: F.sum("o_orderkey").over(
+            w.rowsBetween(-9223372036854775808, 0)  # Window.unboundedPreceding
+        ),
+    ),
+}
+
+window_st = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(WINDOW_PARTS),
+        "fns": st.lists(st.sampled_from(sorted(WINDOW_FNS)), min_size=1, max_size=3, unique=True),
+        "desc": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=window_st)
+def test_random_window_matches_oracle(spark, orders, oracle_con, q):
+    from pyspark.sql import Window
+
+    order_sql = "o_orderdate DESC, o_orderkey DESC" if q["desc"] else "o_orderdate, o_orderkey"
+    w = Window.partitionBy(q["part"]).orderBy(
+        *([F.desc("o_orderdate"), F.desc("o_orderkey")] if q["desc"] else ["o_orderdate", "o_orderkey"])
+    )
+    df = orders.select(
+        "o_orderkey",
+        *[WINDOW_FNS[f][1](w).alias(f) for f in q["fns"]],
+    ).orderBy("o_orderkey").limit(2000)
+
+    fn_sql = ", ".join(
+        WINDOW_FNS[f][0].replace("__part", q["part"]).replace("__ord", order_sql)
+        + f" AS {f}"
+        for f in q["fns"]
+    )
+    sql = f"""
+        SELECT o_orderkey, {fn_sql}
+        FROM orders
+        WINDOW w AS (PARTITION BY {q['part']} ORDER BY {order_sql})
+        ORDER BY o_orderkey LIMIT 2000"""
+    compare(df, oracle_con.execute(sql).fetchdf(), name=sql)
