@@ -77,6 +77,75 @@ def classify_error(exc: Exception) -> tuple[int, dict]:
     return 500, {"error": "unexpected", "msg": str(exc), "trace": traceback.format_exc(limit=3)}
 
 
+def run_etl_many(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    jobs: list[tuple[str, dict[str, Any]]],
+    raise_on_error: bool = True,
+) -> list[ETLResult]:
+    """Batch scale path: N fetch jobs, ONE normalize + ONE merge.
+
+    The reference runs one fetch per process invocation; at scale the
+    shape is: register all jobs, extract all payloads (driver-side
+    HTTP, small), build ONE payload DataFrame carrying fetch_id, run
+    the columnar unnest once, and land everything in a single MERGE —
+    per-fetch jobs collapse from N merges (N partition rewrites) into
+    one. Control rows are still per-fetch (observability parity);
+    extract failures error their own row without failing the batch.
+
+    All jobs must share one source's payload schema per call (group
+    callers by source); mixed-source batches are run per group.
+    """
+    results: list[ETLResult] = []
+    extracted: list[tuple[str, Source, dict]] = []
+    for source_name, params in jobs:
+        source = create_source(source_name, params)
+        fetch_id = control.insert_fetch_metadata(
+            spark, warehouse, source.url, source.request_params()
+        )
+        try:
+            payload = source.extract()
+        except Exception as exc:  # noqa: BLE001 — taxonomy handles every class
+            status_code, error_data = classify_error(exc)
+            control.update_fetch_metadata(
+                spark, warehouse, fetch_id,
+                status=FETCH_STATUS_ERROR,
+                response_status=status_code, error_data=error_data,
+            )
+            if raise_on_error:
+                raise ETLError(f"etl job failed: {exc}", fetch_id=fetch_id) from exc
+            results.append(
+                ETLResult(fetch_id=fetch_id, status=FETCH_STATUS_ERROR, error=error_data)
+            )
+            continue
+        extracted.append((fetch_id, source, payload))
+
+    if extracted:
+        spec = extracted[0][1].spec
+        import pyspark.sql.functions as F
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(spec.payload_schema.fields)
+            + [T.StructField("fetch_id", T.StringType(), False)]
+        )
+        payload_df = spark.createDataFrame(
+            [{**payload, "fetch_id": fid} for fid, _s, payload in extracted],
+            schema=schema,
+        )
+        records = spec.normalize(payload_df)  # fetch_id passes through (T1)
+        stats = merge_observations(spark, warehouse, records)
+        for fetch_id, _source, _payload in extracted:
+            control.update_fetch_metadata(
+                spark, warehouse, fetch_id,
+                status=FETCH_STATUS_SUCCESS, response_status=200,
+            )
+            results.append(
+                ETLResult(fetch_id=fetch_id, status=FETCH_STATUS_SUCCESS, data=stats)
+            )
+    return results
+
+
 def run_etl(
     spark: SparkSession,
     warehouse: Warehouse,

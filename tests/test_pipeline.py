@@ -108,3 +108,52 @@ def test_missing_required_params():
 
     with pytest.raises(TransformError):
         create_source("meteo", {"latitude": 1.0})
+
+
+def test_run_etl_many_single_merge(spark, warehouse, monkeypatch):
+    """N locations -> one normalize + one MERGE; per-fetch control rows
+    (the batch scale path)."""
+    from meteo_etl_spark.sources.registry import Source
+
+    def extract(self, **extra):
+        return golden_payload(
+            lat=float(self.params["latitude"]), lon=float(self.params["longitude"])
+        )
+
+    monkeypatch.setattr(Source, "extract", extract)
+
+    jobs = [("meteo", {"latitude": float(10 * i), "longitude": 5.25}) for i in range(5)]
+    results = batch.run_etl_many(spark, warehouse, jobs)
+
+    assert len(results) == 5
+    assert all(r.status == "success" for r in results)
+    # one merge: every result carries the same MergeStats object
+    assert all(r.data is results[0].data for r in results)
+    assert results[0].data.inserted == 5 * N_HOURS
+
+    obs = read_observations(spark, warehouse)
+    assert obs.count() == 5 * N_HOURS
+    assert obs.select("fetch_id").distinct().count() == 5
+    meta = control.read_fetch_metadata(spark, warehouse)
+    assert meta.filter(F.col("status") == "success").count() == 5
+
+
+def test_run_etl_many_partial_failure(spark, warehouse, monkeypatch):
+    """An extract failure errors its own control row; the rest land."""
+    from meteo_etl_spark.errors import ExtractError
+    from meteo_etl_spark.sources.registry import Source
+
+    def extract(self, **extra):
+        if float(self.params["latitude"]) == 30.0:
+            raise ExtractError("upstream 503", status=503)
+        return golden_payload(lat=float(self.params["latitude"]), lon=5.25)
+
+    monkeypatch.setattr(Source, "extract", extract)
+    jobs = [("meteo", {"latitude": float(10 * i), "longitude": 5.25}) for i in range(1, 4)]
+    results = batch.run_etl_many(spark, warehouse, jobs, raise_on_error=False)
+
+    by_status = sorted(r.status for r in results)
+    assert by_status == ["error", "success", "success"]
+    meta = control.read_fetch_metadata(spark, warehouse)
+    assert meta.filter(F.col("status") == "error").count() == 1
+    assert read_observations(spark, warehouse).count() == 2 * N_HOURS
