@@ -257,3 +257,51 @@ def test_avro_gate_reflects_runtime(spark):
 
         with _pytest.raises(Exception):
             events.to_avro_value(row).collect()
+
+
+def test_consume_multi_source_batch(spark, warehouse, monkeypatch, topic, tmp_path):
+    """One trigger, events from TWO sources: the batch body groups by
+    source, reads each group's payloads in one scan, and merges all
+    groups (set-oriented ST1)."""
+    from meteo_etl_spark.operators.normalize import normalize_meteo
+    from meteo_etl_spark.schemas import METEO_PAYLOAD_SCHEMA
+    from meteo_etl_spark.sources.registry import Source, SourceSpec, register_source
+
+    # param-sensitive payloads: distinct locations -> distinct merge keys
+    monkeypatch.setattr(
+        Source,
+        "extract",
+        lambda self, **extra: golden_payload(
+            lat=float(self.params["latitude"]), lon=float(self.params["longitude"])
+        ),
+    )
+
+    register_source(
+        SourceSpec(
+            name="meteo-alt",
+            url="https://alt.example.com/v1/forecast",
+            static_params={},
+            payload_schema=METEO_PAYLOAD_SCHEMA,
+            normalize=normalize_meteo,
+            required_params=("latitude", "longitude"),
+        )
+    )
+    ids = []
+    for src, lat in (("meteo", 3.06), ("meteo-alt", 13.06)):
+        r = batch.run_etl(
+            spark, warehouse, src, {"latitude": lat, "longitude": 5.25},
+            fetch_job=batch.extract_and_save_to_disk,
+        )
+        produce.publish_finished_fetch(spark, warehouse, r.fetch_id, topic)
+        ids.append(r.fetch_id)
+
+    stats = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "ckpt"), stats=stats
+    ).awaitTermination(120)
+
+    assert stats.events == 2
+    assert sorted(stats.sources) == ["meteo", "meteo-alt"]
+    obs = read_observations(spark, warehouse)
+    for fid in ids:
+        assert obs.filter(F.col("fetch_id") == fid).count() == N_HOURS
