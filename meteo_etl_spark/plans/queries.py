@@ -24,7 +24,7 @@ reference-parity half-even rounding in the meteo transform, T2).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

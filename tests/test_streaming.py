@@ -242,7 +242,6 @@ def test_avro_gate_reflects_runtime(spark):
     silently corrupt."""
     ok = events.avro_available()
     from meteo_etl_spark.schemas import FETCH_EVENT_SCHEMA
-    import pyspark.sql.functions as SF
 
     row = spark.createDataFrame(
         [("f1", "https://s", "success", None, {"a": "1"}, 123)],
