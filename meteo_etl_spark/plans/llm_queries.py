@@ -389,6 +389,94 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Capstone: corpus cleaning — the composed training-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_clean",
+    f"""WITH {_DUCK_SHINGLES},
+    hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hh FROM sh),
+    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
+    bands AS (SELECT doc_id, b,
+                     md5(m[2*b+1] || '|' || m[2*b+2]) AS key
+              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands a JOIN bands bb
+               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
+    common AS (SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
+               FROM cand cd
+               JOIN ex x ON x.doc_id = cd.doc_a
+               JOIN ex y ON y.doc_id = cd.doc_b AND y.tok = x.tok
+               GROUP BY 1, 2),
+    near AS (SELECT doc_b FROM common
+             JOIN cnt p ON p.doc_id = doc_a JOIN cnt q ON q.doc_id = doc_b
+             WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                   >= {dd.JACCARD_THRESHOLD}),
+    exact_dup AS (SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn > 1),
+    qual AS (SELECT doc_id,
+                    CAST(floor((0.4 * least((__h * 1.0 / __n) * 5, 1.0)
+                        + 0.3 * least(__n / 100.0, 1.0)
+                        + 0.3 * least(((length(text) - (__n - 1)) * 1.0 / __n) / 8.0, 1.0))
+                        * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS score
+             FROM (SELECT doc_id, text, {_STOP_HITS['en']} AS __h,
+                          len(string_split(text, ' ')) AS __n
+                   FROM documents))
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_dup) THEN 'exact_dup'
+                WHEN d.doc_id IN (SELECT doc_b FROM near) THEN 'near_dup'
+                WHEN q.score < 0.3 THEN 'low_quality'
+                ELSE 'kept' END AS reason
+    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ORDER BY d.doc_id""",
+    doc="The composed corpus-cleaning pipeline (the engine's capstone): "
+    "exact dedup (content digest, keep lowest id) -> near-dup removal "
+    "(3-shingle Jaccard >= 0.8, greedy keep-lowest-id) -> quality gate "
+    "(score >= 0.3). One row per document with its keep/drop reason "
+    "(first failing stage wins). The near-dup stage runs the "
+    "sub-quadratic MinHash-LSH candidate path (the 100 TB shape); the "
+    "oracle mirrors the same deterministic sketch, so the composed "
+    "pipeline is still hash-checked end to end.",
+    bench=True,
+)
+def corpus_clean(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").cache()
+
+    exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_dups = (
+        docs.withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+        .withColumnRenamed("doc_id", "dup_id")
+    )
+    near_dups = (
+        dd.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("near_id"))
+        .distinct()
+    )
+    scored = docs.select("doc_id", tx.quality_score(F.col("text")).alias("score"))
+
+    return (
+        scored.join(
+            F.broadcast(exact_dups), scored.doc_id == F.col("dup_id"), "left"
+        )
+        .join(F.broadcast(near_dups), scored.doc_id == F.col("near_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .when(F.col("score") < 0.3, "low_quality")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate scale-path variants (rows-only checks: sketch outputs are
 # engine-specific, so no DuckDB hash-match is possible — the exact
 # twins q3/q5 above carry the oracle).
