@@ -10,10 +10,13 @@ Four families, in increasing sophistication (SURVEY.md §2.4):
   document frequency exceeds a bound (they generate O(df²) pairs and
   carry no signal); not applied here because the oracle must see the
   exact result.
-- **MinHash + LSH** — rotation-family minhash signatures, banded into
-  bucket keys; candidate pairs share ≥1 band bucket; candidates are
-  then verified with the exact Jaccard. The bucket join replaces the
-  all-pairs shingle join — the classic sub-quadratic near-dup path.
+- **MinHash + LSH** — integer minhash signatures (one md5+hex→int per
+  shingle, then k multiply-add-mod hash functions — cheap 64-bit
+  arithmetic, no per-hash string work), banded into bucket keys;
+  candidate pairs share ≥1 band bucket; candidates are then verified
+  with the exact Jaccard (array_intersect on the cached shingle sets —
+  no explode/groupBy shuffle in the verify). The bucket join replaces
+  the all-pairs shingle join — the classic sub-quadratic near-dup path.
 - **SimHash** — per-token md5 bit votes folded into a B-bit sign
   vector; Hamming-band candidates (hamming ≤ max_h over ``bands``
   bands guarantees ≥1 identical band by pigeonhole — candidate
@@ -30,13 +33,18 @@ content-defined duplicate keys.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.parallelism import fan_out
 
 # Shared with the DuckDB oracle generators (plans/llm_queries.py).
 SHINGLE_K = 3
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4  # rows per band = MINHASH_HASHES // MINHASH_BANDS = 2
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (P-1)*2^28 < 2^63, ANSI-safe
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band
@@ -77,8 +85,15 @@ def shingles(tokens_col: str, k: int = SHINGLE_K) -> Column:
 
 
 def _shingle_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sh: array<string>) with non-empty distinct shingle sets."""
-    toks = docs.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
+    """(id, sh: array<string>) with non-empty distinct shingle sets.
+
+    The input is fanned out first: the shingle lambda is the expensive
+    part, and a single-split scan would otherwise run it on one core
+    (measured 2.4x on the whole LSH pipeline at sf0.1; no-op when the
+    scan already has enough splits)."""
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("w")
+    )
     return toks.select("id", shingles("w").alias("sh")).filter(F.size("sh") > 0)
 
 
@@ -86,10 +101,9 @@ def _pair_jaccard(sh_docs: DataFrame, candidates: DataFrame | None) -> DataFrame
     """Exact Jaccard per doc pair from the shingle inverted index.
     ``candidates`` (doc_a, doc_b) restricts the pair space (LSH path);
     None means all co-shingled pairs (exact path)."""
-    ex = sh_docs.select("id", F.explode("sh").alias("s"))
-    sizes = sh_docs.select("id", F.size("sh").alias("n"))
-
     if candidates is None:
+        ex = sh_docs.select("id", F.explode("sh").alias("s"))
+        sizes = sh_docs.select("id", F.size("sh").alias("n"))
         x = ex.alias("x")
         y = ex.alias("y")
         common = (
@@ -98,17 +112,31 @@ def _pair_jaccard(sh_docs: DataFrame, candidates: DataFrame | None) -> DataFrame
             .agg(F.count(F.lit(1)).alias("c"))
         )
     else:
-        # Probe only candidate pairs: explode each side's shingles and
-        # equi-join on the shingle within the pair.
-        common = (
-            candidates.join(ex.withColumnRenamed("id", "doc_a"), "doc_a")
-            .join(
-                ex.withColumnRenamed("id", "doc_b").withColumnRenamed("s", "s2"),
+        # Probe only candidate pairs: pull each side's cached shingle
+        # SET and intersect the two arrays directly — the intersection
+        # count is exact and needs no explode/groupBy shuffle; the only
+        # shuffles left are the two joins, and their build side is the
+        # (small) candidate set, not the corpus.
+        sa = sh_docs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sh_docs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        return (
+            candidates.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
                 "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("c"),
+                F.size("sh_a").alias("na"),
+                F.size("sh_b").alias("nb"),
             )
-            .filter(F.col("s") == F.col("s2"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("c").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+                ).alias("jaccard_raw"),
+            )
         )
 
     na = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na")
@@ -143,40 +171,58 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_band_keys(hashes_col: str = "hsh") -> list[Column]:
-    """One md5 bucket key per LSH band, from rotation-family minhashes.
+def minhash_params() -> list[tuple[int, int]]:
+    """(a, b) per hash function for the affine family
+    ``h(x) = (a*x + b) mod MINHASH_PRIME`` — md5-derived constants so
+    the DuckDB oracle generator emits the identical literals."""
+    out = []
+    for h in range(MINHASH_HASHES):
+        d = hashlib.md5(f"minhash:{h}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (MINHASH_PRIME - 1)) + 1  # nonzero
+        b = int(d[8:16], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
-    Each shingle is md5-hashed ONCE (the ``hashes_col`` projection);
-    hash function h is a rotation of that hex digest by 2h chars —
-    "one hash, k permutations" minhashing, which replaces k md5 calls
-    per shingle with k cheap substrings. A rotation is a bijection of
-    the digest space, so each rotated value stays uniform and its
-    lexicographic min is a valid minhash; the k functions are not
-    mutually independent (the classic one-permutation trade-off), which
-    widens the S-curve slightly — irrelevant here because candidates
-    are verified with the exact Jaccard anyway."""
+
+def minhash_values(shingles_col: str) -> Column:
+    """One 28-bit integer per shingle: the first 7 hex chars of its md5
+    as an int. Hashed ONCE per shingle; every minhash function is then
+    integer arithmetic over this array (no per-hash string work). Both
+    engines share the conversion (Spark ``conv(_,16,10)``, DuckDB
+    ``('0x'||_)::BIGINT``)."""
+    return F.transform(
+        F.col(shingles_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+
+def minhash_band_keys(vals_col: str = "mhv") -> list[Column]:
+    """One md5 bucket key per LSH band over integer minhashes.
+
+    Hash h of a document is ``min over shingles of (a_h*x + b_h) mod P``
+    — a multiply-add-mod per element, so the whole signature is k array
+    folds of 64-bit arithmetic over the materialized ``vals_col``. The
+    affine functions are pairwise independent enough for banding; any
+    S-curve widening is irrelevant because candidates are verified with
+    the exact Jaccard anyway."""
     rows = MINHASH_HASHES // MINHASH_BANDS
 
-    def rot(h: int) -> Column:
-        if h == 0:
-            return F.array_min(F.col(hashes_col))
+    def affine_min(a: int, b: int) -> Column:
         return F.array_min(
             F.transform(
-                F.col(hashes_col),
-                lambda x: F.concat(
-                    F.substring(x, 2 * h + 1, 32 - 2 * h), F.substring(x, 1, 2 * h)
-                ),
+                F.col(vals_col),
+                lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
             )
         )
 
-    mins = [rot(h) for h in range(MINHASH_HASHES)]
+    mins = [affine_min(a, b) for a, b in minhash_params()]
     keys = []
     for b in range(MINHASH_BANDS):
         parts: list[Column] = []
         for r in range(rows):
             if r:
                 parts.append(F.lit("|"))
-            parts.append(mins[b * rows + r])
+            parts.append(mins[b * rows + r].cast("string"))
         keys.append(F.md5(F.concat(*parts)).alias(f"band{b}"))
     return keys
 
@@ -193,15 +239,15 @@ def minhash_lsh_pairs(
     sub-quadratic; verification touches candidates only. With b=4
     bands of r=2 rows, the S-curve midpoint is (1/4)^(1/2) = 0.5, so
     pairs at the 0.8 threshold are caught with P ≈ 1-(1-0.8²)⁴ ≈ 0.98
-    per sketch — and the md5 family is deterministic, so the
+    per sketch — and the hash family is deterministic, so the
     oracle (same pipeline in SQL) matches exactly.
     """
     sh_docs = (
         _shingle_docs(docs, id_col, text_col)
-        .withColumn("hsh", F.transform(F.col("sh"), F.md5))
+        .withColumn("mhv", minhash_values("sh"))
         .cache()
     )
-    bands = sh_docs.select("id", *minhash_band_keys("hsh"))
+    bands = sh_docs.select("id", *minhash_band_keys("mhv"))
     melted = bands.select(
         "id",
         F.explode(
@@ -254,7 +300,7 @@ def simhash_docs(
 ) -> DataFrame:
     """(id, sim) — tokens are split+md5-hashed once in a projection,
     then the B bit-folds run over the materialized hash array."""
-    hashed = docs.select(
+    hashed = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.transform(F.split(text_col, " "), F.md5).alias("hs"),
     )
@@ -331,7 +377,9 @@ def embedding_cosine_pairs(
     from meteo_etl_spark.functions.similarity import dot, norm
 
     v = F.col(vec_col).cast("array<double>")
-    sided = emb.select(F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"))
+    sided = fan_out(emb).select(
+        F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm")
+    )
     a = sided.select(
         F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

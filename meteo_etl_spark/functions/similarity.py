@@ -27,6 +27,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.operators.parallelism import fan_out
+
 # Shared with the oracle generators in plans/llm_queries.py.
 EMBEDDING_DIM = 64
 LSH_TABLES = 2
@@ -81,7 +83,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors of the vector with id ``query_id``."""
     v = F.col(vec_col).cast("array<double>")
-    corpus = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
     q = corpus.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     return (
         corpus.filter(F.col("vec_id") != query_id)
@@ -110,7 +112,7 @@ def build_lsh_index(
     pass over the corpus per table.
     """
     v = F.col(vec_col).cast("array<double>")
-    corpus = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
     tables = [
         corpus.select(
             "vec_id", "v", F.lit(t).alias("table"), _bucket(F.col("v"), t).alias("bucket")
@@ -178,7 +180,7 @@ def ann_lsh_topk(
     re-rank within candidates (vectors sharing the query's bucket in
     any of the L tables)."""
     v = F.col(vec_col).cast("array<double>")
-    corpus = emb.select(
+    corpus = fan_out(emb).select(
         F.col(id_col).alias("vec_id"),
         v.alias("v"),
         *[_bucket(v, t).alias(f"b{t}") for t in range(LSH_TABLES)],

@@ -21,6 +21,7 @@ from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
 from meteo_etl_spark.functions import similarity as sim
 from meteo_etl_spark.functions import text as tx
+from meteo_etl_spark.operators.parallelism import fan_out
 from meteo_etl_spark.plans.queries import query
 from meteo_etl_spark.sources.testdata import load_table
 
@@ -74,18 +75,35 @@ ORDER BY doc_a, doc_b
 
 
 def _duck_minhash_sig() -> str:
-    """Rotation-family minhashes over pre-hashed shingles ``hh``
-    (mirror of dedup.minhash_band_keys: one md5 per shingle, hash h =
-    hex rotation by 2h chars)."""
-    mins = []
-    for h in range(dd.MINHASH_HASHES):
-        if h == 0:
-            mins.append("list_min(hh)")
-        else:
-            mins.append(
-                f"list_min(list_transform(hh, x -> substr(x, {2 * h + 1}) || substr(x, 1, {2 * h})))"
-            )
+    """Integer minhashes over pre-hashed shingles ``hh`` (mirror of
+    dedup.minhash_band_keys: hash h = min of (a_h*x + b_h) mod P, same
+    md5-derived constants)."""
+    mins = [
+        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {dd.MINHASH_PRIME}))"
+        for a, b in dd.minhash_params()
+    ]
     return f"[{', '.join(mins)}]"
+
+
+# Shared by dedup_minhash_lsh and corpus_clean: shingle->int hashes,
+# signatures, band keys, bucket-join candidates, intersect-verified
+# common counts (mirror of dedup.minhash_lsh_pairs + _pair_jaccard's
+# candidate path).
+_DUCK_MINHASH_CTES = f"""
+    hsh AS (SELECT doc_id,
+                   list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hh
+            FROM sh),
+    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
+    bands AS (SELECT doc_id, b,
+                     md5(m[2*b+1]::VARCHAR || '|' || m[2*b+2]::VARCHAR) AS key
+              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands a JOIN bands bb
+               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
+    common AS (SELECT cd.doc_a, cd.doc_b, len(list_intersect(p.s, q.s)) AS c
+               FROM cand cd
+               JOIN sh p ON p.doc_id = cd.doc_a
+               JOIN sh q ON q.doc_id = cd.doc_b)"""
 
 
 def _duck_simhash_bits() -> str:
@@ -265,23 +283,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    f"WITH {_DUCK_SHINGLES},"
-    f"""hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hh FROM sh),
-    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
-    bands AS (SELECT doc_id, b,
-                     md5(m[2*b+1] || '|' || m[2*b+2]) AS key
-              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
-             FROM bands a JOIN bands bb
-               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
-    common AS (SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
-               FROM cand cd
-               JOIN ex x ON x.doc_id = cd.doc_a
-               JOIN ex y ON y.doc_id = cd.doc_b AND y.tok = x.tok
-               GROUP BY 1, 2)"""
+    f"WITH {_DUCK_SHINGLES},{_DUCK_MINHASH_CTES}"
     f"{_DUCK_JACCARD_TAIL}",
-    doc="MinHash(12 md5-salted hashes) + LSH(4 bands × 3 rows) "
-    "candidates, exact-Jaccard verify on candidates only — the "
+    doc=f"MinHash({dd.MINHASH_HASHES} integer affine hashes over one "
+    f"md5 per shingle) + LSH({dd.MINHASH_BANDS} bands × "
+    f"{dd.MINHASH_HASHES // dd.MINHASH_BANDS} rows) candidates, "
+    "exact-Jaccard verify (array_intersect) on candidates only — the "
     "sub-quadratic near-dup path. The oracle runs the same "
     "deterministic sketch, so the match is exact, not statistical.",
     bench=True,
@@ -395,20 +402,7 @@ def sim_ann_lsh(spark, sf_dir):
 
 @query(
     "corpus_clean",
-    f"""WITH {_DUCK_SHINGLES},
-    hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hh FROM sh),
-    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
-    bands AS (SELECT doc_id, b,
-                     md5(m[2*b+1] || '|' || m[2*b+2]) AS key
-              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
-             FROM bands a JOIN bands bb
-               ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
-    common AS (SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
-               FROM cand cd
-               JOIN ex x ON x.doc_id = cd.doc_a
-               JOIN ex y ON y.doc_id = cd.doc_b AND y.tok = x.tok
-               GROUP BY 1, 2),
+    f"""WITH {_DUCK_SHINGLES},{_DUCK_MINHASH_CTES},
     near AS (SELECT doc_b FROM common
              JOIN cnt p ON p.doc_id = doc_a JOIN cnt q ON q.doc_id = doc_b
              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
@@ -443,7 +437,9 @@ def sim_ann_lsh(spark, sf_dir):
     bench=True,
 )
 def corpus_clean(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").cache()
+    # Fanned out BEFORE the cache so every consumer (exact-dup window,
+    # minhash pipeline, quality scorer) reads a full-width cached input.
+    docs = fan_out(load_table(spark, sf_dir, "documents")).cache()
 
     exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_dups = (
