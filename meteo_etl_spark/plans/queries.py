@@ -145,7 +145,12 @@ def q4(spark, sf_dir):
     bench=True,
 )
 def q5(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    from meteo_etl_spark.operators.parallelism import fan_out
+
+    # Prune to the one aggregated column BEFORE fanning out so the
+    # repartition exchange carries 8 bytes/row, then fan_out widens the
+    # percentile partial-aggregation beyond the (few) file splits.
+    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_extendedprice"))
     c = F.col("l_extendedprice")
     # One array-form percentile aggregate: a single value buffer is
     # built/merged instead of three (measured 2.1x on the whole query).
