@@ -1,0 +1,163 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and band
+(range) join, both expressed as shuffle-friendly compositions of
+DataFrame ops — never a broadcast-nested-loop or per-key cross
+product.
+
+- **as-of join** — for each left row, the latest right row with
+  ``right_ts <= left_ts`` in the same key group (backward direction,
+  inclusive — the semantics of DuckDB/pandas ASOF). Implemented as
+  union + window: tag both inputs, sort each key group by (ts, tag)
+  with right rows first at equal timestamps, and carry the right
+  columns forward with ``last(..., ignorenulls=True)``. ONE shuffle on
+  the join key and a per-key sort — the same cost as any keyed window,
+  with no range-condition blowup. At 100 TB this is the only shape
+  that survives: the naive formulation (equi-join on key + range
+  filter) materializes the per-key cross product first.
+
+- **band join** — pairs (l, r) in the same key group with
+  ``|l_ts - r_ts| <= tolerance``. Implemented by time-binning: left
+  rows get bin ``floor(ts/w)``, right rows are replicated into bins
+  {b-1, b, b+1} with ``w = tolerance``, and the range condition
+  becomes an equi-join on (key, bin) + an exact filter. Replicating
+  one side 3x buys equi-join keys fine enough to shuffle-partition —
+  the standard distributed interval-join trick (vs. Spark's planner,
+  which turns key-equality + range into an equi-join on the key alone
+  and filters the per-key cross product; 5 distinct keys at 100 TB =
+  5 giant skewed partitions).
+
+Reference parity: the reference has no temporal joins (its only join
+surface is the dashboard's single-table queries, dashboard/queries.py);
+these extend the engine surface per BASELINE.json's 100 TB mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str],
+    suffix: str = "_right",
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the most recent
+    right row (``right_ts <= left_ts``, inclusive) within its ``on``
+    key group.
+
+    Output = left columns + ``right_ts + suffix`` + each of
+    ``right_cols`` suffixed. ``how='left'`` keeps left rows with no
+    prior right row (NULL right columns); ``'inner'`` drops them.
+    Right timestamps must be unique per key group for deterministic
+    results (last-sorted wins otherwise).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    # Tag and align the two sides on a shared schema: key cols, event
+    # time, side marker, left payload, right payload (null on the
+    # other side).
+    lpay = [c for c in left.columns if c not in on and c != left_ts]
+    matched_ts = right_ts + suffix
+    carried = [matched_ts] + [c + suffix for c in right_cols]
+
+    lside = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *lpay,
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in right_cols
+        ],
+    )
+    rside = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+
+    # Right rows sort BEFORE left rows at equal timestamps, so a left
+    # row matches a right row with the exact same ts (inclusive <=).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lside.unionByName(rside).select(
+        *on,
+        "__ts",
+        "__is_left",
+        *lpay,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *on, F.col("__ts").alias(left_ts), *lpay, *carried
+    )
+    if how == "inner":
+        out = out.filter(F.col(matched_ts).isNotNull())
+    return out
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_sec: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All pairs with ``|left_ts - right_ts| <= tolerance_sec`` within
+    each ``on`` key group, via time-bin equi-join (bin width =
+    tolerance, right side replicated into its bin ±1 — adjacency
+    covers the whole band exactly).
+
+    Output: key cols + every non-key column of each side under its
+    prefix. The exact band predicate is applied AFTER the bin
+    equi-join, so binning is pure pruning, never a semantics change.
+    """
+    w = int(tolerance_sec)
+    if w <= 0:
+        raise ValueError("tolerance_sec must be positive")
+
+    lcols = [c for c in left.columns if c not in on]
+    rcols = [c for c in right.columns if c not in on]
+
+    lb = left.select(
+        *on,
+        *[F.col(c).alias(left_prefix + c) for c in lcols],
+        F.floor(F.unix_micros(F.col(left_ts)) / (w * 1_000_000)).alias("__bin"),
+    )
+    rb = right.select(
+        *on,
+        *[F.col(c).alias(right_prefix + c) for c in rcols],
+        F.explode(
+            F.array(
+                *[
+                    F.floor(F.unix_micros(F.col(right_ts)) / (w * 1_000_000)) + F.lit(d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("__bin"),
+    )
+    lts = F.unix_micros(F.col(left_prefix + left_ts))
+    rts = F.unix_micros(F.col(right_prefix + right_ts))
+    return (
+        lb.join(rb, [*on, "__bin"])
+        .filter(F.abs(lts - rts) <= w * 1_000_000)
+        .drop("__bin")
+    )

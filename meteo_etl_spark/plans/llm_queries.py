@@ -572,6 +572,87 @@ def events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+#: band-join tolerance (seconds each side).
+BAND_TOLERANCE_SEC = 60
+
+
+@query(
+    "events_asof_join",
+    """WITH l AS (SELECT user_id, event_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           r.ts AS ts_click, r.value AS value_click,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id""",
+    doc="As-of join: each purchase matched to the user's latest click "
+    "at-or-before it. Spark side is operators/temporal.asof_join — "
+    "union + keyed window (one shuffle, per-key sort, no range "
+    "blowup); the oracle is DuckDB's NATIVE ASOF JOIN, so the two "
+    "engines implement the semantics independently and must agree.",
+    bench=True,
+)
+def events_asof_join(spark, sf_dir):
+    from meteo_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        left, right, ["user_id"], right_cols=["value"], suffix="_click", how="inner"
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "ts_click",
+        "value_click",
+        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_range_join",
+    f"""SELECT a.event_id, COUNT(*) AS n_nearby
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type AND a.user_id <> b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {BAND_TOLERANCE_SEC * 1_000_000}
+    GROUP BY 1 ORDER BY 1""",
+    doc=f"Band (range) join: per event, how many same-type events by "
+    f"OTHER users landed within ±{BAND_TOLERANCE_SEC}s. Spark side is "
+    "operators/temporal.band_join — time-bin equi-join (bin width = "
+    "tolerance, one side replicated into bin ±1) + exact filter, which "
+    "shuffle-partitions on (type, bin) instead of the 5-key skew "
+    "Spark's planner would produce; the oracle is DuckDB's native "
+    "range join (IEJoin family) — independent implementations must "
+    "agree.",
+    bench=True,
+)
+def events_range_join(spark, sf_dir):
+    from meteo_etl_spark.operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    pairs = band_join(ev, ev, ["event_type"], tolerance_sec=BAND_TOLERANCE_SEC)
+    return (
+        pairs.filter(F.col("l_user_id") != F.col("r_user_id"))
+        .groupBy(F.col("l_event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew mitigation
 # ---------------------------------------------------------------------------
 
