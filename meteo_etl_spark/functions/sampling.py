@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A training-data pipeline needs REPRODUCIBLE sampling: the same row
+must land in the same split on every run, on any cluster size, with
+no coordination — which rules out ``rand()`` (per-task seeds) and
+``df.sample`` (partition-layout dependent). The standard answer is a
+content hash of a stable id: ``bucket = int(md5(id)[:4]) mod B``
+gives every row a uniform, machine-independent bucket in [0, B), and
+splits/samples are bucket-range predicates — pure map work, no
+shuffle, trivially pushed into scans at 100 TB, and stable under
+repartitioning, retries, and incremental appends.
+
+md5 is used (not xxhash64) because the DuckDB oracle computes the
+identical bucket: Spark ``conv(substring(md5(x),1,4),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,4))::BIGINT``.
+
+Reference parity: no reference counterpart (the reference has no
+sampling surface); mandated by BASELINE.json's training-data scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket granularity — permille resolution for split fractions.
+HASH_BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a stable id.
+    16 bits of md5 (4 hex chars) — enough for permille granularity;
+    widen the substring if you need finer fractions."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    *,
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by bucket range.
+
+    ``splits`` maps name -> fraction (must sum to 1.0 within permille
+    resolution); ranges are allocated in insertion order, so
+    ``{"train": .9, "val": .05, "test": .05}`` gives buckets
+    [0,900) / [900,950) / [950,1000). Adding rows later never moves an
+    existing row between splits."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+
+    b = hash_bucket(id_col)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bounds.append((name, round(acc * HASH_BUCKETS)))
+    if bounds[-1][1] != HASH_BUCKETS:
+        raise ValueError("split fractions must resolve to whole permille buckets")
+
+    expr = None
+    for name, ub in bounds:
+        cond = b < F.lit(ub)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(bucket_col, b).withColumn(split_col, expr)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose bucket falls
+    below ``fraction * HASH_BUCKETS``. Same rows every run; composable
+    (a 10% sample of a 50% sample is the first 5% of buckets)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(id_col) < F.lit(round(fraction * HASH_BUCKETS)))

@@ -572,6 +572,66 @@ def events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits + multi-granularity rollups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_hash_split",
+    """SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 AS bucket,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 < 900 THEN 'train'
+                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 < 950 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""",
+    doc="Deterministic 90/5/5 train/val/test assignment by content-hash "
+    "bucket (functions/sampling.hash_split): reproducible on any "
+    "cluster size with no coordination — pure map, no shuffle, stable "
+    "under repartitioning and incremental appends (rand()/df.sample "
+    "are neither). The 100 TB sampling primitive.",
+)
+def docs_hash_split(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).orderBy("doc_id")
+
+
+@query(
+    "events_rollup_multi",
+    """SELECT CAST(ts AS DATE) AS d, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+       FROM events
+       GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type),
+                               (CAST(ts AS DATE)), ())
+       ORDER BY d NULLS FIRST, event_type NULLS FIRST""",
+    doc="Hypertable-style multi-granularity rollup: (day, type), (day), "
+    "and grand-total aggregates in ONE pass via GROUPING SETS — Spark "
+    "plans a single scan + Expand + one aggregate shuffle instead of "
+    "three scans. At 100 TB the finer grain feeds the coarser ones; "
+    "Expand's 3x row multiplication is pre-aggregation and map-side "
+    "combined.",
+    bench=True,
+)
+def events_rollup_multi(spark, sf_dir):
+    # date_trunc (timestamp @ midnight), not to_date: python date
+    # objects vs the oracle's datetime64 would type-mismatch the hash.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "event_type", "value"
+    )
+    return (
+        ev.groupingSets([["d", "event_type"], ["d"], []], "d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("d").asc_nulls_first(), F.col("event_type").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py)
 # ---------------------------------------------------------------------------
 

@@ -145,3 +145,30 @@ def test_multimodal_pipeline_composes_with_similarity(spark, docs, tmp_path):
         query_id=0, k=3,
     ).collect()
     assert [r.asDict() for r in rows] == [r.asDict() for r in again]
+
+
+def test_hash_split_deterministic_partition_invariant(spark, docs):
+    """Split assignment is identical regardless of physical layout, and
+    fractions land within permille tolerance of the request."""
+    from meteo_etl_spark.functions.sampling import hash_split
+
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", splits).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), "doc_id", splits).collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.85 < frac_train < 0.95
+
+
+def test_hash_sample_is_subset_and_composable(spark, docs):
+    from meteo_etl_spark.functions.sampling import hash_sample
+
+    half = hash_sample(docs, "doc_id", 0.5)
+    tenth_of_all = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    tenth_of_half = {r.doc_id for r in hash_sample(half, "doc_id", 0.1).collect()}
+    assert tenth_of_half == tenth_of_all  # bucket ranges nest
+    assert {r.doc_id for r in half.collect()} >= tenth_of_all
