@@ -37,16 +37,23 @@ def salted_join(
     salt_src: Column,
     buckets: int = DEFAULT_BUCKETS,
     how: str = "inner",
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim`` on ``key`` with salt-spread reducers.
 
     ``salt_src`` is any fact-side expression with per-row variance (a
     row id, an event id, even ``rand()`` if determinism is not needed);
     the salt is ``pmod(salt_src, buckets)``.
+
+    ``keep_salt=True`` retains the ``__salt`` column so a downstream
+    same-key aggregation can run two-level — partials on
+    ``(key, __salt)`` (hot key stays spread), then a tiny final merge
+    on ``key``. Without it, an agg right after the join re-concentrates
+    the hot key on one reducer and undoes the salting.
     """
     salted_fact = fact.withColumn("__salt", F.pmod(salt_src, F.lit(buckets)).cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
-    return out.drop("__salt")
+    return out if keep_salt else out.drop("__salt")
