@@ -11,7 +11,10 @@ Timing methodology: each query is materialized with a count-style
 collect (``df.collect()`` for bounded results — every headline query
 returns a small/top-k result set, so collect is cheap and measures
 the full plan). One warmup query is run first so JVM/codegen startup
-is not attributed to q1.
+is not attributed to q1; each query then runs TWICE and reports the
+minimum — the second pass reuses compiled codegen, so the min reflects
+steady-state plan cost rather than one-time Janino compilation or host
+noise (measured ±30% wall variance on shared hosts).
 """
 
 from __future__ import annotations
@@ -42,9 +45,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            # Cache-cold every iteration: queries that cache an
+            # intermediate (minhash, corpus_clean) would otherwise get
+            # a free second run via CacheManager plan-matching. Codegen
+            # stays warm — that's the steady-state being measured.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
