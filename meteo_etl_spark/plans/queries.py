@@ -612,6 +612,123 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders o
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    doc="TPC-H Q4-shaped priority check: EXISTS becomes a LEFT SEMI "
+    "join on orderkey with the ship-after-order predicate riding the "
+    "join condition — one shuffle, no duplicate-amplification (a plain "
+    "inner join would multiply orders by matching lineitems and need a "
+    "distinct). The date filter prunes orders BEFORE the semi join, so "
+    "the shuffle carries one quarter, not seven years. (Q4 adapted to "
+    "this schema: l_commitdate/l_receiptdate don't exist, the "
+    "late-shipment predicate stands in.)",
+    bench=True,
+)
+def tpch_q4(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q12_priority_class",
+    """SELECT l_returnflag,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="TPC-H Q12-shaped conditional pivot over a fact-fact join: "
+    "lineitem is date-pruned at the scan, orders is pre-projected to "
+    "(orderkey, is_high int) so the shuffle carries a 9-byte build row "
+    "instead of the full order, and the CASE pivot folds into the "
+    "post-join partial aggregation. (Q12 adapted: no l_shipmode / "
+    "commit/receipt dates in this schema — the returnflag grouping "
+    "keeps the conditional-pivot shape.)",
+    bench=True,
+)
+def tpch_q12(spark, sf_dir):
+    is_high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_high")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", is_high)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                    / SUM(l_extendedprice * (1 - l_discount)), 3)
+              AS promo_revenue_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""",
+    doc="TPC-H Q14 promo-revenue ratio: part is a broadcast dim "
+    "(pre-projected to partkey + is-promo flag — the broadcast ships "
+    "9 bytes/part, not p_name), lineitem is month-pruned at the scan, "
+    "and both conditional sums fold into one map-side partial "
+    "aggregate: zero shuffles of fact data, one scalar out.",
+    bench=True,
+)
+def tpch_q14(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").cast("int").alias("is_promo")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.col("is_promo") * rev) / F.sum(rev), 3
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     _ensure_registered()
     return REGISTRY[name]
