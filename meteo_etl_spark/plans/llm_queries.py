@@ -602,7 +602,8 @@ def docs_hash_split(spark, sf_dir):
 @query(
     "events_rollup_multi",
     """SELECT CAST(ts AS DATE) AS d, event_type,
-              COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+              COUNT(*) AS n,
+              SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events
        GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type),
                                (CAST(ts AS DATE)), ())
@@ -625,7 +626,9 @@ def events_rollup_multi(spark, sf_dir):
         ev.groupingSets([["d", "event_type"], ["d"], []], "d", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
         )
         .orderBy(F.col("d").asc_nulls_first(), F.col("event_type").asc_nulls_first())
     )
@@ -721,7 +724,8 @@ def events_range_join(spark, sf_dir):
     "skew_salted_join",
     """SELECT e.event_type,
               COUNT(*) AS n,
-              ROUND(SUM(e.value * length(e.event_type)), 2) AS weighted
+              SUM(CAST(ROUND(e.value * 100) AS BIGINT)
+                  * length(e.event_type)) / 100.0 AS weighted
        FROM events e
        JOIN (SELECT DISTINCT event_type FROM events) d
          ON e.event_type = d.event_type
@@ -743,7 +747,13 @@ def skew_salted_join(spark, sf_dir):
         joined.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value") * F.length("event_type")), 2).alias("weighted"),
+            (
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                    * F.length("event_type")
+                )
+                / 100.0
+            ).alias("weighted"),
         )
         .orderBy("event_type")
     )

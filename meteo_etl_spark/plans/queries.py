@@ -126,12 +126,19 @@ def q4(spark, sf_dir):
 @query(
     "q5_summary_stats",
     """SELECT COUNT(l_extendedprice) AS n,
-              ROUND(AVG(l_extendedprice), 2) AS avg_price,
+              ((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS avg_price,
               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price,
               MIN(l_extendedprice) AS min_price,
-              ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25,
-              ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 2) AS p50,
-              ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 2) AS p75,
+              ((CAST(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                   * 100, 0.25) AS BIGINT) + 50) // 100)
+                / 100.0 AS p25,
+              ((CAST(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                   * 100, 0.50) AS BIGINT) + 50) // 100)
+                / 100.0 AS p50,
+              ((CAST(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                   * 100, 0.75) AS BIGINT) + 50) // 100)
+                / 100.0 AS p75,
               MAX(l_extendedprice) AS max_price
        FROM lineitem""",
     doc="A3 8-statistic summary (pandas describe parity) — exact "
@@ -140,7 +147,11 @@ def q4(spark, sf_dir):
     "percentile buffer. The buffering aggregate is the right plan up "
     "to ~10M values; past that, operators/quantiles.exact_percentiles "
     "computes the same exact result with bounded memory "
-    "(approx-bracket + refine, 2 scans). "
+    "(approx-bracket + refine, 2 scans). Mean and percentiles run in "
+    "exact integer 1e-4 space: interpolation fractions are quarters "
+    "and the values are 2-decimal, so every intermediate is an exact "
+    "integer-valued double — bit-identical across engines (a rounded "
+    "FP percentile can straddle a .xx5 boundary). "
     "Reference: dashboard/streamlit_app.py:67-79.",
     bench=True,
 )
@@ -152,24 +163,31 @@ def q5(spark, sf_dir):
     # percentile partial-aggregation beyond the (few) file splits.
     li = fan_out(_t(spark, sf_dir, "lineitem").select("l_extendedprice"))
     c = F.col("l_extendedprice")
+    pe4 = _cents(c) * 100  # exact 1e-4 units; quartile interp stays integral
     # One array-form percentile aggregate: a single value buffer is
     # built/merged instead of three (measured 2.1x on the whole query).
-    pcts = F.percentile(c, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    pcts = F.percentile(pe4, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
     return li.agg(
         F.count(c).alias("n"),
-        F.round(F.avg(c), 2).alias("avg_price"),
+        F.sum(_cents(c)).alias("price_e2"),
         F.round(F.stddev_samp(c), 2).alias("std_price"),
         F.min(c).alias("min_price"),
         pcts.alias("__pcts"),
         F.max(c).alias("max_price"),
     ).select(
         "n",
-        "avg_price",
+        F.expr("((2 * price_e2 + n) div (2 * n)) / 100.0D").alias("avg_price"),
         "std_price",
         "min_price",
-        F.round(F.col("__pcts")[0], 2).alias("p25"),
-        F.round(F.col("__pcts")[1], 2).alias("p50"),
-        F.round(F.col("__pcts")[2], 2).alias("p75"),
+        F.expr(
+            "((CAST(__pcts[0] AS BIGINT) + 50) div 100) / 100.0D"
+        ).alias("p25"),
+        F.expr(
+            "((CAST(__pcts[1] AS BIGINT) + 50) div 100) / 100.0D"
+        ).alias("p50"),
+        F.expr(
+            "((CAST(__pcts[2] AS BIGINT) + 50) div 100) / 100.0D"
+        ).alias("p75"),
         "max_price",
     )
 
@@ -380,7 +398,8 @@ def q15(spark, sf_dir):
 
 @query(
     "q16_unnest_soa",
-    """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    """SELECT user_id, COUNT(*) AS n,
+              SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
        FROM events GROUP BY user_id ORDER BY user_id""",
     doc="T1 columnar unnest round-trip: build a struct-of-arrays per user "
     "(collect_list sorted by event_id), re-explode via "
@@ -407,7 +426,7 @@ def q16(spark, sf_dir):
         rows.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("h.value"), 2).alias("sum_value"),
+            (F.sum(_cents(F.col("h.value"))) / 100.0).alias("sum_value"),
         )
         .orderBy("user_id")
     )
@@ -453,40 +472,69 @@ def q18(spark, sf_dir):
 @query(
     "tpch_q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-              ROUND(SUM(l_quantity), 2) AS sum_qty,
-              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-              ROUND(AVG(l_quantity), 2) AS avg_qty,
-              ROUND(AVG(l_extendedprice), 2) AS avg_price,
-              ROUND(AVG(l_discount), 4) AS avg_disc,
+              CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) AS sum_qty,
+              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                AS sum_base_price,
+              ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                + 50) // 100) / 100.0 AS sum_disc_price,
+              ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                    * CAST(ROUND((1 + l_tax) * 100) AS BIGINT))
+                + 5000) // 10000) / 100.0 AS sum_charge,
+              ((200 * CAST(SUM(l_quantity) AS BIGINT) + COUNT(*))
+               // (2 * COUNT(*))) / 100.0 AS avg_qty,
+              ((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS avg_price,
+              ((200 * SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_disc,
               COUNT(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
     doc="Flagship scan→filter→wide-agg: the engine's headline plan. "
-    "Filter pushed to the scan, 8 partial aggregates map-side, tiny "
-    "shuffle (few groups), whole-stage codegen end to end.",
+    "Filter pushed to the scan, partial aggregates map-side, tiny "
+    "shuffle (few groups), whole-stage codegen end to end. All money "
+    "sums/averages run in exact integer fixed-point (inputs carry "
+    "exactly 2 decimals) so the rounded outputs are bit-identical "
+    "across engines and partition fold orders; ROUND(half-up) is "
+    "(2*S*10^d + n) div (2n) in integer space.",
     bench=True,
 )
 def tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_e2 = _cents(1 - F.col("l_discount"))
+    tax_e2 = _cents(1 + F.col("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("l_quantity").cast("long").alias("qty_l"),
+            F.sum(_cents("l_extendedprice")).alias("price_e2"),
+            F.sum(_cents("l_extendedprice") * disc_e2).alias("disc_e4"),
+            F.sum(_cents("l_extendedprice") * disc_e2 * tax_e2).alias("charge_e6"),
+            F.sum(_cents("l_discount")).alias("dsc_e2"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty_l").cast("double").alias("sum_qty"),
+            (F.col("price_e2") / 100.0).alias("sum_base_price"),
+            _e4_to_2dec("disc_e4").alias("sum_disc_price"),
+            F.expr("((charge_e6 + 5000) div 10000) / 100.0D").alias("sum_charge"),
+            F.expr(
+                "((200 * qty_l + count_order) div (2 * count_order)) / 100.0D"
+            ).alias("avg_qty"),
+            F.expr(
+                "((2 * price_e2 + count_order) div (2 * count_order)) / 100.0D"
+            ).alias("avg_price"),
+            F.expr(
+                "((200 * dsc_e2 + count_order) div (2 * count_order)) / 10000.0D"
+            ).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -502,7 +550,9 @@ def _ensure_registered() -> None:
 @query(
     "tpch_q3_shipping_priority",
     """SELECT l_orderkey,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                + 50) // 100) / 100.0 AS revenue,
               o_orderdate
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -535,13 +585,12 @@ def tpch_q3(spark, sf_dir):
         .filter(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .select("l_orderkey", _e4_to_2dec("rev_e4").alias("revenue"), "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -550,7 +599,9 @@ def tpch_q3(spark, sf_dir):
 @query(
     "tpch_q5_local_supplier_volume",
     """SELECT n_name,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                + 50) // 100) / 100.0 AS revenue
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
                      JOIN supplier ON l_suppkey = s_suppkey
@@ -597,7 +648,6 @@ def tpch_q5(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -607,7 +657,8 @@ def tpch_q5(spark, sf_dir):
             & (cust.c_nationkey == supp.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .select("n_name", _e4_to_2dec("rev_e4").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -696,9 +747,11 @@ def tpch_q12(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue",
     """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                     THEN l_extendedprice * (1 - l_discount)
+                                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
                                      ELSE 0 END)
-                    / SUM(l_extendedprice * (1 - l_discount)), 3)
+                    / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)), 3)
               AS promo_revenue_pct
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -718,14 +771,360 @@ def tpch_q14(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = _revenue_e4()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.col("is_promo") * rev) / F.sum(rev), 3
+                100.0 * F.sum(F.col("is_promo") * rev_e4) / F.sum(rev_e4), 3
             ).alias("promo_revenue_pct")
         )
+    )
+
+
+# --- exact fixed-point money arithmetic -----------------------------------
+# l_extendedprice and l_discount carry exactly 2 decimals, so the revenue
+# product l_extendedprice*(1-l_discount) carries exactly 4. Summing it as
+# an INTEGER number of 1e-4 units makes the aggregate bit-identical across
+# engines and partition fold orders — a double sum folds in partition order
+# and its last ulp can straddle a ROUND boundary (observed: .595 rounding
+# to .59 in DuckDB and .60 in Spark). Integer sums have one right answer.
+
+
+def _cents(col):
+    """A 2-decimal double as an exact integer number of 1e-2 units."""
+    return F.round((F.col(col) if isinstance(col, str) else col) * 100).cast("long")
+
+
+def _revenue_e4():
+    """l_extendedprice*(1-l_discount) in exact integer 1e-4 units."""
+    return _cents("l_extendedprice") * _cents(1 - F.col("l_discount"))
+
+
+def _e4_to_2dec(col: str):
+    """Half-up 1e-4-units → 2-decimal double, deterministically."""
+    return F.expr(f"(({col} + 50) div 100) / 100.0D")
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+              ((SUM(volume_e4) + 50) // 100) / 100.0 AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    EXTRACT(year FROM l_shipdate) AS l_year,
+                    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                      AS volume_e4
+             FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                           JOIN orders ON o_orderkey = l_orderkey
+                           JOIN customer ON c_custkey = o_custkey
+                           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+    doc="TPC-H Q7-shaped bilateral trade volume: BOTH nation filters are "
+    "pushed into their dimension scans (each side keeps only the 2 "
+    "nations), so supplier and customer shrink to ~2/25 before any fact "
+    "row moves; the pair-disjunction residual (supp != cust) rides the "
+    "final broadcast join. The only fact shuffle is lineitem∞orders on "
+    "orderkey; everything else broadcasts. Revenue is summed in exact "
+    "integer 1e-4 units (prices/discounts are 2-decimal) so the result "
+    "is bit-identical regardless of partition fold order — FP sums of "
+    "different orderings straddle rounding boundaries; fixed-point "
+    "never does.",
+    bench=True,
+)
+def tpch_q7(spark, sf_dir):
+    pair = ("NATION_3", "NATION_7")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .withColumn("revenue", _e4_to_2dec("rev_e4"))
+        .drop("rev_e4")
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+       FROM (SELECT o_custkey,
+                    ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                      + 50) // 100) / 100.0 AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+               AND l_returnflag = 'R'
+             GROUP BY o_custkey) rev
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    doc="TPC-H Q10-shaped returned-item report. The revenue aggregation "
+    "runs BEFORE the customer join: the fact-fact join output collapses "
+    "to one row per customer-in-quarter, so the join against the (at "
+    "100 TB, non-broadcastable) customer table carries ~quarter-distinct "
+    "custkeys instead of every matching lineitem. returnflag and the "
+    "date window are pushed to the two fact scans; nation broadcasts; "
+    "top-20 via TakeOrderedAndProject.",
+    bench=True,
+)
+def tpch_q10(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .select("o_custkey", _e4_to_2dec("rev_e4").alias("revenue"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(l_quantity) > 300) big
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    doc="TPC-H Q18-shaped large-volume-customer: the HAVING aggregate is "
+    "the filter — lineitem collapses to per-order quantity sums (one "
+    "map-side-combined shuffle on orderkey), the >300 survivors are a "
+    "tiny set that then BROADCASTS into orders and customer, so the two "
+    "big tables are probed without shuffling either. Top-100 via "
+    "TakeOrderedAndProject.",
+    bench=True,
+)
+def tpch_q18(spark, sf_dir):
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_pushdown",
+    """SELECT ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                + 50) // 100) / 100.0 AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+    doc="TPC-H Q19-shaped OR-of-ANDs: the disjunction mixes columns from "
+    "both tables, so neither scan could prune on the full predicate — "
+    "the per-side weakenings are derived explicitly (part: brand∈set "
+    "with its size band; lineitem: quantity∈[1,30]) and pushed to the "
+    "scans, the filtered part side broadcasts, and the exact OR runs as "
+    "the residual after the join. At 100 TB the lineitem scan reads "
+    "~60% fewer rows than an un-weakened plan.",
+    bench=True,
+)
+def tpch_q19(spark, sf_dir):
+    part_side = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(part_side)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    full = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .select(_e4_to_2dec("rev_e4").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22_idle_balance",
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    doc="TPC-H Q22-shaped idle-balance report (adapted: no c_phone in "
+    "this schema — nationkey groups; 'no orders at all' never happens "
+    "in this data, so the anti-join is against RECENT orders). The "
+    "scalar AVG subquery becomes a 1-row broadcast cross-join (never a "
+    "driver collect), the NOT EXISTS a LEFT ANTI join whose build side "
+    "is date-pruned at the orders scan to ~1 quarter of custkeys.",
+    bench=True,
+)
+def tpch_q22(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "tpch_q2_min_price_supplier",
+    """SELECT DISTINCT p_partkey, p_brand, min_price, s_name, s_acctbal, n_name
+       FROM (SELECT l_partkey, l_suppkey, l_extendedprice,
+                    MIN(l_extendedprice) OVER (PARTITION BY l_partkey)
+                      AS min_price
+             FROM lineitem) l
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_size <= 10 AND p_type = 'STANDARD'
+         AND l_extendedprice = min_price
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    doc="TPC-H Q2-shaped min-per-group rejoin (adapted: no partsupp "
+    "table — lineitem's shipped price stands in for supplycost). "
+    "Expressed as a window MIN + same-pass filter, NOT groupBy+self-join: "
+    "one shuffle on partkey does both the minimum and the 'who achieved "
+    "it' probe, where the self-join form would shuffle lineitem twice. "
+    "The filtered part dim broadcasts to prune before the window at "
+    "scale via DPP; supplier/nation broadcast after.",
+    bench=True,
+)
+def tpch_q2(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "l_suppkey", "l_extendedprice")
+    )
+    w = Window.partitionBy("p_partkey")
+    at_min = (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        at_min.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "min_price", "s_name", "s_acctbal", "n_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
     )
 
 
