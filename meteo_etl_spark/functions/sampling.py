@@ -80,3 +80,35 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(id_col) < F.lit(round(fraction * HASH_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. language rebalancing):
+    keep a row iff its hash bucket falls under its OWN stratum's
+    fraction. Pure map like hash_sample — no shuffle, no coordination,
+    reproducible under repartitioning/appends — but the threshold is a
+    CASE over the stratum column, so each class is up/down-weighted
+    independently (the standard corpus-mixing knob at 100 TB).
+
+    The bucket is salted ('strat:' prefix) so composing with
+    hash_split/hash_sample stays independent: otherwise a row's split
+    assignment and its sample fate would be correlated through the
+    same md5 bits."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    salted = F.concat(F.lit("strat:"), F.col(id_col).cast("string"))
+    b = hash_bucket(salted)
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum_col) == name
+        permille = F.lit(round(frac * HASH_BUCKETS))
+        thr = F.when(cond, permille) if thr is None else thr.when(cond, permille)
+    thr = thr.otherwise(F.lit(round(default_fraction * HASH_BUCKETS)))
+    return df.filter(b < thr)

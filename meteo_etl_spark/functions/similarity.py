@@ -201,3 +201,98 @@ def ann_lsh_topk(
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- IVF (coarse-quantizer) ANN --------------------------------------------
+# Unlike the sign-LSH buckets above (data-independent bit patterns), an
+# IVF index routes by NEAREST CENTROID: the corpus is inverted on
+# argmax-dot(centroid, v), and a query probes only the `nprobe` lists
+# whose centroids score highest against it. Real systems k-means the
+# centroids; here they are md5-seeded constants so the DuckDB oracle
+# (same literals, same fold order) verifies the routing end to end —
+# the Spark plan is identical either way, only the literals change.
+
+IVF_LISTS = 8
+IVF_NPROBE = 2
+
+
+def ivf_centroid(k: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Deterministic centroid k: per-component values in [-1, 1)
+    derived from md5 — shared literal-for-literal with the oracle."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"ivf{k}:{d}".encode()).hexdigest()
+        out.append(int(h[:2], 16) / 128.0 - 1.0)
+    return out
+
+
+def _centroid_dots(v: Column) -> Column:
+    """array<double> of dot(v, centroid_k) for all IVF_LISTS centroids
+    (sequential folds — deterministic, oracle-mirrored)."""
+    return F.array(
+        *[
+            dot(v, F.array(*[F.lit(w) for w in ivf_centroid(k)]))
+            for k in range(IVF_LISTS)
+        ]
+    )
+
+
+def ivf_list_of(v: Column) -> Column:
+    """1-based inverted-list id: argmax-dot centroid (first max wins —
+    array_position finds the first occurrence, as does the oracle's
+    list_position)."""
+    d = _centroid_dots(v)
+    return F.array_position(d, F.array_max(d))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k via IVF routing: corpus rows keep only their inverted-list
+    id (one pass, broadcastable state: the centroid literals); the
+    query's best `nprobe` lists are computed from the same dots array
+    (second-best = argmax after masking the winner — index arithmetic
+    both engines express identically); candidates = vectors in any
+    probed list, re-ranked by exact cosine. At 100 TB `ivf_list_of`
+    becomes the partition key (exactly like build_lsh_index) and a
+    query reads nprobe partitions instead of the corpus."""
+    if nprobe != 2:
+        raise ValueError("oracle parity is defined for nprobe=2")
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), ivf_list_of(v).alias("lst")
+    )
+    dots = _centroid_dots(F.col("v"))
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(IVF_LISTS)),
+        lambda i: F.when(i == F.col("p1"), F.lit(-1e18)).otherwise(
+            F.element_at(dots, i)
+        ),
+    )
+    q = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(v.alias("v"))
+        .withColumn("p1", ivf_list_of(F.col("v")))
+        .withColumn("m", masked)
+        .select(
+            F.col("v").alias("qv"),
+            "p1",
+            F.array_position(F.col("m"), F.array_max("m")).alias("p2"),
+        )
+    )
+    return (
+        corpus.filter(F.col("vec_id") != query_id)
+        .join(
+            F.broadcast(q),
+            on=(F.col("lst") == F.col("p1")) | (F.col("lst") == F.col("p2")),
+        )
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -127,3 +127,48 @@ def fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: (acc * F.lit(FP_BASE) + v) % F.lit(FP_MOD),
     )
+
+
+# Repetition signal: word n-gram order shared with the oracle SQL.
+REP_NGRAM = 3
+
+# PII patterns — intersection of Java-regex and RE2 syntax (no
+# lookarounds, no backrefs) so Spark and the DuckDB oracle match the
+# same spans. Applied in dict order; replacement order matters (an
+# email must be scrubbed before its digits could look phone-like).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{7,15}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+}
+
+
+def ngrams(tokens_col: str, n: int = REP_NGRAM) -> Column:
+    """All word n-grams (with repeats) from a pre-split token array.
+    Like ``dedup.shingles`` but keeping duplicates — the repetition
+    signal IS the duplicates. Takes a column NAME (pre-projected
+    tokens): inlining split() here would re-execute it per lambda
+    iteration."""
+    return F.expr(
+        f"""
+        CASE WHEN size({tokens_col}) >= {n} THEN
+          transform(sequence(1, size({tokens_col}) - {n - 1}),
+                    i -> concat_ws(' ', slice({tokens_col}, i, {n})))
+        ELSE array() END
+        """
+    )
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact PII spans in pattern order. Chained regexp_replace —
+    one codegen'd pass per pattern, no Python in the loop."""
+    out = col
+    for pat, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (before any scrubbing)."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.regexp_count(col, F.lit(pat))

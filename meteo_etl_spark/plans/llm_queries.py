@@ -788,3 +788,234 @@ def mm_decode_meta(spark, sf_dir):
         .select("doc_id", "n_bytes", "width", "height", "frames", "format")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text repetition / PII scrubbing
+# ---------------------------------------------------------------------------
+
+_N = tx.REP_NGRAM
+
+
+@query(
+    "text_repetition",
+    f"""SELECT doc_id, n_ngrams, n_distinct,
+              CASE WHEN n_ngrams > 0 THEN
+                CAST(floor(((n_ngrams - n_distinct) * 1.0 / n_ngrams)
+                           * 10000.0 + 0.5) AS BIGINT) / 10000.0
+              ELSE 0.0 END AS dup_frac
+       FROM (SELECT doc_id,
+                    CASE WHEN len(w) >= {_N} THEN len(w) - {_N - 1} ELSE 0 END
+                      AS n_ngrams,
+                    CASE WHEN len(w) >= {_N} THEN
+                      len(list_distinct(list_transform(range(1, len(w) - {_N - 2}),
+                          i -> array_to_string(w[i:i+{_N - 1}], ' '))))
+                    ELSE 0 END AS n_distinct
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       ORDER BY doc_id""",
+    doc="Gopher-style repetition signal: fraction of duplicate word "
+    f"{_N}-gram occurrences per document (1 - distinct/total). High "
+    "dup_frac flags boilerplate/spam for the quality gate. Pure map "
+    "(two array lambdas over pre-split tokens); integers feed the "
+    "ratio, so both engines round identically.",
+)
+def text_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_ngrams = F.when(F.size("w") >= _N, F.size("w") - (_N - 1)).otherwise(0)
+    n_distinct = F.when(
+        F.size("w") >= _N, F.size(F.array_distinct(tx.ngrams("w")))
+    ).otherwise(0)
+    stats = docs.select(
+        "doc_id", n_ngrams.alias("n_ngrams"), n_distinct.alias("n_distinct")
+    )
+    dup = F.when(
+        F.col("n_ngrams") > 0,
+        tx.round_half_up(
+            (F.col("n_ngrams") - F.col("n_distinct"))
+            * F.lit(1.0)
+            / F.col("n_ngrams"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return stats.withColumn("dup_frac", dup).orderBy("doc_id")
+
+
+def _duck_pii_text() -> str:
+    """The PII-augmented text column (deterministic fake PII appended
+    to every 7th doc so the scrubber has real spans to hit)."""
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact doc' || doc_id "
+        "|| '@example.com or +1415' || doc_id || ' at 10.0.' "
+        "|| (doc_id % 256) || '.' || (doc_id % 100) ELSE text END"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    f"""SELECT doc_id,
+              len(regexp_extract_all(t, '{tx.PII_PATTERNS["email"][0]}')) AS n_email,
+              len(regexp_extract_all(t, '{tx.PII_PATTERNS["phone"][0]}')) AS n_phone,
+              len(regexp_extract_all(
+                    regexp_replace(regexp_replace(t, '{tx.PII_PATTERNS["email"][0]}',
+                                                  '<EMAIL>', 'g'),
+                                   '{tx.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+                    '{tx.PII_PATTERNS["ipv4"][0]}')) AS n_ip,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                  '{tx.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+                  '{tx.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+                  '{tx.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS scrubbed
+       FROM (SELECT doc_id, {_duck_pii_text()} AS t FROM documents)
+       ORDER BY doc_id""",
+    doc="PII scrubbing: email/phone/IPv4 spans redacted by chained "
+    "regexp_replace (patterns in the Java∩RE2 dialect so both engines "
+    "match identical spans), with per-kind counts. Counts for email/"
+    "phone are measured pre-scrub; the IP count runs after those "
+    "replacements (same order as the scrub chain). Deterministic fake "
+    "PII is appended to every 7th doc so the patterns actually fire. "
+    "Pure map — at 100 TB this is the same shape as any C4-style "
+    "cleanup pass.",
+)
+def text_pii_scrub(spark, sf_dir):
+    pii = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1415"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", pii.alias("t"))
+    email_pat, _ = tx.PII_PATTERNS["email"]
+    phone_pat, _ = tx.PII_PATTERNS["phone"]
+    after_phone = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        tx.pii_count(F.col("t"), "email").alias("n_email"),
+        tx.pii_count(F.col("t"), "phone").alias("n_phone"),
+        F.regexp_count(after_phone, F.lit(tx.PII_PATTERNS["ipv4"][0])).alias("n_ip"),
+        tx.pii_scrub(F.col("t")).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: stratified sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_stratified_sample",
+    """SELECT doc_id, lang
+       FROM (SELECT doc_id, lang,
+                    ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 4))::BIGINT
+                      % 1000 AS b
+             FROM documents)
+       WHERE b < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800
+                           ELSE 250 END
+       ORDER BY doc_id""",
+    doc="Corpus rebalancing: per-language deterministic hash sampling "
+    "(en 50%, zh 80%, others 25%) — the standard mixing knob when "
+    "assembling a training corpus. Pure map (salted md5 permille vs a "
+    "CASE threshold over the stratum column): no shuffle, stable under "
+    "repartitioning/appends, composable with hash_split because the "
+    "salt decorrelates the two hashes.",
+)
+def docs_stratified_sample(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.8}, default_fraction=0.25
+    ).orderBy("doc_id")
+
+
+@query(
+    "docs_pack_sequences",
+    """SELECT doc_id, lang, n_tokens, "offset", pack_id
+       FROM (SELECT doc_id, lang,
+                    len(string_split(text, ' ')) AS n_tokens,
+                    CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                             OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING),
+                             0) AS BIGINT) AS "offset",
+                    CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                             OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING),
+                             0) AS BIGINT) // 256 AS pack_id
+             FROM documents)
+       ORDER BY lang, doc_id""",
+    doc="Training-sequence packing (functions/packing.pack_sequences): "
+    "greedy contiguous fill — a doc's offset is the running token "
+    "count of its predecessors within its language shard, its pack id "
+    "is offset div 256. One window prefix-sum, no UDF/driver loop; "
+    "shards pack independently, so at 100 TB the window runs per "
+    "hash-bucket, never as one global sort.",
+)
+def docs_pack_sequences(spark, sf_dir):
+    from meteo_etl_spark.functions.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", "lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _duck_ivf_centroid(k: int) -> str:
+    vals = ", ".join(repr(w) for w in sim.ivf_centroid(k))
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _duck_ivf_dots(v: str) -> str:
+    dots = ", ".join(_duck_dot(v, _duck_ivf_centroid(k)) for k in range(sim.IVF_LISTS))
+    return f"[{dots}]"
+
+
+@query(
+    "sim_ann_ivf",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    asn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d FROM c),
+    q0 AS (SELECT v AS qv, lst AS p1, d AS qd FROM asn WHERE vec_id = 0),
+    q AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM q0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM asn, q WHERE vec_id <> 0 AND (lst = p1 OR lst = p2))
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc=f"ANN top-k via IVF coarse quantizer ({sim.IVF_LISTS} md5-seeded "
+    f"centroids, nprobe={sim.IVF_NPROBE}): every vector keeps only its "
+    "argmax-dot inverted-list id; the query probes its two best lists "
+    "and re-ranks candidates with exact cosine. Complements sim_ann_lsh "
+    "(data-independent sign buckets) with centroid routing — at 100 TB "
+    "the list id is the partition key and a query reads nprobe "
+    "partitions; swap the centroid literals for k-means output without "
+    "touching the plan.",
+)
+def sim_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(emb, query_id=0, k=5)

@@ -172,3 +172,99 @@ def test_hash_sample_is_subset_and_composable(spark, docs):
     tenth_of_half = {r.doc_id for r in hash_sample(half, "doc_id", 0.1).collect()}
     assert tenth_of_half == tenth_of_all  # bucket ranges nest
     assert {r.doc_id for r in half.collect()} >= tenth_of_all
+
+
+def test_stratified_sample_respects_per_stratum_thresholds(spark, docs):
+    """Every kept row's salted bucket is under its own stratum's
+    threshold, and the kept set is partition-layout invariant."""
+    from meteo_etl_spark.functions.sampling import hash_bucket, stratified_sample
+
+    fracs = {"en": 0.5, "zh": 0.8}
+    kept = stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", fracs, default_fraction=0.25
+    )
+    salted = F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    thr = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 800)
+        .otherwise(250)
+    )
+    assert kept.filter(hash_bucket(salted) >= thr).count() == 0
+    again = stratified_sample(
+        docs.select("doc_id", "lang").repartition(7),
+        "doc_id", "lang", fracs, default_fraction=0.25,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_stratified_sample_rejects_bad_fraction(spark, docs):
+    from meteo_etl_spark.functions.sampling import stratified_sample
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_pack_sequences_prefix_sum_and_budget(spark, docs):
+    """offset is the exact running token count of predecessors within
+    the shard; pack boundaries fall every `budget` tokens; the first
+    doc of every shard starts at offset 0, pack 0."""
+    from meteo_etl_spark.functions.packing import pack_sequences
+
+    d = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    packed = pack_sequences(d, "doc_id", "n_tokens", "lang", budget=100).collect()
+    by_lang: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        run = 0
+        for r in rows:
+            assert r.offset == run
+            assert r.pack_id == run // 100
+            run += r.n_tokens
+        assert rows[0].offset == 0 and rows[0].pack_id == 0
+
+
+def test_pii_scrub_redacts_all_patterns(spark):
+    from meteo_etl_spark.functions.text import pii_count, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-1.org or +12345678 from 192.168.0.1 ok")],
+        "id int, t string",
+    )
+    row = df.select(
+        pii_scrub(F.col("t")).alias("s"),
+        pii_count(F.col("t"), "email").alias("e"),
+        pii_count(F.col("t"), "phone").alias("p"),
+        pii_count(F.col("t"), "ipv4").alias("i"),
+    ).collect()[0]
+    assert row.s == "mail me at <EMAIL> or <PHONE> from <IP> ok"
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+
+
+def test_ngrams_keeps_duplicates_and_short_doc_empty(spark):
+    from meteo_etl_spark.functions.text import ngrams
+
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "a b")], "id int, t string")
+    out = {
+        r.id: r.g
+        for r in df.select("id", F.split("t", " ").alias("w"))
+        .select("id", ngrams("w").alias("g"))
+        .collect()
+    }
+    assert out[1] == ["a b a", "b a b", "a b a", "b a b"]
+    assert out[2] == []
+
+
+def test_ivf_assignment_in_range_and_query_probes_two_lists(spark):
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    lst = emb.select(
+        sim.ivf_list_of(F.col("embedding").cast("array<double>")).alias("lst")
+    )
+    bounds = lst.agg(F.min("lst"), F.max("lst")).collect()[0]
+    assert 1 <= bounds[0] and bounds[1] <= sim.IVF_LISTS
+    with pytest.raises(ValueError, match="nprobe"):
+        sim.ann_ivf_topk(emb, query_id=0, nprobe=3)
