@@ -1128,6 +1128,173 @@ def tpch_q2(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q13_order_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    doc="TPC-H Q13-shaped customer order-count distribution: LEFT "
+    "OUTER join (zero-order customers must appear with c_count=0, so "
+    "inner+union would be wrong) with the priority filter in the JOIN "
+    "condition, not WHERE (a WHERE filter would turn the outer join "
+    "inner). Two-level aggregate: count per customer (shuffle on "
+    "custkey), then the tiny histogram re-aggregation. "
+    "COUNT(o_orderkey) counts non-null matches only — the outer-join "
+    "null row contributes 0.",
+    bench=True,
+)
+def tpch_q13(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """SELECT (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0)
+                / 7.0 AS avg_yearly
+       FROM (SELECT l_extendedprice,
+                    l_quantity,
+                    AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+             FROM lineitem
+             WHERE l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_brand = 'Brand#23'
+                                   AND p_type = 'MEDIUM')) l
+       WHERE l_quantity < 0.2 * avg_qty""",
+    doc="TPC-H Q17-shaped small-quantity revenue: the per-part average "
+    "is a WINDOW over partkey computed in the SAME shuffle that the "
+    "correlated-subquery formulation would need twice (groupBy+self-"
+    "join reads lineitem twice; the window reads it once). The part "
+    "filter broadcasts and prunes BEFORE the window, so the shuffle "
+    "carries only the ~1/300 selected parts' lineitems. avg_qty is a "
+    "mean of integral quantities over one partition — both engines "
+    "fold identically at this group size; the 0.2× comparison is "
+    "strict so ties cannot straddle it.",
+    bench=True,
+)
+def tpch_q17(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("price_e2"))
+        .select(((F.col("price_e2") / 100.0) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+              ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume_e4
+                             ELSE 0 END)
+                    / SUM(volume_e4), 4) AS mkt_share
+       FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                      AS volume_e4,
+                    n2.n_name AS nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+                       JOIN supplier ON s_suppkey = l_suppkey
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                       JOIN region ON n1.n_regionkey = r_regionkey
+                       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'EUROPE'
+               AND p_type = 'ECONOMY'
+               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+       GROUP BY o_year ORDER BY o_year""",
+    doc="TPC-H Q8-shaped market share: a supplier nation's fraction of "
+    "regional ECONOMY-part volume per year. The ratio numerator is a "
+    "conditional sum over the SAME rows as the denominator — one "
+    "aggregate, not two queries. Exact integer volumes feed the "
+    "ratio, so both engines divide identical numbers (the two-sum "
+    "ratio is then rounded on identical doubles). Dims (part filter, "
+    "region→nation, supplier→nation) all broadcast; the only big "
+    "shuffle is lineitem∞orders.",
+    bench=True,
+)
+def tpch_q8(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    region_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("cust_nkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", _revenue_e4().alias("volume_e4"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume_e4")).otherwise(F.lit(0)))
+                / F.sum("volume_e4"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 def get(name: str) -> QuerySpec:
     _ensure_registered()
     return REGISTRY[name]
