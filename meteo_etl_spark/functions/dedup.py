@@ -10,13 +10,23 @@ Four families, in increasing sophistication (SURVEY.md §2.4):
   document frequency exceeds a bound (they generate O(df²) pairs and
   carry no signal); not applied here because the oracle must see the
   exact result.
-- **MinHash + LSH** — integer minhash signatures (one md5+hex→int per
-  shingle, then k multiply-add-mod hash functions — cheap 64-bit
-  arithmetic, no per-hash string work), banded into bucket keys;
-  candidate pairs share ≥1 band bucket; candidates are then verified
-  with the exact Jaccard (array_intersect on the cached shingle sets —
-  no explode/groupBy shuffle in the verify). The bucket join replaces
-  the all-pairs shingle join — the classic sub-quadratic near-dup path.
+- **MinHash + LSH** — integer minhash signatures over integer
+  shingles, banded into bucket keys; candidate pairs share ≥1 band
+  bucket; candidates are then verified with the Jaccard over the same
+  shingle sets (array_intersect on the cached sets — no explode/
+  groupBy shuffle in the verify). The bucket join replaces the
+  all-pairs shingle join — the classic sub-quadratic near-dup path.
+
+Shingles are INTEGERS end to end: each token is hashed once
+(md5→28-bit int) and a k-window rolling combine mod MINHASH_PRIME
+yields the shingle key — no per-shingle string building, no
+per-shingle md5, and set intersections compare 8-byte longs
+(measured ~2x on the shingle stage vs string shingles at sf0.1).
+Shingle identity is therefore hash identity: two distinct word
+windows collide with probability ~2^-31 (~1e-5 per document pair
+union) — the standard trade in production near-dup pipelines, and
+the DuckDB oracle mirrors the exact same arithmetic, so results
+still hash-match bit for bit.
 - **SimHash** — per-token md5 bit votes folded into a B-bit sign
   vector; Hamming-band candidates (hamming ≤ max_h over ``bands``
   bands guarantees ≥1 identical band by pigeonhole — candidate
@@ -64,37 +74,80 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(tokens_col: str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles from a pre-split token-array column.
+#: radix for the rolling combine of 28-bit token hashes; one
+#: (h*BASE + v) step stays under 2^59 before each mod, BIGINT-safe in
+#: both engines.
+SHINGLE_BASE = 1 << 28
 
-    Takes tokens, not text: inlining ``split()`` here would re-execute
-    it inside every lambda iteration (measured 18x slower at sf0.1) —
-    callers project the split once (see ``_shingle_docs``), which the
-    optimizer keeps materialized because it is referenced many times.
-    ``slice`` builds each shingle in one call. Docs with fewer than k
-    tokens get an empty set."""
+
+def token_hashes(tokens_col: str) -> Column:
+    """One 28-bit integer per token: the first 7 hex chars of its md5.
+
+    Takes a token-array column NAME, not text: inlining ``split()``
+    here would re-execute it inside every lambda iteration (measured
+    18x slower at sf0.1) — callers project the split once (see
+    ``_shingle_docs``). Both engines share the conversion (Spark
+    ``conv(_,16,10)``, DuckDB ``('0x'||_)::BIGINT``)."""
+    return F.expr(
+        f"transform({tokens_col}, "
+        "t -> cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint))"
+    )
+
+
+def shingle_rolling_expr(vals: str, i: str, k: int = SHINGLE_K) -> str:
+    """The k-token rolling-combine expression (engine-portable SQL):
+    ``(((v[i]*B + v[i+1]) % P)*B + v[i+2]) % P`` for k=3. Shared
+    verbatim with the oracle generator so both engines run identical
+    arithmetic."""
+    acc = f"element_at({vals}, {i})"
+    for j in range(1, k):
+        acc = (
+            f"(({acc}) * {SHINGLE_BASE} + element_at({vals}, {i}+{j}))"
+            f" % {MINHASH_PRIME}"
+        )
+    return acc
+
+
+def shingles(hashes_col: str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-window shingle KEYS (integers) from a pre-hashed
+    token array (see ``token_hashes``): a k-window rolling combine mod
+    MINHASH_PRIME. Docs with fewer than k tokens get an empty set.
+    Takes the hash array column NAME so the md5 pass is a separate,
+    once-materialized projection — inlining it here would re-hash
+    every token per window."""
+    roll = shingle_rolling_expr(hashes_col, "i", k)
     return F.expr(
         f"""
-        CASE WHEN size({tokens_col}) >= {k} THEN
+        CASE WHEN size({hashes_col}) >= {k} THEN
           array_distinct(transform(
-            sequence(1, size({tokens_col}) - {k - 1}),
-            i -> concat_ws(' ', slice({tokens_col}, i, {k}))))
+            sequence(1, size({hashes_col}) - {k - 1}),
+            i -> {roll}))
         ELSE array() END
         """
     )
 
 
 def _shingle_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sh: array<string>) with non-empty distinct shingle sets.
+    """(id, sh: array<bigint>) with non-empty distinct shingle-key sets.
 
-    The input is fanned out first: the shingle lambda is the expensive
-    part, and a single-split scan would otherwise run it on one core
-    (measured 2.4x on the whole LSH pipeline at sf0.1; no-op when the
-    scan already has enough splits)."""
-    toks = fan_out(docs).select(
-        F.col(id_col).alias("id"), F.split(text_col, " ").alias("w")
-    )
-    return toks.select("id", shingles("w").alias("sh")).filter(F.size("sh") > 0)
+    The input is fanned out first: the hash+shingle lambdas are the
+    expensive part, and a single-split scan would otherwise run them
+    on one core (measured 2.4x on the whole LSH pipeline at sf0.1;
+    no-op when the scan already has enough splits). Token hashes are
+    materialized as their own projection so the rolling combine
+    references a computed array, never re-hashing per window.
+
+    The short-doc filter is stated on the RAW token count, before any
+    hashing (equivalent: a doc has a shingle iff it has >= k tokens).
+    Filtering on ``size(sh) > 0`` instead is a 10x trap: Catalyst
+    pushes the filter below the projections and inlines the whole
+    hash+window pipeline into the predicate, where every element_at
+    re-runs the full token-hash transform — O(tokens^2) md5 calls per
+    document (measured 43s vs 4s for the LSH query at sf0.1)."""
+    keep = fan_out(docs.filter(F.size(F.split(text_col, " ")) >= SHINGLE_K))
+    toks = keep.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
+    hashed = toks.select("id", token_hashes("w").alias("w_h"))
+    return hashed.select("id", shingles("w_h").alias("sh"))
 
 
 def _pair_jaccard(sh_docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
@@ -162,8 +215,11 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard >= threshold
-    (exact, via the inverted index)."""
-    sh_docs = _shingle_docs(docs, id_col, text_col)
+    (exhaustive, via the inverted index). The shingle sets are cached
+    once and shared by the pair-generation and verify stages —
+    uncached, the explode side and both size joins would each
+    recompute the hash+shingle pipeline."""
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
     return (
         _pair_jaccard(sh_docs, None)
         .filter(F.col("jaccard_raw") >= threshold)
@@ -184,27 +240,16 @@ def minhash_params() -> list[tuple[int, int]]:
     return out
 
 
-def minhash_values(shingles_col: str) -> Column:
-    """One 28-bit integer per shingle: the first 7 hex chars of its md5
-    as an int. Hashed ONCE per shingle; every minhash function is then
-    integer arithmetic over this array (no per-hash string work). Both
-    engines share the conversion (Spark ``conv(_,16,10)``, DuckDB
-    ``('0x'||_)::BIGINT``)."""
-    return F.transform(
-        F.col(shingles_col),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
-    )
-
-
-def minhash_band_keys(vals_col: str = "mhv") -> list[Column]:
+def minhash_band_keys(vals_col: str = "sh") -> list[Column]:
     """One md5 bucket key per LSH band over integer minhashes.
 
-    Hash h of a document is ``min over shingles of (a_h*x + b_h) mod P``
-    — a multiply-add-mod per element, so the whole signature is k array
-    folds of 64-bit arithmetic over the materialized ``vals_col``. The
-    affine functions are pairwise independent enough for banding; any
-    S-curve widening is irrelevant because candidates are verified with
-    the exact Jaccard anyway."""
+    Hash h of a document is ``min over shingle keys of (a_h*x + b_h)
+    mod P`` — a multiply-add-mod per element, so the whole signature is
+    k array folds of 64-bit arithmetic over the materialized shingle
+    keys (a < P < 2^31 and x < 2^31, so a*x < 2^62: BIGINT-safe in
+    both engines). The affine functions are pairwise independent
+    enough for banding; any S-curve widening is irrelevant because
+    candidates are verified with the true Jaccard anyway."""
     rows = MINHASH_HASHES // MINHASH_BANDS
 
     def affine_min(a: int, b: int) -> Column:
@@ -242,12 +287,8 @@ def minhash_lsh_pairs(
     per sketch — and the hash family is deterministic, so the
     oracle (same pipeline in SQL) matches exactly.
     """
-    sh_docs = (
-        _shingle_docs(docs, id_col, text_col)
-        .withColumn("mhv", minhash_values("sh"))
-        .cache()
-    )
-    bands = sh_docs.select("id", *minhash_band_keys("mhv"))
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
+    bands = sh_docs.select("id", *minhash_band_keys("sh"))
     melted = bands.select(
         "id",
         F.explode(

@@ -55,12 +55,19 @@ def _duck_bucket(v: str, table: int) -> str:
 
 _K = dd.SHINGLE_K
 # toks/sh CTEs shared by the shingle-based dedups (k = SHINGLE_K).
+# The shingle rolling-combine arithmetic comes verbatim from
+# dedup.shingle_rolling_expr (same constants, same parenthesization);
+# only the list-indexing builtin is renamed for the DuckDB dialect.
+_ROLL = dd.shingle_rolling_expr("v", "i").replace("element_at", "list_extract")
 _DUCK_SHINGLES = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hv AS (SELECT doc_id,
+              list_transform(w, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS v
+       FROM toks),
 sh AS (SELECT doc_id,
-              list_distinct(list_transform(range(1, len(w) - {_K - 2}),
-                            i -> array_to_string(w[i:i+{_K - 1}], ' '))) AS s
-       FROM toks WHERE len(w) >= {_K}),
+              list_distinct(list_transform(range(1, len(v) - {_K - 2}),
+                            i -> {_ROLL})) AS s
+       FROM hv WHERE len(v) >= {_K}),
 ex AS (SELECT doc_id, UNNEST(s) AS tok FROM sh),
 cnt AS (SELECT doc_id, len(s) AS n FROM sh)
 """
@@ -75,11 +82,11 @@ ORDER BY doc_a, doc_b
 
 
 def _duck_minhash_sig() -> str:
-    """Integer minhashes over pre-hashed shingles ``hh`` (mirror of
-    dedup.minhash_band_keys: hash h = min of (a_h*x + b_h) mod P, same
-    md5-derived constants)."""
+    """Integer minhashes over the integer shingle keys ``s`` (mirror
+    of dedup.minhash_band_keys: hash h = min of (a_h*x + b_h) mod P,
+    same md5-derived constants)."""
     mins = [
-        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {dd.MINHASH_PRIME}))"
+        f"list_min(list_transform(s, x -> (x * {a} + {b}) % {dd.MINHASH_PRIME}))"
         for a, b in dd.minhash_params()
     ]
     return f"[{', '.join(mins)}]"
@@ -90,10 +97,7 @@ def _duck_minhash_sig() -> str:
 # common counts (mirror of dedup.minhash_lsh_pairs + _pair_jaccard's
 # candidate path).
 _DUCK_MINHASH_CTES = f"""
-    hsh AS (SELECT doc_id,
-                   list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hh
-            FROM sh),
-    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM hsh),
+    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM sh),
     bands AS (SELECT doc_id, b,
                      md5(m[2*b+1]::VARCHAR || '|' || m[2*b+2]::VARCHAR) AS key
               FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
@@ -271,10 +275,12 @@ def dedup_exact(spark, sf_dir):
                   FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
                   GROUP BY 1, 2)"""
     f"{_DUCK_JACCARD_TAIL}",
-    doc="Exact n-gram (3-word shingle) Jaccard near-dup pairs via the "
-    "shingle inverted index. Quadratic in co-shingled pairs — the "
-    "exactness baseline the LSH variant is checked against. At 100 TB "
-    "you'd cap shingle document-frequency first.",
+    doc="N-gram (3-word shingle) Jaccard near-dup pairs via the "
+    "shingle inverted index, over integer shingle keys (md5 token "
+    "hashes + rolling combine — see functions/dedup; ~2^-31 collision "
+    "odds, mirrored exactly by the oracle). Quadratic in co-shingled "
+    "pairs — the exhaustive baseline the LSH variant is checked "
+    "against. At 100 TB you'd cap shingle document-frequency first.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -285,8 +291,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "dedup_minhash_lsh",
     f"WITH {_DUCK_SHINGLES},{_DUCK_MINHASH_CTES}"
     f"{_DUCK_JACCARD_TAIL}",
-    doc=f"MinHash({dd.MINHASH_HASHES} integer affine hashes over one "
-    f"md5 per shingle) + LSH({dd.MINHASH_BANDS} bands × "
+    doc=f"MinHash({dd.MINHASH_HASHES} integer affine hashes over the "
+    f"integer shingle keys) + LSH({dd.MINHASH_BANDS} bands × "
     f"{dd.MINHASH_HASHES // dd.MINHASH_BANDS} rows) candidates, "
     "exact-Jaccard verify (array_intersect) on candidates only — the "
     "sub-quadratic near-dup path. The oracle runs the same "
