@@ -514,11 +514,19 @@ def q3_approx(spark, sf_dir):
 )
 def q5_approx(spark, sf_dir):
     c = F.col("l_extendedprice")
-    return load_table(spark, sf_dir, "lineitem").agg(
+    # Scalar columns (not one array column) so downstream pandas-side
+    # canonicalization can sort/hash the result.
+    agg = load_table(spark, sf_dir, "lineitem").agg(
         F.count(c).alias("n"),
         F.approx_percentile(
             c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
         ).alias("pcts_approx"),
+    )
+    return agg.select(
+        "n",
+        F.col("pcts_approx")[0].alias("p25_approx"),
+        F.col("pcts_approx")[1].alias("p50_approx"),
+        F.col("pcts_approx")[2].alias("p75_approx"),
     )
 
 
@@ -540,8 +548,8 @@ SESSION_GAP_MS = 86_400_000  # 1 day
                  CASE WHEN gap_ms IS NULL OR gap_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS is_new
           FROM o),
     s AS (SELECT user_id, ts,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM m)
     SELECT user_id, session_id, COUNT(*) AS n,
            MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -906,9 +914,11 @@ def text_pii_scrub(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
-        tx.pii_count(F.col("t"), "email").alias("n_email"),
-        tx.pii_count(F.col("t"), "phone").alias("n_phone"),
-        F.regexp_count(after_phone, F.lit(tx.PII_PATTERNS["ipv4"][0])).alias("n_ip"),
+        tx.pii_count(F.col("t"), "email").cast("long").alias("n_email"),
+        tx.pii_count(F.col("t"), "phone").cast("long").alias("n_phone"),
+        F.regexp_count(after_phone, F.lit(tx.PII_PATTERNS["ipv4"][0]))
+        .cast("long")
+        .alias("n_ip"),
         tx.pii_scrub(F.col("t")).alias("scrubbed"),
     ).orderBy("doc_id")
 
