@@ -11,8 +11,11 @@ shuffle, trivially pushed into scans at 100 TB, and stable under
 repartitioning, retries, and incremental appends.
 
 md5 is used (not xxhash64) because the DuckDB oracle computes the
-identical bucket: Spark ``conv(substring(md5(x),1,4),16,10)`` ==
-DuckDB ``('0x' || substr(md5(x),1,4))::BIGINT``.
+identical bucket: Spark ``conv(substring(md5(x),1,8),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``. 32 hash bits keep
+the modulo bias negligible: 2**32 % 1000 = 296, so the heaviest
+bucket is only ~2.3e-7 relatively more likely than the lightest
+(16 bits had a 1.5% skew between buckets 0-535 and 536-999).
 
 Reference parity: no reference counterpart (the reference has no
 sampling surface); mandated by BASELINE.json's training-data scope.
@@ -29,11 +32,12 @@ HASH_BUCKETS = 1000
 
 def hash_bucket(id_col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
     """Uniform deterministic bucket in [0, buckets) from a stable id.
-    16 bits of md5 (4 hex chars) — enough for permille granularity;
-    widen the substring if you need finer fractions."""
+    32 bits of md5 (8 hex chars): residual modulo bias is
+    (2**32 % buckets) / 2**32 ≈ 7e-8 absolute for buckets=1000 —
+    negligible for any split/sample fraction."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
         % F.lit(buckets)
     )
 

@@ -81,11 +81,40 @@ def compact_table(
         subset = df
     n_before = subset.count()
 
-    bytes_total = sum(
-        os.path.getsize(f) for files in fragmented.values() for f in files
-    )
-    n_files = max(1, round(bytes_total / target_file_bytes))
-    compacted = subset.repartition(n_files, *( [partition_col] if partition_col else [] ))
+    if partition_col:
+        # Size file counts PER partition, and spread each partition's
+        # rows over that many salt values: repartitioning on the
+        # partition column alone would hash every row of one partition
+        # into a single task/file, ignoring target_file_bytes for a
+        # large fragmented partition.
+        per_part_files = {
+            p.split("=", 1)[1]: max(
+                1,
+                round(sum(os.path.getsize(f) for f in files) / target_file_bytes),
+            )
+            for p, files in fragmented.items()
+            if "=" in p
+        }
+        n_expr = None
+        for v, n in per_part_files.items():
+            cond = F.col(partition_col).cast("string") == v
+            n_expr = F.when(cond, n) if n_expr is None else n_expr.when(cond, n)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in subset.columns]),
+            n_expr.otherwise(F.lit(1)),
+        )
+        total_files = sum(per_part_files.values())
+        compacted = (
+            subset.withColumn("__csalt", salt)
+            .repartition(max(1, total_files), partition_col, "__csalt")
+            .drop("__csalt")
+        )
+    else:
+        bytes_total = sum(
+            os.path.getsize(f) for files in fragmented.values() for f in files
+        )
+        n_files = max(1, round(bytes_total / target_file_bytes))
+        compacted = subset.repartition(n_files)
 
     _rewrite_partitions(spark, compacted, path, partition_col)
 

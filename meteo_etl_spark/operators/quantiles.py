@@ -71,25 +71,36 @@ def exact_percentiles(
 
         los, his = list(first.lo), list(first.hi)
 
-        # Pass 2: exact rank of each lower bound + the bracket slices.
-        aggs = []
+        # Pass 2a: exact rank of each lower bound + bracket SIZES only.
+        # Sizes are validated engine-side BEFORE any collect_list, so an
+        # oversized bracket (sketch error at large n) is rejected as a
+        # scalar count instead of being materialized on the driver.
+        size_aggs = []
         for i, (lo, hi) in enumerate(zip(los, his)):
-            aggs.append(F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"below{i}"))
-            aggs.append(
-                F.sort_array(
-                    F.collect_list(F.when((c >= lo) & (c <= hi), c))
-                ).alias(f"slice{i}")
+            size_aggs.append(F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"below{i}"))
+            size_aggs.append(
+                F.sum(F.when((c >= lo) & (c <= hi), 1).otherwise(0)).alias(f"size{i}")
             )
-        second = df.agg(*aggs).collect()[0]
+        second = df.agg(*size_aggs).collect()[0]
+        if any((second[f"size{i}"] or 0) > max_slice for i in range(len(qs))):
+            accuracy *= 4  # bracket too wide — raise accuracy, retry
+            eps_q = 1.0 / accuracy
+            continue
+
+        # Pass 2b: the brackets are proven small — now collect them.
+        slice_aggs = [
+            F.sort_array(
+                F.collect_list(F.when((c >= lo) & (c <= hi), c))
+            ).alias(f"slice{i}")
+            for i, (lo, hi) in enumerate(zip(los, his))
+        ]
+        third = df.agg(*slice_aggs).collect()[0]
 
         out: list[float | None] = []
         ok = True
         for i, q in enumerate(qs):
             below = second[f"below{i}"] or 0
-            values = second[f"slice{i}"]
-            if len(values) > max_slice:
-                ok = False  # bracket too wide — raise accuracy, retry
-                break
+            values = third[f"slice{i}"]
             k = (n - 1) * q  # target rank, 0-based fractional
             k_lo, k_hi = math.floor(k), math.ceil(k)
             # Order statistics k_lo/k_hi must sit inside the slice:

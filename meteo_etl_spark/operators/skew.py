@@ -50,7 +50,19 @@ def salted_join(
     ``(key, __salt)`` (hot key stays spread), then a tiny final merge
     on ``key``. Without it, an agg right after the join re-concentrates
     the hot key on one reducer and undoes the salting.
+
+    Only fact-preserving joins are legal: the dim side is replicated
+    ``buckets``× before the join, so a dim-preserving mode
+    (right/full outer) would emit every unmatched dim row once per
+    salt copy instead of once.
     """
+    fact_preserving = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace(" ", "") not in fact_preserving:
+        raise ValueError(
+            f"salted_join: how={how!r} is dim-preserving; the replicated dim "
+            f"side would duplicate unmatched dim rows {buckets}x. "
+            "Use inner/left/left_semi/left_anti."
+        )
     salted_fact = fact.withColumn("__salt", F.pmod(salt_src, F.lit(buckets)).cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

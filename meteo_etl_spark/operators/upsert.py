@@ -156,14 +156,21 @@ def merge_parquet(
             return F.col(f"{self._p}.{c}")
 
     t, u = _Side("t"), _Side("u")
-    joined = target_subset.alias("t").join(
-        updates.alias("u"),
-        [t[k].eqNullSafe(u[k]) for k in key_cols],
-        "full_outer",
+    # Constant presence markers, not isNotNull on a key column: the join
+    # is eqNullSafe, so NULL merge keys are legal — a row with a NULL
+    # first key must still read as "present" on its side.
+    joined = (
+        target_subset.withColumn("__t_present", F.lit(True))
+        .alias("t")
+        .join(
+            updates.withColumn("__u_present", F.lit(True)).alias("u"),
+            [t[k].eqNullSafe(u[k]) for k in key_cols],
+            "full_outer",
+        )
     )
 
-    u_present = u[key_cols[0]].isNotNull()
-    t_present = t[key_cols[0]].isNotNull()
+    u_present = u["__u_present"].isNotNull()
+    t_present = t["__t_present"].isNotNull()
 
     out_cols: list[Column] = []
     target_cols = target.columns

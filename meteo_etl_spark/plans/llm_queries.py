@@ -593,9 +593,9 @@ def events_sessionize(spark, sf_dir):
 @query(
     "docs_hash_split",
     """SELECT doc_id,
-              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 AS bucket,
-              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 < 900 THEN 'train'
-                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 < 950 THEN 'val'
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < 900 THEN 'train'
+                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < 950 THEN 'val'
                    ELSE 'test' END AS split
        FROM documents ORDER BY doc_id""",
     doc="Deterministic 90/5/5 train/val/test assignment by content-hash "
@@ -932,7 +932,7 @@ def text_pii_scrub(spark, sf_dir):
     "docs_stratified_sample",
     """SELECT doc_id, lang
        FROM (SELECT doc_id, lang,
-                    ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 4))::BIGINT
+                    ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
                       % 1000 AS b
              FROM documents)
        WHERE b < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800

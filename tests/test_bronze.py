@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -92,3 +93,13 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert plain == salted
+
+
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    ev = spark.createDataFrame([(1, "k0", 1.0)], ["id", "k", "v"])
+    dim = spark.createDataFrame([("k0", 0)], ["k", "w"])
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="dim-preserving"):
+            salted_join(ev, dim, "k", salt_src=F.col("id"), how=how)
+    # fact-preserving modes stay legal
+    assert salted_join(ev, dim, "k", salt_src=F.col("id"), how="left").count() == 1

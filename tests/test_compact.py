@@ -60,3 +60,28 @@ def test_compact_unpartitioned(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 50
     assert stats.files_after < stats.files_before
+
+
+def test_compact_honors_target_bytes_for_one_big_partition(spark, tmp_path):
+    """A single fragmented partition must split across multiple files
+    sized by target_file_bytes — not collapse into one giant file
+    (the partition-column-only repartition pathology)."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).withColumn("p", F.lit("hot")).withColumn(
+        "pad", F.repeat(F.lit("x"), 100)
+    )
+    for i in range(8):
+        df.filter((F.col("id") % 8) == i).write.mode("append").partitionBy(
+            "p"
+        ).parquet(path)
+    n_before = len(_parquet_files(path))
+    assert n_before >= 8
+    bytes_total = sum(os.path.getsize(f) for f in _parquet_files(path))
+    # Target ~quarter of the partition's bytes -> expect ~4 output files.
+    stats = compact_table(
+        spark, path, partition_col="p", target_file_bytes=bytes_total // 4
+    )
+    assert stats.partitions_compacted == 1
+    n_after = len(_parquet_files(path))
+    assert 2 <= n_after < n_before
+    assert spark.read.parquet(path).count() == 20000

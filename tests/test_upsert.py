@@ -94,3 +94,25 @@ def test_partition_layout_and_pruned_rewrite(spark, warehouse):
     untouched = [p for p in parts if p != f"{OBS_PARTITION_COL}=2025-12-01"]
     for p in untouched:
         assert os.path.getmtime(os.path.join(warehouse.observations_path, p)) == mtimes_before[p]
+
+
+def test_merge_null_first_key_is_matched_not_dropped(spark, tmp_path):
+    """eqNullSafe join implies NULL merge keys are legal: a row whose
+    FIRST key column is NULL must still update on match (presence is
+    tracked by constant markers, not isNotNull on the key)."""
+    from meteo_etl_spark.operators.upsert import merge_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(None, "a", 1.0), (2, "b", 2.0)], "k int, sub string, v double"
+    )
+    merge_parquet(spark, path, base, ["k", "sub"])
+    upd = spark.createDataFrame(
+        [(None, "a", 10.0), (3, "c", 3.0)], "k int, sub string, v double"
+    )
+    stats = merge_parquet(spark, path, upd, ["k", "sub"])
+    assert (stats.updated, stats.inserted) == (1, 1)
+    rows = {
+        (r.k, r.sub): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {(None, "a"): 10.0, (2, "b"): 2.0, (3, "c"): 3.0}
