@@ -402,35 +402,88 @@ def simhash_pairs(
     )
 
 
+#: block count for the pair-space equi-join; at 100 TB size this so
+#: one block of vectors fits a task's memory (replication cost is
+#: O(n * blocks) shuffle rows).
+EMBEDDING_PAIR_BLOCKS = 8
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = COSINE_DUP_THRESHOLD,
+    blocks: int = EMBEDDING_PAIR_BLOCKS,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold over all pairs.
+    """Embedding near-dup pairs: cosine >= threshold, exact over all
+    pairs.
 
-    Norms are computed once per vector before the pair join. The pair
-    space is quadratic — correct as the oracle-checked baseline; the
-    scale path blocks the space first (see similarity.ann_lsh_topk's
-    hyperplane buckets) and verifies within blocks, same shape as
-    minhash_lsh_pairs."""
+    The pair space is enumerated by a BLOCKED EQUI-JOIN, never a
+    nested-loop cross join: each vector lands in block
+    ``pmod(xxhash64(id), blocks)``; covering every block pair
+    (i, j), i <= j replicates a row once per task its block joins
+    (O(n·blocks) shuffle rows), and the join itself is a shuffled
+    equi-join on the task id — blocks·(blocks+1)/2 independent tasks,
+    bounded task memory, no corpus broadcast. Identical pairs to a
+    cross join (complete and deterministic), but the plan survives a
+    corpus that does not fit one executor.
+
+    The O(n²) *compute* is inherent to an exact low-threshold sweep
+    (0.45 cosine ≈ 63° — sign-LSH recall there is ~35%/table, so
+    bucketing cannot be exact). For high-threshold dedup (>= ~0.9)
+    use the sub-quadratic candidate routes instead:
+    similarity.ann_lsh_topk / ann_ivf_topk / build_lsh_index.
+
+    Norms are computed once per vector before replication."""
     from meteo_etl_spark.functions.similarity import dot, norm
 
     v = F.col(vec_col).cast("array<double>")
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(blocks)).cast("int")
     sided = fan_out(emb).select(
-        F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm")
+        F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"), blk.alias("blk")
     )
-    a = sided.select(
-        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+
+    def task_id(i: Column, j: Column) -> Column:
+        return F.concat_ws(":", i.cast("string"), j.cast("string"))
+
+    # Row of block b participates as LEFT in tasks (b, j), j >= b and
+    # as RIGHT in tasks (i, b), i <= b.
+    left = sided.select(
+        F.col("id").alias("id_l"),
+        F.col("v").alias("v_l"),
+        F.col("nrm").alias("nrm_l"),
+        F.col("blk").alias("blk_l"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(blocks - 1)),
+                lambda j: task_id(F.col("blk"), j),
+            )
+        ).alias("task"),
     )
-    b = sided.select(
-        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    right = sided.select(
+        F.col("id").alias("id_r"),
+        F.col("v").alias("v_r"),
+        F.col("nrm").alias("nrm_r"),
+        F.col("blk").alias("blk_r"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: task_id(i, F.col("blk")),
+            )
+        ).alias("task"),
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    sim = dot(F.col("v_l"), F.col("v_r")) / (F.col("nrm_l") * F.col("nrm_r"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_raw"))
+        left.join(right, "task")
+        # same-block task (i,i): order ids to emit each pair once and
+        # never self-pairs; cross-block tasks pair each row exactly once.
+        .filter((F.col("blk_l") != F.col("blk_r")) | (F.col("id_l") < F.col("id_r")))
+        .select(
+            F.least("id_l", "id_r").alias("vec_a"),
+            F.greatest("id_l", "id_r").alias("vec_b"),
+            sim.alias("cos_raw"),
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
     )

@@ -26,12 +26,56 @@ memory; both scans are embarrassingly parallel map+partial-agg jobs.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: max rows a bracket slice may hold before we consider it too wide.
 DEFAULT_MAX_SLICE = 1_000_000
+
+#: input-size ceiling (bytes) below which the single-buffer
+#: ``F.percentile`` aggregate is considered safe. Overridable via the
+#: SPARK_GRAFT_PCT_BUFFER_MAX_BYTES env var (0 forces the bounded path
+#: — what the scale test does).
+BUFFERING_PERCENTILE_MAX_BYTES = 1 << 30
+
+
+def buffering_percentile_safe(df: DataFrame, *, max_bytes: int | None = None) -> bool:
+    """True iff the single-buffer exact ``F.percentile`` aggregate is
+    safe for this input.
+
+    Driver-side file-size estimate over ``df.inputFiles()`` — no Spark
+    job. Conservative by construction: any input whose size can't be
+    established locally (object-store URIs, non-file sources) routes to
+    the bounded-memory bracket+refine path, which is the correct
+    default at 100 TB anyway."""
+    if max_bytes is None:
+        max_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_PCT_BUFFER_MAX_BYTES", BUFFERING_PERCENTILE_MAX_BYTES
+            )
+        )
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        # No file-backed lineage (in-memory / non-file source): size
+        # can't be established — route to the bounded path.
+        return False
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        if uri.startswith("file:") and not uri.startswith("file://"):
+            path = uri[5:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return False
+        if total > max_bytes:
+            return False
+    return True
 
 
 def exact_percentiles(

@@ -60,12 +60,30 @@ def describe_observations(spark: SparkSession, wh: Warehouse) -> DataFrame:
     interpolation, percentile — NOT approx) / max per measure column.
 
     Output: one row per measure, columns (measure, count, mean, std,
-    min, p25, p50, p75, max) — the transposed describe() frame."""
+    min, p25, p50, p75, max) — the transposed describe() frame.
+
+    Percentile routing: below SPARK_GRAFT_PCT_BUFFER_MAX_BYTES of
+    input the quartiles come from the one-pass ``F.percentile``
+    buffer; above it (the 100 TB regime, where that buffer is an OOM
+    on one reducer) each measure's quartiles are computed by the
+    bounded-memory bracket+refine pass
+    (operators/quantiles.exact_percentiles) and injected as literals —
+    identical values either way."""
+    from meteo_etl_spark.operators.quantiles import (
+        buffering_percentile_safe,
+        exact_percentiles,
+    )
+
     obs = read_observations(spark, wh)
+    buffer_safe = buffering_percentile_safe(obs.select(*SUMMARY_COLS))
     aggs = []
     for m in SUMMARY_COLS:
         c = F.col(m)
-        pcts = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        if buffer_safe:
+            pcts = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        else:
+            vals = exact_percentiles(obs.select(m), m, [0.25, 0.5, 0.75])
+            pcts = F.array(*[F.lit(v) for v in vals])
         aggs.append(
             F.struct(
                 F.lit(m).alias("measure"),

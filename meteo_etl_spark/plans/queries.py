@@ -157,22 +157,37 @@ def q4(spark, sf_dir):
 )
 def q5(spark, sf_dir):
     from meteo_etl_spark.operators.parallelism import fan_out
+    from meteo_etl_spark.operators.quantiles import (
+        buffering_percentile_safe,
+        exact_percentiles,
+    )
 
     # Prune to the one aggregated column BEFORE fanning out so the
     # repartition exchange carries 8 bytes/row, then fan_out widens the
     # percentile partial-aggregation beyond the (few) file splits.
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_extendedprice"))
+    base = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li = fan_out(base)
     c = F.col("l_extendedprice")
     pe4 = _cents(c) * 100  # exact 1e-4 units; quartile interp stays integral
-    # One array-form percentile aggregate: a single value buffer is
-    # built/merged instead of three (measured 2.1x on the whole query).
-    pcts = F.percentile(pe4, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+
+    if buffering_percentile_safe(base):
+        # One array-form percentile aggregate: a single value buffer is
+        # built/merged instead of three (measured 2.1x on the whole
+        # query). Safe only while every value fits one reducer buffer.
+        pcts_col = F.percentile(pe4, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    else:
+        # 100 TB path: bounded-memory bracket+refine (2-3 extra scans,
+        # O(slice) reducer memory instead of O(n)); identical values.
+        p25, p50, p75 = exact_percentiles(
+            li.select(pe4.alias("pe4")), "pe4", [0.25, 0.50, 0.75]
+        )
+        pcts_col = F.array(F.lit(p25), F.lit(p50), F.lit(p75))
     return li.agg(
         F.count(c).alias("n"),
         F.sum(_cents(c)).alias("price_e2"),
         F.round(F.stddev_samp(c), 2).alias("std_price"),
         F.min(c).alias("min_price"),
-        pcts.alias("__pcts"),
+        pcts_col.alias("__pcts"),
         F.max(c).alias("max_price"),
     ).select(
         "n",

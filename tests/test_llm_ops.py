@@ -268,3 +268,29 @@ def test_ivf_assignment_in_range_and_query_probes_two_lists(spark):
     assert 1 <= bounds[0] and bounds[1] <= sim.IVF_LISTS
     with pytest.raises(ValueError, match="nprobe"):
         sim.ann_ivf_topk(emb, query_id=0, nprobe=3)
+
+
+def test_embedding_pairs_blocked_equals_cross_join_and_no_nested_loop(spark):
+    """The blocked equi-join pair enumeration must (a) produce exactly
+    the cross-join pair set and (b) plan as a shuffled equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    from meteo_etl_spark.functions import dedup as dd
+    from meteo_etl_spark.functions.similarity import dot, norm
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = dd.embedding_cosine_pairs(emb)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    v = F.col("embedding").cast("array<double>")
+    sided = emb.select(F.col("vec_id").alias("id"), v.alias("v"), norm(v).alias("nrm"))
+    a = sided.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sided.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    naive = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("c"))
+        .filter(F.col("c") >= dd.COSINE_DUP_THRESHOLD)
+    )
+    exp = {(r.ia, r.ib, round(r.c, 4)) for r in naive.collect()}
+    assert {(r.vec_a, r.vec_b, r.cos) for r in got.collect()} == exp

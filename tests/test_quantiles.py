@@ -53,3 +53,41 @@ def test_duplicate_heavy_column(spark, lineitem):
     exp = _reference(lineitem, "l_quantity", QS)
     for g, e in zip(got, exp):
         assert math.isclose(g, e, rel_tol=1e-12)
+
+
+def test_q5_routes_to_bracket_path_above_threshold(spark, monkeypatch):
+    """Above the input-size threshold the q5 plan must carry NO
+    percentile aggregate (quartiles arrive as literals from the
+    bounded bracket+refine pass) and produce identical values."""
+    from meteo_etl_spark.plans import queries as Q
+
+    fn = Q.get("q5_summary_stats").fn
+    fast = fn(spark, SF_SMALL).collect()
+
+    monkeypatch.setenv("SPARK_GRAFT_PCT_BUFFER_MAX_BYTES", "0")
+    routed_df = fn(spark, SF_SMALL)
+    plan = routed_df._jdf.queryExecution().analyzed().toString().lower()
+    assert "percentile" not in plan
+    assert routed_df.collect() == fast
+
+
+def test_describe_routes_to_bracket_path(spark, monkeypatch, tmp_path):
+    from meteo_etl_spark.pipeline.warehouse import Warehouse
+    from meteo_etl_spark.plans import analytics
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).cast("double").alias("temperature"),
+        (F.col("id") % 13).cast("double").alias("precipitation"),
+        (F.col("id") % 29).cast("double").alias("wind_speed"),
+    )
+    monkeypatch.setattr(analytics, "read_observations", lambda s, w: df)
+    fast = {r.measure: r for r in analytics.describe_observations(spark, wh).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PCT_BUFFER_MAX_BYTES", "0")
+    routed = analytics.describe_observations(spark, wh)
+    plan = routed._jdf.queryExecution().analyzed().toString().lower()
+    assert "percentile" not in plan
+    for r in routed.collect():
+        f = fast[r.measure]
+        for k in ("count", "mean", "std", "min", "p25", "p50", "p75", "max"):
+            assert math.isclose(r[k], f[k], rel_tol=1e-12), (r.measure, k)
