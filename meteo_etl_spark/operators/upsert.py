@@ -136,7 +136,10 @@ def merge_parquet(
         n = _write(inserts, path, partition_col, overwrite_dynamic=False)
         return MergeStats(inserted=n, updated=0, target_rows=n)
 
-    target = spark.read.parquet(path)
+    # mergeSchema: the target may span schema versions (old partitions
+    # lack recently added columns — schemas.validate_evolution policy);
+    # the unioned footer schema reads them as NULL.
+    target = spark.read.option("mergeSchema", "true").parquet(path)
 
     if partition_col:
         # Prune: only partitions the batch touches are read & rewritten.
@@ -194,6 +197,15 @@ def merge_parquet(
         else:
             expr = t[c]
         out_cols.append(expr.alias(c))
+
+    # Schema evolution (add-nullable): update columns the target has
+    # never seen are unioned into the rewritten partitions; rows coming
+    # from the target side read NULL. Untouched partitions are not
+    # rewritten — their files stay byte-identical and the declared-
+    # schema (or mergeSchema) read fills the column with NULL.
+    for c in updates.columns:
+        if c not in target_cols:
+            out_cols.append(F.when(u_present, u[c]).alias(c))
 
     merged = joined.select(*out_cols)
 

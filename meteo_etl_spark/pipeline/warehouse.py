@@ -102,6 +102,12 @@ def merge_observations(
 def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     """Silver scan in the declared column order (partition col last).
 
+    Schema-on-read: the declared ``OBSERVATIONS_SCHEMA`` is supplied to
+    the scan, so partitions written before a column was added read it
+    as NULL — no per-query ``mergeSchema`` footer union (which at
+    100 TB is a full file-listing pass). Evolution policy:
+    ``schemas.validate_evolution``.
+
     Path-based parquet DataFrames snapshot the file listing at read
     time — call this again after a merge rather than reusing an older
     DataFrame (a table format with a transaction log lifts this at
@@ -109,5 +115,5 @@ def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     """
     if not table_exists(spark, warehouse.observations_path):
         return spark.createDataFrame([], schema=OBSERVATIONS_SCHEMA)
-    df = spark.read.parquet(warehouse.observations_path)
+    df = spark.read.schema(OBSERVATIONS_SCHEMA).parquet(warehouse.observations_path)
     return df.select(*[f.name for f in OBSERVATIONS_SCHEMA.fields])

@@ -186,7 +186,84 @@ FETCH_EVENT_AVRO_SCHEMA = json.dumps(
 )
 
 # ---------------------------------------------------------------------------
-# 6. Driver star-schema testdata (read-only parquet; FIXTURES.md §6).
+# 6. Schema evolution policy (reference: alembic migrations
+#    `alembic/versions/3967a578f902_*.py`, `a1cbf11c1945_*.py` — the
+#    reference ALTERs the Postgres table in place; a parquet lake
+#    cannot, so evolution is schema-on-read):
+#
+#    - ADD a nullable column: legal. New files carry it; old partitions
+#      are NEVER rewritten — they simply lack the column, and a read
+#      with the current declared StructType (spark.read.schema(...))
+#      fills it with NULL. ``mergeSchema=true`` gives the same result
+#      by unioning file footers — use it for DISCOVERY/debug only: at
+#      100 TB the footer merge is a full file-listing cost per query,
+#      while the declared-schema read prices at zero.
+#    - WIDEN a numeric column (int->long, float->double): legal on
+#      write (new files use the wide type); reads must supply the wide
+#      declared schema. Narrowing is never legal.
+#    - DROP / RENAME / re-type: illegal in place — a rename is an add
+#      (new name) plus a documented retirement of the old column; a
+#      re-type is a new column. Physical removal happens only through
+#      a full rewrite (compaction with a projection), never silently.
+#
+#    ``validate_evolution`` enforces this contract between two schema
+#    versions; ``merge_parquet`` (operators/upsert.py) implements the
+#    write side (new update columns are unioned into the output,
+#    untouched partitions stay byte-identical).
+# ---------------------------------------------------------------------------
+
+#: legal (old, new) atomic type widenings.
+_WIDENINGS = {
+    ("integer", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("float", "double"),
+}
+
+
+def validate_evolution(old: T.StructType, new: T.StructType) -> list[str]:
+    """Check that ``new`` is a legal evolution of ``old``.
+
+    Returns the list of added column names; raises ``ValueError`` on
+    any illegal change (drop, rename, narrow/re-type, non-nullable
+    add)."""
+    old_fields = {f.name: f for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+
+    dropped = [n for n in old_fields if n not in new_fields]
+    if dropped:
+        raise ValueError(
+            f"illegal evolution: columns dropped {dropped} — retire via "
+            "full rewrite, never in place"
+        )
+    for name, of in old_fields.items():
+        nf = new_fields[name]
+        if of.dataType != nf.dataType:
+            pair = (of.dataType.typeName(), nf.dataType.typeName())
+            if pair not in _WIDENINGS:
+                raise ValueError(
+                    f"illegal evolution: column {name!r} re-typed "
+                    f"{of.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+        if of.nullable and not nf.nullable:
+            raise ValueError(
+                f"illegal evolution: column {name!r} tightened to non-nullable"
+            )
+    added = [n for n in new_fields if n not in old_fields]
+    for n in added:
+        if not new_fields[n].nullable:
+            raise ValueError(
+                f"illegal evolution: added column {n!r} must be nullable "
+                "(old partitions read it as NULL)"
+            )
+    return added
+
+
+# ---------------------------------------------------------------------------
+# 7. Driver star-schema testdata (read-only parquet; FIXTURES.md §6).
 #    Parquet is self-describing — these names are the registry used by
 #    sources.testdata.register_views and the oracle harness.
 # ---------------------------------------------------------------------------

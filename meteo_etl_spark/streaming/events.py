@@ -4,10 +4,14 @@ The reference serializes ``FetchEvent`` with Confluent Avro
 (`streaming/events.py:81-91`); this engine's canonical wire format is
 JSON (`to_wire_json`/`parse_wire_json`) because the spark-avro
 datasource jar is an external module not present in this image. The
-Avro path (`to_avro_value`/`from_avro_value`) is implemented and
-gated: it activates when the jar is on the classpath, including the
-Confluent wire-format header strip that vanilla ``from_avro`` lacks
-(5 bytes: magic 0x00 + 4-byte schema id — SURVEY.md §2.1 S5 caveat).
+Avro path (`to_avro_value`/`from_avro_value`) still works without it:
+when the jar is absent the calls route to the engine's own
+spec-conformant binary codec (``streaming.avro_codec``, Arrow-batched
+``mapInPandas``, validated against the Java avro-core implementation);
+with the jar they use the JVM ``from_avro``/``to_avro``. Both routes
+include the Confluent wire-format header strip that vanilla
+``from_avro`` lacks (5 bytes: magic 0x00 + 4-byte schema id —
+SURVEY.md §2.1 S5 caveat).
 """
 
 from __future__ import annotations
@@ -70,12 +74,23 @@ def parse_wire_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_AVRO_PROBE: bool | None = None
+
+
 def avro_available() -> bool:
     """True only if the spark-avro datasource actually executes — the
     Python wrapper always imports; the JVM class may be absent (it is
     an external module), which only surfaces at evaluation time
     (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE). So: probe with a
-    one-row encode."""
+    one-row encode (cached per process — the classpath can't change)."""
+    global _AVRO_PROBE
+    if _AVRO_PROBE is not None:
+        return _AVRO_PROBE
+    _AVRO_PROBE = _avro_probe()
+    return _AVRO_PROBE
+
+
+def _avro_probe() -> bool:
     try:
         from pyspark.sql import SparkSession
         from pyspark.sql.avro.functions import to_avro
@@ -100,20 +115,32 @@ def strip_confluent_header(value: Column) -> Column:
 
 def to_avro_value(events: DataFrame) -> DataFrame:
     """Event rows → Avro-encoded ``value`` (header-free; a Schema
-    Registry producer would prepend the 5-byte header)."""
-    from pyspark.sql.avro.functions import to_avro
+    Registry producer would prepend the 5-byte header). JVM
+    ``to_avro`` when the datasource jar is present; the engine's own
+    spec-conformant codec (Arrow-batched) otherwise."""
+    if avro_available():
+        from pyspark.sql.avro.functions import to_avro
 
-    struct = F.struct(*[F.col(f.name) for f in FETCH_EVENT_SCHEMA.fields])
-    return events.select(to_avro(struct, FETCH_EVENT_AVRO_SCHEMA).alias("value"))
+        struct = F.struct(*[F.col(f.name) for f in FETCH_EVENT_SCHEMA.fields])
+        return events.select(to_avro(struct, FETCH_EVENT_AVRO_SCHEMA).alias("value"))
+    from meteo_etl_spark.streaming.avro_codec import encode_avro_values
+
+    return encode_avro_values(events)
 
 
 def from_avro_value(raw: DataFrame, *, confluent_header: bool = False) -> DataFrame:
-    """Avro ``value`` bytes → event struct; PERMISSIVE mode yields null
-    on corrupt input (dead-letter route, ST3)."""
-    from pyspark.sql.avro.functions import from_avro
+    """Avro ``value`` bytes → event struct; PERMISSIVE either route —
+    corrupt input yields a null event (dead-letter, ST3)."""
+    if avro_available():
+        from pyspark.sql.avro.functions import from_avro
 
-    value = strip_confluent_header(F.col("value")) if confluent_header else F.col("value")
-    return raw.select(
-        from_avro(value, FETCH_EVENT_AVRO_SCHEMA, {"mode": "PERMISSIVE"}).alias("event"),
-        F.col("value").alias("raw_value"),
-    )
+        value = (
+            strip_confluent_header(F.col("value")) if confluent_header else F.col("value")
+        )
+        return raw.select(
+            from_avro(value, FETCH_EVENT_AVRO_SCHEMA, {"mode": "PERMISSIVE"}).alias("event"),
+            F.col("value").alias("raw_value"),
+        )
+    from meteo_etl_spark.streaming.avro_codec import decode_avro_values
+
+    return decode_avro_values(raw, confluent_header=confluent_header)

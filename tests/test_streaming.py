@@ -238,24 +238,23 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 def test_avro_gate_reflects_runtime(spark):
     """avro_available() must report actual executability, not mere
     importability (the wrapper imports even without the datasource
-    jar); when unavailable, the avro codecs raise rather than
-    silently corrupt."""
+    jar). Either way the Avro surface round-trips: the JVM
+    from_avro/to_avro when the jar is present, the engine's own
+    spec-conformant codec (validated against Java avro-core in
+    test_avro_wire.py) when it is not."""
     ok = events.avro_available()
+    assert isinstance(ok, bool)
     from meteo_etl_spark.schemas import FETCH_EVENT_SCHEMA
 
     row = spark.createDataFrame(
         [("f1", "https://s", "success", None, {"a": "1"}, 123)],
         FETCH_EVENT_SCHEMA,
     )
-    if ok:
-        wire = events.to_avro_value(row)
-        back = events.from_avro_value(wire).select("event.*").collect()[0]
-        assert back.fetch_id == "f1"
-    else:
-        import pytest as _pytest
-
-        with _pytest.raises(Exception):
-            events.to_avro_value(row).collect()
+    wire = events.to_avro_value(row)
+    back = events.from_avro_value(wire).select("event.*").collect()[0]
+    assert back.fetch_id == "f1"
+    assert back.params == {"a": "1"}
+    assert back.finished_at == 123
 
 
 def test_consume_multi_source_batch(spark, warehouse, monkeypatch, topic, tmp_path):
