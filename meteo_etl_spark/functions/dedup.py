@@ -487,3 +487,40 @@ def embedding_cosine_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of
+    distinct k-token shingles it shares with the eval corpus.
+
+    (id, n_overlap) for EVERY row of ``docs`` — short documents
+    (< SHINGLE_K tokens, no shingles) are trivially clean. Filter
+    ``n_overlap == 0`` to keep the untainted set.
+
+    Scale shape: the eval side is tiny next to a 100 TB corpus, so its
+    distinct shingle-key set is BROADCAST and the overlap test is a
+    map-side semi join on the exploded training shingles — no shuffle
+    of the corpus, one partial-agg count per doc (shingle sets are
+    already distinct per doc, so plain count == distinct count).
+    """
+    train_sh = _shingle_docs(docs, id_col, text_col)
+    eval_keys = (
+        _shingle_docs(eval_docs, id_col, text_col)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = (
+        train_sh.select("id", F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_keys), "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(hits, "id", "left").select(
+        "id", F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap")
+    )

@@ -1035,3 +1035,76 @@ def _duck_ivf_dots(v: str) -> str:
 def sim_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_ivf_topk(emb, query_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + vocabulary statistics
+# ---------------------------------------------------------------------------
+
+#: every 50th doc stands in for the held-out eval/benchmark corpus.
+DECON_EVAL_MOD = 50
+
+
+@query(
+    "docs_decontaminate",
+    f"""WITH {_DUCK_SHINGLES},
+    ev AS (SELECT DISTINCT tok FROM ex WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, tok FROM ex WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n
+             FROM tr JOIN ev USING (tok) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n, 0) = 0 AS clean
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    ORDER BY d.doc_id""",
+    doc="Benchmark decontamination: flag training docs sharing any "
+    "k-token shingle with the (deterministic doc_id%50) eval corpus — "
+    "the step every training pipeline runs before a data release. "
+    "Scale shape: the eval shingle-key set is tiny vs a 100 TB corpus, "
+    "so it is BROADCAST and the overlap test is a map-side semi join "
+    "on the exploded training shingles (no corpus shuffle; one "
+    "partial-agg count per doc). Short docs (< k tokens) are "
+    "trivially clean and still reported.",
+)
+def docs_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    res = dd.decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+    return res.select(
+        F.col("id").alias("doc_id"),
+        "n_overlap",
+        (F.col("n_overlap") == 0).alias("clean"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "docs_vocab_topk",
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents)
+       SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       FROM t GROUP BY tok
+       ORDER BY tf DESC, tok LIMIT 100""",
+    doc="Vocabulary head: top-100 tokens by corpus term frequency with "
+    "document frequency — the first pass of any tokenizer/vocab build. "
+    "Plan: explode is a narrow generate; tf/df aggregate partially "
+    "map-side (df via Expand on (tok, doc_id)); the final top-k is "
+    "TakeOrderedAndProject over the (small) distinct-token set, no "
+    "global sort. Hot tokens are the classic skew case — partial "
+    "aggregation absorbs them before the single tok-keyed shuffle.",
+    bench=True,
+)
+def docs_vocab_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "tok")
+        .limit(100)
+    )

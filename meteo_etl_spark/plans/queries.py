@@ -1334,6 +1334,8 @@ _DEFERRED: tuple[str, ...] = (
     "tpch_q22_idle_balance",  # anti join + scalar subquery: covered by q9/tpch_q2
     "tpch_q18_large_volume_customer",  # group-filter semi: covered by tpch_q3/q7
     "tpch_q5_local_supplier_volume",  # multi-dim star join: covered by tpch_q7/q8
+    "dedup_ngram_jaccard",  # shingle machinery + verify: covered by dedup_minhash_lsh
+    "docs_hash_split",  # md5 bucket computation: covered by docs_stratified_sample
 )
 
 

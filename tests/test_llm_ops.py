@@ -294,3 +294,24 @@ def test_embedding_pairs_blocked_equals_cross_join_and_no_nested_loop(spark):
     )
     exp = {(r.ia, r.ib, round(r.c, 4)) for r in naive.collect()}
     assert {(r.vec_a, r.vec_b, r.cos) for r in got.collect()} == exp
+
+
+def test_decontaminate_flags_overlap_and_short_docs_clean(spark):
+    from meteo_etl_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-shingles with eval
+            (2, "completely different text here now"),
+            (3, "too short"),                    # < k tokens: trivially clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], "doc_id long, text string"
+    )
+    got = {r.id: r.n_overlap for r in decontaminate(train, ev).collect()}
+    # "the quick brown" and "quick brown fox" overlap; "brown fox jumps" doesn't.
+    assert got[1] == 2
+    assert got[2] == 0
+    assert got[3] == 0
