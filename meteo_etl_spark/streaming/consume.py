@@ -100,6 +100,7 @@ def consume_fetch_events(
     available_now: bool = True,
     processing_interval: str = "10 seconds",
     stats: ConsumeStats | None = None,
+    wire_format: str = "json",
 ) -> StreamingQuery:
     """Start the consumer stream over the file topic.
 
@@ -107,13 +108,25 @@ def consume_fetch_events(
     awaits termination (bounded drain, the test/backfill mode), else
     it runs until ``query.stop()`` (reference `stop_event`,
     `streaming/consumer.py:102-109`).
+
+    ``wire_format="avro"`` consumes base64-per-line Avro message
+    values (the file topic's encoding of Kafka's binary value column;
+    a real Kafka source hands the bytes to from_avro_value directly).
+    Corrupt Avro dead-letters exactly like corrupt JSON (ST3).
     """
     raw = (
         spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
         .text(topic_dir)
         .withColumnRenamed("value", "value")
     )
-    parsed = parse_wire_json(raw)
+    if wire_format == "avro":
+        from meteo_etl_spark.streaming.events import from_avro_value
+
+        parsed = from_avro_value(raw.select(F.unbase64("value").alias("value")))
+    elif wire_format == "json":
+        parsed = parse_wire_json(raw)
+    else:
+        raise ValueError(f"unknown wire_format {wire_format!r} (json|avro)")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
@@ -126,9 +139,13 @@ def consume_fetch_events(
             n_poison = poison.count()
             if n_poison and dead_letter_dir:
                 # Skip-forever: record and move on; the batch still
-                # succeeds so these offsets commit (ST3).
+                # succeeds so these offsets commit (ST3). Binary wire
+                # values (avro) dead-letter as base64 text lines.
                 os.makedirs(dead_letter_dir, exist_ok=True)
-                poison.write.mode("append").text(dead_letter_dir)
+                out = poison
+                if dict(poison.dtypes).get("raw_value") == "binary":
+                    out = poison.select(F.base64("raw_value").alias("raw_value"))
+                out.write.mode("append").text(dead_letter_dir)
             process_event_batch(spark, warehouse, ok, stats=stats)
             if stats is not None:
                 stats.batches += 1

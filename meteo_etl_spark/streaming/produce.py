@@ -30,24 +30,47 @@ def publish_finished_fetch(
     warehouse: Warehouse,
     fetch_id: str,
     topic_dir: str,
+    *,
+    wire_format: str = "json",
 ) -> str:
     """Project the finished control row to a FetchEvent and append it
     to the file topic; returns the message path. One atomic file per
-    event (write-to-temp + rename) mirrors produce+flush."""
+    event (write-to-temp + rename) mirrors produce+flush.
+
+    ``wire_format="avro"`` serializes with the Avro codec
+    (events.to_avro_value — JVM or engine codec) and writes the bytes
+    base64-per-line: the file topic's encoding of a binary Kafka
+    message value (a real Kafka sink writes the bytes directly)."""
     row = (
         read_fetch_metadata(spark, warehouse)
         .filter(F.col("id") == fetch_id)
         .filter(F.col("finished_at").isNotNull())
     )
-    values = to_wire_json(events_from_control(row)).collect()
-    if not values:
-        raise LoadError(f"no finished fetch_metadata row with id={fetch_id!r}")
+    ev = events_from_control(row)
+    if wire_format == "avro":
+        import base64
+
+        from meteo_etl_spark.streaming.events import to_avro_value
+
+        values = to_avro_value(ev).collect()
+        if not values:
+            raise LoadError(f"no finished fetch_metadata row with id={fetch_id!r}")
+        line = base64.b64encode(bytes(values[0]["value"])).decode("ascii")
+        suffix = "avro.b64"
+    elif wire_format == "json":
+        values = to_wire_json(ev).collect()
+        if not values:
+            raise LoadError(f"no finished fetch_metadata row with id={fetch_id!r}")
+        line = values[0]["value"]
+        suffix = "json"
+    else:
+        raise ValueError(f"unknown wire_format {wire_format!r} (json|avro)")
 
     os.makedirs(topic_dir, exist_ok=True)
-    final = os.path.join(topic_dir, f"{fetch_id}.json")
+    final = os.path.join(topic_dir, f"{fetch_id}.{suffix}")
     tmp = os.path.join(topic_dir, f".{fetch_id}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        f.write(values[0]["value"] + "\n")
+        f.write(line + "\n")
     os.replace(tmp, final)
     return final
 

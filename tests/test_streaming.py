@@ -303,3 +303,45 @@ def test_consume_multi_source_batch(spark, warehouse, monkeypatch, topic, tmp_pa
     obs = read_observations(spark, warehouse)
     for fid in ids:
         assert obs.filter(F.col("fetch_id") == fid).count() == N_HOURS
+
+
+def test_consume_avro_wire_e2e_with_poison(spark, warehouse, offline_source, topic, tmp_path):
+    """S4/S5 over the Avro wire: publish a finished fetch as Avro
+    bytes (base64-per-line file topic = Kafka binary value), consume
+    with wire_format='avro', and dead-letter a corrupt Avro message —
+    same ST2/ST3 semantics as the JSON wire."""
+    import base64
+
+    result = batch.run_etl(
+        spark, warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25},
+        fetch_job=batch.extract_and_save_to_disk,
+    )
+    path = produce.publish_finished_fetch(
+        spark, warehouse, result.fetch_id, topic, wire_format="avro"
+    )
+    assert path.endswith(".avro.b64")
+    # poison: valid base64, invalid Avro record
+    with open(os.path.join(topic, "poison.avro.b64"), "w") as f:
+        f.write(base64.b64encode(b"\xff\xfe not an avro record").decode() + "\n")
+
+    dead = str(tmp_path / "dead")
+    stats = consume.ConsumeStats()
+    q = consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "ckpt_avro"),
+        dead_letter_dir=dead, stats=stats, wire_format="avro",
+    )
+    q.awaitTermination(120)
+
+    assert stats.poison == 1 and stats.events == 1
+    obs = read_observations(spark, warehouse)
+    assert obs.filter(F.col("fetch_id") == result.fetch_id).count() == N_HOURS
+    dead_lines = [
+        line
+        for fn in os.listdir(dead)
+        if fn.endswith(".txt") or fn.startswith("part-")
+        for line in open(os.path.join(dead, fn))
+    ]
+    assert any(
+        base64.b64decode(line.strip()) == b"\xff\xfe not an avro record"
+        for line in dead_lines
+    )
