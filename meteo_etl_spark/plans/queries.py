@@ -555,6 +555,56 @@ def tpch_q1(spark, sf_dir):
     )
 
 
+@query(
+    "events_value_percentiles",
+    """WITH r AS (SELECT event_type,
+                         CAST(ROUND(value * 100) AS BIGINT) AS v,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM events)
+       SELECT event_type,
+              CAST(MAX(n) AS BIGINT) AS n,
+              MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) / 100.0 AS p50,
+              MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) / 100.0 AS p90,
+              MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) / 100.0 AS p99
+       FROM r GROUP BY event_type ORDER BY event_type""",
+    doc="Grouped exact percentiles (p50/p90/p99 of event value per "
+    "type) — the latency-dashboard shape, distinct from q5's global "
+    "summary. Nearest-rank (Type-1) semantics: the selected order "
+    "statistic is rank ceil(q*n), all-integer arithmetic on both "
+    "engines (interpolated quantiles disagree at the last ulp for "
+    "q=0.9 — measured). One shuffle on event_type feeds row_number, "
+    "the partition count AND the final aggregate (same partitioning, "
+    "no second exchange); per-reducer memory is one group's sort, "
+    "bounded by the largest group, not the table.",
+    bench=True,
+)
+def events_value_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wp = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+
+    def pick(k_expr: str):
+        return F.max(F.when(F.expr(f"rn = {k_expr}"), F.col("v"))) / F.lit(100.0)
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            pick("(n + 1) div 2").alias("p50"),
+            pick("(9 * n + 9) div 10").alias("p90"),
+            pick("(99 * n + 99) div 100").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _ensure_registered() -> None:
     # llm_queries imports this module's `query` decorator, so it can't
     # be imported at module top (circular); first registry access pulls
@@ -1336,6 +1386,7 @@ _DEFERRED: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",  # multi-dim star join: covered by tpch_q7/q8
     "dedup_ngram_jaccard",  # shingle machinery + verify: covered by dedup_minhash_lsh
     "docs_hash_split",  # md5 bucket computation: covered by docs_stratified_sample
+    "q14_date_parts",  # T11 date derivation: covered by q17_date_trunc
 )
 
 
