@@ -524,3 +524,100 @@ def decontaminate(
     return base.join(hits, "id", "left").select(
         "id", F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap")
     )
+
+
+# --- incremental near-dup: new batch vs persisted corpus index -------------
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's MinHash-LSH index for incremental dedup.
+
+    Two co-located tables under ``path``:
+
+    - ``bands/``  — (id, band, key), partitioned by band and clustered
+      (sortWithinPartitions) on key: the probe join's build side, with
+      tight parquet row-group stats on the bucket key;
+    - ``shingles/`` — (id, sh), the cached shingle sets for exact
+      verification of candidates.
+
+    At 100 TB this is the pattern that makes per-batch dedup
+    incremental: the index is written once per corpus revision, and a
+    new-batch probe touches only matching (band, key) row groups
+    instead of re-shingling the whole corpus per batch.
+    """
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
+    bands = sh_docs.select("id", *minhash_band_keys("sh"))
+    melted = bands.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    (
+        melted.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sh_docs.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh_docs.unpersist()
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs (corpus_id, new_id, jaccard) between a NEW batch
+    and the persisted corpus index — no corpus re-shingling.
+
+    The probe is an equi-join on (band, key) against the bands table;
+    candidates are verified exactly via array_intersect of the cached
+    corpus shingle sets with the batch's. Batch-internal duplicates
+    are minhash_lsh_pairs' job — this reports cross pairs only.
+    """
+    new_sh = _shingle_docs(new_docs, id_col, text_col).cache()
+    new_bands = new_sh.select("id", *minhash_band_keys("sh"))
+    new_melted = new_bands.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select(F.col("id").alias("new_id"), "bk.band", "bk.key")
+
+    idx = spark.read.parquet(f"{index_path}/bands")
+    candidates = (
+        idx.join(new_melted, ["band", "key"])
+        .select(F.col("id").alias("corpus_id"), "new_id")
+        .distinct()
+    )
+
+    corpus_sh = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("sh_a")
+    )
+    batch_sh = new_sh.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        candidates.join(corpus_sh, "corpus_id")
+        .join(batch_sh, "new_id")
+        .select("corpus_id", "new_id", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("corpus_id", "new_id", F.round("jaccard_raw", 3).alias("jaccard"))
+    )

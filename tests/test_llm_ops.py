@@ -4,6 +4,8 @@ fingerprint order-sensitivity."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -315,3 +317,32 @@ def test_decontaminate_flags_overlap_and_short_docs_clean(spark):
     assert got[1] == 2
     assert got[2] == 0
     assert got[3] == 0
+
+
+def test_incremental_minhash_matches_full_lsh_cross_pairs(spark, docs, tmp_path):
+    """Probing a new batch against the persisted corpus index must
+    find exactly the cross-corpus pairs the full LSH run finds, and
+    the probe plan must not re-shingle the corpus."""
+    from meteo_etl_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, idx)
+
+    got = {
+        (r.corpus_id, r.new_id, r.jaccard)
+        for r in incremental_minhash_pairs(spark, batch, idx).collect()
+    }
+    full = minhash_lsh_pairs(docs).collect()
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full
+        if r.doc_a < 250 <= r.doc_b
+    }
+    assert got == expected
+    assert len(os.listdir(os.path.join(idx, "bands"))) >= 1
