@@ -101,6 +101,7 @@ def consume_fetch_events(
     processing_interval: str = "10 seconds",
     stats: ConsumeStats | None = None,
     wire_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the consumer stream over the file topic.
 
@@ -113,12 +114,18 @@ def consume_fetch_events(
     values (the file topic's encoding of Kafka's binary value column;
     a real Kafka source hands the bytes to from_avro_value directly).
     Corrupt Avro dead-letters exactly like corrupt JSON (ST3).
-    """
-    raw = (
-        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
-        .text(topic_dir)
-        .withColumnRenamed("value", "value")
+
+    ``max_files_per_trigger`` bounds each micro-batch's intake (the
+    reference consumer's ``max_messages``, `streaming/consumer.py:47`;
+    ``maxOffsetsPerTrigger`` on a real Kafka source) — with
+    ``available_now`` the drain still completes, in ceil(files/N)
+    batches, each a separate checkpoint commit."""
+    reader = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(topic_dir).withColumnRenamed("value", "value")
     if wire_format == "avro":
         from meteo_etl_spark.streaming.events import from_avro_value
 

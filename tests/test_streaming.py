@@ -345,3 +345,28 @@ def test_consume_avro_wire_e2e_with_poison(spark, warehouse, offline_source, top
         base64.b64decode(line.strip()) == b"\xff\xfe not an avro record"
         for line in dead_lines
     )
+
+
+def test_bounded_intake_max_files_per_trigger(spark, warehouse, offline_source, topic, tmp_path):
+    """ST1 bounded intake: three published events with
+    max_files_per_trigger=1 drain in three separate micro-batches
+    (three checkpoint commits), all landing in silver."""
+    ids = []
+    for lat in (3.06, 4.06, 5.06):
+        result = batch.run_etl(
+            spark, warehouse, "meteo", {"latitude": lat, "longitude": 5.25},
+            fetch_job=batch.extract_and_save_to_disk,
+        )
+        produce.publish_finished_fetch(spark, warehouse, result.fetch_id, topic)
+        ids.append(result.fetch_id)
+
+    stats = consume.ConsumeStats()
+    q = consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "ckpt_bounded"),
+        stats=stats, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert stats.batches == 3
+    assert stats.events == 3
+    obs = read_observations(spark, warehouse)
+    assert obs.filter(F.col("fetch_id").isin(ids)).count() > 0
