@@ -86,3 +86,31 @@ def windowed_observation_stats(
             "sum_precipitation",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``events``
+    joins the STATIC ``dim`` (broadcast — re-read per trigger if its
+    source supports it, so slowly-changing dims refresh without a
+    restart).
+
+    The classic Kafka-consumer enrichment shape: stream-static joins
+    are stateless (no watermark, no join state store) because the
+    static side is fully available every trigger — the scale contract
+    is only that ``dim`` stays broadcast-small. For stream-stream
+    joins Spark requires watermarks on both sides; that is a different
+    operator with real join state, deliberately not hidden behind
+    this helper. ``how`` must be stream-preserving (inner/left —
+    right/full would need the unmatched static side emitted, which a
+    stream cannot do)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"enrich_stream: how={how!r} is not stream-preserving (inner/left only)"
+        )
+    return events.join(F.broadcast(dim), on=on, how=how)

@@ -370,3 +370,42 @@ def test_bounded_intake_max_files_per_trigger(spark, warehouse, offline_source, 
     assert stats.events == 3
     obs = read_observations(spark, warehouse)
     assert obs.filter(F.col("fetch_id").isin(ids)).count() > 0
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: a streamed events feed joins a static
+    dim per micro-batch (stateless — no watermark needed); unmatched
+    stream rows survive a left join; dim-preserving modes are refused."""
+    from meteo_etl_spark.streaming.windows import enrich_stream
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click"), (4, "purchase")],
+        "user_id int, event_type string",
+    ).write.json(src)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1)], "event_type string, weight double"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        enrich_stream(stream, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r.weight for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: 1.0, 2: 0.1, 3: 1.0, 4: None}
+
+    with pytest.raises(ValueError, match="stream-preserving"):
+        enrich_stream(stream, dim, "event_type", how="full")
