@@ -132,3 +132,18 @@ def test_validate_evolution_policy():
                 [v1.fields[0], T.StructField("b", T.FloatType(), False)]
             ),
         )
+
+
+def test_widened_declared_schema_reads_narrow_files(spark, tmp_path):
+    """The policy's widening arm: files written int32/float read
+    correctly under an int64/double declared schema (no rewrite)."""
+    path = str(tmp_path / "t")
+    spark.range(0, 5).select(
+        F.col("id").cast("int").alias("a"), F.col("id").cast("float").alias("b")
+    ).write.parquet(path)
+    wide = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.DoubleType())]
+    )
+    got = spark.read.schema(wide).parquet(path)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == ["bigint", "double"]
+    assert sorted((r.a, r.b) for r in got.collect()) == [(i, float(i)) for i in range(5)]
