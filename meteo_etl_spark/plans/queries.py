@@ -780,6 +780,139 @@ def tpch_q21(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q6_forecast_revenue",
+    """SELECT ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100)
+               / 100.0 AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND ROUND(l_discount * 100) BETWEEN 5 AND 7
+         AND l_quantity < 24""",
+    doc="TPC-H Q6 forecast-revenue: the canonical single-scan "
+    "conditional aggregate — every predicate (date range, discount "
+    "band, quantity cap) is scan-eligible, the aggregate is one "
+    "map-side partial per split and an 8-byte merge; no shuffle of "
+    "data rows at any scale. Discount band compared in integer "
+    "permille-cents so the band edges can't leak through FP.",
+)
+def tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev_e4 = _cents("l_extendedprice") * _cents("l_discount")
+    return li.agg(F.sum(disc_rev_e4).alias("rev_e4")).select(
+        F.expr("((rev_e4 + 50) div 100) / 100.0D").alias("revenue")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+              ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * 10) + 50) // 100) / 100.0
+                AS sum_profit
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN orders ON l_orderkey = o_orderkey
+       WHERE p_name LIKE '%gear%'
+       GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+    doc="TPC-H Q9-shaped product profit by (supplier nation, order "
+    "year): the widest star join in the suite — part filter applied "
+    "BEFORE the fact join (LIKE on the broadcast dim, semi-pruning "
+    "the fact), supplier+nation broadcast, one fact-fact shuffle with "
+    "orders pre-projected to (orderkey, year). Profit = revenue minus "
+    "10% of retail per unit (adapted: no partsupp/ps_supplycost in "
+    "this schema) — all integer e4 arithmetic, rounded once at "
+    "output.",
+)
+def tpch_q9(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", _cents("p_retailprice").alias("retail_e2"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        _revenue_e4().alias("rev_e4"),
+    )
+    profit_e4 = F.col("rev_e4") - F.col("retail_e2") * F.col("l_quantity").cast(
+        "long"
+    ) * 10
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(profit_e4).alias("profit_e4"))
+        .select(
+            "nation",
+            "o_year",
+            F.expr("((profit_e4 + 50) div 100) / 100.0D").alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q20_excess_supplier",
+    """SELECT s_suppkey, s_name
+       FROM supplier
+       WHERE s_suppkey IN (
+           SELECT l_suppkey
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'small%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey
+           HAVING SUM(l_quantity) > 300)
+       ORDER BY s_suppkey""",
+    doc="TPC-H Q20-shaped excess-inventory supplier hunt: a nested "
+    "aggregate-then-semi chain — the part filter broadcasts into the "
+    "date-pruned fact scan, the per-supplier quantity aggregate runs "
+    "ONCE (no correlated re-execution), and the HAVING survivors "
+    "semi-filter the supplier dim. The IN-subquery decorrelates to "
+    "one aggregation plus one broadcast semi join.",
+)
+def tpch_q20(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def _ensure_registered() -> None:
     # llm_queries imports this module's `query` decorator, so it can't
     # be imported at module top (circular); first registry access pulls
@@ -1568,6 +1701,9 @@ _DEFERRED: tuple[str, ...] = (
     "tpch_q15_top_supplier",  # max-equality broadcast: tpch_q2 pattern
     "tpch_q16_supplier_cnt",  # anti-join + count distinct: q9 + q3 patterns
     "tpch_q21_waiting_supplier",  # decorrelated exists-pair: q13/sessionize patterns
+    "tpch_q6_forecast_revenue",  # single-scan conditional agg: q6/tpch_q1 patterns
+    "tpch_q9_product_profit",  # wide star join: tpch_q7/q8 patterns
+    "tpch_q20_excess_supplier",  # agg-then-semi chain: tpch_q18/q4 patterns
 )
 
 
