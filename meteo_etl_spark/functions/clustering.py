@@ -1,0 +1,190 @@
+"""K-means training over embedding columns — the IVF centroid trainer.
+
+``sim_ann_ivf`` routes vectors to md5-seeded constant centroids; real
+IVF indexes train those centroids with Lloyd's algorithm. This module
+is that trainer, written as an iterative DataFrame program:
+
+- **assignment** is a pure map: the k centroids are tiny driver-side
+  state compiled into the plan as literals (exactly how MLlib
+  broadcasts cluster centers), so each iteration's assignment is one
+  codegen'd pass with NO join and NO shuffle of the corpus;
+- **update** is one ``groupBy(cluster)`` with per-dimension partial
+  aggregation — map-side combine reduces each task's contribution to
+  k×(dim+1) longs before the single k-row shuffle;
+- the driver collects k rows per iteration (k·dim integers — bounded
+  state, not data) and feeds the next iteration's literals.
+
+At 100 TB the per-iteration cost is therefore: one corpus scan + one
+k-row shuffle. The trained centroids drop into ``ann_ivf_topk`` /
+``build_lsh_index`` as the partition key without touching those plans.
+
+Arithmetic is **integer-quantized** (components ``floor(x·QUANT)`` as
+longs) so every distance, argmin, and centroid mean is exact and
+summation-order-independent — the DuckDB oracle replays the identical
+iterations bit-for-bit (floating-point means would differ in the last
+ulp between engines and cascade through iterations; the quantized
+variant is the cross-engine-verifiable form, and the FP variant at
+scale uses the very same plan shape).
+
+Reference parity: the reference has no clustering surface; this op
+belongs to the mandated LLM-data-pipeline extension (SURVEY.md §2.4)
+as the training half of the IVF similarity index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions.similarity import EMBEDDING_DIM
+from meteo_etl_spark.operators.parallelism import fan_out
+
+#: quantization grid: component -> floor(x * QUANT) as a long. 100 keeps
+#: every intermediate (sums over 1e6 rows, squared distances) far inside
+#: int64 while preserving ~2 decimal digits of the unit-scale inputs.
+QUANT = 100
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def quantize(vec: Column) -> Column:
+    """array<long> quantized view of an array<float/double> embedding."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(QUANT))).cast("long"),
+    )
+
+
+def _sqdist(qv: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to a literal centroid."""
+    c = F.array(*[F.lit(int(w)) for w in centroid])
+    return F.aggregate(
+        F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(quantized: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add a 1-based ``cluster`` column: argmin squared distance, ties
+    to the lowest cluster id (``array_position`` finds the first
+    minimum — the oracle's ``ORDER BY dist, cluster`` mirror)."""
+    dists = F.array(*[_sqdist(F.col("qv"), c) for c in centroids])
+    return quantized.withColumn(
+        "cluster", F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+
+
+def seed_centroids(quantized: DataFrame, k: int, id_col: str = "vec_id") -> list[list[int]]:
+    """Deterministic k seeds: the k vectors first in md5(id) order — an
+    unbiased, engine-agnostic shuffle both sides can replay. At scale
+    this is a top-k (per-partition heaps), not a global sort."""
+    rows = (
+        quantized.select(
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+            F.col(id_col).alias("i"),
+            "qv",
+        )
+        .orderBy("h", "i")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    return [[int(x) for x in r.qv] for r in rows]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], list[int]]:
+    """Lloyd's iterations; returns (centroids, inertia_history).
+
+    Each update is ``groupBy(cluster).agg(count, sum(qv[d])…)`` — the
+    per-dimension sums combine map-side, the shuffle carries k rows.
+    An empty cluster keeps its previous centroid (the oracle COALESCEs
+    identically). Inertia (exact integer Σ min-sqdist) is recorded per
+    iteration for convergence tests.
+    """
+    q = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    q = q.persist()
+    try:
+        cents = seed_centroids(q, k)
+        inertia: list[int] = []
+        for _ in range(iters):
+            assigned = assign_clusters(q, cents)
+            dim = len(cents[0])
+            agg_cols = [F.count(F.lit(1)).alias("n")] + [
+                F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dim)
+            ]
+            dists = F.array(*[_sqdist(F.col("qv"), c) for c in cents])
+            stats = assigned.groupBy("cluster").agg(
+                *agg_cols, F.sum(F.array_min(dists)).alias("inertia")
+            )
+            rows = {r["cluster"]: r for r in stats.collect()}
+            inertia.append(sum(int(r["inertia"]) for r in rows.values()))
+            new_cents = []
+            for j in range(1, k + 1):
+                r = rows.get(j)
+                if r is None:
+                    new_cents.append(cents[j - 1])  # empty cluster: keep
+                else:
+                    n = int(r["n"])
+                    new_cents.append([int(r[f"s{d}"]) // n for d in range(dim)])
+            cents = new_cents
+        return cents, inertia
+    finally:
+        q.unpersist()
+
+
+def kmeans_summary(
+    emb: DataFrame,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster training summary (the oracle-checked surface):
+    ``cluster, n, centroid_sum, centroid_norm2`` for the final
+    assignment under the final centroids — scalar integer columns
+    only (arrays crash the driver's canonicalizer)."""
+    cents, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    q = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    counts = (
+        assign_clusters(q, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = emb.sparkSession
+    cstats = spark.createDataFrame(
+        [
+            (j + 1, sum(c), sum(x * x for x in c))
+            for j, c in enumerate(cents)
+        ],
+        "cluster int, centroid_sum long, centroid_norm2 long",
+    )
+    return (
+        counts.join(F.broadcast(cstats), "cluster")
+        .select("cluster", "n", "centroid_sum", "centroid_norm2")
+        .orderBy("cluster")
+    )
+
+
+def trained_ivf_centroids(
+    emb: DataFrame, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Trained centroids de-quantized to unit scale — drop-in literals
+    for ``ann_ivf_topk``-style routing (same plan, better lists)."""
+    cents, _ = kmeans_fit(emb, k=k, iters=iters)
+    return [[x / QUANT for x in c] for c in cents]

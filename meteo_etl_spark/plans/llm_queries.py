@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions import clustering as cl
 from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
 from meteo_etl_spark.functions import similarity as sim
@@ -1154,4 +1155,93 @@ def dedup_minhash_incremental(spark, sf_dir):
     dd.build_minhash_index(corpus, idx)
     return dd.incremental_minhash_pairs(spark, batch, idx).orderBy(
         "corpus_id", "new_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means training (the IVF centroid trainer) — iterative DataFrame program
+# ---------------------------------------------------------------------------
+
+
+def _duck_kmeans_sql() -> str:
+    """Unrolled Lloyd's iterations in DuckDB — same seeds (md5 order),
+    same integer-quantized arithmetic, same floor-mean update and
+    empty-cluster COALESCE as functions/clustering.kmeans_fit, so the
+    trained centroids and final assignment match bit-for-bit."""
+    k, iters, dim, quant = cl.KMEANS_K, cl.KMEANS_ITERS, sim.EMBEDDING_DIM, cl.QUANT
+    sq = (
+        f"list_sum([(q.qv[d]-c.c[d])*(q.qv[d]-c.c[d]) "
+        f"FOR d IN generate_series(1, {dim})])"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, [CAST(floor(x * {quant}) AS BIGINT) "
+        f"FOR x IN embedding::DOUBLE[]] AS qv FROM embeddings)",
+        f"""c0 AS (SELECT cluster, qv AS c FROM (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cluster,
+                     qv
+              FROM q) WHERE cluster <= {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, qv, cluster FROM (
+              SELECT q.vec_id, q.qv, c.cluster,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY {sq}, c.cluster) AS rn
+              FROM q CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{i} AS (SELECT cluster, d,
+                     CAST(floor(CAST(SUM(qv[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s
+              FROM a{i}, (SELECT UNNEST(generate_series(1, {dim})) AS d) dims
+              GROUP BY cluster, d)"""
+        )
+        parts.append(
+            f"""c{i} AS (SELECT cluster, COALESCE(n.c, p.c) AS c
+              FROM c{i - 1} p LEFT JOIN (
+                SELECT cluster, list(s ORDER BY d) AS c
+                FROM u{i} GROUP BY cluster) n USING (cluster))"""
+        )
+    parts.append(
+        f"""af AS (SELECT vec_id, cluster FROM (
+          SELECT q.vec_id, c.cluster,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {sq}, c.cluster) AS rn
+          FROM q CROSS JOIN c{iters} c) WHERE rn = 1)"""
+    )
+    with_clause = ",\n    ".join(parts)
+    return f"""WITH {with_clause}
+    SELECT af.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(cs.centroid_sum) AS centroid_sum,
+           MIN(cs.centroid_norm2) AS centroid_norm2
+    FROM af JOIN (
+      SELECT cluster, CAST(list_sum(c) AS BIGINT) AS centroid_sum,
+             CAST(list_sum([x * x FOR x IN c]) AS BIGINT) AS centroid_norm2
+      FROM c{iters}) cs USING (cluster)
+    GROUP BY af.cluster ORDER BY cluster"""
+
+
+@query(
+    "emb_kmeans",
+    _duck_kmeans_sql(),
+    doc=f"K-means training over the embedding corpus (k={cl.KMEANS_K}, "
+    f"{cl.KMEANS_ITERS} Lloyd's iterations, integer-quantized exact "
+    "arithmetic): the trainer behind sim_ann_ivf's centroids. Per "
+    "iteration the Spark plan is ONE corpus map (k centroids compiled "
+    "in as literals — MLlib-style broadcast state, no join) plus ONE "
+    "k-row shuffle (per-dimension sums combine map-side), with k*dim "
+    "longs collected to the driver between iterations — bounded state, "
+    "not data. At 100 TB each iteration costs a scan + a k-row "
+    "shuffle; the oracle replays identical unrolled iterations in SQL. "
+    "Output: per-cluster size + integer centroid checksums (scalar "
+    "columns; arrays crash the driver canonicalizer).",
+)
+def emb_kmeans(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.kmeans_summary(emb).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n",
+        "centroid_sum",
+        "centroid_norm2",
     )

@@ -1,0 +1,86 @@
+"""K-means trainer (functions/clustering) — convergence, determinism,
+partition invariance, and the trained-centroid handoff to IVF routing.
+
+The oracle parity of the full pipeline is covered by the driver-checked
+`emb_kmeans` query (tests/test_queries.py parametrizes it vs DuckDB);
+these tests pin the algorithmic properties the oracle can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions import clustering as cl
+from meteo_etl_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def test_inertia_monotone_nonincreasing(spark, emb):
+    """Lloyd's guarantee holds in the quantized arithmetic: each
+    assignment+update step can't increase the exact integer inertia."""
+    _, hist = cl.kmeans_fit(emb, k=cl.KMEANS_K, iters=4)
+    assert len(hist) == 4
+    assert all(a >= b for a, b in zip(hist, hist[1:])), hist
+
+
+def test_deterministic_and_partition_invariant(spark, emb):
+    """Same centroids regardless of input partitioning — integer sums
+    are order-independent, so the layout can't leak into the result."""
+    c1, h1 = cl.kmeans_fit(emb)
+    c2, h2 = cl.kmeans_fit(emb.repartition(13))
+    assert c1 == c2
+    assert h1 == h2
+
+
+def test_clusters_nonempty_and_cover_corpus(spark, emb):
+    out = cl.kmeans_summary(emb).collect()
+    assert [r.cluster for r in out] == list(range(1, cl.KMEANS_K + 1))
+    assert sum(r.n for r in out) == emb.count()
+    assert all(r.n > 0 for r in out)
+
+
+def test_trained_centroids_route_ivf(spark, emb):
+    """Trained centroids slot into argmax-dot routing: every vector
+    lands in a valid list and the lists partition the corpus."""
+    cents = cl.trained_ivf_centroids(emb)
+    assert len(cents) == cl.KMEANS_K
+    assert all(len(c) == len(cents[0]) for c in cents)
+    from meteo_etl_spark.functions.similarity import dot
+
+    v = F.col("embedding").cast("array<double>")
+    dots = F.array(
+        *[dot(v, F.array(*[F.lit(w) for w in c])) for c in cents]
+    )
+    lst = F.array_position(dots, F.array_max(dots))
+    counts = (
+        emb.select(lst.alias("lst"))
+        .groupBy("lst")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert all(1 <= r.lst <= cl.KMEANS_K for r in counts)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """A cluster that attracts no points must carry its centroid
+    forward (COALESCE arm of the update, mirrored in the oracle)."""
+    # md5 seed order of ids 0,1,2 is 1,2,0 — so with duplicates at ids
+    # 1 and 2 both seeds are identical, every point tie-breaks into
+    # cluster 1, and cluster 2 goes empty: it must keep its seed.
+    rows = [(0, [-0.5] * 4), (1, [0.5] * 4), (2, [0.5] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # iter 1: all points tie into cluster 1 (identical seeds), cluster 2
+    # is empty and must keep its seed centroid, not zero out.
+    cents1, _ = cl.kmeans_fit(df, k=2, iters=1)
+    assert cents1 == [[16] * 4, [50] * 4]  # floor((50+50-50)/3)=16; kept seed
+    # iter 2: the kept centroid re-attracts the duplicates — Lloyd's
+    # recovers the true clustering from the empty-cluster state.
+    cents2, _ = cl.kmeans_fit(df, k=2, iters=2)
+    assert cents2 == [[-50] * 4, [50] * 4]
