@@ -1,0 +1,105 @@
+"""Connected components over a pair list — the dedup-cluster builder.
+
+Near-dup detection (``functions/dedup``) emits PAIRS; a training-data
+pipeline needs CLUSTERS: every document labeled with a canonical
+representative so one keep-policy pass can drop the rest. That closure
+is a connected-components problem, solved here as iterative min-label
+propagation in pure DataFrame ops:
+
+- each node starts labeled with itself;
+- per iteration, every node takes the min of its own label and its
+  neighbors' labels (one equi-join on the node key + one partial-agg
+  min — both sides hash-partitioned on the same key, so Catalyst
+  plans a single co-partitioned shuffle per round);
+- the frontier is checkpointed each round (``localCheckpoint``) so
+  lineage — and with it, plan size and recovery cost — stays O(1) in
+  the number of iterations instead of O(iterations);
+- convergence is detected engine-side (count of improvable labels),
+  k·diameter rounds total.
+
+Scale judgment: propagation converges in O(component diameter)
+rounds. LSH near-dup components are shallow (pairs are mutually
+similar documents — diameters of 1-3), so this is the right shape for
+the dedup use case at 100 TB: ~3 co-partitioned shuffles of (node,
+label) longs. For adversarial deep graphs (long chains), the
+alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") converges in
+O(log n) rounds with the same per-round plan; the per-round join
+below is deliberately identical to its building block.
+
+Reference: no graph surface exists in the reference ETL; this is part
+of the mandated LLM-pipeline extension (SURVEY.md §2.4 dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node with the smallest node id reachable from it.
+
+    ``nodes`` carries one row per node (isolated nodes become their own
+    component); ``edges`` is an undirected pair list. Returns
+    ``(node, component)``.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("a"), F.col("label").alias("albl")
+                    ),
+                    "a",
+                )
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("albl").alias("nbr_min"))
+            )
+            merged = (
+                labels.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    "label",
+                    F.coalesce("nbr_min", F.col("label")).alias("m"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            improvable = merged.filter(F.col("m") < F.col("label")).count()
+            labels = merged.select(
+                "node", F.least("label", "m").alias("label")
+            )
+            if improvable == 0:
+                return labels.select("node", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(deep-chain graph — use the star-contraction variant)"
+        )
+    finally:
+        sym.unpersist()
+
+
+def component_summary(cc: DataFrame) -> DataFrame:
+    """Per-component size + canonical representative (the min label is
+    its own id). One partial-agg shuffle on the component key."""
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .withColumn("is_singleton", F.col("size") == 1)
+    )

@@ -1245,3 +1245,58 @@ def emb_kmeans(spark, sf_dir):
         "centroid_sum",
         "centroid_norm2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_components",
+    f"""WITH RECURSIVE {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN cnt p ON p.doc_id = doc_a
+              JOIN cnt q ON q.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                      >= {dd.JACCARD_THRESHOLD}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.node)
+    SELECT node AS doc_id, MIN(label) AS component,
+           node = MIN(label) AS is_canonical
+    FROM walk GROUP BY node ORDER BY doc_id""",
+    doc="Dedup clustering: MinHash-LSH near-dup pairs closed into "
+    "connected components (operators/graph.connected_components — "
+    "iterative min-label propagation), labeling every document with "
+    "its cluster's canonical representative so a keep-policy pass can "
+    "drop the rest. Each round is ONE co-partitioned (node-keyed) "
+    "shuffle with map-side min combine, frontier localCheckpoint'ed so "
+    "lineage stays O(1); LSH components are shallow (diameter 1-3) so "
+    "the closure costs ~3 rounds at any corpus size. The oracle is an "
+    "INDEPENDENT implementation — DuckDB's recursive CTE fixpoint — "
+    "over the same pair list.",
+)
+def dedup_components(spark, sf_dir):
+    from meteo_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,53 @@
+"""Connected components (operators/graph) — closure, isolation,
+chain-depth convergence, and the non-convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from meteo_etl_spark.operators.graph import component_summary, connected_components
+
+
+def _cc(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src IS NOT NULL")
+    out = connected_components(ndf, edf, **kw)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_transitive_closure_merges_chains(spark):
+    # 1-2, 2-3 and 10-11: two components + singleton 99
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_isolated_nodes_are_their_own_component(spark):
+    got = _cc(spark, [5, 6], [])
+    assert got == {5: 5, 6: 6}
+
+
+def test_deep_chain_converges_and_direction_agnostic(spark):
+    # a 12-node chain written high->low: min label must flow the full
+    # length regardless of edge direction (propagation is symmetric).
+    n = 12
+    edges = [(i + 1, i) for i in range(1, n)]
+    got = _cc(spark, list(range(1, n + 1)), edges)
+    assert set(got.values()) == {1}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iters=1)
+
+
+def test_component_summary_sizes(spark):
+    ndf = spark.createDataFrame([(n,) for n in [1, 2, 3, 7]], "node long")
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    cc = connected_components(ndf, edf)
+    summ = {
+        r.component: (r.size, r.is_singleton)
+        for r in component_summary(cc).collect()
+    }
+    assert summ == {1: (3, False), 7: (1, True)}
