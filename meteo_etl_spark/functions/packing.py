@@ -45,3 +45,51 @@ def pack_sequences(
     return df.withColumn("offset", offset).withColumn(
         "pack_id", F.expr(f"offset div {budget}")
     )
+
+
+#: sliding-window chunking: window width / stride in tokens.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunks — the other half of sequence
+    assembly (packing concatenates short docs; chunking splits long
+    ones into model-context-sized windows with overlap for continuity).
+
+    Pure generate-side plan: tokenize once, compute the chunk count
+    arithmetically, explode a ``sequence`` of chunk ids, and slice the
+    cached token array per chunk — no shuffle at all; output size is
+    ~n_tokens/stride rows per doc. Every chunk carries a content hash
+    so downstream exact-dedup composes directly.
+    """
+    if not (0 < stride <= width):
+        raise ValueError(f"need 0 < stride <= width, got {stride}/{width}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= width, F.lit(1).cast("long"))
+        .otherwise(F.ceil((n - width) / F.lit(float(stride))) + 1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .withColumn("__chunk", F.slice("__toks", F.col("chunk_id") * stride + 1, width))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("__chunk", " ").cast("binary")).alias("chunk_hash"),
+        )
+    )

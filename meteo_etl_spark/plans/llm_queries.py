@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from meteo_etl_spark.functions import clustering as cl
 from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
+from meteo_etl_spark.functions import packing as pk
 from meteo_etl_spark.functions import similarity as sim
 from meteo_etl_spark.functions import text as tx
 from meteo_etl_spark.operators.parallelism import fan_out
@@ -1299,4 +1300,92 @@ def dedup_components(spark, sf_dir):
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_chunk_windows",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n FROM t),
+    c AS (SELECT doc_id, w,
+                 CASE WHEN n <= {pk.CHUNK_TOKENS} THEN 1
+                      ELSE CAST(ceil((n - {pk.CHUNK_TOKENS}) / {float(pk.CHUNK_STRIDE)}) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM n),
+    x AS (SELECT doc_id, w, UNNEST(range(0, n_chunks)) AS chunk_id FROM c),
+    s AS (SELECT doc_id, chunk_id,
+                 w[chunk_id * {pk.CHUNK_STRIDE} + 1 :
+                   chunk_id * {pk.CHUNK_STRIDE} + {pk.CHUNK_TOKENS}] AS ch
+          FROM x)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ch) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ch, ' ')) AS chunk_hash
+    FROM s ORDER BY doc_id, chunk_id""",
+    doc=f"Sliding token-window chunking (width {pk.CHUNK_TOKENS}, stride "
+    f"{pk.CHUNK_STRIDE}): splits long documents into overlapping "
+    "model-context-sized windows — the counterpart of sequence packing "
+    "for docs LONGER than the context. Shuffle-free generate plan: "
+    "tokenize once, explode an arithmetic sequence of chunk ids, slice "
+    "the token array per chunk; each chunk carries an md5 content hash "
+    "so exact-dedup composes downstream. At 100 TB this is a pure map "
+    "whose output is ~n_tokens/stride rows per doc — no exchange.",
+)
+def docs_chunk_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return pk.chunk_token_windows(fan_out(docs)).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "docs_tfidf_topk",
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+    s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / (df.df + 1) AS sc
+          FROM tf JOIN df USING (tok)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY sc DESC, tok) AS rank
+          FROM s)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term, tf, df,
+           floor(sc * 1000000 + 0.5) / 1000000 AS score
+    FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
+    doc="Per-document top-5 characteristic terms by TF-IDF. The idf is "
+    "the log-free monotone equivalent 1/(df+1): IEEE division is "
+    "correctly rounded (bit-identical across engines) where ln() is "
+    "not — same ranking, deterministic parity; half-up fixed-point "
+    "rounding on output (engine ROUND diverges on exact binary ties). "
+    "Plan: tf is a (doc,tok) partial agg; df a tok-keyed agg (hot-token "
+    "skew absorbed map-side); the join is vocabulary-sized on tok; the "
+    "top-k window shuffles once on doc_id. At 100 TB bucket both legs "
+    "by tok to make the join exchange-free (operators/bucketing).",
+)
+def docs_tfidf_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    sc = F.col("tf").cast("double") / (F.col("df") + 1)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sc"), "tok")
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("sc", sc)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            (F.floor(F.col("sc") * 1000000 + F.lit(0.5)) / 1000000).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
     )
