@@ -272,6 +272,37 @@ def minhash_band_keys(vals_col: str = "sh") -> list[Column]:
     return keys
 
 
+def minhash_candidates(sh_docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs ``(doc_a, doc_b)``, ``a < b`` —
+    ONE equi-join on (band, bucket-key), sub-quadratic. Shared by every
+    verify strategy (Jaccard, edit distance): candidate generation is
+    the scale-critical half; the verifier only sees ~|corpus|·fp_rate
+    pairs."""
+    bands = sh_docs.select("id", *minhash_band_keys("sh"))
+    melted = bands.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -288,33 +319,58 @@ def minhash_lsh_pairs(
     oracle (same pipeline in SQL) matches exactly.
     """
     sh_docs = _shingle_docs(docs, id_col, text_col).cache()
-    bands = sh_docs.select("id", *minhash_band_keys("sh"))
-    melted = bands.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
-                for b in range(MINHASH_BANDS)
-            ])
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-
-    a = melted.alias("a")
-    b = melted.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = minhash_candidates(sh_docs)
     return (
         _pair_jaccard(sh_docs, candidates)
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
+    )
+
+
+EDIT_RATIO_THRESHOLD = 0.9
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = EDIT_RATIO_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs by normalized edit distance, LSH-blocked.
+
+    Levenshtein is the sharpest near-dup verifier (it sees token-order
+    and small in-place edits that set-based Jaccard misses) but its DP
+    is O(len_a·len_b) per pair — unusable all-pairs. Blocking with the
+    same banded-MinHash equi-join as ``minhash_lsh_pairs`` confines the
+    DP to candidate pairs only, so the expensive kernel runs on
+    ~|corpus|·fp_rate rows, never n². similarity = 1 - lev/max(len):
+    integer ops + one correctly-rounded IEEE division, so the DuckDB
+    oracle (native levenshtein) matches bit-for-bit.
+    """
+    sh_docs = _shingle_docs(docs, id_col, text_col)
+    cand = minhash_candidates(sh_docs)
+    ta = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("ta"))
+    tb = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    ratio = F.lit(1.0) - (lev * F.lit(1.0)) / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("lev"),
+            ratio.alias("ratio_raw"),
+        )
+        .filter(F.col("ratio_raw") >= min_ratio)
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            (F.floor(F.col("ratio_raw") * 1000 + F.lit(0.5)) / 1000).alias("similarity"),
+        )
     )
 
 
