@@ -1704,6 +1704,17 @@ _DEFERRED: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",  # single-scan conditional agg: q6/tpch_q1 patterns
     "tpch_q9_product_profit",  # wide star join: tpch_q7/q8 patterns
     "tpch_q20_excess_supplier",  # agg-then-semi chain: tpch_q18/q4 patterns
+    # swapped out of the window for the round-2 LLM-op additions
+    # (emb_kmeans, dedup_components, docs_chunk_windows, docs_tfidf_topk,
+    # dedup_edit_distance, dedup_minhash_incremental) — each entry below
+    # is a plan-shape twin of an in-window query and stays pytest-oracle
+    # checked (test_queries parametrizes ALL entries):
+    "tpch_q2_min_price_supplier",  # per-group-min join: q4_latest_row/tpch_q15
+    "tpch_q7_nation_volume",  # bilateral dim-pruned fact join: tpch_q8 superset
+    "tpch_q10_returned_items",  # filter→join→agg→topk: tpch_q3 identical shape
+    "tpch_q13_order_distribution",  # outer-join histogram: q9 null side + q7 agg
+    "docs_vocab_topk",  # tf/df agg: docs_tfidf_topk strictly extends it
+    "sim_topk_cosine",  # exact-cosine broadcast topk: re-rank leg of sim_ann_*
 )
 
 
