@@ -161,3 +161,81 @@ def band_join(
         .filter(F.abs(lts - rts) <= w * 1_000_000)
         .drop("__bin")
     )
+
+
+def resample_linear(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bin_seconds: int = 3600,
+    decimals: int = 3,
+) -> DataFrame:
+    """Regularize an irregular time series: bin, gap-fill, interpolate.
+
+    The hypertable-style resample a sensor/metrics store runs
+    constantly (the reference's meteo observations are exactly such a
+    series — `etl/transform.py` normalizes to minute grain but leaves
+    gaps where the upstream returned null). Three declarative stages:
+
+    1. **bin**: events -> (group, epoch//bin_seconds) with the mean
+       value per bin. Partial aggregation absorbs the fan-in map-side;
+       ONE shuffle on the composite key. Means are exact-integer sums
+       (2-decimal fixed point) divided once — order-independent, so
+       the oracle matches bit-for-bit.
+    2. **grid**: per group, `sequence(min_bin, max_bin)` exploded — a
+       generate, no shuffle (the span aggregate is k rows).
+    3. **fill**: left-join grid to bins (co-partitioned on the same
+       key), then ONE window sort per group serves all four frame
+       functions (prev/next observed bin + value via
+       last/first IGNORE NULLS) and the linear interpolation
+       `pv + (nv-pv) * (h-ph)/(nh-ph)` is a pure projection.
+
+    At 100 TB the plan is: one keyed shuffle + one window sort per
+    group — both on (group, bin), reusable across downstream rollups.
+    Interior gaps always have observed neighbors (the grid spans
+    min..max per group), so no extrapolation branch exists.
+    """
+    g = F.col(group_col)
+    h = F.expr(f"unix_timestamp({ts_col}) div {bin_seconds}")
+    e2 = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    bins = (
+        df.groupBy(g.alias(group_col), h.alias("h"))
+        .agg(
+            (
+                F.sum(e2).cast("double") / F.count(F.lit(1)) / 100
+            ).alias("a")
+        )
+    )
+    span = bins.groupBy(group_col).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        group_col, F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    j = grid.join(bins, [group_col, "h"], "left")
+    wp = (
+        Window.partitionBy(group_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(group_col)
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("a").isNotNull(), F.col("h"))
+    ph = F.last(obs_h, ignorenulls=True).over(wp)
+    pv = F.last("a", ignorenulls=True).over(wp)
+    nh = F.first(obs_h, ignorenulls=True).over(wf)
+    nv = F.first("a", ignorenulls=True).over(wf)
+    interp = pv + (nv - pv) * ((F.col("h") - ph).cast("double") / (nh - ph))
+    filled = F.when(F.col("a").isNotNull(), F.col("a")).otherwise(interp)
+    scale = 10 ** decimals
+    return j.select(
+        group_col,
+        "h",
+        (F.floor(filled * scale + F.lit(0.5)) / scale).alias("value"),
+        F.col("a").isNull().alias("is_gap"),
+    )

@@ -1420,3 +1420,52 @@ def docs_tfidf_topk(spark, sf_dir):
 def dedup_edit_distance(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dd.edit_distance_pairs(fan_out(docs)).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "events_resample_gapfill",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+                  FROM events WHERE user_id < 10),
+    b AS (SELECT user_id, h, CAST(SUM(e2) AS DOUBLE) / COUNT(*) / 100 AS a
+          FROM e GROUP BY user_id, h),
+    span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS h FROM span),
+    j AS (SELECT g.user_id, g.h, b.a
+          FROM grid g LEFT JOIN b USING (user_id, h)),
+    w AS (SELECT user_id, h, a,
+                 last_value(CASE WHEN a IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER win_p AS ph,
+                 last_value(a IGNORE NULLS) OVER win_p AS pv,
+                 first_value(CASE WHEN a IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER win_f AS nh,
+                 first_value(a IGNORE NULLS) OVER win_f AS nv
+          FROM j
+          WINDOW win_p AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 win_f AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, h,
+           floor((CASE WHEN a IS NOT NULL THEN a
+                       ELSE pv + (nv - pv)
+                            * (CAST(h - ph AS DOUBLE) / (nh - ph)) END)
+                 * 1000 + 0.5) / 1000 AS value,
+           a IS NULL AS is_gap
+    FROM w ORDER BY user_id, h""",
+    doc="Hypertable-style resample: irregular per-user event series -> "
+    "regular hourly grid with per-bin means, gaps linearly "
+    "interpolated from the surrounding observed bins "
+    "(operators/temporal.resample_linear; the meteo observations the "
+    "reference normalizes are exactly such a series, reference "
+    "etl/transform.py). Plan: ONE composite-key shuffle for the bin "
+    "means (exact fixed-point sums — order-independent parity), a "
+    "generate for the grid, a co-partitioned left join, then a single "
+    "window sort per group serving all four IGNORE-NULLS frame "
+    "functions; interpolation is a pure projection. user_id < 10 "
+    "keeps the demo grid ~7k rows; the operator is group-agnostic.",
+)
+def events_resample_gapfill(spark, sf_dir):
+    from meteo_etl_spark.operators.temporal import resample_linear
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return resample_linear(ev, "user_id", "ts", "value").orderBy("user_id", "h")

@@ -1715,6 +1715,9 @@ _DEFERRED: tuple[str, ...] = (
     "tpch_q13_order_distribution",  # outer-join histogram: q9 null side + q7 agg
     "docs_vocab_topk",  # tf/df agg: docs_tfidf_topk strictly extends it
     "sim_topk_cosine",  # exact-cosine broadcast topk: re-rank leg of sim_ann_*
+    "corpus_clean",  # composition of dedup_exact + dedup_minhash_lsh +
+    #   text_quality, each independently in-window; swapped for
+    #   events_resample_gapfill (a genuinely new operator family)
 )
 
 

@@ -130,3 +130,36 @@ def test_band_join_no_duplicate_pairs(spark):
         "l_event_id", "r_event_id"
     )
     assert pairs.count() == pairs.distinct().count()
+
+
+def test_resample_linear_handbuilt_series(spark):
+    """3 observed hourly bins with a 2-bin gap: interior bins are the
+    exact linear blend; observed bins pass through; no extrapolation
+    beyond the observed span."""
+    from meteo_etl_spark.operators.temporal import resample_linear
+
+    rows = [
+        # h=473352 (2024-01-01 00:xx): two events avg (10.00+11.00)/2
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 11.0),
+        # gap at 01:00 and 02:00
+        (1, "2024-01-01 03:00:30", 4.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = resample_linear(df, "user_id", "ts", "value").orderBy("h").collect()
+    assert len(out) == 4  # span is 4 bins; nothing outside it
+    vals = [(r.value, r.is_gap) for r in out]
+    # 10.5 -> (gap) 8.5 -> (gap) 6.5 -> 4.5 : exact thirds of the 6.0 drop
+    assert vals == [(10.5, False), (8.5, True), (6.5, True), (4.5, False)]
+
+
+def test_resample_linear_single_bin_group_has_no_gaps(spark):
+    from meteo_etl_spark.operators.temporal import resample_linear
+
+    df = spark.createDataFrame(
+        [(7, "2024-02-01 10:30:00", 3.25)], "user_id long, ts string, value double"
+    )
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = resample_linear(df, "user_id", "ts", "value").collect()
+    assert len(out) == 1 and out[0].value == 3.25 and not out[0].is_gap
