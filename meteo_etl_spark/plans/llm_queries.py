@@ -1469,3 +1469,42 @@ def events_resample_gapfill(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     return resample_linear(ev, "user_id", "ts", "value").orderBy("user_id", "h")
+
+
+@query(
+    "events_profile",
+    """SELECT 'event_id' AS "column", (SELECT COUNT(*) FROM events) AS n,
+              COUNT(*) - COUNT(event_id) AS n_null,
+              COUNT(DISTINCT event_id) AS n_distinct FROM events
+       UNION ALL
+       SELECT 'event_type', (SELECT COUNT(*) FROM events),
+              COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type) FROM events
+       UNION ALL
+       SELECT 'props', (SELECT COUNT(*) FROM events),
+              COUNT(*) - COUNT(props), COUNT(DISTINCT props) FROM events
+       UNION ALL
+       SELECT 'ts', (SELECT COUNT(*) FROM events),
+              COUNT(*) - COUNT(ts), COUNT(DISTINCT ts) FROM events
+       UNION ALL
+       SELECT 'user_id', (SELECT COUNT(*) FROM events),
+              COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+       UNION ALL
+       SELECT 'value', (SELECT COUNT(*) FROM events),
+              COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events
+       ORDER BY 1""",
+    doc="Single-scan column census (operators/profile.profile): row "
+    "count, null count, exact distinct cardinality for every column of "
+    "events — the data-quality gate a lake pipeline runs on each "
+    "delivery. Spark computes ALL columns in one agg (multi-distinct "
+    "via Expand feeding one shuffle, then a driver-free explode "
+    "unpivot); the oracle pays one scan per column instead — "
+    "independent plan, same numbers. At 100 TB the exact=False twin "
+    "replaces Expand with per-column HLL sketches (no row "
+    "multiplication, KBs of state); the exact form is the "
+    "oracle-checkable contract.",
+)
+def events_profile(spark, sf_dir):
+    from meteo_etl_spark.operators.profile import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile(ev)
