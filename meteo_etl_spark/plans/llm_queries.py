@@ -1364,6 +1364,7 @@ def docs_chunk_windows(spark, sf_dir):
     "skew absorbed map-side); the join is vocabulary-sized on tok; the "
     "top-k window shuffles once on doc_id. At 100 TB bucket both legs "
     "by tok to make the join exchange-free (operators/bucketing).",
+    bench=True,
 )
 def docs_tfidf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1416,6 +1417,7 @@ def docs_tfidf_topk(spark, sf_dir):
     "generator, interchangeable verifiers. Both engines run native "
     "levenshtein; the normalization is integer ops + one correctly-"
     "rounded division, so parity is exact.",
+    bench=True,
 )
 def dedup_edit_distance(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1463,6 +1465,7 @@ def dedup_edit_distance(spark, sf_dir):
     "window sort per group serving all four IGNORE-NULLS frame "
     "functions; interpolation is a pure projection. user_id < 10 "
     "keeps the demo grid ~7k rows; the operator is group-agnostic.",
+    bench=True,
 )
 def events_resample_gapfill(spark, sf_dir):
     from meteo_etl_spark.operators.temporal import resample_linear
