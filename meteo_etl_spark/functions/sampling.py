@@ -34,7 +34,16 @@ def hash_bucket(id_col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
     """Uniform deterministic bucket in [0, buckets) from a stable id.
     32 bits of md5 (8 hex chars): residual modulo bias is
     (2**32 % buckets) / 2**32 ≈ 7e-8 absolute for buckets=1000 —
-    negligible for any split/sample fraction."""
+    negligible for any split/sample fraction.
+
+    .. versionchanged:: round 2
+        Widened from 16 to 32 md5 bits (the 16-bit form had ~0.5%
+        modulo bias at buckets=1000). This REASSIGNS essentially every
+        id to a new bucket: splits/samples persisted under the 16-bit
+        scheme do not reproduce under this function. No such artifacts
+        exist in this repo (the change landed before any persisted
+        split); if you have external ones, pin the old function rather
+        than mixing schemes within one dataset."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")

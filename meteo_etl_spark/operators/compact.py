@@ -95,20 +95,42 @@ def compact_table(
             for p, files in fragmented.items()
             if "=" in p
         }
-        n_expr = None
-        for v, n in per_part_files.items():
-            cond = F.col(partition_col).cast("string") == v
-            n_expr = F.when(cond, n) if n_expr is None else n_expr.when(cond, n)
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in subset.columns]),
-            n_expr.otherwise(F.lit(1)),
-        )
-        total_files = sum(per_part_files.values())
-        compacted = (
-            subset.withColumn("__csalt", salt)
-            .repartition(max(1, total_files), partition_col, "__csalt")
-            .drop("__csalt")
-        )
+        if not per_part_files:
+            # No 'key=value' dirs parsed (layout isn't hive-style for
+            # this column) — fall back to a plain size-based rewrite
+            # rather than building an empty CASE expression.
+            bytes_total = sum(
+                os.path.getsize(f) for files in fragmented.values() for f in files
+            )
+            compacted = subset.repartition(
+                max(1, round(bytes_total / target_file_bytes))
+            )
+        else:
+            n_expr = None
+            for v, n in per_part_files.items():
+                cond = F.col(partition_col).cast("string") == v
+                n_expr = F.when(cond, n) if n_expr is None else n_expr.when(cond, n)
+            # Salt only on hashable column types: xxhash64 raises on
+            # MapType, and duplicate-heavy partitions would collapse to
+            # one salt anyway if rows are identical. If nothing usable
+            # remains, a uniform random salt still spreads the rows.
+            hashable = [
+                f.name
+                for f in subset.schema.fields
+                if f.dataType.typeName() not in ("map",)
+            ]
+            row_hash = (
+                F.xxhash64(*[F.col(c) for c in hashable], F.rand(seed=7) * 1e9)
+                if hashable
+                else (F.rand(seed=7) * 1e9).cast("long")
+            )
+            salt = F.pmod(row_hash, n_expr.otherwise(F.lit(1)))
+            total_files = sum(per_part_files.values())
+            compacted = (
+                subset.withColumn("__csalt", salt)
+                .repartition(max(1, total_files), partition_col, "__csalt")
+                .drop("__csalt")
+            )
     else:
         bytes_total = sum(
             os.path.getsize(f) for files in fragmented.values() for f in files

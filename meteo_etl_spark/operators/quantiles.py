@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,11 +52,16 @@ def buffering_percentile_safe(df: DataFrame, *, max_bytes: int | None = None) ->
     the bounded-memory bracket+refine path, which is the correct
     default at 100 TB anyway."""
     if max_bytes is None:
-        max_bytes = int(
-            os.environ.get(
-                "SPARK_GRAFT_PCT_BUFFER_MAX_BYTES", BUFFERING_PERCENTILE_MAX_BYTES
+        # A malformed env value must not raise out of query planning —
+        # fall back to the conservative default ceiling instead.
+        try:
+            max_bytes = int(
+                os.environ.get(
+                    "SPARK_GRAFT_PCT_BUFFER_MAX_BYTES", BUFFERING_PERCENTILE_MAX_BYTES
+                )
             )
-        )
+        except (TypeError, ValueError):
+            max_bytes = BUFFERING_PERCENTILE_MAX_BYTES
     try:
         files = df.inputFiles()
     except Exception:
@@ -66,9 +72,15 @@ def buffering_percentile_safe(df: DataFrame, *, max_bytes: int | None = None) ->
         return False
     total = 0
     for uri in files:
-        path = uri[7:] if uri.startswith("file://") else uri
-        if uri.startswith("file:") and not uri.startswith("file://"):
-            path = uri[5:]
+        if uri.startswith("file:"):
+            parsed = urlparse(uri)
+            if parsed.netloc not in ("", "localhost"):
+                return False  # remote file URI — can't size locally
+            path = unquote(parsed.path)
+        elif "://" in uri:
+            return False  # object-store URI — can't size locally
+        else:
+            path = uri
         try:
             total += os.path.getsize(path)
         except OSError:

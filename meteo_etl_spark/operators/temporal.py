@@ -203,8 +203,11 @@ def resample_linear(
     bins = (
         df.groupBy(g.alias(group_col), h.alias("h"))
         .agg(
+            # COUNT of the value itself (not COUNT(*)): rows with a NULL
+            # value are excluded from the sum, so counting them in the
+            # denominator would bias mixed null/non-null bins downward.
             (
-                F.sum(e2).cast("double") / F.count(F.lit(1)) / 100
+                F.sum(e2).cast("double") / F.count(e2) / 100
             ).alias("a")
         )
     )

@@ -1429,7 +1429,7 @@ def dedup_edit_distance(spark, sf_dir):
     """WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 AS h,
                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
                   FROM events WHERE user_id < 10),
-    b AS (SELECT user_id, h, CAST(SUM(e2) AS DOUBLE) / COUNT(*) / 100 AS a
+    b AS (SELECT user_id, h, CAST(SUM(e2) AS DOUBLE) / COUNT(e2) / 100 AS a
           FROM e GROUP BY user_id, h),
     span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY user_id),
     grid AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS h FROM span),

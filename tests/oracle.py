@@ -1,13 +1,17 @@
 """DuckDB oracle comparator — mirrors the driver's t2 check:
 row count + schema (column names) + order-insensitive values.
 
-Floats are compared to 1e-9 relative tolerance locally (the driver
-hashes — queries are expected to round any aggregate float output so
-engine-level last-ulp differences can't flip a hash)."""
+Default is STRICT bit-exact float comparison — the equivalent of the
+driver's value hash, so queries the registry rotation defers out of
+the driver's 50-entry window keep hash-grade coverage here (ADVICE r2).
+Pass ``strict=False`` for the 1e-9-relative-tolerance mode (used only
+by tests that compare against independently-derived expectations, not
+by the query-ledger gate)."""
 
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 import pandas as pd
@@ -39,7 +43,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df, oracle_df: pd.DataFrame, *, name: str = "") -> None:
+def compare(
+    spark_df, oracle_df: pd.DataFrame, *, name: str = "", strict: bool = True
+) -> None:
     got = _canon(spark_df.toPandas())
     exp = _canon(oracle_df)
 
@@ -53,8 +59,9 @@ def compare(spark_df, oracle_df: pd.DataFrame, *, name: str = "") -> None:
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             ga, ea = g.astype("float64"), e.astype("float64")
             both_nan = ga.isna() & ea.isna()
+            eq_fn = _bit_equal if strict else _isclose
             close = [
-                bool(bn) or _isclose(a, b)
+                bool(bn) or eq_fn(a, b)
                 for a, b, bn in zip(ga.tolist(), ea.tolist(), both_nan.tolist())
             ]
             bad = [i for i, ok in enumerate(close) if not ok]
@@ -75,3 +82,11 @@ def _isclose(a: float, b: float) -> bool:
     if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
         return (a is None or math.isnan(a)) and (b is None or math.isnan(b))
     return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def _bit_equal(a: float, b: float) -> bool:
+    """The driver's value-hash equivalence: identical float64 bits
+    (NaN==NaN, and -0.0 != 0.0 exactly as a hash would see them)."""
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        return (a is None or math.isnan(a)) and (b is None or math.isnan(b))
+    return struct.pack("<d", a) == struct.pack("<d", b)
