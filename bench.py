@@ -44,31 +44,34 @@ def main() -> None:
     warm.fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
-        for _ in range(2):
-            # Cache-cold every iteration: queries that cache an
-            # intermediate (minhash, corpus_clean) would otherwise get
-            # a free second run via CacheManager plan-matching. Codegen
-            # stays warm — that's the steady-state being measured.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                # Cache-cold every iteration: queries that cache an
+                # intermediate (minhash, corpus_clean) would otherwise get
+                # a free second run via CacheManager plan-matching. Codegen
+                # stays warm — that's the steady-state being measured.
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # one broken query must not null the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from meteo_etl_spark.functions.epoch import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -140,7 +142,7 @@ def band_join(
     lb = left.select(
         *on,
         *[F.col(c).alias(left_prefix + c) for c in lcols],
-        F.floor(F.unix_micros(F.col(left_ts)) / (w * 1_000_000)).alias("__bin"),
+        F.floor(epoch_us(left_ts) / (w * 1_000_000)).alias("__bin"),
     )
     rb = right.select(
         *on,
@@ -148,14 +150,14 @@ def band_join(
         F.explode(
             F.array(
                 *[
-                    F.floor(F.unix_micros(F.col(right_ts)) / (w * 1_000_000)) + F.lit(d)
+                    F.floor(epoch_us(right_ts) / (w * 1_000_000)) + F.lit(d)
                     for d in (-1, 0, 1)
                 ]
             )
         ).alias("__bin"),
     )
-    lts = F.unix_micros(F.col(left_prefix + left_ts))
-    rts = F.unix_micros(F.col(right_prefix + right_ts))
+    lts = epoch_us(left_prefix + left_ts)
+    rts = epoch_us(right_prefix + right_ts)
     return (
         lb.join(rb, [*on, "__bin"])
         .filter(F.abs(lts - rts) <= w * 1_000_000)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.epoch import epoch_ms, epoch_us
 from meteo_etl_spark.functions import clustering as cl
 from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
@@ -567,7 +568,7 @@ SESSION_GAP_MS = 86_400_000  # 1 day
 def events_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load_table(spark, sf_dir, "events")
-    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    gap = epoch_ms("ts") - epoch_ms(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0),
@@ -695,7 +696,7 @@ def events_asof_join(spark, sf_dir):
         "value",
         "ts_click",
         "value_click",
-        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("ts_click")).alias("gap_us"),
     ).orderBy("event_id")
 
 

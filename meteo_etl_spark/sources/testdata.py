@@ -21,14 +21,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read the raw int64 nanos and truncate to
-        # microseconds (exactly what DuckDB's TIMESTAMP does). Integer
-        # `div` — double division would lose precision above 2^53.
+        # The driver has shipped events.ts under two parquet encodings:
+        #   * TIMESTAMP(NANOS) — the vectorized reader rejects it, so we
+        #     read the raw int64 nanos and truncate to microseconds
+        #     (exactly what DuckDB's TIMESTAMP does). Integer `div` —
+        #     double division would lose precision above 2^53.
+        #   * timestamp[us] with isAdjustedToUTC=false — Spark 4 infers
+        #     TIMESTAMP_NTZ, which unix_millis/unix_micros reject. The
+        #     session timezone is pinned UTC (session.py), so casting to
+        #     TIMESTAMP is exact and matches the DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

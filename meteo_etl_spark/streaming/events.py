@@ -27,7 +27,7 @@ from meteo_etl_spark.schemas import FETCH_EVENT_AVRO_SCHEMA, FETCH_EVENT_SCHEMA
 
 def truncate_to_millis(ts: Column) -> Column:
     """Timestamp → epoch-millis long (microseconds truncated)."""
-    return F.unix_millis(ts)
+    return F.unix_millis(ts.cast("timestamp"))
 
 
 def millis_to_timestamp(ms: Column) -> Column:
