@@ -1,0 +1,131 @@
+"""JDBC source/sink e2e against embedded Apache Derby (whose driver
+ships inside Spark's own jars/ — no install, no network).
+
+Covers the reference's database surface end-to-end: write rows the way
+`etl/load.py` lands them, read them back the way the dashboard does
+(`dashboard/streamlit_app.py:14-25`), plus the scale topology options
+(partitioned parallel read, per-predicate read) and pushdown behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.sources import jdbc
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip(f"JDBC driver {jdbc.DERBY_DRIVER} not on JVM classpath")
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, derby_url):
+    """observations-shaped table written through the sink."""
+    rows = [
+        Row(id=i, lat=1.0 + i, lon=2.0 + i, temperature=float(10 + i), station=f"s{i % 3}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    # Derby maps StringType to CLOB, which it refuses to compare/group;
+    # createTableColumnTypes pins a usable VARCHAR (the same option a
+    # Postgres deployment uses for TEXT vs VARCHAR choices).
+    jdbc.write_jdbc(
+        df,
+        derby_url,
+        "observations",
+        mode="overwrite",
+        options={"createTableColumnTypes": "station VARCHAR(32)"},
+    )
+    return derby_url
+
+
+def test_roundtrip_values(spark, seeded):
+    got = jdbc.read_jdbc(spark, seeded, "observations")
+    assert got.count() == 20
+    back = {r.ID if hasattr(r, "ID") else r.id: r.TEMPERATURE if hasattr(r, "TEMPERATURE") else r.temperature
+            for r in got.collect()}
+    assert back[0] == 10.0 and back[19] == 29.0
+
+
+def test_append_mode_adds_rows(spark, derby_url):
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    jdbc.write_jdbc(df, derby_url, "appender", mode="overwrite")
+    jdbc.write_jdbc(df, derby_url, "appender", mode="append")
+    assert jdbc.read_jdbc(spark, derby_url, "appender").count() == 2
+
+
+def test_partitioned_parallel_read(spark, seeded):
+    got = jdbc.read_jdbc(
+        spark,
+        seeded,
+        "observations",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+    )
+    # bounds shape the split but never filter rows
+    assert got.count() == 20
+    assert got.rdd.getNumPartitions() == 4
+
+
+def test_predicate_read_partitions_by_clause(spark, seeded):
+    got = jdbc.read_jdbc(
+        spark,
+        seeded,
+        "observations",
+        # Spark's JDBC writer emits the table name unquoted (Derby
+        # uppercases it) but quotes COLUMN names, so raw SQL fragments
+        # (predicates / subqueries) must quote columns to match.
+        predicates=['"station" = \'s0\'', '"station" = \'s1\'', '"station" = \'s2\''],
+    )
+    assert got.rdd.getNumPartitions() == 3
+    assert got.count() == 20
+
+
+def test_filter_pushdown_reaches_remote_query(spark, seeded):
+    got = jdbc.read_jdbc(spark, seeded, "observations").filter(F.col("id") < 5)
+    assert got.count() == 5
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # The JDBC relation advertises the pushed filter in the scan node.
+    assert "PushedFilters" in plan
+    assert "LessThan(id,5)" in plan or "LessThan(ID,5)" in plan
+
+
+def test_subquery_table(spark, seeded):
+    got = jdbc.read_jdbc(
+        spark,
+        seeded,
+        '(SELECT "station", COUNT(*) AS n FROM observations GROUP BY "station") t',
+    )
+    assert {(r[0], r[1]) for r in got.collect()} == {("s0", 7), ("s1", 7), ("s2", 6)}
+
+
+def test_bounds_mismatch_raises(spark, seeded):
+    with pytest.raises(ValueError, match="partition_column requires"):
+        jdbc.read_jdbc(spark, seeded, "observations", partition_column="id")
+    with pytest.raises(ValueError, match="not both"):
+        jdbc.read_jdbc(
+            spark, seeded, "observations",
+            partition_column="id", lower_bound=0, upper_bound=1, num_partitions=1,
+            predicates=["1=1"],
+        )
+
+
+def test_missing_driver_raises_clear_error(spark, derby_url):
+    with pytest.raises(jdbc.JdbcDriverMissing, match="not.a.real.Driver"):
+        jdbc.read_jdbc(spark, derby_url, "observations", driver="not.a.real.Driver")
+
+
+def test_write_caps_connections(spark, derby_url):
+    df = spark.createDataFrame([Row(k=i) for i in range(100)]).repartition(16)
+    jdbc.write_jdbc(df, derby_url, "capped", mode="overwrite", num_partitions=2)
+    assert jdbc.read_jdbc(spark, derby_url, "capped").count() == 100
