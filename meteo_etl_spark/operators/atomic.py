@@ -1,0 +1,228 @@
+"""Crash-atomic parquet table: versioned generation dirs + manifest flip.
+
+The reference's upsert is atomic because Postgres makes it so
+(`etl/load.py:35-57` runs INSERT..ON CONFLICT inside a transaction). The
+engine's parquet merge (`operators/upsert.merge_parquet`) rewrites
+partition directories in place via dynamic partition overwrite — fast
+and ecosystem-readable, but a job killed mid-overwrite can leave a
+half-rewritten partition. This module closes that gap the way every
+table format (Delta, Iceberg, Hudi) does, reduced to its essential
+mechanism:
+
+- **data is immutable**: each commit writes a fresh *generation*
+  directory ``<path>/gen-<hex>/`` (a normal, optionally hive-partitioned
+  parquet write). Nothing under a published generation is ever mutated.
+- **visibility is a pointer**: ``<path>/_MANIFEST.json`` maps each
+  partition directory name (``date=2024-01-01``) to the generation that
+  currently owns it. Readers resolve the manifest; writers publish by
+  writing ``_MANIFEST.json.tmp`` and ``os.replace``-ing it over the
+  manifest — an atomic rename on POSIX, so every reader sees either the
+  whole commit or none of it.
+- **failure is garbage, not corruption**: a crash before the flip
+  leaves an unreferenced generation dir; the table still reads from the
+  old manifest, bit-identical. ``vacuum()`` removes unreferenced
+  generations once no in-flight reader can hold them open.
+
+Scale notes. The manifest holds one entry per *partition*, not per file
+— at 100 TB with daily partitions that is thousands of entries, trivially
+JSON-sized (Iceberg needs file-level manifests because it tracks file
+stats; partition-level is enough for this engine's pruning model since
+parquet footers carry the per-file stats). The flip is O(1) regardless
+of data size. Readers group partitions by generation and issue one
+parquet scan per generation with an explicit ``basePath``, so partition
+pruning and predicate pushdown work exactly as on a plain layout; the
+number of generations is bounded by ``vacuum``/compaction cadence.
+
+On a real cluster ``os.replace`` requires a rename-atomic store for the
+manifest (POSIX FS, HDFS, or S3 with a commit service); that is the
+same contract every table format requires of its metastore layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def is_atomic_table(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, MANIFEST_NAME))
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table regardless of layout: manifest-resolved if
+    atomic, plain ``spark.read.parquet`` otherwise."""
+    if is_atomic_table(path):
+        return AtomicParquetTable(spark, path).read()
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+class AtomicParquetTable:
+    """A parquet table whose commits are all-or-nothing.
+
+    ``partition_col=None`` degenerates to a single ``data`` pointer —
+    full-table snapshot semantics, still atomic.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partition_col: str | None = None):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_col = partition_col
+        m = self._load_manifest()
+        if m is not None:
+            stored = m.get("partition_col")
+            if partition_col is not None and stored != partition_col:
+                raise ValueError(
+                    f"table at {self.path} is partitioned by {stored!r}, not {partition_col!r}"
+                )
+            self.partition_col = stored
+
+    # -- manifest ------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST_NAME)
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._manifest_path)
+
+    def _load_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
+        """Publish a manifest atomically: tmp write + rename. The rename
+        IS the commit — everything before it is invisible staging."""
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        if failpoint:
+            failpoint("before_flip")
+        os.replace(tmp, self._manifest_path)
+        if failpoint:
+            failpoint("after_flip")
+
+    # -- read ----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no {MANIFEST_NAME} at {self.path}")
+        if m["partition_col"] is None:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, m["data"])
+            )
+        # One scan per generation (explicit basePath keeps hive partition
+        # discovery + pruning working on the selected subdirs), unioned
+        # by name so generations may differ by added-nullable columns.
+        by_gen: dict[str, list[str]] = {}
+        for part_dir, gen in m["partitions"].items():
+            by_gen.setdefault(gen, []).append(part_dir)
+        out: DataFrame | None = None
+        for gen, part_dirs in sorted(by_gen.items()):
+            base = os.path.join(self.path, gen)
+            df = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(base, d) for d in sorted(part_dirs)])
+            )
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is None:
+            # Valid empty table: a manifest with no partitions.
+            raise FileNotFoundError(f"table at {self.path} has no partitions")
+        return out
+
+    # -- write ---------------------------------------------------------
+
+    def _stage_generation(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write one immutable generation dir; return (gen_name,
+        partition dir names inside it)."""
+        gen = f"gen-{uuid.uuid4().hex[:12]}"
+        gen_path = os.path.join(self.path, gen)
+        writer = df.write.mode("error")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(gen_path)
+        if not self.partition_col:
+            return gen, []
+        parts = [
+            d
+            for d in os.listdir(gen_path)
+            if d.startswith(f"{self.partition_col}=") and os.path.isdir(os.path.join(gen_path, d))
+        ]
+        return gen, parts
+
+    def overwrite(self, df: DataFrame, *, _failpoint: Callable[[str], None] | None = None) -> None:
+        """Replace the whole table in one atomic commit."""
+        gen, parts = self._stage_generation(df)
+        old = self._load_manifest() or {"version": 0}
+        manifest = {
+            "version": old["version"] + 1,
+            "partition_col": self.partition_col,
+        }
+        if self.partition_col:
+            manifest["partitions"] = {p: gen for p in parts}
+        else:
+            manifest["data"] = gen
+        self._flip(manifest, _failpoint)
+
+    def overwrite_partitions(
+        self, df: DataFrame, *, _failpoint: Callable[[str], None] | None = None
+    ) -> None:
+        """Replace exactly the partitions present in ``df`` (dynamic
+        partition overwrite semantics), atomically. Untouched partitions
+        keep pointing at their existing generations — their bytes are
+        not read, copied, or moved."""
+        if not self.partition_col:
+            raise ValueError("overwrite_partitions requires a partitioned table")
+        m = self._load_manifest()
+        if m is None:
+            return self.overwrite(df, _failpoint=_failpoint)
+        gen, parts = self._stage_generation(df)
+        manifest = {
+            "version": m["version"] + 1,
+            "partition_col": self.partition_col,
+            "partitions": {**m["partitions"], **{p: gen for p in parts}},
+        }
+        self._flip(manifest, _failpoint)
+
+    # -- maintenance ---------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete generation dirs no manifest entry references (crash
+        leftovers and superseded partitions). Returns removed dir names.
+        Run when no reader started before the last commit is still
+        executing — same contract as Delta VACUUM."""
+        m = self._load_manifest()
+        if m is None:
+            return []
+        live = (
+            set(m["partitions"].values()) if m["partition_col"] else {m["data"]}
+        )
+        removed = []
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if d.startswith("gen-") and os.path.isdir(full) and d not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            elif d.startswith(MANIFEST_NAME + ".tmp-") and os.path.isfile(full):
+                os.unlink(full)  # tmp manifest from a crashed flip
+        return sorted(removed)
+
+    def partition_values(self) -> list[str]:
+        m = self._load_manifest()
+        if m is None or not m.get("partition_col"):
+            return []
+        return sorted(m["partitions"])

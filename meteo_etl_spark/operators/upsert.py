@@ -38,6 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.operators.atomic import AtomicParquetTable, is_atomic_table, read_table
+
 
 @dataclass
 class MergeStats:
@@ -49,9 +51,12 @@ class MergeStats:
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
-    """True if a parquet table has been written at ``path``."""
+    """True if a parquet table has been written at ``path`` (plain
+    layout or atomic manifest layout)."""
     if not os.path.isdir(path):
         return False
+    if is_atomic_table(path):
+        return True
     for _root, _dirs, files in os.walk(path):
         if any(f.endswith(".parquet") for f in files):
             return True
@@ -91,6 +96,7 @@ def merge_parquet(
     partition_col: str | None = None,
     partition_expr: Column | None = None,
     sort_within_partitions: list[str] | None = None,
+    atomic: bool = False,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``path``.
 
@@ -111,6 +117,13 @@ def merge_parquet(
       tight on the key, so point/range probes skip row groups — the
       index analogue of the reference's composite (lat,long,ts) index
       (`etl/db.py:119`).
+    - ``atomic``: land the rewrite through ``operators/atomic``
+      (versioned generation dirs + manifest pointer flip) so a killed
+      job can never leave a half-rewritten partition — the parquet
+      analogue of the reference's transactional ON CONFLICT upsert
+      (`etl/load.py:35-57`). Plain layout (default) stays readable by
+      any parquet tool; atomic layout requires ``read_table``. A table
+      stays on the layout it was created with.
     """
     updates = dedup_last_write_wins(updates, key_cols, dedup_order)
     if partition_col and partition_col not in updates.columns:
@@ -133,15 +146,27 @@ def merge_parquet(
                     "does not exist yet — create it with plain Column defaults first"
                 )
             inserts = inserts.withColumn(col, expr)
+        if atomic:
+            AtomicParquetTable(spark, path, partition_col).overwrite(inserts)
+            n = read_table(spark, path).count()
+            return MergeStats(inserted=n, updated=0, target_rows=n)
         n = _write(inserts, path, partition_col, overwrite_dynamic=False)
         return MergeStats(inserted=n, updated=0, target_rows=n)
 
     # mergeSchema: the target may span schema versions (old partitions
     # lack recently added columns — schemas.validate_evolution policy);
-    # the unioned footer schema reads them as NULL.
-    target = spark.read.option("mergeSchema", "true").parquet(path)
+    # the unioned footer schema reads them as NULL. read_table resolves
+    # either layout (plain dir scan or atomic manifest).
+    target = read_table(spark, path)
 
-    if partition_col:
+    # Landing layout: a table stays on the layout it was created with;
+    # atomic=True on an existing plain table is a one-time conversion,
+    # which must rewrite the WHOLE table (the manifest can only point at
+    # generation dirs, so untouched plain partitions must be restaged).
+    land_atomic = atomic or is_atomic_table(path)
+    converting = atomic and not is_atomic_table(path)
+
+    if partition_col and not converting:
         # Prune: only partitions the batch touches are read & rewritten.
         affected = updates.select(partition_col).distinct()
         target_subset = target.join(F.broadcast(affected), partition_col, "left_semi")
@@ -219,9 +244,36 @@ def merge_parquet(
 
     if sort_within_partitions:
         merged = merged.sortWithinPartitions(*sort_within_partitions)
-    _rewrite_partitions(spark, merged, path, partition_col)
-    total = spark.read.parquet(path).count()
+    if land_atomic:
+        table = AtomicParquetTable(spark, path, partition_col)
+        if partition_col and not converting:
+            # Only the pruned+merged partitions are in `merged`; the
+            # commit repoints exactly those, atomically.
+            table.overwrite_partitions(merged)
+        else:
+            table.overwrite(merged)
+        if converting:
+            _remove_plain_layout(path)
+    else:
+        _rewrite_partitions(spark, merged, path, partition_col)
+    total = read_table(spark, path).count()
     return MergeStats(inserted=n_inserted, updated=n_matched, target_rows=total)
+
+
+def _remove_plain_layout(path: str) -> None:
+    """After converting a plain table to atomic layout, drop the old
+    plain data files/dirs (everything that is not a generation dir or
+    the manifest). Runs AFTER the manifest flip, so a crash here leaves
+    only invisible-to-read_table leftovers; re-running any later
+    conversion or a manual cleanup is safe."""
+    for d in os.listdir(path):
+        if d.startswith("gen-") or d.startswith("_MANIFEST"):
+            continue
+        full = os.path.join(path, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.unlink(full)
 
 
 def _write(df: DataFrame, path: str, partition_col: str | None, *, overwrite_dynamic: bool) -> int:

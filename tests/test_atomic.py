@@ -1,0 +1,182 @@
+"""Crash-atomicity of the versioned-manifest table (operators/atomic).
+
+The contract under test: a merge/overwrite that dies at ANY point
+before the manifest flip leaves the previous snapshot bit-identical and
+readable; the flip itself is a single atomic rename. This is the
+parquet analogue of the reference's transactional upsert
+(`etl/load.py:35-57` runs inside a Postgres transaction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.atomic import (
+    AtomicParquetTable,
+    is_atomic_table,
+    read_table,
+)
+from meteo_etl_spark.operators.upsert import merge_parquet
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, v=v, d=d) for k, v, d in rows])
+
+
+def _snapshot(spark, path):
+    return {(r.k, r.v, r.d) for r in read_table(spark, path).collect()}
+
+
+def test_roundtrip_partitioned(spark, tmp_path):
+    t = AtomicParquetTable(spark, str(tmp_path / "t"), partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    assert _snapshot(spark, t.path) == {(1, "a", "x"), (2, "b", "y")}
+    assert t.partition_values() == ["d=x", "d=y"]
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    t = AtomicParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    assert _snapshot(spark, t.path) == {(1, "a", "x")}
+
+
+def test_partition_overwrite_leaves_other_partition_files_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+
+    def files_of(part):
+        m = t._load_manifest()
+        gen_dir = os.path.join(path, m["partitions"][part], part)
+        return sorted(
+            (f, os.stat(os.path.join(gen_dir, f)).st_mtime_ns)
+            for f in os.listdir(gen_dir)
+            if f.endswith(".parquet")
+        )
+
+    y_before = files_of("d=y")
+    t.overwrite_partitions(_df(spark, [(1, "A2", "x")]))
+    # d=x repointed, d=y: same generation, same files, same mtimes
+    assert files_of("d=y") == y_before
+    assert _snapshot(spark, path) == {(1, "A2", "x"), (2, "b", "y")}
+
+
+def test_crash_before_flip_preserves_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v1 = t._load_manifest()["version"]
+
+    def die(point):
+        if point == "before_flip":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        t.overwrite_partitions(_df(spark, [(1, "CORRUPT", "x")]), _failpoint=die)
+
+    # old snapshot intact, version unchanged, staged generation invisible
+    assert _snapshot(spark, path) == {(1, "a", "x"), (2, "b", "y")}
+    assert t._load_manifest()["version"] == v1
+    # vacuum collects the orphaned generation + tmp manifest
+    removed = t.vacuum()
+    assert len(removed) == 1
+    assert _snapshot(spark, path) == {(1, "a", "x"), (2, "b", "y")}
+
+
+def test_vacuum_keeps_every_referenced_generation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.overwrite_partitions(_df(spark, [(1, "a2", "x")]))
+    # two live generations (d=x new, d=y old) -> nothing to remove
+    assert t.vacuum() == []
+    assert _snapshot(spark, path) == {(1, "a2", "x"), (2, "b", "y")}
+    t.overwrite(_df(spark, [(9, "z", "x")]))
+    assert len(t.vacuum()) == 2  # both superseded generations collected
+    assert _snapshot(spark, path) == {(9, "z", "x")}
+
+
+def test_merge_parquet_atomic_crash_mid_commit(spark, tmp_path, monkeypatch):
+    """merge_parquet(atomic=True) + os.replace dying = old table intact.
+
+    os.replace is the LAST step of the commit; failing it proves every
+    earlier step (staging writes, manifest tmp write) was invisible."""
+    path = str(tmp_path / "obs")
+    base = _df(spark, [(1, "a", "x"), (2, "b", "y")])
+    merge_parquet(spark, path, base, ["k"], partition_col="d", atomic=True)
+    assert is_atomic_table(path)
+
+    real_replace = os.replace
+
+    def broken_replace(src, dst):
+        if "_MANIFEST" in dst:
+            raise Boom("power cut")
+        return real_replace(src, dst)
+
+    import meteo_etl_spark.operators.atomic as atomic_mod
+
+    monkeypatch.setattr(atomic_mod.os, "replace", broken_replace)
+    with pytest.raises(Boom):
+        merge_parquet(
+            spark, path, _df(spark, [(1, "HALF", "x")]), ["k"],
+            partition_col="d", atomic=True,
+        )
+    monkeypatch.undo()
+
+    assert _snapshot(spark, path) == {(1, "a", "x"), (2, "b", "y")}
+    # and the table still accepts commits after the "restart"
+    stats = merge_parquet(
+        spark, path, _df(spark, [(1, "a2", "x")]), ["k"],
+        partition_col="d", atomic=True,
+    )
+    assert stats.updated == 1
+    assert _snapshot(spark, path) == {(1, "a2", "x"), (2, "b", "y")}
+
+
+def test_merge_parquet_atomic_upsert_semantics_match_plain(spark, tmp_path):
+    """Same merge on plain vs atomic layout -> identical table contents."""
+    rows0 = [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")]
+    batch = [(2, "B2", "y"), (4, "d", "z")]
+    results = {}
+    for mode, flag in (("plain", False), ("atomic", True)):
+        path = str(tmp_path / mode)
+        merge_parquet(spark, path, _df(spark, rows0), ["k"], partition_col="d", atomic=flag)
+        stats = merge_parquet(spark, path, _df(spark, batch), ["k"], partition_col="d", atomic=flag)
+        assert (stats.inserted, stats.updated) == (1, 1)
+        results[mode] = _snapshot(spark, path)
+    assert results["plain"] == results["atomic"]
+
+
+def test_conversion_plain_to_atomic_preserves_all_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_parquet(spark, path, _df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"], partition_col="d")
+    assert not is_atomic_table(path)
+    # atomic=True on the plain table converts it (full rewrite) and the
+    # untouched partition survives the conversion
+    merge_parquet(spark, path, _df(spark, [(1, "a2", "x")]), ["k"], partition_col="d", atomic=True)
+    assert is_atomic_table(path)
+    assert _snapshot(spark, path) == {(1, "a2", "x"), (2, "b", "y")}
+    # old plain hive dirs are gone; only generations + manifest remain
+    assert all(
+        d.startswith("gen-") or d.startswith("_MANIFEST") for d in os.listdir(path)
+    )
+
+
+def test_schema_evolution_across_generations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    widened = _df(spark, [(1, "a2", "x")]).withColumn("extra", F.lit(42))
+    t.overwrite_partitions(widened)
+    got = read_table(spark, path)
+    assert "extra" in got.columns
+    vals = {(r.k, r.extra) for r in got.collect()}
+    assert vals == {(1, 42), (2, None)}
