@@ -170,6 +170,20 @@ def consume_fetch_events(
     return writer.start()
 
 
+KAFKA_PROVIDER_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_available(spark) -> bool:
+    """True when the spark-sql-kafka datasource jar is on the JVM
+    classpath (capability gate, same pattern as events.avro_available —
+    probes actual loadability, not python-side importability)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(KAFKA_PROVIDER_CLASS)
+        return True
+    except Exception:
+        return False
+
+
 def kafka_source_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
     """Real-Kafka source wiring (S4): ``spark.readStream.format("kafka")
     .options(**kafka_source_options(...))`` — `startingOffsets=earliest`
