@@ -1,0 +1,123 @@
+"""Driver-checkable queries for the I/O-layer operators: the JDBC
+source/sink round-trip and the crash-atomic merge.
+
+Both entries push real bytes through their subsystem (an embedded Derby
+database / an atomic-manifest parquet table written to scratch space)
+and return a result a plain SQL oracle can state on the original
+parquet — so the driver's hash compare certifies the WHOLE path: write
+out, read back, aggregate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.plans.queries import query
+from meteo_etl_spark.sources.testdata import load_table
+
+
+def _scratch(prefix: str) -> str:
+    return f"{tempfile.gettempdir()}/meteo_{prefix}_{uuid.uuid4().hex[:10]}"
+
+
+@query(
+    "jdbc_roundtrip_agg",
+    """SELECT c_mktsegment,
+              COUNT(*) AS n,
+              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       FROM customer GROUP BY 1 ORDER BY 1""",
+    doc="JDBC source/sink certification: write `customer` into an "
+    "embedded Derby database through write_jdbc, read it back with a "
+    "4-way partition-column parallel read (the cluster topology), and "
+    "aggregate. The oracle states the same aggregate on the original "
+    "parquet, so a hash match proves the database round-trip is "
+    "lossless. Exact-cents SUM keeps the compare order-independent. "
+    "Reference: etl/db.py:117-126 (Postgres engine), "
+    "dashboard/streamlit_app.py:14-25 (SQL read-back).",
+)
+def jdbc_roundtrip_agg(spark, sf_dir):
+    from meteo_etl_spark.sources import jdbc
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    db = _scratch("derby")
+    url = f"jdbc:derby:{db}/db;create=true"
+    jdbc.write_jdbc(
+        cust,
+        url,
+        "customer_rt",
+        mode="overwrite",
+        options={"createTableColumnTypes": "c_mktsegment VARCHAR(16)"},
+    )
+    bounds = cust.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).collect()[0]
+    back = jdbc.read_jdbc(
+        spark,
+        url,
+        "customer_rt",
+        partition_column="c_custkey",
+        lower_bound=bounds.lo,
+        upper_bound=bounds.hi + 1,
+        num_partitions=4,
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q15_atomic_merge",
+    """WITH upd AS (SELECT event_id, value + 1000 AS value
+                    FROM events WHERE event_id % 5 = 0)
+       SELECT e.event_id, e.user_id, e.event_type,
+              COALESCE(u.value, e.value) AS value
+       FROM events e LEFT JOIN upd u USING (event_id)
+       ORDER BY e.event_id""",
+    doc="U1 through the crash-atomic landing path: merge an update "
+    "batch (value+1000 for every 5th event) into an atomic-manifest "
+    "parquet table (operators/atomic: immutable generation dirs + "
+    "manifest pointer flip) partitioned by event_type, then read the "
+    "committed snapshot back through read_table. The oracle states "
+    "MERGE semantics as a left join on the base table, so a hash match "
+    "certifies the versioned layout returns exactly the transactional "
+    "result. Reference: etl/load.py:35-57 (ON CONFLICT upsert inside a "
+    "Postgres transaction).",
+)
+def q15_atomic_merge(spark, sf_dir):
+    from meteo_etl_spark.operators.atomic import read_table
+    from meteo_etl_spark.operators.upsert import merge_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch("atomic")
+    shutil.rmtree(path, ignore_errors=True)
+    merge_parquet(
+        spark, path, ev, ["event_id"], partition_col="event_type", atomic=True
+    )
+    updates = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000).alias("value"),
+    )
+    merge_parquet(
+        spark, path, updates, ["event_id"], partition_col="event_type", atomic=True
+    )
+    return (
+        read_table(spark, path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

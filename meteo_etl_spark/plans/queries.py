@@ -914,10 +914,15 @@ def tpch_q20(spark, sf_dir):
 
 
 def _ensure_registered() -> None:
-    # llm_queries imports this module's `query` decorator, so it can't
-    # be imported at module top (circular); first registry access pulls
-    # it in.
+    # llm_queries/io_queries import this module's `query` decorator, so
+    # they can't be imported at module top (circular); first registry
+    # access pulls them in.
+    # Registration order is part of the driver contract (first 50 are
+    # hash-checked): llm_queries must register before io_queries so the
+    # established window is stable and the new I/O entries queue behind
+    # it for a later rotation.
     from meteo_etl_spark.plans import llm_queries  # noqa: F401
+    from meteo_etl_spark.plans import io_queries  # noqa: F401
 
 
 @query(
