@@ -14,7 +14,6 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.plans.queries import query
@@ -74,6 +73,48 @@ def jdbc_roundtrip_agg(spark, sf_dir):
             F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "events_session_window",
+    """WITH m AS (
+         SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 1 DAY AS session_end,
+              MIN(ts) AS first_ts,
+              MAX(ts) AS last_ts,
+              COUNT(*) AS n
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, session_start""",
+    doc="Gap-based sessionization via the JVM-native session_window "
+    "(streaming/windows.session_rollup) — the built-in stateful-window "
+    "path, identical code for batch and streaming frames. Splits only "
+    "when the inter-event gap exceeds 1 day (events exactly one gap "
+    "apart MERGE — session windows are inclusive at the close), which "
+    "the oracle mirrors with a lag/prefix-sum rewrite; session_end is "
+    "the window close (last event + gap) per Spark's contract. Same "
+    "split rule as events_sessionize. Complements "
+    "events_sessionize (batch lag/sum) and streaming/stateful.py "
+    "(applyInPandasWithState) — three implementations, one semantics.",
+)
+def events_session_window(spark, sf_dir):
+    from meteo_etl_spark.streaming.windows import session_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_rollup(ev, "user_id", ts_col="ts", gap="1 day").orderBy(
+        "user_id", "session_start"
     )
 
 

@@ -88,6 +88,59 @@ def windowed_observation_stats(
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    *,
+    ts_col: str = "ts",
+    gap: str = "1 day",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Gap-based sessionization via the JVM-native ``session_window`` —
+    the built-in, whole-stage-codegen path for the same semantics the
+    engine also offers as a batch window query
+    (plans/llm_queries.events_sessionize) and as a custom stateful
+    operator (streaming/stateful.py, applyInPandasWithState).
+
+    Prefer THIS form wherever its semantics fit: the session merge runs
+    inside the JVM with bounded per-key state, no Python boundary, and
+    identical code for batch and streaming frames (unified semantics;
+    on streams the watermark both bounds state and closes sessions).
+
+    Boundary: ``session_window`` merges an event into the running
+    session when it lands **at or before** the current close
+    (``last_ts + gap`` inclusive), i.e. a new session starts only when
+    the inter-event gap strictly exceeds ``gap`` — the same split rule
+    as the lag-based batch query (events_sessionize), verified in
+    tests/test_session_window.py.
+
+    Output: (key, session_start, session_end, n) where session_end is
+    the last event's time + gap (the window close), matching Spark's
+    session_window contract.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "first_ts",
+            "last_ts",
+            "n",
+        )
+    )
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,
