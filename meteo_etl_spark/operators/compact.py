@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.operators.atomic import AtomicParquetTable, is_atomic_table
 from meteo_etl_spark.operators.upsert import _rewrite_partitions, table_exists
 
 
@@ -33,7 +34,25 @@ class CompactStats:
 
 
 def _partition_files(path: str, partition_col: str | None) -> dict[str, list[str]]:
-    """partition-dir (or '' for unpartitioned) -> parquet file paths."""
+    """partition-dir (or '' for unpartitioned) -> parquet file paths.
+
+    For an atomic-manifest table, only files the manifest references
+    count (orphaned generations awaiting vacuum are not fragmentation).
+    """
+    if is_atomic_table(path):
+        t = AtomicParquetTable(None, path)  # manifest-only access
+        m = t._load_manifest()
+        out: dict[str, list[str]] = {}
+        dirs = (
+            {p: os.path.join(path, gen, p) for p, gen in m["partitions"].items()}
+            if m["partition_col"]
+            else {"": os.path.join(path, m["data"])}
+        )
+        for key, d in dirs.items():
+            out[key] = [
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            ]
+        return out
     out: dict[str, list[str]] = {}
     for root, _dirs, files in os.walk(path):
         parquet = [f for f in files if f.endswith(".parquet")]
@@ -72,7 +91,9 @@ def compact_table(
     if not fragmented:
         return CompactStats(0, files_before, files_before)
 
-    df = spark.read.parquet(path)
+    atomic = is_atomic_table(path)
+    table = AtomicParquetTable(spark, path, partition_col) if atomic else None
+    df = table.read() if atomic else spark.read.parquet(path)
     if partition_col:
         # Prune the rewrite to the fragmented partitions only.
         values = [p.split("=", 1)[1] for p in fragmented if "=" in p]
@@ -138,14 +159,24 @@ def compact_table(
         n_files = max(1, round(bytes_total / target_file_bytes))
         compacted = subset.repartition(n_files)
 
-    _rewrite_partitions(spark, compacted, path, partition_col)
+    if atomic:
+        # Same commit path as the merge: stage a fresh generation for
+        # exactly the fragmented partitions, flip the manifest, then
+        # collect the superseded generations. Readers never see a
+        # partial rewrite — OPTIMIZE with snapshot isolation.
+        if partition_col:
+            table.overwrite_partitions(compacted)
+        else:
+            table.overwrite(compacted)
+        table.vacuum()
+    else:
+        _rewrite_partitions(spark, compacted, path, partition_col)
 
+    reread = table.read() if atomic else spark.read.parquet(path)
     n_after = (
-        spark.read.parquet(path).filter(
-            F.col(partition_col).cast("string").isin(values)
-        ).count()
+        reread.filter(F.col(partition_col).cast("string").isin(values)).count()
         if partition_col
-        else spark.read.parquet(path).count()
+        else reread.count()
     )
     assert n_after == n_before, f"compaction changed row count: {n_before} -> {n_after}"
 

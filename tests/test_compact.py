@@ -85,3 +85,40 @@ def test_compact_honors_target_bytes_for_one_big_partition(spark, tmp_path):
     n_after = len(_parquet_files(path))
     assert 2 <= n_after < n_before
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_compact_atomic_table_consolidates_generations(spark, tmp_path):
+    """Fragmented generations of an atomic table: compaction rewrites
+    the fragmented partitions as ONE fresh generation via the same
+    atomic flip, then vacuums the superseded ones. Rows and snapshot
+    isolation are preserved."""
+    from meteo_etl_spark.operators.atomic import (
+        AtomicParquetTable,
+        is_atomic_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="p")
+    base = spark.createDataFrame(
+        [(j, f"v{j}", "hot" if j % 2 == 0 else "cold") for j in range(60)],
+        ["k", "v", "p"],
+    )
+    # 6 files per partition in gen 1; hot repointed to a 4-file gen 2
+    t.overwrite(base.repartition(6))
+    t.overwrite_partitions(
+        base.filter(F.col("p") == "hot").withColumn("v", F.upper("v")).repartition(4)
+    )
+    before = {(r.k, r.v, r.p) for r in read_table(spark, path).collect()}
+    assert len(before) == 60
+    gens_before = len([d for d in os.listdir(path) if d.startswith("gen-")])
+    assert gens_before == 2
+
+    stats = compact_table(spark, path, partition_col="p", min_files_to_compact=1)
+    assert stats.partitions_compacted == 2
+    assert stats.files_after < stats.files_before
+    # still an atomic table, same rows, superseded generations collected
+    assert is_atomic_table(path)
+    assert {(r.k, r.v, r.p) for r in read_table(spark, path).collect()} == before
+    gens_after = len([d for d in os.listdir(path) if d.startswith("gen-")])
+    assert gens_after == 1
