@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.errors import LoadError
+from meteo_etl_spark.operators.atomic import is_atomic_table, read_table
 from meteo_etl_spark.operators.upsert import merge_parquet, table_exists
 from meteo_etl_spark.pipeline.warehouse import Warehouse
 from meteo_etl_spark.schemas import (
@@ -69,7 +70,15 @@ def insert_fetch_metadata(
         "finished_at": None,
     }
     df = spark.createDataFrame([row], schema=FETCH_METADATA_SCHEMA)
-    df.write.mode("append").parquet(warehouse.control_path)
+    if warehouse.atomic or is_atomic_table(warehouse.control_path):
+        # Atomic layout has no raw-append: a plain file drop would be
+        # invisible to the manifest. The id is a fresh uuid, so this is
+        # an insert-only merge; the control table is small (one row per
+        # job), so the whole-table rewrite is trivial — the same
+        # bargain the reference makes with a Postgres metadata table.
+        merge_parquet(spark, warehouse.control_path, df, key_cols=["id"], atomic=True)
+    else:
+        df.write.mode("append").parquet(warehouse.control_path)
     return fetch_id
 
 
@@ -96,7 +105,7 @@ def update_fetch_metadata(
     if not table_exists(spark, warehouse.control_path):
         raise LoadError(f"no fetch_metadata table at {warehouse.control_path!r}")
     existing = (
-        spark.read.parquet(warehouse.control_path).filter(F.col("id") == fetch_id).count()
+        read_table(spark, warehouse.control_path).filter(F.col("id") == fetch_id).count()
     )
     if existing == 0:
         raise LoadError(f"no fetch_metadata row with id={fetch_id!r}")
@@ -124,6 +133,7 @@ def update_fetch_metadata(
         # finished_at: only overwritten when the update finishes the row
         # (reference `etl/load.py:104` adds it to the SET list conditionally).
         matched_set={"finished_at": lambda t, u: F.coalesce(u["finished_at"], t["finished_at"])},
+        atomic=warehouse.atomic,
     )
     assert stats.updated == 1, f"expected exactly one updated row, got {stats}"
     return fetch_id
@@ -132,7 +142,7 @@ def update_fetch_metadata(
 def read_fetch_metadata(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     if not table_exists(spark, warehouse.control_path):
         return spark.createDataFrame([], schema=FETCH_METADATA_SCHEMA)
-    df = spark.read.parquet(warehouse.control_path)
+    df = read_table(spark, warehouse.control_path)
     return df.select(*[f.name for f in FETCH_METADATA_SCHEMA.fields])
 
 

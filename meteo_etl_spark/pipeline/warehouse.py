@@ -19,13 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.errors import LoadError
+from meteo_etl_spark.operators.atomic import is_atomic_table, read_table
 from meteo_etl_spark.operators.upsert import MergeStats, merge_parquet, table_exists
 from meteo_etl_spark.schemas import DROPPED_AT_LOAD, OBSERVATION_KEY, OBSERVATIONS_SCHEMA
 
 
 @dataclass(frozen=True)
 class Warehouse:
+    """``atomic=True`` lands every table (silver + control) through the
+    crash-atomic manifest layout (operators/atomic) — the deployment
+    choice matching the reference's transactional Postgres store; the
+    default plain layout stays readable by any parquet tool. Existing
+    plain tables are converted on their next merge."""
+
     root: str
+    atomic: bool = False
 
     @property
     def bronze_dir(self) -> str:
@@ -92,6 +100,7 @@ def merge_observations(
             # cluster files on the natural key: tight row-group stats
             # = the composite-index analogue (reference etl/db.py:119)
             sort_within_partitions=list(OBSERVATION_KEY),
+            atomic=warehouse.atomic,
         )
     except Exception as exc:
         if isinstance(exc, LoadError):
@@ -115,5 +124,16 @@ def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     """
     if not table_exists(spark, warehouse.observations_path):
         return spark.createDataFrame([], schema=OBSERVATIONS_SCHEMA)
+    if is_atomic_table(warehouse.observations_path):
+        # Manifest-resolved read; align to the declared schema (missing
+        # columns -> NULL, declared order) for schema-on-read parity.
+        df = read_table(spark, warehouse.observations_path)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in OBSERVATIONS_SCHEMA.fields
+        ]
+        return df.select(*cols)
     df = spark.read.schema(OBSERVATIONS_SCHEMA).parquet(warehouse.observations_path)
     return df.select(*[f.name for f in OBSERVATIONS_SCHEMA.fields])

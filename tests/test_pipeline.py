@@ -157,3 +157,30 @@ def test_run_etl_many_partial_failure(spark, warehouse, monkeypatch):
     meta = control.read_fetch_metadata(spark, warehouse)
     assert meta.filter(F.col("status") == "error").count() == 1
     assert read_observations(spark, warehouse).count() == 2 * N_HOURS
+
+
+def test_etl_pipeline_on_atomic_warehouse(spark, tmp_path, offline_source):
+    """The full 3-step ETL (control insert -> extract/normalize -> silver
+    merge -> control finalize) on Warehouse(atomic=True): every table
+    lands through the manifest layout, lifecycle and row contents match
+    the plain-layout run."""
+    from meteo_etl_spark.operators.atomic import is_atomic_table
+    from meteo_etl_spark.pipeline.control import read_fetch_metadata
+    from meteo_etl_spark.pipeline.warehouse import Warehouse
+
+    results = {}
+    for mode, flag in (("plain", False), ("atomic", True)):
+        wh = Warehouse(str(tmp_path / mode), atomic=flag)
+        result = batch.run_etl(spark, wh, "meteo", {"latitude": 3.06, "longitude": 5.25})
+        assert result.status == FETCH_STATUS_SUCCESS
+        ctrl = read_fetch_metadata(spark, wh).collect()
+        assert len(ctrl) == 1 and ctrl[0].status == FETCH_STATUS_SUCCESS
+        obs = read_observations(spark, wh)
+        results[mode] = {
+            (r.latitude, r.longitude, r.timestamp, r.temperature)
+            for r in obs.collect()
+        }
+        assert is_atomic_table(wh.observations_path) == flag
+        assert is_atomic_table(wh.control_path) == flag
+    assert results["plain"] == results["atomic"]
+    assert len(results["atomic"]) == N_HOURS
