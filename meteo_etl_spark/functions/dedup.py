@@ -351,19 +351,38 @@ def edit_distance_pairs(
     cand = minhash_candidates(sh_docs)
     ta = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("ta"))
     tb = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("tb"))
-    lev = F.levenshtein("ta", "tb")
-    ratio = F.lit(1.0) - (lev * F.lit(1.0)) / F.greatest(
+
+    # Two exact prunes keep the DP kernel off pairs that cannot pass:
+    # 1. length band — lev >= |len_a - len_b|, so ratio >= min_ratio
+    #    REQUIRES |len_a - len_b| <= (1-min_ratio)·max(len). A pure
+    #    length comparison, applied before the kernel.
+    # 2. banded kernel — levenshtein(l, r, k) runs the O(n·k) banded
+    #    algorithm and returns -1 once the distance provably exceeds k.
+    #    The bound must dominate every per-pair bound to stay exact:
+    #    k = (1-min_ratio)·(max corpus length). Surviving pairs have
+    #    lev <= their per-pair bound < k, so their distance is exact;
+    #    -1 rows are exactly the pairs the ratio filter would drop.
+    #    (Scalar max-length fetch: one aggregate row, not a collect of
+    #    data.)
+    la, lb = F.length("ta"), F.length("tb")
+    max_len = docs.agg(F.max(F.length(text_col))).collect()[0][0] or 0
+    k_band = int((1.0 - min_ratio) * max_len) + 1
+    ratio = F.lit(1.0) - (F.col("lev") * F.lit(1.0)) / F.greatest(
         F.length("ta"), F.length("tb")
     )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(F.abs(la - lb) <= (F.lit(1.0) - F.lit(min_ratio)) * F.greatest(la, lb))
         .select(
             "doc_a",
             "doc_b",
-            lev.cast("long").alias("lev"),
-            ratio.alias("ratio_raw"),
+            "ta",
+            "tb",
+            F.levenshtein("ta", "tb", k_band).cast("long").alias("lev"),
         )
+        .filter(F.col("lev") >= 0)
+        .select("doc_a", "doc_b", "lev", ratio.alias("ratio_raw"))
         .filter(F.col("ratio_raw") >= min_ratio)
         .select(
             "doc_a",

@@ -108,6 +108,7 @@ def jdbc_roundtrip_agg(spark, sf_dir):
     "split rule as events_sessionize. Complements "
     "events_sessionize (batch lag/sum) and streaming/stateful.py "
     "(applyInPandasWithState) — three implementations, one semantics.",
+    bench=True,
 )
 def events_session_window(spark, sf_dir):
     from meteo_etl_spark.streaming.windows import session_rollup
