@@ -180,3 +180,23 @@ def test_schema_evolution_across_generations(spark, tmp_path):
     assert "extra" in got.columns
     vals = {(r.k, r.extra) for r in got.collect()}
     assert vals == {(1, 42), (2, None)}
+
+
+def test_inflight_reader_keeps_snapshot_across_commit(spark, tmp_path):
+    """A DataFrame resolved BEFORE a commit still collects the old
+    snapshot afterwards: generations are immutable and the commit only
+    moves the manifest pointer (the dynamic-overwrite plain layout
+    deletes files under in-flight readers — FILE_NOT_EXIST). Vacuum is
+    what finally invalidates old readers, which is why its contract is
+    'no reader older than the last commit'."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    old_reader = t.read()
+    t.overwrite_partitions(_df(spark, [(1, "NEW", "x")]))
+    # new reader sees the commit; the in-flight one still sees v1
+    assert _snapshot(spark, path) == {(1, "NEW", "x"), (2, "b", "y")}
+    assert {(r.k, r.v, r.d) for r in old_reader.collect()} == {
+        (1, "a", "x"),
+        (2, "b", "y"),
+    }
