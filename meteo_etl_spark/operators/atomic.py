@@ -111,6 +111,18 @@ class AtomicParquetTable:
         if failpoint:
             failpoint("before_flip")
         os.replace(tmp, self._manifest_path)
+        # fsync the directory entry too: the rename is atomic in the
+        # namespace, but durability across power loss needs the parent
+        # dir flushed (POSIX). Best-effort on filesystems without dir
+        # fds.
+        try:
+            dfd = os.open(self.path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
         if failpoint:
             failpoint("after_flip")
 
