@@ -56,6 +56,16 @@ def is_atomic_table(path: str) -> bool:
     return os.path.isfile(os.path.join(path, MANIFEST_NAME))
 
 
+def load_manifest(path: str) -> dict | None:
+    """Read a table's manifest without a SparkSession (maintenance /
+    introspection helpers)."""
+    try:
+        with open(os.path.join(path.rstrip("/"), MANIFEST_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table regardless of layout: manifest-resolved if
     atomic, plain ``spark.read.parquet`` otherwise."""
@@ -94,11 +104,7 @@ class AtomicParquetTable:
         return os.path.isfile(self._manifest_path)
 
     def _load_manifest(self) -> dict | None:
-        try:
-            with open(self._manifest_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+        return load_manifest(self.path)
 
     def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
         """Publish a manifest atomically: tmp write + rename. The rename

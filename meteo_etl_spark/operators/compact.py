@@ -22,7 +22,11 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from meteo_etl_spark.operators.atomic import AtomicParquetTable, is_atomic_table
+from meteo_etl_spark.operators.atomic import (
+    AtomicParquetTable,
+    is_atomic_table,
+    load_manifest,
+)
 from meteo_etl_spark.operators.upsert import _rewrite_partitions, table_exists
 
 
@@ -40,8 +44,7 @@ def _partition_files(path: str, partition_col: str | None) -> dict[str, list[str
     count (orphaned generations awaiting vacuum are not fragmentation).
     """
     if is_atomic_table(path):
-        t = AtomicParquetTable(None, path)  # manifest-only access
-        m = t._load_manifest()
+        m = load_manifest(path)
         out: dict[str, list[str]] = {}
         dirs = (
             {p: os.path.join(path, gen, p) for p, gen in m["partitions"].items()}
