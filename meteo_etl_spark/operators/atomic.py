@@ -108,12 +108,20 @@ class AtomicParquetTable:
 
     def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
         """Publish a manifest atomically: tmp write + rename. The rename
-        IS the commit — everything before it is invisible staging."""
+        IS the commit — everything before it is invisible staging. The
+        committed manifest is also retained as ``_MANIFEST.v<N>.json``
+        (written BEFORE the flip, so its presence never implies the
+        version is live) — that history is what ``read(version=N)``
+        time travel resolves, valid until vacuum collects the
+        generations it references."""
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        body = json.dumps(manifest, indent=1, sort_keys=True)
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.write(body)
             f.flush()
             os.fsync(f.fileno())
+        with open(os.path.join(self.path, f"_MANIFEST.v{manifest['version']}.json"), "w") as f:
+            f.write(body)
         if failpoint:
             failpoint("before_flip")
         os.replace(tmp, self._manifest_path)
@@ -134,10 +142,45 @@ class AtomicParquetTable:
 
     # -- read ----------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def versions(self) -> list[int]:
+        """Committed versions still resolvable for time travel (their
+        retained manifests exist; generations may be gone post-vacuum)."""
+        out = []
+        for fname in os.listdir(self.path):
+            if fname.startswith("_MANIFEST.v") and fname.endswith(".json"):
+                out.append(int(fname[len("_MANIFEST.v"):-len(".json")]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or a past one with ``version=N`` (time
+        travel). A past version reads its retained manifest; it fails
+        with FILE_NOT_FOUND once vacuum has collected the generations
+        it references — retention is governed by vacuum cadence, the
+        same contract as Delta's VACUUM vs @v time travel."""
+        if version is not None:
+            vp = os.path.join(self.path, f"_MANIFEST.v{version}.json")
+            try:
+                with open(vp) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"no committed version {version} at {self.path} "
+                    f"(available: {self.versions()})"
+                ) from None
+            # A retained manifest newer than the live one is a crash
+            # leftover (written pre-flip), never a committed state.
+            live = self._load_manifest()
+            if live is None or m["version"] > live["version"]:
+                raise FileNotFoundError(
+                    f"version {version} at {self.path} was never committed"
+                )
+            return self._read_manifest(m)
         m = self._load_manifest()
         if m is None:
             raise FileNotFoundError(f"no {MANIFEST_NAME} at {self.path}")
+        return self._read_manifest(m)
+
+    def _read_manifest(self, m: dict) -> DataFrame:
         if m["partition_col"] is None:
             return self.spark.read.option("mergeSchema", "true").parquet(
                 os.path.join(self.path, m["data"])
@@ -237,6 +280,14 @@ class AtomicParquetTable:
                 removed.append(d)
             elif d.startswith(MANIFEST_NAME + ".tmp-") and os.path.isfile(full):
                 os.unlink(full)  # tmp manifest from a crashed flip
+            elif (
+                d.startswith("_MANIFEST.v")
+                and d.endswith(".json")
+                and int(d[len("_MANIFEST.v"):-len(".json")]) < m["version"]
+            ):
+                # History whose generations are being collected now;
+                # time travel past this point is gone by contract.
+                os.unlink(full)
         return sorted(removed)
 
     def partition_values(self) -> list[str]:

@@ -200,3 +200,37 @@ def test_inflight_reader_keeps_snapshot_across_commit(spark, tmp_path):
         (1, "a", "x"),
         (2, "b", "y"),
     }
+
+
+def test_time_travel_reads_past_version_until_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))      # v1
+    t.overwrite_partitions(_df(spark, [(1, "NEW", "x")]))         # v2
+    assert t.versions() == [1, 2]
+    old = {(r.k, r.v, r.d) for r in t.read(version=1).collect()}
+    assert old == {(1, "a", "x"), (2, "b", "y")}
+    assert _snapshot(spark, path) == {(1, "NEW", "x"), (2, "b", "y")}
+    # vacuum collects v1's superseded generation AND its history entry
+    t.vacuum()
+    assert t.versions() == [2]
+    with pytest.raises(FileNotFoundError, match="no committed version 1"):
+        t.read(version=1)
+
+
+def test_time_travel_rejects_uncommitted_version(spark, tmp_path):
+    """A retained manifest written before a flip that then crashed must
+    not be readable as a committed version."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
+
+    def die(point):
+        if point == "before_flip":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        t.overwrite(_df(spark, [(9, "z", "x")]), _failpoint=die)  # v2 staged, not committed
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        t.read(version=2)
+    assert _snapshot(spark, path) == {(1, "a", "x")}
