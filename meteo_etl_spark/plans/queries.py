@@ -1728,6 +1728,11 @@ _DEFERRED: tuple[str, ...] = (
     # tpch_q7_nation_volume, tpch_q10_returned_items,
     # tpch_q13_order_distribution, docs_vocab_topk, sim_topk_cosine,
     # corpus_clean — all now in-window r4.
+    #
+    # Queued past the window by registration order (not _DEFERRED):
+    # jdbc_roundtrip_agg, events_session_window, q15_atomic_merge
+    # (round-4 additions, never in-window — priority for the round-5
+    # rotation) and events_profile (rows-only by design: HLL twin).
 )
 
 
