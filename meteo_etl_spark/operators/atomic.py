@@ -50,20 +50,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_MANIFEST.json"
+VERSION_PREFIX = "_MANIFEST.v"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency, first-writer-wins). Re-read the table and retry the
+    operation on the new snapshot."""
+
+
+def _version_files(path: str) -> list[int]:
+    try:
+        names = os.listdir(path)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    out = []
+    for n in names:
+        if n.startswith(VERSION_PREFIX) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(VERSION_PREFIX):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def is_atomic_table(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, MANIFEST_NAME))
+    # A committed version file alone marks the table atomic: the
+    # convenience pointer may not exist yet if a writer crashed right
+    # after its first commit.
+    return os.path.isfile(os.path.join(path, MANIFEST_NAME)) or bool(
+        _version_files(path)
+    )
 
 
 def load_manifest(path: str) -> dict | None:
-    """Read a table's manifest without a SparkSession (maintenance /
-    introspection helpers)."""
+    """Resolve the LIVE manifest without a SparkSession.
+
+    Commits are arbitrated by version files (``_MANIFEST.v<N>.json`` —
+    see ``AtomicParquetTable._flip``); ``_MANIFEST.json`` is only a
+    convenience pointer updated after the commit. The live state is
+    therefore max(pointer, newest version file) — a crash between
+    commit and pointer update loses nothing."""
+    path = path.rstrip("/")
+    best = None
     try:
-        with open(os.path.join(path.rstrip("/"), MANIFEST_NAME)) as f:
-            return json.load(f)
+        with open(os.path.join(path, MANIFEST_NAME)) as f:
+            best = json.load(f)
     except FileNotFoundError:
-        return None
+        pass
+    vs = _version_files(path)
+    if vs and (best is None or vs[-1] > best["version"]):
+        with open(os.path.join(path, f"{VERSION_PREFIX}{vs[-1]}.json")) as f:
+            best = json.load(f)
+    return best
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -106,29 +145,11 @@ class AtomicParquetTable:
     def _load_manifest(self) -> dict | None:
         return load_manifest(self.path)
 
-    def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
-        """Publish a manifest atomically: tmp write + rename. The rename
-        IS the commit — everything before it is invisible staging. The
-        committed manifest is also retained as ``_MANIFEST.v<N>.json``
-        (written BEFORE the flip, so its presence never implies the
-        version is live) — that history is what ``read(version=N)``
-        time travel resolves, valid until vacuum collects the
-        generations it references."""
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        body = json.dumps(manifest, indent=1, sort_keys=True)
-        with open(tmp, "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
-        with open(os.path.join(self.path, f"_MANIFEST.v{manifest['version']}.json"), "w") as f:
-            f.write(body)
-        if failpoint:
-            failpoint("before_flip")
-        os.replace(tmp, self._manifest_path)
-        # fsync the directory entry too: the rename is atomic in the
-        # namespace, but durability across power loss needs the parent
-        # dir flushed (POSIX). Best-effort on filesystems without dir
-        # fds.
+    def _fsync_dir(self) -> None:
+        # fsync the directory entry: file creation/rename is atomic in
+        # the namespace, but durability across power loss needs the
+        # parent dir flushed (POSIX). Best-effort on filesystems
+        # without dir fds.
         try:
             dfd = os.open(self.path, os.O_RDONLY)
             try:
@@ -137,6 +158,52 @@ class AtomicParquetTable:
                 os.close(dfd)
         except OSError:
             pass
+
+    def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
+        """Commit protocol — the Delta-log scheme, one file per version.
+
+        Creating ``_MANIFEST.v<N>.json`` with ``O_CREAT|O_EXCL`` IS the
+        commit: the exclusive create arbitrates racing writers (the
+        filesystem admits exactly one creator per version — first
+        writer wins, the loser gets ``ConcurrentWriteError`` and must
+        re-read and retry on the new snapshot). Everything before the
+        create is invisible staging; everything after is convenience —
+        ``_MANIFEST.json`` is a pointer updated post-commit, and
+        readers resolve max(pointer, newest version file), so a crash
+        between commit and pointer update loses nothing. The version
+        files double as the time-travel history until vacuum.
+
+        On object stores without atomic create-if-absent (plain S3),
+        this arbiter needs a commit service or a conditional-put —
+        exactly the deployment contract Delta/Iceberg state for their
+        logs."""
+        vpath = os.path.join(self.path, f"{VERSION_PREFIX}{manifest['version']}.json")
+        body = json.dumps(manifest, indent=1, sort_keys=True)
+        if failpoint:
+            failpoint("before_flip")
+        try:
+            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {manifest['version']} at {self.path} was committed by "
+                "another writer; re-read the table and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        self._fsync_dir()
+        if failpoint:
+            failpoint("after_commit")
+        # Post-commit pointer update (never authoritative over a newer
+        # version file).
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        self._fsync_dir()
         if failpoint:
             failpoint("after_flip")
 
@@ -144,12 +211,8 @@ class AtomicParquetTable:
 
     def versions(self) -> list[int]:
         """Committed versions still resolvable for time travel (their
-        retained manifests exist; generations may be gone post-vacuum)."""
-        out = []
-        for fname in os.listdir(self.path):
-            if fname.startswith("_MANIFEST.v") and fname.endswith(".json"):
-                out.append(int(fname[len("_MANIFEST.v"):-len(".json")]))
-        return sorted(out)
+        version files exist; generations may be gone post-vacuum)."""
+        return _version_files(self.path)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or a past one with ``version=N`` (time
@@ -158,22 +221,18 @@ class AtomicParquetTable:
         it references — retention is governed by vacuum cadence, the
         same contract as Delta's VACUUM vs @v time travel."""
         if version is not None:
-            vp = os.path.join(self.path, f"_MANIFEST.v{version}.json")
+            vp = os.path.join(self.path, f"{VERSION_PREFIX}{version}.json")
             try:
                 with open(vp) as f:
                     m = json.load(f)
             except FileNotFoundError:
+                # Version files ARE the commits (created exclusively at
+                # commit time), so absence means never committed or
+                # already vacuumed.
                 raise FileNotFoundError(
                     f"no committed version {version} at {self.path} "
                     f"(available: {self.versions()})"
                 ) from None
-            # A retained manifest newer than the live one is a crash
-            # leftover (written pre-flip), never a committed state.
-            live = self._load_manifest()
-            if live is None or m["version"] > live["version"]:
-                raise FileNotFoundError(
-                    f"version {version} at {self.path} was never committed"
-                )
             return self._read_manifest(m)
         m = self._load_manifest()
         if m is None:
@@ -281,9 +340,9 @@ class AtomicParquetTable:
             elif d.startswith(MANIFEST_NAME + ".tmp-") and os.path.isfile(full):
                 os.unlink(full)  # tmp manifest from a crashed flip
             elif (
-                d.startswith("_MANIFEST.v")
+                d.startswith(VERSION_PREFIX)
                 and d.endswith(".json")
-                and int(d[len("_MANIFEST.v"):-len(".json")]) < m["version"]
+                and int(d[len(VERSION_PREFIX):-len(".json")]) < m["version"]
             ):
                 # History whose generations are being collected now;
                 # time travel past this point is gone by contract.

@@ -105,25 +105,26 @@ def test_vacuum_keeps_every_referenced_generation(spark, tmp_path):
 
 
 def test_merge_parquet_atomic_crash_mid_commit(spark, tmp_path, monkeypatch):
-    """merge_parquet(atomic=True) + os.replace dying = old table intact.
+    """merge_parquet(atomic=True) dying AT the commit = old table intact.
 
-    os.replace is the LAST step of the commit; failing it proves every
-    earlier step (staging writes, manifest tmp write) was invisible."""
+    The exclusive create of the version file IS the commit; failing it
+    proves every earlier step (staged generation, fsyncs) was
+    invisible."""
     path = str(tmp_path / "obs")
     base = _df(spark, [(1, "a", "x"), (2, "b", "y")])
     merge_parquet(spark, path, base, ["k"], partition_col="d", atomic=True)
     assert is_atomic_table(path)
 
-    real_replace = os.replace
+    real_open = os.open
 
-    def broken_replace(src, dst):
-        if "_MANIFEST" in dst:
+    def broken_open(p, *a, **kw):
+        if "_MANIFEST.v" in str(p):
             raise Boom("power cut")
-        return real_replace(src, dst)
+        return real_open(p, *a, **kw)
 
     import meteo_etl_spark.operators.atomic as atomic_mod
 
-    monkeypatch.setattr(atomic_mod.os, "replace", broken_replace)
+    monkeypatch.setattr(atomic_mod.os, "open", broken_open)
     with pytest.raises(Boom):
         merge_parquet(
             spark, path, _df(spark, [(1, "HALF", "x")]), ["k"],
@@ -219,8 +220,8 @@ def test_time_travel_reads_past_version_until_vacuum(spark, tmp_path):
 
 
 def test_time_travel_rejects_uncommitted_version(spark, tmp_path):
-    """A retained manifest written before a flip that then crashed must
-    not be readable as a committed version."""
+    """A crash before the version-file create leaves no trace of the
+    attempted version — it is not readable as committed."""
     path = str(tmp_path / "t")
     t = AtomicParquetTable(spark, path, partition_col="d")
     t.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
@@ -231,6 +232,55 @@ def test_time_travel_rejects_uncommitted_version(spark, tmp_path):
 
     with pytest.raises(Boom):
         t.overwrite(_df(spark, [(9, "z", "x")]), _failpoint=die)  # v2 staged, not committed
-    with pytest.raises(FileNotFoundError, match="never committed"):
+    with pytest.raises(FileNotFoundError, match="no committed version 2"):
         t.read(version=2)
     assert _snapshot(spark, path) == {(1, "a", "x")}
+
+
+def test_concurrent_writers_first_wins_loser_gets_typed_error(spark, tmp_path):
+    """Two writers committing the same next version: the filesystem's
+    exclusive create admits exactly one; the loser gets
+    ConcurrentWriteError (optimistic concurrency) and its staged
+    generation never becomes visible."""
+    from meteo_etl_spark.operators.atomic import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))       # v1
+
+    rival = AtomicParquetTable(spark, path, partition_col="d")
+
+    def rival_commits_first(point):
+        if point == "before_flip":
+            rival.overwrite_partitions(_df(spark, [(2, "RIVAL", "y")]))  # commits v2
+
+    with pytest.raises(ConcurrentWriteError, match="committed by"):
+        t.overwrite_partitions(
+            _df(spark, [(1, "LOSER", "x")]), _failpoint=rival_commits_first
+        )
+    # the rival's commit is the live state; the loser's staged rows are
+    # invisible and a retry on the fresh snapshot succeeds
+    assert _snapshot(spark, path) == {(1, "a", "x"), (2, "RIVAL", "y")}
+    t.overwrite_partitions(_df(spark, [(1, "RETRY", "x")]))
+    assert _snapshot(spark, path) == {(1, "RETRY", "x"), (2, "RIVAL", "y")}
+
+
+def test_crashed_pointer_update_loses_nothing(spark, tmp_path):
+    """A crash AFTER the commit but before the pointer update: readers
+    resolve the newest version file, and the next commit heals the
+    pointer."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
+
+    def die(point):
+        if point == "after_commit":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        t.overwrite_partitions(_df(spark, [(1, "NEW", "x")]), _failpoint=die)  # v2 committed!
+    # the commit happened — the pointer is stale but resolution is not
+    assert _snapshot(spark, path) == {(1, "NEW", "x")}
+    assert t._load_manifest()["version"] == 2
+    t.overwrite_partitions(_df(spark, [(1, "v3", "x")]))          # heals pointer
+    assert _snapshot(spark, path) == {(1, "v3", "x")}
