@@ -409,3 +409,32 @@ def test_enrich_stream_static_broadcast_join(spark, tmp_path):
 
     with pytest.raises(ValueError, match="stream-preserving"):
         enrich_stream(stream, dim, "event_type", how="full")
+
+
+def test_consume_e2e_atomic_warehouse_redelivery_idempotent(
+    spark, offline_source, topic, tmp_path
+):
+    """Streaming consume onto Warehouse(atomic=True): the foreachBatch
+    MERGE lands through the commit-arbitrated manifest layout, so the
+    effectively-exactly-once story composes with crash-atomicity —
+    and redelivery (fresh checkpoint, same event) stays idempotent on
+    the committed snapshot."""
+    from meteo_etl_spark.operators.atomic import is_atomic_table
+    from meteo_etl_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(root=str(tmp_path / "wh"), atomic=True)
+    fetch_id = _publish_one(spark, wh, topic)
+
+    q = consume.consume_fetch_events(spark, wh, topic, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    assert is_atomic_table(wh.observations_path)
+    obs = read_observations(spark, wh)
+    assert obs.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
+
+    # redelivery: new checkpoint re-reads the topic; the keyed MERGE on
+    # the atomic table absorbs the duplicates
+    q2 = consume.consume_fetch_events(spark, wh, topic, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    obs2 = read_observations(spark, wh)
+    assert obs2.count() == obs.count()
+    assert obs2.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
