@@ -320,17 +320,34 @@ class AtomicParquetTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def vacuum(self) -> list[str]:
-        """Delete generation dirs no manifest entry references (crash
+    def vacuum(self, *, retain_versions: int = 1) -> list[str]:
+        """Delete generation dirs no retained version references (crash
         leftovers and superseded partitions). Returns removed dir names.
-        Run when no reader started before the last commit is still
-        executing — same contract as Delta VACUUM."""
+
+        ``retain_versions`` keeps the newest K committed versions
+        readable for time travel (default 1 = current only — maximum
+        reclamation). Run when no reader started before the oldest
+        retained version is still executing — the same
+        retention-vs-reader contract as Delta VACUUM."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1 (the live version)")
         m = self._load_manifest()
         if m is None:
             return []
-        live = (
-            set(m["partitions"].values()) if m["partition_col"] else {m["data"]}
-        )
+        keep_versions = set(_version_files(self.path)[-retain_versions:])
+        keep_versions.add(m["version"])  # the live version is never collected
+        live: set[str] = set()
+        for v in keep_versions:
+            try:
+                with open(os.path.join(self.path, f"{VERSION_PREFIX}{v}.json")) as f:
+                    vm = json.load(f)
+            except FileNotFoundError:
+                vm = m if v == m["version"] else None
+            if vm is None:
+                continue
+            live |= (
+                set(vm["partitions"].values()) if vm["partition_col"] else {vm["data"]}
+            )
         removed = []
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
@@ -342,7 +359,7 @@ class AtomicParquetTable:
             elif (
                 d.startswith(VERSION_PREFIX)
                 and d.endswith(".json")
-                and int(d[len(VERSION_PREFIX):-len(".json")]) < m["version"]
+                and int(d[len(VERSION_PREFIX):-len(".json")]) not in keep_versions
             ):
                 # History whose generations are being collected now;
                 # time travel past this point is gone by contract.

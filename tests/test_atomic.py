@@ -284,3 +284,26 @@ def test_crashed_pointer_update_loses_nothing(spark, tmp_path):
     assert t._load_manifest()["version"] == 2
     t.overwrite_partitions(_df(spark, [(1, "v3", "x")]))          # heals pointer
     assert _snapshot(spark, path) == {(1, "v3", "x")}
+
+
+def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
+    """retain_versions=K keeps the newest K versions fully readable
+    (their generations survive vacuum); older history is collected."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "v1", "x")]))                     # v1
+    t.overwrite_partitions(_df(spark, [(1, "v2", "x")]))          # v2
+    t.overwrite_partitions(_df(spark, [(1, "v3", "x")]))          # v3
+    removed = t.vacuum(retain_versions=2)
+    assert t.versions() == [2, 3]
+    assert len(removed) == 1  # only v1's generation collected
+    # both retained versions still fully readable
+    assert {r.v for r in t.read(version=2).collect()} == {"v2"}
+    assert {r.v for r in t.read(version=3).collect()} == {"v3"}
+    with pytest.raises(FileNotFoundError, match="no committed version 1"):
+        t.read(version=1)
+    # default retention: current only
+    t.vacuum()
+    assert t.versions() == [3]
+    with pytest.raises(ValueError, match=">= 1"):
+        t.vacuum(retain_versions=0)
