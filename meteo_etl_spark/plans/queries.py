@@ -1731,8 +1731,8 @@ _DEFERRED: tuple[str, ...] = (
     #
     # Queued past the window by registration order (not _DEFERRED):
     # jdbc_roundtrip_agg, events_session_window, q15_atomic_merge
-    # (round-4 additions, never in-window — priority for the round-5
-    # rotation) and events_profile (rows-only by design: HLL twin).
+    # (round-4 additions, never in-window) and events_profile — all
+    # exact-oracle checkable; priority for the round-5 rotation.
 )
 
 
