@@ -52,3 +52,28 @@ def test_publish_unfinished_fetch_raises(spark, warehouse):
     )
     with pytest.raises(LoadError, match="no finished"):
         publish_finished_fetch(spark, warehouse, fetch_id, str(warehouse.root) + "/t")
+
+
+def test_correctness_window_composition_is_pinned():
+    """The driver hash-checks the FIRST 50 entries of queries(), so the
+    window composition is part of the correctness contract. Pin the
+    round-4 roster: an accidental registration-order change (imports,
+    new @query placement) must fail HERE, not in the driver's ledger.
+    Update this list deliberately when rotating (_DEFERRED ledger)."""
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    must_be_in_window = {
+        # NTZ-regression trio (restored in round 4)
+        "events_sessionize", "events_asof_join", "events_range_join",
+        # round-4 rotation readmissions
+        "tpch_q2_min_price_supplier", "tpch_q7_nation_volume",
+        "tpch_q10_returned_items", "tpch_q13_order_distribution",
+        "docs_vocab_topk", "sim_topk_cosine", "corpus_clean",
+    }
+    missing = must_be_in_window - set(window)
+    assert not missing, f"window lost contract entries: {sorted(missing)}"
+    # every window entry must be oracle-checkable (hash-grade)
+    oracles = e.oracle_sql()
+    no_oracle = [n for n in window if n not in oracles]
+    assert not no_oracle, f"window entries without oracle SQL: {no_oracle}"
