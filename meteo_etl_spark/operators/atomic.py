@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import Callable
 
@@ -96,12 +97,20 @@ def load_manifest(path: str) -> dict | None:
     try:
         with open(os.path.join(path, MANIFEST_NAME)) as f:
             best = json.load(f)
-    except FileNotFoundError:
-        pass
-    vs = _version_files(path)
-    if vs and (best is None or vs[-1] > best["version"]):
-        with open(os.path.join(path, f"{VERSION_PREFIX}{vs[-1]}.json")) as f:
-            best = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass  # pointer is convenience, never authoritative
+    # Newest version file wins; an unparseable one (possible only on a
+    # legacy table or a store without atomic link-publish) falls back to
+    # the next older parseable version instead of failing every read.
+    for v in reversed(_version_files(path)):
+        if best is not None and v <= best["version"]:
+            break
+        try:
+            with open(os.path.join(path, f"{VERSION_PREFIX}{v}.json")) as f:
+                best = json.load(f)
+            break
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
     return best
 
 
@@ -173,6 +182,14 @@ class AtomicParquetTable:
         between commit and pointer update loses nothing. The version
         files double as the time-travel history until vacuum.
 
+        The version file is published with its FULL content in one
+        namespace operation: the body is written (and fsynced) to a tmp
+        file first, then ``os.link(tmp, vpath)`` both arbitrates (link
+        fails with EEXIST if another writer won) and publishes — no
+        reader can ever observe an existing-but-empty/truncated version
+        file, which a create-then-write sequence permits (the dir entry
+        can become durable before the data).
+
         On object stores without atomic create-if-absent (plain S3),
         this arbiter needs a commit service or a conditional-put —
         exactly the deployment contract Delta/Iceberg state for their
@@ -181,17 +198,24 @@ class AtomicParquetTable:
         body = json.dumps(manifest, indent=1, sort_keys=True)
         if failpoint:
             failpoint("before_flip")
+        staged = f"{vpath}.tmp-{uuid.uuid4().hex[:8]}"
+        fd = os.open(staged, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(staged, vpath)  # atomic publish-with-content + arbiter
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"version {manifest['version']} at {self.path} was committed by "
                 "another writer; re-read the table and retry"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            try:
+                os.unlink(staged)
+            except OSError:
+                pass
         self._fsync_dir()
         if failpoint:
             failpoint("after_commit")
@@ -320,7 +344,12 @@ class AtomicParquetTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def vacuum(self, *, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        *,
+        retain_versions: int = 1,
+        min_orphan_age_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete generation dirs no retained version references (crash
         leftovers and superseded partitions). Returns removed dir names.
 
@@ -328,34 +357,65 @@ class AtomicParquetTable:
         readable for time travel (default 1 = current only — maximum
         reclamation). Run when no reader started before the oldest
         retained version is still executing — the same
-        retention-vs-reader contract as Delta VACUUM."""
+        retention-vs-reader contract as Delta VACUUM.
+
+        Writer safety: a generation referenced by NO version file is
+        either crash garbage or a concurrent writer's staging that has
+        not committed yet (staging happens before the version-file
+        publish). The two are indistinguishable by name, so never-
+        referenced generations are collected only once older than
+        ``min_orphan_age_seconds`` (mtime-based, default 1 h — the same
+        age-threshold contract as Delta's VACUUM retention). Pass 0 only
+        when writers are known quiescent (tests, single-writer jobs).
+        Generations referenced by a *dropped* version file are known
+        committed-and-superseded and are collected regardless of age."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1 (the live version)")
         m = self._load_manifest()
         if m is None:
             return []
-        keep_versions = set(_version_files(self.path)[-retain_versions:])
+        now = time.time()
+        all_versions = _version_files(self.path)
+        keep_versions = set(all_versions[-retain_versions:])
         keep_versions.add(m["version"])  # the live version is never collected
         live: set[str] = set()
-        for v in keep_versions:
+        referenced: set[str] = set()  # by ANY existing version file
+        for v in all_versions:
             try:
                 with open(os.path.join(self.path, f"{VERSION_PREFIX}{v}.json")) as f:
                     vm = json.load(f)
-            except FileNotFoundError:
-                vm = m if v == m["version"] else None
+            except (FileNotFoundError, json.JSONDecodeError):
+                vm = None
             if vm is None:
                 continue
-            live |= (
+            gens = (
                 set(vm["partitions"].values()) if vm["partition_col"] else {vm["data"]}
             )
+            referenced |= gens
+            if v in keep_versions:
+                live |= gens
+        if m["version"] not in all_versions:  # pointer-only live manifest
+            live |= (
+                set(m["partitions"].values()) if m["partition_col"] else {m["data"]}
+            )
+            referenced |= live
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_orphan_age_seconds
+            except OSError:
+                return False
+
         removed = []
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
             if d.startswith("gen-") and os.path.isdir(full) and d not in live:
+                if d not in referenced and not _old_enough(full):
+                    continue  # possibly a concurrent writer's staging
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
-            elif d.startswith(MANIFEST_NAME + ".tmp-") and os.path.isfile(full):
-                os.unlink(full)  # tmp manifest from a crashed flip
+            elif ".tmp-" in d and os.path.isfile(full) and _old_enough(full):
+                os.unlink(full)  # staging file from a crashed flip
             elif (
                 d.startswith(VERSION_PREFIX)
                 and d.endswith(".json")

@@ -74,6 +74,7 @@ def compact_table(
     partition_col: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    vacuum: bool = False,
 ) -> CompactStats:
     """Rewrite fragmented partitions into ~target-sized files.
 
@@ -82,6 +83,14 @@ def compact_table(
     single partition column (the engine's layouts — obs_date — are
     single-level; multi-level layouts would need hierarchical
     partition-value parsing here).
+
+    On an atomic table, compaction is only a commit: superseded
+    generations stay on disk (snapshot isolation for in-flight readers,
+    time travel intact) until an explicit vacuum. ``vacuum=True`` runs
+    ``table.vacuum()`` after the commit for single-writer maintenance
+    jobs that want immediate reclamation — it truncates time-travel
+    history to the new version and requires the vacuum reader contract
+    (no reader older than the last commit still running).
     """
     if not table_exists(spark, path):
         return CompactStats(0, 0, 0)
@@ -164,14 +173,18 @@ def compact_table(
 
     if atomic:
         # Same commit path as the merge: stage a fresh generation for
-        # exactly the fragmented partitions, flip the manifest, then
-        # collect the superseded generations. Readers never see a
-        # partial rewrite — OPTIMIZE with snapshot isolation.
+        # exactly the fragmented partitions and flip the manifest.
+        # Readers never see a partial rewrite — OPTIMIZE with snapshot
+        # isolation. Superseded generations are NOT collected here by
+        # default: an in-flight reader of the previous version must
+        # keep its snapshot, and OPTIMIZE must not silently wipe
+        # time-travel history (collection is vacuum's job).
         if partition_col:
             table.overwrite_partitions(compacted)
         else:
             table.overwrite(compacted)
-        table.vacuum()
+        if vacuum:
+            table.vacuum()
     else:
         _rewrite_partitions(spark, compacted, path, partition_col)
 

@@ -28,7 +28,8 @@ def _scratch(prefix: str) -> str:
     "jdbc_roundtrip_agg",
     """SELECT c_mktsegment,
               COUNT(*) AS n,
-              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                   AS BIGINT) AS bal_cents
        FROM customer GROUP BY 1 ORDER BY 1""",
     doc="JDBC source/sink certification: write `customer` into an "
     "embedded Derby database through write_jdbc, read it back with a "
@@ -79,7 +80,7 @@ def jdbc_roundtrip_agg(spark, sf_dir):
 @query(
     "events_session_window",
     """WITH m AS (
-         SELECT user_id, ts,
+         SELECT user_id, ts, event_id,
                 CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL 1 DAY
                      THEN 1 ELSE 0 END AS is_new
@@ -87,7 +88,7 @@ def jdbc_roundtrip_agg(spark, sf_dir):
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (
          SELECT user_id, ts,
-                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
          FROM m)
        SELECT user_id,

@@ -94,15 +94,19 @@ class MeteoHttpReader(DataSourceReader):
         from meteo_etl_spark.sources import http
 
         params = {**self.static_params, **partition.params}
-        lat = float(params.get("latitude", float("nan")))
-        lon = float(params.get("longitude", float("nan")))
         kwargs = {"timeout": self.timeout}
         if self.user_agent:
             kwargs["user_agent"] = self.user_agent
+        lat = lon = float("nan")
         try:
+            # Coordinate coercion is inside the dead-letter boundary: a
+            # job with a null/non-numeric latitude must produce an error
+            # ROW, not a task failure that kills the whole scan.
+            lat = float(params.get("latitude", float("nan")))
+            lon = float(params.get("longitude", float("nan")))
             payload = http.fetch_json(self.url, params, **kwargs)
             yield (lat, lon, json.dumps(payload), None)
-        except (ExtractError, json.JSONDecodeError) as exc:
+        except (ExtractError, json.JSONDecodeError, TypeError, ValueError) as exc:
             # Per-row dead-letter: a failed coordinate must not kill a
             # thousand-job backfill scan (T8 error taxonomy).
             yield (lat, lon, None, f"{type(exc).__name__}: {exc}"[:1000])

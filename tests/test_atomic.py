@@ -85,8 +85,11 @@ def test_crash_before_flip_preserves_old_snapshot(spark, tmp_path):
     # old snapshot intact, version unchanged, staged generation invisible
     assert _snapshot(spark, path) == {(1, "a", "x"), (2, "b", "y")}
     assert t._load_manifest()["version"] == v1
-    # vacuum collects the orphaned generation + tmp manifest
-    removed = t.vacuum()
+    # a never-referenced generation could be a live writer's staging, so
+    # default vacuum leaves it until the orphan age threshold passes...
+    assert t.vacuum() == []
+    # ...and collects it when the caller asserts writer quiescence
+    removed = t.vacuum(min_orphan_age_seconds=0)
     assert len(removed) == 1
     assert _snapshot(spark, path) == {(1, "a", "x"), (2, "b", "y")}
 
@@ -284,6 +287,44 @@ def test_crashed_pointer_update_loses_nothing(spark, tmp_path):
     assert t._load_manifest()["version"] == 2
     t.overwrite_partitions(_df(spark, [(1, "v3", "x")]))          # heals pointer
     assert _snapshot(spark, path) == {(1, "v3", "x")}
+
+
+def test_vacuum_spares_concurrent_writers_staged_generation(spark, tmp_path):
+    """vacuum racing a writer that has STAGED but not yet committed:
+    the staged generation is referenced by no version file, so default
+    vacuum must leave it alone (age threshold) — deleting it would turn
+    the writer's subsequent successful commit into committed data
+    loss."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+
+    vacuumed = []
+
+    def rival_vacuums(point):
+        if point == "before_flip":
+            # generation is staged on disk; commit has not happened yet
+            vacuumed.append(
+                AtomicParquetTable(spark, path, partition_col="d").vacuum()
+            )
+
+    t.overwrite_partitions(_df(spark, [(1, "NEW", "x")]), _failpoint=rival_vacuums)
+    assert vacuumed == [[]]  # the staged generation survived the vacuum
+    # and the commit it belonged to is fully readable
+    assert _snapshot(spark, path) == {(1, "NEW", "x"), (2, "b", "y")}
+
+
+def test_torn_version_file_falls_back_to_previous_parseable(spark, tmp_path):
+    """A truncated/empty version file (legacy table, or a store without
+    atomic link-publish) must not make every read fail: resolution falls
+    back to the newest parseable version."""
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
+    with open(os.path.join(path, "_MANIFEST.v2.json"), "w"):
+        pass  # torn commit: exists but empty
+    assert _snapshot(spark, path) == {(1, "a", "x")}
+    assert t._load_manifest()["version"] == 1
 
 
 def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):

@@ -114,11 +114,44 @@ def test_compact_atomic_table_consolidates_generations(spark, tmp_path):
     gens_before = len([d for d in os.listdir(path) if d.startswith("gen-")])
     assert gens_before == 2
 
-    stats = compact_table(spark, path, partition_col="p", min_files_to_compact=1)
+    stats = compact_table(
+        spark, path, partition_col="p", min_files_to_compact=1, vacuum=True
+    )
     assert stats.partitions_compacted == 2
     assert stats.files_after < stats.files_before
     # still an atomic table, same rows, superseded generations collected
+    # (vacuum=True: explicit single-writer maintenance-job reclamation)
     assert is_atomic_table(path)
     assert {(r.k, r.v, r.p) for r in read_table(spark, path).collect()} == before
     gens_after = len([d for d in os.listdir(path) if d.startswith("gen-")])
     assert gens_after == 1
+
+
+def test_compact_atomic_default_preserves_reader_snapshots_and_history(
+    spark, tmp_path
+):
+    """Default compaction (no vacuum) is ONLY a commit: an in-flight
+    reader resolved before OPTIMIZE still collects its snapshot, and
+    time travel to the pre-compaction version still works — the exact
+    scenario auto-vacuum used to break."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable, read_table
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="p")
+    base = spark.createDataFrame(
+        [(j, f"v{j}", "a" if j % 2 == 0 else "b") for j in range(40)],
+        ["k", "v", "p"],
+    )
+    t.overwrite(base.repartition(5))                      # v1, fragmented
+    rows = {(r.k, r.v, r.p) for r in read_table(spark, path).collect()}
+    inflight = t.read()                                   # resolves v1 files
+
+    stats = compact_table(spark, path, partition_col="p", min_files_to_compact=1)
+    assert stats.partitions_compacted == 2
+
+    # in-flight reader still completes against the superseded generation
+    assert {(r.k, r.v, r.p) for r in inflight.collect()} == rows
+    # history intact: both versions readable, new snapshot identical
+    assert t.versions() == [1, 2]
+    assert {(r.k, r.v, r.p) for r in t.read(version=1).collect()} == rows
+    assert {(r.k, r.v, r.p) for r in read_table(spark, path).collect()} == rows
