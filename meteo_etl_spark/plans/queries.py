@@ -1707,12 +1707,9 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_ngram_jaccard",  # shingles + verify: dedup_minhash_lsh (in-window r1)
     "docs_hash_split",  # md5 buckets: docs_stratified_sample (in-window r1)
     "q14_date_parts",  # T11 date derivation: q17_date_trunc (in-window r1)
-    # round-2 breadth additions (never in-window yet — next rotation batch):
-    "tpch_q11_value_share",  # scalar-total share: q22/tpch_q8 patterns (never)
-    "tpch_q15_top_supplier",  # max-equality broadcast: tpch_q2 pattern (never)
-    "tpch_q16_supplier_cnt",  # anti-join + count distinct: q9 + q3 (never)
+    # round-2 breadth additions still awaiting a first driver check —
+    # remaining "never" batch, scheduled for the round-6 rotation:
     "tpch_q21_waiting_supplier",  # decorrelated exists-pair: q13/sessionize (never)
-    "tpch_q6_forecast_revenue",  # single-scan conditional agg: q6/tpch_q1 (never)
     "tpch_q9_product_profit",  # wide star join: tpch_q7/q8 patterns (never)
     "tpch_q20_excess_supplier",  # agg-then-semi chain: tpch_q18/q4 (never)
     # rotated OUT in round 4 to readmit the round-3 deferrals below —
@@ -1724,15 +1721,28 @@ _DEFERRED: tuple[str, ...] = (
     "text_lang_id",  # n-gram heuristic: text_quality twin (in-window r3)
     "text_fingerprint",  # rolling hash: dedup_exact md5 shape (in-window r3)
     "dedup_simhash",  # hamming bands: dedup_minhash_lsh banding (in-window r3)
+    # rotated OUT in round 5 — each is 4× driver-green (r1-r4) with an
+    # in-window shape twin — to admit the round-4 I/O layer
+    # (events_profile, jdbc_roundtrip_agg, events_session_window,
+    # q15_atomic_merge) plus four never-checked TPC-H entries
+    # (tpch_q11_value_share, tpch_q15_top_supplier, tpch_q16_supplier_cnt,
+    # tpch_q6_forecast_revenue):
+    "q3_composite_distinct",  # A2 exact distinct: tpch_q16 count-distinct twin (in-window r4)
+    "q4_latest_row",  # O2 top-1: q1_scan_topk TakeOrderedAndProject twin (in-window r4)
+    "q7_grouped_count",  # A4 grouped count: q6 + tpch_q13 shapes (in-window r4)
+    "q9_anti_join",  # J2 anti join: docs_decontaminate anti shape (in-window r4)
+    "q10_broadcast_dim_join",  # J3 broadcast probe: tpch_q2/q7 dims (in-window r4)
+    "q12_regex_predicate",  # P4 regex: text_pii_scrub/text_quality regex (in-window r4)
+    "q17_date_trunc",  # T11 date trunc: events_rollup_multi buckets (in-window r4)
+    "text_token_stats",  # token counts: text_quality twin (in-window r4)
     # readmitted round 4 (were deferred r3): tpch_q2_min_price_supplier,
     # tpch_q7_nation_volume, tpch_q10_returned_items,
     # tpch_q13_order_distribution, docs_vocab_topk, sim_topk_cosine,
     # corpus_clean — all now in-window r4.
     #
     # Queued past the window by registration order (not _DEFERRED):
-    # jdbc_roundtrip_agg, events_session_window, q15_atomic_merge
-    # (round-4 additions, never in-window) and events_profile — all
-    # exact-oracle checkable; priority for the round-5 rotation.
+    # jdbc_upsert_agg (round-5 addition) — priority for the round-6
+    # rotation together with the three remaining "never" TPC-H entries.
 )
 
 

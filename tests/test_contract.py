@@ -70,9 +70,17 @@ def test_correctness_window_composition_is_pinned():
         "tpch_q2_min_price_supplier", "tpch_q7_nation_volume",
         "tpch_q10_returned_items", "tpch_q13_order_distribution",
         "docs_vocab_topk", "sim_topk_cosine", "corpus_clean",
+        # round-5 rotation: the round-4 I/O layer gets its first driver
+        # hash check...
+        "events_profile", "jdbc_roundtrip_agg", "events_session_window",
+        "q15_atomic_merge",
+        # ...plus four TPC-H entries that had never been in-window
+        "tpch_q11_value_share", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_cnt", "tpch_q6_forecast_revenue",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
+    assert len(window) == len(set(window)) == 50
     # every window entry must be oracle-checkable (hash-grade)
     oracles = e.oracle_sql()
     no_oracle = [n for n in window if n not in oracles]
