@@ -14,10 +14,10 @@ mechanism:
   parquet write). Nothing under a published generation is ever mutated.
 - **visibility is a pointer**: ``<path>/_MANIFEST.json`` maps each
   partition directory name (``date=2024-01-01``) to the generation that
-  currently owns it. Readers resolve the manifest; writers publish by
-  writing ``_MANIFEST.json.tmp`` and ``os.replace``-ing it over the
-  manifest — an atomic rename on POSIX, so every reader sees either the
-  whole commit or none of it.
+  currently owns it. Readers resolve the manifest; writers publish a
+  version file atomically (full content in one namespace operation —
+  see ``_flip``), so every reader sees either the whole commit or none
+  of it.
 - **failure is garbage, not corruption**: a crash before the flip
   leaves an unreferenced generation dir; the table still reads from the
   old manifest, bit-identical. ``vacuum()`` removes unreferenced
@@ -33,22 +33,29 @@ parquet scan per generation with an explicit ``basePath``, so partition
 pruning and predicate pushdown work exactly as on a plain layout; the
 number of generations is bounded by ``vacuum``/compaction cadence.
 
-On a real cluster ``os.replace`` requires a rename-atomic store for the
-manifest (POSIX FS, HDFS, or S3 with a commit service); that is the
-same contract every table format requires of its metastore layer.
+Metadata I/O is routed through ``operators/fsio.io_for``: bare local
+paths take the ``os.*`` fast path; URI paths (``file://``, ``hdfs://``,
+``s3a://``…) go through the JVM's Hadoop FileSystem — the same handle
+Spark's writers use — so the table works wherever Spark can write. The
+commit arbiter needs an atomic fail-if-exists namespace op: POSIX link
+locally, no-overwrite rename on HDFS (Delta's HDFSLogStore scheme); on
+plain S3 it requires a commit service or conditional-put
+(``If-None-Match: *``) — the same contract every table format states
+for its log store.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators import fsio
 
 MANIFEST_NAME = "_MANIFEST.json"
 VERSION_PREFIX = "_MANIFEST.v"
@@ -60,10 +67,10 @@ class ConcurrentWriteError(RuntimeError):
     operation on the new snapshot."""
 
 
-def _version_files(path: str) -> list[int]:
+def _version_files(io, path: str) -> list[int]:
     try:
-        names = os.listdir(path)
-    except (FileNotFoundError, NotADirectoryError):
+        names = io.listdir(path)
+    except FileNotFoundError:
         return []
     out = []
     for n in names:
@@ -75,17 +82,19 @@ def _version_files(path: str) -> list[int]:
     return sorted(out)
 
 
-def is_atomic_table(path: str) -> bool:
+def is_atomic_table(path: str, spark: SparkSession | None = None) -> bool:
     # A committed version file alone marks the table atomic: the
     # convenience pointer may not exist yet if a writer crashed right
     # after its first commit.
-    return os.path.isfile(os.path.join(path, MANIFEST_NAME)) or bool(
-        _version_files(path)
+    io = fsio.io_for(path, spark)
+    return io.isfile(os.path.join(path, MANIFEST_NAME)) or bool(
+        _version_files(io, path)
     )
 
 
-def load_manifest(path: str) -> dict | None:
-    """Resolve the LIVE manifest without a SparkSession.
+def load_manifest(path: str, spark: SparkSession | None = None) -> dict | None:
+    """Resolve the LIVE manifest (no SparkSession needed for local
+    paths; URI paths resolve through the active session's Hadoop FS).
 
     Commits are arbitrated by version files (``_MANIFEST.v<N>.json`` —
     see ``AtomicParquetTable._flip``); ``_MANIFEST.json`` is only a
@@ -93,21 +102,20 @@ def load_manifest(path: str) -> dict | None:
     therefore max(pointer, newest version file) — a crash between
     commit and pointer update loses nothing."""
     path = path.rstrip("/")
+    io = fsio.io_for(path, spark)
     best = None
     try:
-        with open(os.path.join(path, MANIFEST_NAME)) as f:
-            best = json.load(f)
+        best = fsio.read_json(io, os.path.join(path, MANIFEST_NAME))
     except (FileNotFoundError, json.JSONDecodeError):
         pass  # pointer is convenience, never authoritative
     # Newest version file wins; an unparseable one (possible only on a
     # legacy table or a store without atomic link-publish) falls back to
     # the next older parseable version instead of failing every read.
-    for v in reversed(_version_files(path)):
+    for v in reversed(_version_files(io, path)):
         if best is not None and v <= best["version"]:
             break
         try:
-            with open(os.path.join(path, f"{VERSION_PREFIX}{v}.json")) as f:
-                best = json.load(f)
+            best = fsio.read_json(io, os.path.join(path, f"{VERSION_PREFIX}{v}.json"))
             break
         except (FileNotFoundError, json.JSONDecodeError):
             continue
@@ -117,7 +125,7 @@ def load_manifest(path: str) -> dict | None:
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table regardless of layout: manifest-resolved if
     atomic, plain ``spark.read.parquet`` otherwise."""
-    if is_atomic_table(path):
+    if is_atomic_table(path, spark):
         return AtomicParquetTable(spark, path).read()
     return spark.read.option("mergeSchema", "true").parquet(path)
 
@@ -132,6 +140,7 @@ class AtomicParquetTable:
     def __init__(self, spark: SparkSession, path: str, partition_col: str | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
+        self._io = fsio.io_for(self.path, spark)
         self.partition_col = partition_col
         m = self._load_manifest()
         if m is not None:
@@ -149,24 +158,10 @@ class AtomicParquetTable:
         return os.path.join(self.path, MANIFEST_NAME)
 
     def exists(self) -> bool:
-        return os.path.isfile(self._manifest_path)
+        return self._io.isfile(self._manifest_path)
 
     def _load_manifest(self) -> dict | None:
-        return load_manifest(self.path)
-
-    def _fsync_dir(self) -> None:
-        # fsync the directory entry: file creation/rename is atomic in
-        # the namespace, but durability across power loss needs the
-        # parent dir flushed (POSIX). Best-effort on filesystems
-        # without dir fds.
-        try:
-            dfd = os.open(self.path, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-        except OSError:
-            pass
+        return load_manifest(self.path, self.spark)
 
     def _flip(self, manifest: dict, failpoint: Callable[[str], None] | None) -> None:
         """Commit protocol — the Delta-log scheme, one file per version.
@@ -183,12 +178,13 @@ class AtomicParquetTable:
         files double as the time-travel history until vacuum.
 
         The version file is published with its FULL content in one
-        namespace operation: the body is written (and fsynced) to a tmp
-        file first, then ``os.link(tmp, vpath)`` both arbitrates (link
-        fails with EEXIST if another writer won) and publishes — no
-        reader can ever observe an existing-but-empty/truncated version
-        file, which a create-then-write sequence permits (the dir entry
-        can become durable before the data).
+        namespace operation (``fsio.publish_exclusive``): the body is
+        written and flushed to a tmp file first, then atomically moved
+        onto the version path — POSIX ``link`` locally, no-overwrite
+        ``rename`` through the Hadoop FileSystem on HDFS — so no reader
+        can ever observe an existing-but-empty/truncated version file,
+        which a create-then-write sequence permits (the dir entry can
+        become durable before the data).
 
         On object stores without atomic create-if-absent (plain S3),
         this arbiter needs a commit service or a conditional-put —
@@ -198,36 +194,18 @@ class AtomicParquetTable:
         body = json.dumps(manifest, indent=1, sort_keys=True)
         if failpoint:
             failpoint("before_flip")
-        staged = f"{vpath}.tmp-{uuid.uuid4().hex[:8]}"
-        fd = os.open(staged, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        with os.fdopen(fd, "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(staged, vpath)  # atomic publish-with-content + arbiter
-        except FileExistsError:
+        if not self._io.publish_exclusive(vpath, body):
             raise ConcurrentWriteError(
                 f"version {manifest['version']} at {self.path} was committed by "
                 "another writer; re-read the table and retry"
-            ) from None
-        finally:
-            try:
-                os.unlink(staged)
-            except OSError:
-                pass
-        self._fsync_dir()
+            )
+        self._io.fsync_dir(self.path)
         if failpoint:
             failpoint("after_commit")
         # Post-commit pointer update (never authoritative over a newer
         # version file).
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path)
-        self._fsync_dir()
+        self._io.replace(self._manifest_path, body)
+        self._io.fsync_dir(self.path)
         if failpoint:
             failpoint("after_flip")
 
@@ -236,7 +214,7 @@ class AtomicParquetTable:
     def versions(self) -> list[int]:
         """Committed versions still resolvable for time travel (their
         version files exist; generations may be gone post-vacuum)."""
-        return _version_files(self.path)
+        return _version_files(self._io, self.path)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or a past one with ``version=N`` (time
@@ -247,8 +225,7 @@ class AtomicParquetTable:
         if version is not None:
             vp = os.path.join(self.path, f"{VERSION_PREFIX}{version}.json")
             try:
-                with open(vp) as f:
-                    m = json.load(f)
+                m = fsio.read_json(self._io, vp)
             except FileNotFoundError:
                 # Version files ARE the commits (created exclusively at
                 # commit time), so absence means never committed or
@@ -303,8 +280,9 @@ class AtomicParquetTable:
             return gen, []
         parts = [
             d
-            for d in os.listdir(gen_path)
-            if d.startswith(f"{self.partition_col}=") and os.path.isdir(os.path.join(gen_path, d))
+            for d in self._io.listdir(gen_path)
+            if d.startswith(f"{self.partition_col}=")
+            and self._io.isdir(os.path.join(gen_path, d))
         ]
         return gen, parts
 
@@ -375,15 +353,16 @@ class AtomicParquetTable:
         if m is None:
             return []
         now = time.time()
-        all_versions = _version_files(self.path)
+        all_versions = _version_files(self._io, self.path)
         keep_versions = set(all_versions[-retain_versions:])
         keep_versions.add(m["version"])  # the live version is never collected
         live: set[str] = set()
         referenced: set[str] = set()  # by ANY existing version file
         for v in all_versions:
             try:
-                with open(os.path.join(self.path, f"{VERSION_PREFIX}{v}.json")) as f:
-                    vm = json.load(f)
+                vm = fsio.read_json(
+                    self._io, os.path.join(self.path, f"{VERSION_PREFIX}{v}.json")
+                )
             except (FileNotFoundError, json.JSONDecodeError):
                 vm = None
             if vm is None:
@@ -402,20 +381,20 @@ class AtomicParquetTable:
 
         def _old_enough(p: str) -> bool:
             try:
-                return now - os.path.getmtime(p) >= min_orphan_age_seconds
+                return now - self._io.mtime(p) >= min_orphan_age_seconds
             except OSError:
                 return False
 
         removed = []
-        for d in os.listdir(self.path):
+        for d in self._io.listdir(self.path):
             full = os.path.join(self.path, d)
-            if d.startswith("gen-") and os.path.isdir(full) and d not in live:
+            if d.startswith("gen-") and self._io.isdir(full) and d not in live:
                 if d not in referenced and not _old_enough(full):
                     continue  # possibly a concurrent writer's staging
-                shutil.rmtree(full, ignore_errors=True)
+                self._io.rmtree(full)
                 removed.append(d)
-            elif ".tmp-" in d and os.path.isfile(full) and _old_enough(full):
-                os.unlink(full)  # staging file from a crashed flip
+            elif ".tmp-" in d and self._io.isfile(full) and _old_enough(full):
+                self._io.unlink(full)  # staging file from a crashed flip
             elif (
                 d.startswith(VERSION_PREFIX)
                 and d.endswith(".json")
@@ -423,7 +402,7 @@ class AtomicParquetTable:
             ):
                 # History whose generations are being collected now;
                 # time travel past this point is gone by contract.
-                os.unlink(full)
+                self._io.unlink(full)
         return sorted(removed)
 
     def partition_values(self) -> list[str]:
