@@ -164,3 +164,47 @@ def q15_atomic_merge(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "jdbc_upsert_agg",
+    """WITH upd AS (SELECT c_custkey, c_acctbal + 500 AS c_acctbal
+                    FROM customer WHERE c_custkey % 7 = 0)
+       SELECT c.c_mktsegment,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(COALESCE(u.c_acctbal, c.c_acctbal) * 100)
+                            AS BIGINT)) AS BIGINT) AS bal_cents
+       FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    doc="Database-side upsert certification: land `customer` in Derby "
+    "via upsert_jdbc (staging table + one MERGE INTO), upsert an "
+    "update batch (+500 balance for every 7th customer), read the "
+    "table back and aggregate. The oracle states MERGE semantics as a "
+    "left join on the original parquet, so a hash match proves the "
+    "staged-MERGE path applies exactly last-write-wins semantics. "
+    "Reference: etl/load.py:35-55 (INSERT .. ON CONFLICT DO UPDATE "
+    "inside a Postgres transaction).",
+)
+def jdbc_upsert_agg(spark, sf_dir):
+    from meteo_etl_spark.sources import jdbc
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    db = _scratch("derby_ups")
+    url = f"jdbc:derby:{db}/db;create=true"
+    opts = {"createTableColumnTypes": "c_mktsegment VARCHAR(16)"}
+    jdbc.upsert_jdbc(cust, url, "customer_up", ["c_custkey"], options=opts)
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500
+    )
+    jdbc.upsert_jdbc(updates, url, "customer_up", ["c_custkey"], options=opts)
+    back = jdbc.read_jdbc(spark, url, "customer_up")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -20,11 +20,15 @@ Catalyst still drives the scan:
   push LIMIT and aggregates for known dialects (`pushDownLimit`,
   `pushDownAggregate`).
 
-The sink mirrors `df.write.jdbc` with batched inserts. Upsert semantics
-(ON CONFLICT) are NOT in the JDBC writer contract — that remains
-`operators/upsert.merge_parquet` on the warehouse, or native MERGE run
-via `executemany` on the database side; the writer here covers the
-reference's append/replace surface.
+The sink mirrors `df.write.jdbc` with batched inserts for the
+reference's append/replace surface. `upsert_jdbc` closes the
+reference's `INSERT .. ON CONFLICT DO UPDATE` path
+(`etl/load.py:35-55`) the scale-correct way: Spark's JDBC writer has
+no upsert mode and row-at-a-time `executemany` from the driver would
+serialize the cluster, so the batch is bulk-written to a staging
+table (cluster-parallel inserts) and folded in with ONE database-side
+`MERGE INTO` — a single atomic statement, the transactional equivalent
+of the reference's ON-CONFLICT-inside-a-transaction.
 
 Driver jars: the engine does not bundle database drivers (Postgres etc.
 are deployment choices); `require_driver` probes the JVM for the class
@@ -169,3 +173,124 @@ def write_jdbc(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _execute_update(spark: SparkSession, url: str, sql: str) -> int:
+    """Run one DDL/DML statement over a driver-side JDBC connection
+    (JVM DriverManager — no Python DB driver needed) and return the
+    affected-row count."""
+    conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
+    """Probe database metadata for ``table`` (exact, upper- and
+    lower-case forms — unquoted DDL folds case per database)."""
+    conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for name in (table, table.upper(), table.lower()):
+            rs = meta.getTables(None, None, name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    *,
+    driver: str | None = None,
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    options: dict[str, str] | None = None,
+) -> int:
+    """Keyed last-write upsert into a database table; returns the
+    number of rows the MERGE touched.
+
+    Reference parity: `etl/load.py:35-55` (INSERT .. ON CONFLICT DO
+    UPDATE inside a transaction). Protocol:
+
+    1. bulk-write ``df`` to a staging table (``mode='overwrite'`` —
+       cluster-parallel batched inserts, the only write shape that
+       scales past one driver connection);
+    2. if the target does not exist, create it from the staging
+       table's shape (``CREATE TABLE .. AS SELECT .. WITH NO DATA`` —
+       so ``createTableColumnTypes`` pins propagate);
+    3. fold staging into the target with one database-side
+       ``MERGE INTO`` — a single atomic statement (ANSI; Derby 10.11+,
+       Postgres 15+; older Postgres would substitute
+       INSERT .. ON CONFLICT) — then drop staging.
+
+    The batch must be unique per key (dedupe upstream with the
+    warehouse's last-write-wins rule): two source rows matching one
+    target row is a MERGE cardinality violation in ANSI databases.
+    Identifier handling matches Spark's JDBC writer: table names go
+    into SQL unquoted (the database folds case), column names quoted
+    verbatim.
+
+    ``staging_table`` defaults to ``<table>_stg`` — deterministic, so
+    a crashed run's leftover staging is overwritten by the next run
+    (self-cleaning); pass distinct names to run concurrent upserts
+    into different targets over one database."""
+    if not keys:
+        raise ValueError("upsert_jdbc requires at least one key column")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"key columns not in DataFrame: {missing}")
+    spark = df.sparkSession
+    if driver:
+        require_driver(spark, driver)
+
+    staging = staging_table or f"{table}_stg"
+    write_jdbc(
+        df,
+        url,
+        staging,
+        mode="overwrite",
+        driver=driver,
+        batchsize=batchsize,
+        num_partitions=num_partitions,
+        options=options,
+    )
+
+    def q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    try:
+        if not jdbc_table_exists(spark, url, table):
+            _execute_update(
+                spark,
+                url,
+                f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA",
+            )
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        non_keys = [c for c in df.columns if c not in keys]
+        cols = ", ".join(q(c) for c in df.columns)
+        vals = ", ".join(f"s.{q(c)}" for c in df.columns)
+        merge = f"MERGE INTO {table} t USING {staging} s ON {on}"
+        if non_keys:
+            sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+            merge += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        merge += f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        return _execute_update(spark, url, merge)
+    finally:
+        try:
+            _execute_update(spark, url, f"DROP TABLE {staging}")
+        except Exception:
+            pass  # leftover staging is overwritten by the next run

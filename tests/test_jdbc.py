@@ -129,3 +129,70 @@ def test_write_caps_connections(spark, derby_url):
     df = spark.createDataFrame([Row(k=i) for i in range(100)]).repartition(16)
     jdbc.write_jdbc(df, derby_url, "capped", mode="overwrite", num_partitions=2)
     assert jdbc.read_jdbc(spark, derby_url, "capped").count() == 100
+
+
+def _upsert_rows(spark, derby_url, table):
+    return {
+        (r[0], r[1], r[2])
+        for r in jdbc.read_jdbc(
+            spark, derby_url, f'(SELECT "k", "v", "tag" FROM {table}) t'
+        ).collect()
+    }
+
+
+def test_upsert_creates_then_updates_and_inserts(spark, derby_url):
+    """The reference's ON CONFLICT surface (etl/load.py:35-55) against a
+    real database: first upsert creates+inserts, second updates matched
+    keys and inserts new ones, all through one MERGE statement."""
+    opts = {"createTableColumnTypes": "v VARCHAR(32), tag VARCHAR(8)"}
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", tag="old") for i in range(10)]
+    )
+    n = jdbc.upsert_jdbc(base, derby_url, "ups", ["k"], options=opts)
+    assert n == 10
+    assert _upsert_rows(spark, derby_url, "ups") == {
+        (i, f"v{i}", "old") for i in range(10)
+    }
+
+    batch = spark.createDataFrame(
+        [Row(k=i, v=f"V{i}", tag="new") for i in range(5, 15)]
+    )
+    n = jdbc.upsert_jdbc(batch, derby_url, "ups", ["k"], options=opts)
+    assert n == 10  # 5 updates + 5 inserts
+    assert _upsert_rows(spark, derby_url, "ups") == {
+        (i, f"v{i}", "old") for i in range(5)
+    } | {(i, f"V{i}", "new") for i in range(5, 15)}
+
+
+def test_upsert_replay_is_idempotent(spark, derby_url):
+    """Redelivering the same batch (at-least-once landing) converges to
+    the same table state — the property the streaming sink relies on."""
+    opts = {"createTableColumnTypes": "v VARCHAR(32), tag VARCHAR(8)"}
+    batch = spark.createDataFrame([Row(k=i, v=f"r{i}", tag="t") for i in range(8)])
+    jdbc.upsert_jdbc(batch, derby_url, "replay", ["k"], options=opts)
+    before = _upsert_rows(spark, derby_url, "replay")
+    jdbc.upsert_jdbc(batch, derby_url, "replay", ["k"], options=opts)
+    assert _upsert_rows(spark, derby_url, "replay") == before
+    # staging table is dropped after the merge
+    assert not jdbc.jdbc_table_exists(spark, derby_url, "replay_stg")
+
+
+def test_upsert_composite_key_and_validation(spark, derby_url):
+    opts = {"createTableColumnTypes": "a VARCHAR(8)"}
+    df = spark.createDataFrame(
+        [Row(a="x", b=1, val=1.0), Row(a="x", b=2, val=2.0)]
+    )
+    jdbc.upsert_jdbc(df, derby_url, "comp", ["a", "b"], options=opts)
+    upd = spark.createDataFrame([Row(a="x", b=2, val=9.0)])
+    jdbc.upsert_jdbc(upd, derby_url, "comp", ["a", "b"], options=opts)
+    got = {
+        (r[0], r[1], r[2])
+        for r in jdbc.read_jdbc(
+            spark, derby_url, '(SELECT "a", "b", "val" FROM comp) t'
+        ).collect()
+    }
+    assert got == {("x", 1, 1.0), ("x", 2, 9.0)}
+    with pytest.raises(ValueError, match="at least one key"):
+        jdbc.upsert_jdbc(df, derby_url, "comp", [])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        jdbc.upsert_jdbc(df, derby_url, "comp", ["nope"])
