@@ -110,3 +110,44 @@ def test_option_validation():
         MeteoHttpReader({"url": "http://x"})
     with pytest.raises(ValueError, match="not JSON"):
         MeteoHttpReader({"url": "http://x", "jobs": "{bad"})
+    with pytest.raises(ValueError, match="max_partitions"):
+        MeteoHttpReader({"url": "http://x", "jobs": "[{}]", "max_partitions": "0"})
+
+
+def test_max_partitions_chunks_jobs_with_dead_letter_preserved(registered, server):
+    """100 jobs over 8 partitions: every job still fetched exactly once
+    (sequentially within its chunk), failures still dead-letter per JOB
+    — a bad coordinate poisons neither its task nor its chunk-mates."""
+    jobs = [{"latitude": float(i), "longitude": float(10 * i)} for i in range(100)]
+    server["fail_for"] = {"17.0", "42.0"}
+    df = _scan(registered, server["url"], jobs=jobs, max_partitions="8")
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 100
+    assert len(server["requests"]) == 100
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert {r.latitude for r in bad} == {17.0, 42.0}
+    assert all("404" in r.error for r in bad)
+    # chunk-mates of the failed jobs still succeeded with THEIR payloads
+    assert all(json.loads(r.payload)["echo_lat"] == str(r.latitude) for r in ok)
+
+
+def test_max_partitions_above_job_count_degenerates_to_one_per_job(
+    registered, server
+):
+    df = _scan(registered, server["url"], max_partitions="64")
+    assert df.rdd.getNumPartitions() == len(JOBS)
+    assert len(df.collect()) == len(JOBS)
+
+
+def test_unparseable_coordinate_dead_letters_not_task_failure(registered, server):
+    """A job with a null latitude must produce an error ROW (the float()
+    coercion is inside the dead-letter boundary), not a crashed scan."""
+    jobs = [{"latitude": 1.0, "longitude": 10.0},
+            {"latitude": None, "longitude": 20.0}]
+    df = _scan(registered, server["url"], jobs=jobs)
+    rows = df.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r.error is not None]
+    assert len(bad) == 1 and "TypeError" in bad[0].error
