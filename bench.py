@@ -37,6 +37,15 @@ def main() -> None:
 
     spark = get_spark("meteo-etl-spark-bench")
 
+    # Roster = the bench-flagged subset of the registry. Side-effecting
+    # queries are deliberately NOT flagged (jdbc_roundtrip_agg,
+    # jdbc_upsert_agg, q15_atomic_merge): each run writes scratch I/O
+    # (an embedded Derby database / an atomic table landing), so their
+    # wall time measures disk+DDL churn, not plan cost, and repeated
+    # timed runs would measure different states. Their read-side plan
+    # shapes are already on the roster via q15_last_write_wins (merge
+    # read-back) and the scan/agg queries; the write paths are timed
+    # e2e in their pytest suites instead.
     bench_specs = {n: s for n, s in _q.all_queries().items() if s.bench}
 
     # Warmup: run the cheapest query once to absorb JVM/codegen startup.
