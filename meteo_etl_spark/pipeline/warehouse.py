@@ -108,6 +108,74 @@ def merge_observations(
         raise LoadError(f"observations merge failed: {exc}") from exc
 
 
+def merge_observations_jdbc(
+    spark: SparkSession,
+    url: str,
+    records: DataFrame,
+    *,
+    table: str = "observations",
+    fetch_id: str | None = None,
+    options: dict[str, str] | None = None,
+) -> int:
+    """MERGE normalized weather records into a DATABASE observations
+    table — the deployment where the silver store stays in the
+    reference's own Postgres (`etl/load.py:22-64` semantics, executed
+    by the database):
+
+    - same P1 projection and column defaults as ``merge_observations``;
+    - identity/bookkeeping computed Spark-side into the staging batch
+      (``uuid()`` ids, ``current_timestamp()`` stamps) — portable SQL,
+      no database-specific DEFAULT functions needed;
+    - on conflict the measures, ``fetch_id`` and ``updated_at`` take
+      the new values while ``id``/``created_at`` are preserved, via
+      ``upsert_jdbc(update_cols=...)`` (one atomic MERGE INTO);
+    - batch-internal duplicates on the key collapse to one row first
+      (a MERGE cardinality violation otherwise — same documented
+      deviation as the parquet merge).
+
+    Returns the number of rows the MERGE touched. String columns are
+    deliberately NOT pinned to VARCHAR here: the MERGE keys are
+    numeric/timestamp, so the dialect's default text type (CLOB on
+    Derby) is never compared — and Derby's dialect binds NULL strings
+    with the CLOB type code, which a VARCHAR-pinned column rejects
+    (``timezone`` is always NULL by reference contract). Deployments
+    that query the table's text columns can pass their own
+    ``createTableColumnTypes`` for columns guaranteed non-null."""
+    try:
+        updates = records.drop(*DROPPED_AT_LOAD)
+        if "timezone" not in updates.columns:
+            updates = updates.withColumn("timezone", F.lit(None).cast("string"))
+        if "fetch_id" not in updates.columns:
+            updates = updates.withColumn("fetch_id", F.lit(fetch_id).cast("string"))
+        now = F.current_timestamp()
+        updates = (
+            updates.dropDuplicates(list(OBSERVATION_KEY))
+            .withColumn("id", F.expr("uuid()"))
+            .withColumn("created_at", now)
+            .withColumn("updated_at", now)
+        )
+        from meteo_etl_spark.sources.jdbc import upsert_jdbc
+
+        opts = dict(options or {})
+        return upsert_jdbc(
+            updates,
+            url,
+            table,
+            list(OBSERVATION_KEY),
+            update_cols=[
+                "timezone",
+                "temperature",
+                "precipitation",
+                "wind_speed",
+                "fetch_id",
+                "updated_at",
+            ],
+            options=opts,
+        )
+    except Exception as exc:
+        raise LoadError(f"jdbc observations merge failed: {exc}") from exc
+
+
 def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     """Silver scan in the declared column order (partition col last).
 

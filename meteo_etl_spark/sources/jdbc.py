@@ -214,6 +214,7 @@ def upsert_jdbc(
     table: str,
     keys: list[str],
     *,
+    update_cols: list[str] | None = None,
     driver: str | None = None,
     staging_table: str | None = None,
     batchsize: int = 10_000,
@@ -222,6 +223,13 @@ def upsert_jdbc(
 ) -> int:
     """Keyed last-write upsert into a database table; returns the
     number of rows the MERGE touched.
+
+    ``update_cols`` restricts WHEN MATCHED to a subset of the non-key
+    columns (default: all of them). Columns outside the subset keep
+    their target values on conflict while still being inserted for new
+    keys — the reference's ``id``/``created_at`` preservation
+    (`etl/load.py:45-55`: measures and ``fetch_id`` take EXCLUDED
+    values, identity/creation stamps survive).
 
     Reference parity: `etl/load.py:35-55` (INSERT .. ON CONFLICT DO
     UPDATE inside a transaction). Protocol:
@@ -244,6 +252,14 @@ def upsert_jdbc(
     into SQL unquoted (the database folds case), column names quoted
     verbatim.
 
+    Type pinning (``options={'createTableColumnTypes': ...}``): pin a
+    string column to VARCHAR only when its batch values are never
+    NULL — Spark's Derby dialect binds NULL strings with the CLOB type
+    code, which a VARCHAR column rejects (ERROR 22005). String KEY
+    columns must be pinned (Derby cannot compare CLOBs in the ON
+    clause) and must be non-null anyway; nullable free-text columns
+    should stay unpinned.
+
     ``staging_table`` defaults to ``<table>_stg`` — deterministic, so
     a crashed run's leftover staging is overwritten by the next run
     (self-cleaning); pass distinct names to run concurrent upserts
@@ -253,6 +269,10 @@ def upsert_jdbc(
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"key columns not in DataFrame: {missing}")
+    if update_cols is not None:
+        bad = [c for c in update_cols if c not in df.columns or c in keys]
+        if bad:
+            raise ValueError(f"update_cols must be non-key DataFrame columns: {bad}")
     spark = df.sparkSession
     if driver:
         require_driver(spark, driver)
@@ -280,7 +300,11 @@ def upsert_jdbc(
                 f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA",
             )
         on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-        non_keys = [c for c in df.columns if c not in keys]
+        non_keys = (
+            update_cols
+            if update_cols is not None
+            else [c for c in df.columns if c not in keys]
+        )
         cols = ", ".join(q(c) for c in df.columns)
         vals = ", ".join(f"s.{q(c)}" for c in df.columns)
         merge = f"MERGE INTO {table} t USING {staging} s ON {on}"

@@ -34,12 +34,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from meteo_etl_spark.pipeline.warehouse import Warehouse, merge_observations
+from meteo_etl_spark.pipeline.warehouse import (
+    Warehouse,
+    merge_observations,
+    merge_observations_jdbc,
+)
 from meteo_etl_spark.sources.registry import get_source_by_url
 from meteo_etl_spark.streaming.events import parse_wire_json
 
 #: bronze filename contract: `{source}_{uuid4}.json` (sources.bronze).
 _FETCH_ID_FROM_FILE = r"_([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})\.json$"
+
+
+@dataclass(frozen=True)
+class JdbcSink:
+    """Land the silver merge in a DATABASE instead of the parquet
+    warehouse — the deployment where a user porting the reference keeps
+    Postgres as the store the dashboard reads (`streaming/load.py:58`
+    upserts into it). The MERGE runs database-side
+    (``upsert_jdbc``), so redelivered batches stay idempotent on the
+    natural key — the same at-least-once + idempotent-sink contract
+    (ST2) as the parquet path."""
+
+    url: str
+    table: str = "observations"
+    options: dict | None = None
 
 
 @dataclass
@@ -58,13 +77,15 @@ def process_event_batch(
     warehouse: Warehouse,
     events: DataFrame,
     stats: ConsumeStats | None = None,
+    jdbc_sink: JdbcSink | None = None,
 ) -> None:
     """Merge the observations referenced by a batch of fetch events.
 
     ``events`` carries parsed FetchEvent rows. Events are grouped by
     source (the registry probe J3 — reference `etl/sources.py:97-100`),
     each group's payload files are read in ONE schema'd scan, fetch_ids
-    are recovered from the filename, and one MERGE lands the group.
+    are recovered from the filename, and one MERGE lands the group —
+    into the parquet warehouse, or into ``jdbc_sink``'s database table.
     """
     rows = events.select("source", "path").filter(F.col("path").isNotNull()).collect()
     by_source: dict[str, list[str]] = {}
@@ -82,10 +103,20 @@ def process_event_batch(
             )
         )
         records = spec.normalize(payloads)  # fetch_id passes through (T1-T4)
-        merge_stats = merge_observations(spark, warehouse, records)
+        if jdbc_sink is not None:
+            touched = merge_observations_jdbc(
+                spark,
+                jdbc_sink.url,
+                records,
+                table=jdbc_sink.table,
+                options=jdbc_sink.options,
+            )
+        else:
+            merge_stats = merge_observations(spark, warehouse, records)
+            touched = merge_stats.inserted + merge_stats.updated
         if stats is not None:
             stats.sources.append(spec.name)
-            stats.merged_rows += merge_stats.inserted + merge_stats.updated
+            stats.merged_rows += touched
     if stats is not None:
         stats.events += len(rows)
 
@@ -102,6 +133,7 @@ def consume_fetch_events(
     stats: ConsumeStats | None = None,
     wire_format: str = "json",
     max_files_per_trigger: int | None = None,
+    jdbc_sink: JdbcSink | None = None,
 ) -> StreamingQuery:
     """Start the consumer stream over the file topic.
 
@@ -119,7 +151,12 @@ def consume_fetch_events(
     reference consumer's ``max_messages``, `streaming/consumer.py:47`;
     ``maxOffsetsPerTrigger`` on a real Kafka source) — with
     ``available_now`` the drain still completes, in ceil(files/N)
-    batches, each a separate checkpoint commit."""
+    batches, each a separate checkpoint commit.
+
+    ``jdbc_sink`` redirects the silver merge to a database table
+    (staged ``MERGE INTO`` per batch — the reference's consumer→
+    Postgres path, `streaming/load.py:58`); bronze payloads and the
+    dead-letter dir stay on the file layer either way."""
     reader = spark.readStream.schema(
         T.StructType([T.StructField("value", T.StringType())])
     )
@@ -153,7 +190,7 @@ def consume_fetch_events(
                 if dict(poison.dtypes).get("raw_value") == "binary":
                     out = poison.select(F.base64("raw_value").alias("raw_value"))
                 out.write.mode("append").text(dead_letter_dir)
-            process_event_batch(spark, warehouse, ok, stats=stats)
+            process_event_batch(spark, warehouse, ok, stats=stats, jdbc_sink=jdbc_sink)
             if stats is not None:
                 stats.batches += 1
                 stats.poison += n_poison

@@ -106,6 +106,81 @@ def test_redelivery_is_idempotent(spark, warehouse, offline_source, topic, tmp_p
     assert obs.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
 
 
+def _derby_obs(spark, url):
+    from meteo_etl_spark.sources import jdbc
+
+    return jdbc.read_jdbc(
+        spark,
+        url,
+        '(SELECT "id", "fetch_id", "temperature", "created_at", "updated_at"'
+        " FROM observations) t",
+    )
+
+
+def test_consume_to_jdbc_sink_lands_observations_in_database(
+    spark, warehouse, offline_source, topic, tmp_path
+):
+    """The reference's consumer→Postgres path (streaming/load.py:58):
+    the streaming silver merge lands in a DATABASE table via a staged
+    MERGE INTO; the parquet silver table is never written."""
+    from meteo_etl_spark.sources import jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/obsdb;create=true"
+    fetch_id = _publish_one(spark, warehouse, topic)
+
+    stats = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark,
+        warehouse,
+        topic,
+        str(tmp_path / "ckpt"),
+        stats=stats,
+        jdbc_sink=consume.JdbcSink(url),
+    ).awaitTermination(120)
+
+    assert stats.events == 1 and stats.merged_rows == N_HOURS
+    got = _derby_obs(spark, url).collect()
+    assert len(got) == N_HOURS
+    assert {r[1] for r in got} == {fetch_id}
+    assert all(r[0] is not None and len(r[0]) == 36 for r in got)  # uuid ids
+    # database-only deployment: no parquet silver table written
+    assert not os.path.exists(warehouse.observations_path)
+
+
+def test_jdbc_sink_redelivery_idempotent_preserves_identity(
+    spark, warehouse, offline_source, topic, tmp_path
+):
+    """ST2 against the database sink: full redelivery (fresh
+    checkpoint) re-runs the MERGE — row count stable, and matched rows
+    keep their id/created_at (only measures/fetch_id/updated_at take
+    new values, the reference's ON CONFLICT column set)."""
+    from meteo_etl_spark.sources import jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/obsdb;create=true"
+    _publish_one(spark, warehouse, topic)
+    sink = consume.JdbcSink(url)
+
+    consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "c1"), jdbc_sink=sink
+    ).awaitTermination(120)
+    first = {r[0]: (r[3], r[4]) for r in _derby_obs(spark, url).collect()}
+    assert len(first) == N_HOURS
+
+    consume.consume_fetch_events(
+        spark, warehouse, topic, str(tmp_path / "c2"), jdbc_sink=sink
+    ).awaitTermination(120)
+    second = {r[0]: (r[3], r[4]) for r in _derby_obs(spark, url).collect()}
+
+    assert set(second) == set(first)  # same rows, same ids — no dupes
+    for rid, (created, updated) in second.items():
+        assert created == first[rid][0]  # created_at preserved
+        assert updated >= first[rid][1]  # updated_at refreshed
+
+
 def test_poison_pill_skipped_and_dead_lettered(
     spark, warehouse, offline_source, topic, tmp_path
 ):
