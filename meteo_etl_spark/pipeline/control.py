@@ -55,6 +55,12 @@ def insert_fetch_metadata(
     reference `etl/load.py:67-85`)."""
     if not _REQUEST_URL_PAT.match(request_url):
         raise LoadError(f"request_url violates CHECK {REQUEST_URL_RE!r}: {request_url!r}")
+    if warehouse.control_jdbc_url:
+        from meteo_etl_spark.pipeline import control_jdbc
+
+        return control_jdbc.insert_fetch_metadata(
+            spark, warehouse.control_jdbc_url, request_url, request_params, _utcnow()
+        )
     fetch_id = str(uuid.uuid4())
     now = _utcnow()
     row = {
@@ -102,6 +108,20 @@ def update_fetch_metadata(
     if payload_path is not None and not _PAYLOAD_PATH_PAT.match(payload_path):
         raise LoadError(f"payload_path violates CHECK {PAYLOAD_PATH_RE!r}: {payload_path!r}")
 
+    if warehouse.control_jdbc_url:
+        from meteo_etl_spark.pipeline import control_jdbc
+
+        return control_jdbc.update_fetch_metadata(
+            spark,
+            warehouse.control_jdbc_url,
+            fetch_id,
+            status=status,
+            response_status=response_status,
+            error_data=json.dumps(error_data) if error_data is not None else None,
+            payload_path=payload_path,
+            now=_utcnow(),
+        )
+
     if not table_exists(spark, warehouse.control_path):
         raise LoadError(f"no fetch_metadata table at {warehouse.control_path!r}")
     existing = (
@@ -140,6 +160,10 @@ def update_fetch_metadata(
 
 
 def read_fetch_metadata(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
+    if warehouse.control_jdbc_url:
+        from meteo_etl_spark.pipeline import control_jdbc
+
+        return control_jdbc.read_fetch_metadata(spark, warehouse.control_jdbc_url)
     if not table_exists(spark, warehouse.control_path):
         return spark.createDataFrame([], schema=FETCH_METADATA_SCHEMA)
     df = read_table(spark, warehouse.control_path)

@@ -30,10 +30,18 @@ class Warehouse:
     crash-atomic manifest layout (operators/atomic) — the deployment
     choice matching the reference's transactional Postgres store; the
     default plain layout stays readable by any parquet tool. Existing
-    plain tables are converted on their next merge."""
+    plain tables are converted on their next merge.
+
+    ``control_jdbc_url`` keeps the fetch_metadata lifecycle in a
+    DATABASE instead (the reference's own deployment, `etl/db.py:49-85`)
+    — every control insert/update/read routes through
+    ``pipeline/control_jdbc``; bronze and silver stay on the lake
+    (pair with ``streaming.consume.JdbcSink`` for an all-database
+    silver too). ``atomic`` then governs only the lake tables."""
 
     root: str
     atomic: bool = False
+    control_jdbc_url: str | None = None
 
     @property
     def bronze_dir(self) -> str:

@@ -1,0 +1,175 @@
+"""Database-backed control table (pipeline/control_jdbc): the
+reference's own fetch_metadata deployment — uuid PK, status CHECK,
+INSERT-then-keyed-UPDATE lifecycle with conditional finished_at —
+e2e against embedded Derby, including the all-database deployment
+(control in the DB + silver observations in the DB)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.errors import LoadError
+from meteo_etl_spark.pipeline import batch, control
+from meteo_etl_spark.pipeline.warehouse import Warehouse
+from meteo_etl_spark.schemas import FETCH_METADATA_SCHEMA
+from meteo_etl_spark.sources import jdbc
+from tests.conftest import N_HOURS, golden_payload
+
+
+@pytest.fixture()
+def offline_source(monkeypatch):
+    from meteo_etl_spark.sources.registry import Source
+
+    monkeypatch.setattr(Source, "extract", lambda self, **extra: golden_payload())
+
+
+@pytest.fixture()
+def db_warehouse(spark, tmp_path):
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/ctl/db;create=true"
+    return Warehouse(str(tmp_path / "wh"), control_jdbc_url=url)
+
+
+def test_lifecycle_roundtrip_schema_identical_to_parquet_store(spark, db_warehouse):
+    fid = control.insert_fetch_metadata(
+        spark,
+        db_warehouse,
+        "https://api.example.com/v1/x",
+        {"latitude": 3.06, "longitude": 5.25},
+    )
+    df = control.read_fetch_metadata(spark, db_warehouse)
+    # read surface is schema-identical to the parquet control store
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in FETCH_METADATA_SCHEMA.fields
+    ]
+    row = df.filter(F.col("id") == fid).collect()[0]
+    assert row.status == "pending"
+    assert row.finished_at is None and row.created_at is not None
+    assert row.request_params == {"latitude": "3.06", "longitude": "5.25"}
+
+    control.update_fetch_metadata(
+        spark,
+        db_warehouse,
+        fid,
+        status="success",
+        response_status=200,
+        payload_path="/data/bronze/x.json",
+    )
+    row = (
+        control.read_fetch_metadata(spark, db_warehouse)
+        .filter(F.col("id") == fid)
+        .collect()[0]
+    )
+    assert row.status == "success" and row.response_status == 200
+    assert row.finished_at is not None  # finished status stamps it
+    assert row.payload_path == "/data/bronze/x.json"
+
+
+def test_update_unknown_id_and_validation_errors(spark, db_warehouse):
+    control.insert_fetch_metadata(spark, db_warehouse, "https://api.example.com/y")
+    with pytest.raises(LoadError, match="no fetch_metadata row"):
+        control.update_fetch_metadata(
+            spark, db_warehouse, "not-a-real-id", status="success"
+        )
+    with pytest.raises(LoadError, match="invalid status"):
+        control.update_fetch_metadata(
+            spark, db_warehouse, "whatever", status="exploded"
+        )
+    with pytest.raises(LoadError, match="request_url violates CHECK"):
+        control.insert_fetch_metadata(spark, db_warehouse, "ftp://nope")
+
+
+def test_database_enforces_status_domain(spark, db_warehouse):
+    """The CHECK constraint lives in the database too (reference
+    etl/db.py:76-85 belt-and-braces), not only in Python validation."""
+    from meteo_etl_spark.pipeline import control_jdbc
+
+    control.insert_fetch_metadata(spark, db_warehouse, "https://api.example.com/z")
+    with pytest.raises(Exception, match="(?i)check"):
+        control_jdbc._execute_prepared(
+            spark,
+            db_warehouse.control_jdbc_url,
+            'UPDATE fetch_metadata SET "status" = \'bogus\'',
+            [],
+        )
+
+
+def test_run_etl_with_database_control(spark, db_warehouse, offline_source):
+    """Full batch ETL with the job lifecycle in the database: PENDING
+    row at start, success + finished_at at the end, silver on the lake,
+    and no parquet control directory ever written."""
+    result = batch.run_etl(
+        spark, db_warehouse, "meteo", {"latitude": 3.06, "longitude": 5.25}
+    )
+    row = (
+        control.read_fetch_metadata(spark, db_warehouse)
+        .filter(F.col("id") == result.fetch_id)
+        .collect()[0]
+    )
+    assert row.status == "success" and row.finished_at is not None
+    from meteo_etl_spark.pipeline.warehouse import read_observations
+
+    assert (
+        read_observations(spark, db_warehouse)
+        .filter(F.col("fetch_id") == result.fetch_id)
+        .count()
+        == N_HOURS
+    )
+    assert not os.path.exists(db_warehouse.control_path)
+
+
+def test_error_taxonomy_lands_in_database(spark, db_warehouse, monkeypatch):
+    """T8: a failed extract finalizes the db row as error with the
+    taxonomy payload (reference etl/app.py error path)."""
+    from meteo_etl_spark.errors import ETLError, ExtractError
+    from meteo_etl_spark.sources.registry import Source
+
+    def boom(self, **extra):
+        raise ExtractError("upstream 503", status=503)
+
+    monkeypatch.setattr(Source, "extract", boom)
+    with pytest.raises(ETLError, match="upstream 503"):
+        batch.run_etl(spark, db_warehouse, "meteo", {"latitude": 1.0, "longitude": 2.0})
+    rows = control.read_fetch_metadata(spark, db_warehouse).collect()
+    assert len(rows) == 1
+    assert rows[0].status == "error" and rows[0].finished_at is not None
+    assert "503" in (rows[0].error_data or "")
+
+
+def test_all_database_deployment_stream_e2e(
+    spark, db_warehouse, offline_source, tmp_path
+):
+    """The complete keep-Postgres deployment: control lifecycle AND
+    silver observations in the database; the lake carries only bronze
+    payloads and the event topic."""
+    from meteo_etl_spark.streaming import consume, produce
+
+    topic = str(tmp_path / "topic")
+    result = batch.run_etl(
+        spark,
+        db_warehouse,
+        "meteo",
+        {"latitude": 3.06, "longitude": 5.25},
+        fetch_job=batch.extract_and_save_to_disk,
+    )
+    produce.publish_finished_fetch(spark, db_warehouse, result.fetch_id, topic)
+
+    stats = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark,
+        db_warehouse,
+        topic,
+        str(tmp_path / "ckpt"),
+        stats=stats,
+        jdbc_sink=consume.JdbcSink(db_warehouse.control_jdbc_url),
+    ).awaitTermination(120)
+
+    assert stats.events == 1 and stats.merged_rows == N_HOURS
+    obs = jdbc.read_jdbc(spark, db_warehouse.control_jdbc_url, "observations")
+    assert obs.count() == N_HOURS
+    assert not os.path.exists(db_warehouse.observations_path)
+    assert not os.path.exists(db_warehouse.control_path)
