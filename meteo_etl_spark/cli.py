@@ -45,6 +45,16 @@ def _build_parser() -> argparse.ArgumentParser:
         description="PySpark-native weather ETL (reference-parity CLI)",
     )
     ap.add_argument("--warehouse", default="./warehouse", help="warehouse root dir")
+    ap.add_argument(
+        "--atomic", action="store_true",
+        help="land lake tables through the crash-atomic manifest layout",
+    )
+    ap.add_argument(
+        "--control-jdbc-url", default=None,
+        help="keep the fetch_metadata lifecycle in this database "
+        "(the reference's Postgres deployment), e.g. jdbc:postgresql://... "
+        "or jdbc:derby:/tmp/ctl;create=true",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     def add_fetch_args(p: argparse.ArgumentParser) -> None:
@@ -73,6 +83,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--continuous", action="store_true",
         help="processing-time trigger instead of a bounded availableNow drain",
     )
+    c.add_argument(
+        "--jdbc-sink-url", default=None,
+        help="merge observations into this database instead of the "
+        "parquet warehouse (staged MERGE INTO per micro-batch)",
+    )
+    c.add_argument("--jdbc-sink-table", default="observations")
 
     sub.add_parser("dashboard", help="print the analytics tiles")
     return ap
@@ -85,7 +101,11 @@ def main(argv: Sequence[str] | None = None) -> int:
     from meteo_etl_spark.session import get_spark
 
     spark = get_spark("meteo-etl-spark-cli")
-    wh = Warehouse(root=args.warehouse)
+    wh = Warehouse(
+        root=args.warehouse,
+        atomic=args.atomic,
+        control_jdbc_url=args.control_jdbc_url,
+    )
 
     if args.command == "fetch":
         from meteo_etl_spark.sources.registry import create_source
@@ -129,6 +149,11 @@ def main(argv: Sequence[str] | None = None) -> int:
         from meteo_etl_spark.streaming import consume
 
         stats = consume.ConsumeStats()
+        sink = (
+            consume.JdbcSink(args.jdbc_sink_url, table=args.jdbc_sink_table)
+            if args.jdbc_sink_url
+            else None
+        )
         q = consume.consume_fetch_events(
             spark,
             wh,
@@ -137,6 +162,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             dead_letter_dir=args.dead_letter,
             available_now=not args.continuous,
             stats=stats,
+            jdbc_sink=sink,
         )
         q.awaitTermination()
         print(

@@ -106,3 +106,35 @@ def test_cli_fetch_prints_json_lines(spark, warehouse, offline_source, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == N_HOURS
+
+
+def test_cli_database_deployment_flags(
+    spark, warehouse, offline_source, tmp_path, capsys
+):
+    """--control-jdbc-url + --jdbc-sink-url drive the keep-Postgres
+    deployment end-to-end from the CLI: publish with db control, then
+    consume into a db observations table."""
+    from meteo_etl_spark.sources import jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    topic = str(tmp_path / "topic")
+
+    rc = cli.main(
+        ["--warehouse", warehouse.root, "--control-jdbc-url", url,
+         "fetch-and-publish", "--long", "5.25", "--lat", "3.06",
+         "--topic-dir", topic]
+    )
+    assert rc == 0
+    assert "status=success" in capsys.readouterr().out
+
+    rc = cli.main(
+        ["--warehouse", warehouse.root, "--control-jdbc-url", url,
+         "consume-fetch-events", "--topic-dir", topic,
+         "--checkpoint", str(tmp_path / "ckpt"), "--jdbc-sink-url", url]
+    )
+    assert rc == 0
+    assert f"merged_rows={N_HOURS}" in capsys.readouterr().out
+    assert jdbc.read_jdbc(spark, url, "observations").count() == N_HOURS
+    assert jdbc.read_jdbc(spark, url, "fetch_metadata").count() == 1
