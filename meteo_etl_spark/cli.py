@@ -55,6 +55,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "(the reference's Postgres deployment), e.g. jdbc:postgresql://... "
         "or jdbc:derby:/tmp/ctl;create=true",
     )
+    ap.add_argument(
+        "--observations-jdbc-url", default=None,
+        help="keep the silver observations table in this database: "
+        "merges run as database-side MERGE INTO and reads (incl. the "
+        "dashboard) come back through the JDBC relation",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     def add_fetch_args(p: argparse.ArgumentParser) -> None:
@@ -105,6 +111,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         root=args.warehouse,
         atomic=args.atomic,
         control_jdbc_url=args.control_jdbc_url,
+        observations_jdbc_url=args.observations_jdbc_url,
     )
 
     if args.command == "fetch":

@@ -35,13 +35,17 @@ class Warehouse:
     ``control_jdbc_url`` keeps the fetch_metadata lifecycle in a
     DATABASE instead (the reference's own deployment, `etl/db.py:49-85`)
     — every control insert/update/read routes through
-    ``pipeline/control_jdbc``; bronze and silver stay on the lake
-    (pair with ``streaming.consume.JdbcSink`` for an all-database
-    silver too). ``atomic`` then governs only the lake tables."""
+    ``pipeline/control_jdbc``. ``observations_jdbc_url`` does the same
+    for the silver store: ``read_observations`` reads the database
+    table and the streaming consumer defaults its sink to it — set
+    both for the complete keep-Postgres deployment (bronze payloads
+    and the event topic stay on the lake). ``atomic`` then governs
+    only the lake tables."""
 
     root: str
     atomic: bool = False
     control_jdbc_url: str | None = None
+    observations_jdbc_url: str | None = None
 
     @property
     def bronze_dir(self) -> str:
@@ -82,7 +86,28 @@ def merge_observations(
       (`etl/load.py:45-55`);
     - batch-internal duplicates on the key collapse to one row
       (documented deviation: Postgres would error).
+
+    With ``warehouse.observations_jdbc_url`` set, the merge lands in
+    the database instead (``merge_observations_jdbc``) — same
+    semantics, executed by one database-side MERGE; the insert/update
+    split is derived from before/after row counts.
     """
+    if warehouse.observations_jdbc_url:
+        from meteo_etl_spark.sources.jdbc import jdbc_row_count, jdbc_table_exists
+
+        url = warehouse.observations_jdbc_url
+        before = (
+            jdbc_row_count(spark, url, "observations")
+            if jdbc_table_exists(spark, url, "observations")
+            else 0
+        )
+        touched = merge_observations_jdbc(spark, url, records, fetch_id=fetch_id)
+        after = jdbc_row_count(spark, url, "observations")
+        return MergeStats(
+            inserted=after - before,
+            updated=touched - (after - before),
+            target_rows=after,
+        )
     try:
         updates = records.drop(*DROPPED_AT_LOAD)
         if "timezone" not in updates.columns:
@@ -198,6 +223,21 @@ def read_observations(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
     DataFrame (a table format with a transaction log lifts this at
     scale; SURVEY.md §4).
     """
+    if warehouse.observations_jdbc_url:
+        from meteo_etl_spark.sources.jdbc import jdbc_table_exists, read_jdbc
+
+        if not jdbc_table_exists(
+            spark, warehouse.observations_jdbc_url, "observations"
+        ):
+            return spark.createDataFrame([], schema=OBSERVATIONS_SCHEMA)
+        df = read_jdbc(spark, warehouse.observations_jdbc_url, "observations")
+        df = df.toDF(*[c.lower() for c in df.columns])
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in OBSERVATIONS_SCHEMA.fields
+            ]
+        )
     if not table_exists(spark, warehouse.observations_path):
         return spark.createDataFrame([], schema=OBSERVATIONS_SCHEMA)
     if is_atomic_table(warehouse.observations_path):

@@ -190,6 +190,25 @@ def _execute_update(spark: SparkSession, url: str, sql: str) -> int:
         conn.close()
 
 
+def jdbc_row_count(spark: SparkSession, url: str, table: str) -> int:
+    """COUNT(*) over a driver-side connection (accounting-sized
+    metadata queries; bulk reads go through ``read_jdbc``)."""
+    conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(f"SELECT COUNT(*) FROM {table}")
+            try:
+                rs.next()
+                return rs.getLong(1)
+            finally:
+                rs.close()
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
     """Probe database metadata for ``table`` (exact, upper- and
     lower-case forms — unquoted DDL folds case per database)."""

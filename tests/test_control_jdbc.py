@@ -173,3 +173,44 @@ def test_all_database_deployment_stream_e2e(
     assert obs.count() == N_HOURS
     assert not os.path.exists(db_warehouse.observations_path)
     assert not os.path.exists(db_warehouse.control_path)
+
+
+def test_batch_etl_with_database_silver_and_dashboard(
+    spark, tmp_path, offline_source, capsys
+):
+    """Warehouse(observations_jdbc_url=...): the BATCH merge lands in
+    the database (MergeStats split from before/after counts), replay
+    updates rather than duplicates, and the full dashboard surface —
+    counts, describe, mean tiles, last status — reads back through the
+    JDBC relation (reference dashboard/streamlit_app.py reads
+    Postgres)."""
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/alldb/db;create=true"
+    wh = Warehouse(
+        str(tmp_path / "wh"), control_jdbc_url=url, observations_jdbc_url=url
+    )
+    r1 = batch.run_etl(spark, wh, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    assert r1.status == "success"
+    from meteo_etl_spark.pipeline.warehouse import read_observations
+
+    obs = read_observations(spark, wh)
+    assert obs.count() == N_HOURS
+    assert not os.path.exists(wh.observations_path)
+
+    # replay: same coordinates merge as updates, not duplicates
+    r2 = batch.run_etl(spark, wh, "meteo", {"latitude": 3.06, "longitude": 5.25})
+    assert r2.status == "success"
+    assert read_observations(spark, wh).count() == N_HOURS
+
+    from meteo_etl_spark import cli
+
+    rc = cli.main(
+        ["--warehouse", wh.root, "--control-jdbc-url", url,
+         "--observations-jdbc-url", url, "dashboard"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Observations recorded: {N_HOURS}" in out
+    assert "Jobs recorded: 2" in out
+    assert "Last status recorded: 🟢 Success" in out
