@@ -97,6 +97,30 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--jdbc-sink-table", default="observations")
 
     sub.add_parser("dashboard", help="print the analytics tiles")
+
+    o = sub.add_parser(
+        "optimize", help="compact fragmented partitions (atomic-safe OPTIMIZE)"
+    )
+    o.add_argument("--path", required=True, help="table path (plain or atomic)")
+    o.add_argument("--partition-col")
+    o.add_argument("--target-file-mb", type=int, default=128)
+    o.add_argument("--min-files", type=int, default=2)
+    o.add_argument(
+        "--vacuum", action="store_true",
+        help="also collect superseded generations (truncates time travel; "
+        "requires no in-flight readers older than the last commit)",
+    )
+
+    v = sub.add_parser(
+        "vacuum", help="collect unreferenced generations of an atomic table"
+    )
+    v.add_argument("--path", required=True)
+    v.add_argument("--retain-versions", type=int, default=1)
+    v.add_argument(
+        "--min-orphan-age-seconds", type=float, default=3600.0,
+        help="never-referenced generations younger than this are kept "
+        "(possible concurrent-writer staging); 0 asserts writer quiescence",
+    )
     return ap
 
 
@@ -176,6 +200,36 @@ def main(argv: Sequence[str] | None = None) -> int:
             f"batches={stats.batches} events={stats.events} "
             f"poison={stats.poison} merged_rows={stats.merged_rows}"
         )
+        return 0
+
+    if args.command == "optimize":
+        from meteo_etl_spark.operators.compact import compact_table
+
+        stats = compact_table(
+            spark,
+            args.path,
+            partition_col=args.partition_col,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            min_files_to_compact=args.min_files,
+            vacuum=args.vacuum,
+        )
+        print(
+            f"partitions_compacted={stats.partitions_compacted} "
+            f"files_before={stats.files_before} files_after={stats.files_after}"
+        )
+        return 0
+
+    if args.command == "vacuum":
+        from meteo_etl_spark.operators.atomic import AtomicParquetTable, is_atomic_table
+
+        if not is_atomic_table(args.path, spark):
+            print(f"not an atomic table: {args.path}")
+            return 1
+        removed = AtomicParquetTable(spark, args.path).vacuum(
+            retain_versions=args.retain_versions,
+            min_orphan_age_seconds=args.min_orphan_age_seconds,
+        )
+        print(f"removed={len(removed)}")
         return 0
 
     if args.command == "dashboard":

@@ -227,6 +227,57 @@ def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
         conn.close()
 
 
+def merge_statement(
+    table: str,
+    staging: str,
+    columns: list[str],
+    keys: list[str],
+    *,
+    update_cols: list[str] | None = None,
+    dialect: str = "merge",
+) -> str:
+    """The fold-staging-into-target statement, per SQL dialect.
+
+    - ``"merge"`` (ANSI; Derby 10.11+, Postgres 15+, SQL Server,
+      Oracle): one ``MERGE INTO .. WHEN MATCHED / WHEN NOT MATCHED``.
+    - ``"on_conflict"`` (Postgres < 15, SQLite, CockroachDB — and the
+      reference's own statement shape, `etl/load.py:35-55`):
+      ``INSERT .. SELECT .. ON CONFLICT (keys) DO UPDATE SET c =
+      EXCLUDED.c``; requires a unique index on the key columns (the
+      reference's ``u_loc_time`` constraint, `etl/db.py:118`). With no
+      update columns it degrades to ``DO NOTHING``.
+
+    Identifiers: table names unquoted (database folds case, matching
+    Spark's JDBC writer), column names quoted verbatim."""
+
+    def q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    non_keys = (
+        update_cols if update_cols is not None else [c for c in columns if c not in keys]
+    )
+    cols = ", ".join(q(c) for c in columns)
+    if dialect == "merge":
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        vals = ", ".join(f"s.{q(c)}" for c in columns)
+        stmt = f"MERGE INTO {table} t USING {staging} s ON {on}"
+        if non_keys:
+            sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        return stmt + f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    if dialect == "on_conflict":
+        key_list = ", ".join(q(k) for k in keys)
+        stmt = (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({key_list}) DO "
+        )
+        if non_keys:
+            sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
+            return stmt + f"UPDATE SET {sets}"
+        return stmt + "NOTHING"
+    raise ValueError(f"unknown dialect {dialect!r} (merge|on_conflict)")
+
+
 def upsert_jdbc(
     df: DataFrame,
     url: str,
@@ -234,6 +285,7 @@ def upsert_jdbc(
     keys: list[str],
     *,
     update_cols: list[str] | None = None,
+    dialect: str = "merge",
     driver: str | None = None,
     staging_table: str | None = None,
     batchsize: int = 10_000,
@@ -259,10 +311,10 @@ def upsert_jdbc(
     2. if the target does not exist, create it from the staging
        table's shape (``CREATE TABLE .. AS SELECT .. WITH NO DATA`` —
        so ``createTableColumnTypes`` pins propagate);
-    3. fold staging into the target with one database-side
-       ``MERGE INTO`` — a single atomic statement (ANSI; Derby 10.11+,
-       Postgres 15+; older Postgres would substitute
-       INSERT .. ON CONFLICT) — then drop staging.
+    3. fold staging into the target with ONE atomic database-side
+       statement — ``MERGE INTO`` by default, or the Postgres-<15 /
+       SQLite shape with ``dialect="on_conflict"`` (see
+       ``merge_statement``) — then drop staging.
 
     The batch must be unique per key (dedupe upstream with the
     warehouse's last-write-wins rule): two source rows matching one
@@ -308,9 +360,6 @@ def upsert_jdbc(
         options=options,
     )
 
-    def q(c: str) -> str:
-        return '"' + c.replace('"', '""') + '"'
-
     try:
         if not jdbc_table_exists(spark, url, table):
             _execute_update(
@@ -318,20 +367,24 @@ def upsert_jdbc(
                 url,
                 f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA",
             )
-        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-        non_keys = (
-            update_cols
-            if update_cols is not None
-            else [c for c in df.columns if c not in keys]
+            if dialect == "on_conflict":
+                # ON CONFLICT arbitrates via a unique index; create it
+                # with the table so first use works out of the box.
+                key_list = ", ".join('"' + k.replace('"', '""') + '"' for k in keys)
+                _execute_update(
+                    spark,
+                    url,
+                    f"CREATE UNIQUE INDEX {table}_upsert_key ON {table} ({key_list})",
+                )
+        stmt = merge_statement(
+            table,
+            staging,
+            df.columns,
+            keys,
+            update_cols=update_cols,
+            dialect=dialect,
         )
-        cols = ", ".join(q(c) for c in df.columns)
-        vals = ", ".join(f"s.{q(c)}" for c in df.columns)
-        merge = f"MERGE INTO {table} t USING {staging} s ON {on}"
-        if non_keys:
-            sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
-            merge += f" WHEN MATCHED THEN UPDATE SET {sets}"
-        merge += f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
-        return _execute_update(spark, url, merge)
+        return _execute_update(spark, url, stmt)
     finally:
         try:
             _execute_update(spark, url, f"DROP TABLE {staging}")

@@ -108,6 +108,37 @@ def test_cli_fetch_prints_json_lines(spark, warehouse, offline_source, capsys):
     assert len(lines) == N_HOURS
 
 
+def test_cli_optimize_and_vacuum_maintenance(spark, tmp_path, capsys):
+    """The table-maintenance entry points: OPTIMIZE compacts fragmented
+    partitions of an atomic table as one commit; VACUUM collects the
+    superseded generations afterwards (explicit, never implicit)."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable, read_table
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="p")
+    base = spark.createDataFrame(
+        [(j, f"v{j}", "a" if j % 2 == 0 else "b") for j in range(40)],
+        ["k", "v", "p"],
+    )
+    t.overwrite(base.repartition(6))
+
+    rc = cli.main(["optimize", "--path", path, "--partition-col", "p",
+                   "--min-files", "1"])
+    assert rc == 0
+    assert "partitions_compacted=2" in capsys.readouterr().out
+    assert read_table(spark, path).count() == 40
+    assert t.versions() == [1, 2]  # OPTIMIZE alone keeps history
+
+    rc = cli.main(["vacuum", "--path", path, "--min-orphan-age-seconds", "0"])
+    assert rc == 0
+    assert "removed=1" in capsys.readouterr().out
+    assert t.versions() == [2]
+    assert read_table(spark, path).count() == 40
+
+    rc = cli.main(["vacuum", "--path", str(tmp_path / "nope")])
+    assert rc == 1
+
+
 def test_cli_database_deployment_flags(
     spark, warehouse, offline_source, tmp_path, capsys
 ):

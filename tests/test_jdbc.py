@@ -177,6 +177,35 @@ def test_upsert_replay_is_idempotent(spark, derby_url):
     assert not jdbc.jdbc_table_exists(spark, derby_url, "replay_stg")
 
 
+def test_merge_statement_dialects():
+    """SQL generation for both upsert dialects (the Derby e2e covers
+    'merge' execution; 'on_conflict' is the reference's own statement
+    shape, etl/load.py:35-55, runnable on Postgres < 15 / SQLite)."""
+    cols, keys = ["k", "v", "t s"], ["k"]
+    m = jdbc.merge_statement("tgt", "stg", cols, keys)
+    assert m == (
+        'MERGE INTO tgt t USING stg s ON t."k" = s."k"'
+        ' WHEN MATCHED THEN UPDATE SET "v" = s."v", "t s" = s."t s"'
+        ' WHEN NOT MATCHED THEN INSERT ("k", "v", "t s")'
+        ' VALUES (s."k", s."v", s."t s")'
+    )
+    oc = jdbc.merge_statement("tgt", "stg", cols, keys, dialect="on_conflict")
+    assert oc == (
+        'INSERT INTO tgt ("k", "v", "t s") SELECT "k", "v", "t s" FROM stg'
+        ' ON CONFLICT ("k") DO UPDATE SET "v" = EXCLUDED."v",'
+        ' "t s" = EXCLUDED."t s"'
+    )
+    # update subset / no updatable columns
+    sub = jdbc.merge_statement("tgt", "stg", cols, keys, update_cols=["v"])
+    assert 'UPDATE SET "v" = s."v" WHEN' in sub and '"t s" = s."t s"' not in sub
+    nothing = jdbc.merge_statement(
+        "tgt", "stg", ["k"], ["k"], dialect="on_conflict"
+    )
+    assert nothing.endswith("DO NOTHING")
+    with pytest.raises(ValueError, match="unknown dialect"):
+        jdbc.merge_statement("t", "s", cols, keys, dialect="upsertish")
+
+
 def test_upsert_composite_key_and_validation(spark, derby_url):
     opts = {"createTableColumnTypes": "a VARCHAR(8)"}
     df = spark.createDataFrame(
