@@ -61,6 +61,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "merges run as database-side MERGE INTO and reads (incl. the "
         "dashboard) come back through the JDBC relation",
     )
+    ap.add_argument(
+        "--jdbc-dialect", default="merge", choices=("merge", "on_conflict"),
+        help="upsert statement shape for database sinks: 'merge' "
+        "(ANSI MERGE INTO — Derby, Postgres 15+) or 'on_conflict' "
+        "(INSERT .. ON CONFLICT — Postgres <15, SQLite; the "
+        "reference's own statement)",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     def add_fetch_args(p: argparse.ArgumentParser) -> None:
@@ -136,6 +143,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         atomic=args.atomic,
         control_jdbc_url=args.control_jdbc_url,
         observations_jdbc_url=args.observations_jdbc_url,
+        jdbc_dialect=args.jdbc_dialect,
     )
 
     if args.command == "fetch":
@@ -181,7 +189,11 @@ def main(argv: Sequence[str] | None = None) -> int:
 
         stats = consume.ConsumeStats()
         sink = (
-            consume.JdbcSink(args.jdbc_sink_url, table=args.jdbc_sink_table)
+            consume.JdbcSink(
+                args.jdbc_sink_url,
+                table=args.jdbc_sink_table,
+                dialect=args.jdbc_dialect,
+            )
             if args.jdbc_sink_url
             else None
         )

@@ -41,7 +41,12 @@ commit arbiter needs an atomic fail-if-exists namespace op: POSIX link
 locally, no-overwrite rename on HDFS (Delta's HDFSLogStore scheme); on
 plain S3 it requires a commit service or conditional-put
 (``If-None-Match: *``) — the same contract every table format states
-for its log store.
+for its log store. That contract is code here, not prose:
+``AtomicParquetTable(single_writer=True)`` skips the arbiter for the
+scheduler-enforced one-writer deployment, and
+``AtomicParquetTable(lock_io=...)`` routes commit arbitration through
+an external conditional-put store (``LockIO`` seam — the
+S3DynamoDBLogStore shape), with crashed-winner completion on recovery.
 """
 
 from __future__ import annotations
@@ -65,6 +70,52 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency, first-writer-wins). Re-read the table and retry the
     operation on the new snapshot."""
+
+
+class LockIO:
+    """Commit-arbiter seam for stores WITHOUT atomic create-if-absent
+    (plain S3 object stores, where a PUT is last-writer-wins and the
+    filesystem arbiter in ``fsio`` cannot arbitrate racing writers).
+
+    Conditional-put shaped — the same contract as Delta's
+    S3DynamoDBLogStore / Iceberg's lock-table: an external coordination
+    store admits exactly one ``put_if_absent`` per key. The key is
+    ``<table_path>#v<N>`` and the stored body is the full manifest
+    JSON, so a winner that crashes between acquiring the lock and
+    writing the version file to the data store can be *completed* by
+    any later writer (``get`` returns the winning body — see
+    ``AtomicParquetTable._flip`` recovery).
+
+    Implementations bind this to DynamoDB conditional writes, a
+    database unique-key insert, ZooKeeper, etc. The in-repo
+    ``InMemoryLockIO`` is the reference implementation used by tests.
+    """
+
+    def put_if_absent(self, key: str, body: str) -> bool:
+        """Atomically store ``body`` under ``key`` iff absent. True =
+        this caller won the commit; False = key already held."""
+        raise NotImplementedError
+
+    def get(self, key: str) -> str | None:
+        """Return the stored body, or None if the key was never put."""
+        raise NotImplementedError
+
+
+class InMemoryLockIO(LockIO):
+    """Process-local LockIO (reference implementation). Real
+    deployments back this with a store shared by all writers."""
+
+    def __init__(self) -> None:
+        self._entries: dict[str, str] = {}
+
+    def put_if_absent(self, key: str, body: str) -> bool:
+        if key in self._entries:
+            return False
+        self._entries[key] = body
+        return True
+
+    def get(self, key: str) -> str | None:
+        return self._entries.get(key)
 
 
 def _version_files(io, path: str) -> list[int]:
@@ -137,10 +188,40 @@ class AtomicParquetTable:
     full-table snapshot semantics, still atomic.
     """
 
-    def __init__(self, spark: SparkSession, path: str, partition_col: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_col: str | None = None,
+        *,
+        single_writer: bool = False,
+        lock_io: LockIO | None = None,
+    ):
+        """``single_writer`` / ``lock_io`` select the commit arbiter
+        for stores without atomic create-if-absent (plain S3 — see
+        fsio's store-contract table). Exactly one mode applies:
+
+        - default (both unset): filesystem arbiter — POSIX link /
+          no-overwrite HDFS rename. Full concurrent-writer safety on
+          local/HDFS; UNSAFE on plain S3 (create is last-writer-wins).
+        - ``single_writer=True``: skip the arbiter entirely — the
+          version file is a plain put. The caller asserts exactly ONE
+          writer ever commits to this table (scheduler-enforced, the
+          common object-store deployment). A *sequential* duplicate
+          commit is still rejected best-effort (version file already
+          visible), but a true in-flight race is UNDETECTED by
+          contract.
+        - ``lock_io=<LockIO>``: commits are arbitrated by an external
+          conditional-put store shared by all writers — full safety on
+          any object store (the Delta-S3DynamoDBLogStore shape).
+        """
+        if single_writer and lock_io is not None:
+            raise ValueError("single_writer and lock_io are mutually exclusive")
         self.spark = spark
         self.path = path.rstrip("/")
         self._io = fsio.io_for(self.path, spark)
+        self._single_writer = single_writer
+        self._lock_io = lock_io
         self.partition_col = partition_col
         m = self._load_manifest()
         if m is not None:
@@ -194,11 +275,35 @@ class AtomicParquetTable:
         body = json.dumps(manifest, indent=1, sort_keys=True)
         if failpoint:
             failpoint("before_flip")
-        if not self._io.publish_exclusive(vpath, body):
-            raise ConcurrentWriteError(
-                f"version {manifest['version']} at {self.path} was committed by "
-                "another writer; re-read the table and retry"
-            )
+        lost = (
+            f"version {manifest['version']} at {self.path} was committed by "
+            "another writer; re-read the table and retry"
+        )
+        if self._lock_io is not None:
+            # External conditional-put arbiter (object-store mode): the
+            # lock entry IS the commit and carries the full body, so a
+            # winner that dies before materializing the version file in
+            # the data store can be completed by any later writer.
+            key = f"{self.path}#v{manifest['version']}"
+            if self._lock_io.put_if_absent(key, body):
+                if failpoint:
+                    failpoint("after_lock")
+                self._io.replace(vpath, body)  # lock winner owns this name
+            else:
+                if not self._io.isfile(vpath):
+                    prior = self._lock_io.get(key)
+                    if prior is not None:
+                        self._io.replace(vpath, prior)  # complete crashed winner
+                raise ConcurrentWriteError(lost)
+        elif self._single_writer:
+            # No arbiter by contract (exactly one writer). Best-effort
+            # rejection of sequential duplicate commits only; a true
+            # in-flight race is undetected — documented-unsafe.
+            if self._io.isfile(vpath):
+                raise ConcurrentWriteError(lost)
+            self._io.replace(vpath, body)
+        elif not self._io.publish_exclusive(vpath, body):
+            raise ConcurrentWriteError(lost)
         self._io.fsync_dir(self.path)
         if failpoint:
             failpoint("after_commit")
@@ -399,9 +504,15 @@ class AtomicParquetTable:
                 d.startswith(VERSION_PREFIX)
                 and d.endswith(".json")
                 and int(d[len(VERSION_PREFIX):-len(".json")]) not in keep_versions
+                and int(d[len(VERSION_PREFIX):-len(".json")]) < max(keep_versions)
             ):
                 # History whose generations are being collected now;
-                # time travel past this point is gone by contract.
+                # time travel past this point is gone by contract. The
+                # `< max(keep_versions)` guard makes this loop safe
+                # against concurrent writers: a version file committed
+                # AFTER the all_versions snapshot above is newer than
+                # every kept version and must never be collected — it
+                # is a successful commit, not history.
                 self._io.unlink(full)
         return sorted(removed)
 

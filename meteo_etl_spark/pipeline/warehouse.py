@@ -46,6 +46,11 @@ class Warehouse:
     atomic: bool = False
     control_jdbc_url: str | None = None
     observations_jdbc_url: str | None = None
+    #: upsert statement shape for the database-backed silver store:
+    #: "merge" (ANSI MERGE INTO — Derby, Postgres 15+) or
+    #: "on_conflict" (INSERT .. ON CONFLICT — Postgres <15, SQLite;
+    #: the reference's own statement, `etl/load.py:35-55`).
+    jdbc_dialect: str = "merge"
 
     @property
     def bronze_dir(self) -> str:
@@ -90,7 +95,11 @@ def merge_observations(
     With ``warehouse.observations_jdbc_url`` set, the merge lands in
     the database instead (``merge_observations_jdbc``) — same
     semantics, executed by one database-side MERGE; the insert/update
-    split is derived from before/after row counts.
+    split is derived from before/after row counts. That split is NOT
+    transactional with the MERGE: a concurrent writer to the same
+    table between the two counts skews ``inserted``/``updated``
+    (accounting only — the merged data itself is still correct, the
+    MERGE is one atomic statement).
     """
     if warehouse.observations_jdbc_url:
         from meteo_etl_spark.sources.jdbc import jdbc_row_count, jdbc_table_exists
@@ -101,7 +110,9 @@ def merge_observations(
             if jdbc_table_exists(spark, url, "observations")
             else 0
         )
-        touched = merge_observations_jdbc(spark, url, records, fetch_id=fetch_id)
+        touched = merge_observations_jdbc(
+            spark, url, records, fetch_id=fetch_id, dialect=warehouse.jdbc_dialect
+        )
         after = jdbc_row_count(spark, url, "observations")
         return MergeStats(
             inserted=after - before,
@@ -148,6 +159,7 @@ def merge_observations_jdbc(
     *,
     table: str = "observations",
     fetch_id: str | None = None,
+    dialect: str = "merge",
     options: dict[str, str] | None = None,
 ) -> int:
     """MERGE normalized weather records into a DATABASE observations
@@ -203,6 +215,7 @@ def merge_observations_jdbc(
                 "fetch_id",
                 "updated_at",
             ],
+            dialect=dialect,
             options=opts,
         )
     except Exception as exc:

@@ -1707,11 +1707,17 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_ngram_jaccard",  # shingles + verify: dedup_minhash_lsh (in-window r1)
     "docs_hash_split",  # md5 buckets: docs_stratified_sample (in-window r1)
     "q14_date_parts",  # T11 date derivation: q17_date_trunc (in-window r1)
-    # round-2 breadth additions still awaiting a first driver check —
-    # remaining "never" batch, scheduled for the round-6 rotation:
-    "tpch_q21_waiting_supplier",  # decorrelated exists-pair: q13/sessionize (never)
-    "tpch_q9_product_profit",  # wide star join: tpch_q7/q8 patterns (never)
-    "tpch_q20_excess_supplier",  # agg-then-semi chain: tpch_q18/q4 (never)
+    # round-6 rotation: the last four never-checked entries
+    # (tpch_q21_waiting_supplier, tpch_q9_product_profit,
+    # tpch_q20_excess_supplier — removed from this tuple — plus
+    # jdbc_upsert_agg by registration order) enter the window; with
+    # them checked, EVERY registered query is driver-hash certified at
+    # least once. Rotated out to make room, each a 5×-driver-green
+    # veteran (r1-r5) with an in-window shape twin:
+    "q6_filtered_count",  # P3/A4 filtered count: tpch_q6 filtered agg (in-window r5)
+    "q16_unnest_soa",  # T1 explode(arrays_zip): docs_chunk_windows explode + mm_decode_meta struct access (in-window r5)
+    "tpch_q12_priority_class",  # conditional agg: tpch_q8 conditional sum (in-window r5)
+    "tpch_q3_shipping_priority",  # join+agg+topk: tpch_q10 same shape (in-window r5)
     # rotated OUT in round 4 to readmit the round-3 deferrals below —
     # each is 3× driver-green (r1-r3) with an in-window shape twin:
     "q2_count",  # A1 count: q6/q7 aggregate shapes (in-window r3)
@@ -1740,9 +1746,9 @@ _DEFERRED: tuple[str, ...] = (
     # tpch_q13_order_distribution, docs_vocab_topk, sim_topk_cosine,
     # corpus_clean — all now in-window r4.
     #
-    # Queued past the window by registration order (not _DEFERRED):
-    # jdbc_upsert_agg (round-5 addition) — priority for the round-6
-    # rotation together with the three remaining "never" TPC-H entries.
+    # Round-6 state: zero "never" entries remain — jdbc_upsert_agg and
+    # the three TPC-H round-2 additions (q21/q9/q20) are in-window r6;
+    # every registered query has had at least one driver-hash check.
 )
 
 

@@ -156,7 +156,10 @@ def write_jdbc(
     """
     if driver:
         require_driver(df.sparkSession, driver)
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+    if num_partitions is not None:
+        # coalesce never raises partition count, so this is a cheap
+        # no-op when the plan already fits the connection budget (and
+        # avoids materializing the RDD lineage just to count partitions)
         df = df.coalesce(num_partitions)
 
     writer = (
@@ -211,15 +214,24 @@ def jdbc_row_count(spark: SparkSession, url: str, table: str) -> int:
 
 def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
     """Probe database metadata for ``table`` (exact, upper- and
-    lower-case forms — unquoted DDL folds case per database)."""
+    lower-case forms — unquoted DDL folds case per database).
+
+    ``getTables`` treats its name argument as a LIKE pattern where
+    ``_``/``%`` are wildcards — ``fetch_metadata`` would match a
+    ``fetchXmetadata`` table and wrongly skip CREATE TABLE. Escaping
+    with ``getSearchStringEscape`` is not portable (embedded Derby
+    returns the empty string — no escape support), so instead the
+    over-matching result set is compared LITERALLY against the
+    probed name: the literal match is always in the LIKE result."""
     conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
     try:
         meta = conn.getMetaData()
         for name in (table, table.upper(), table.lower()):
             rs = meta.getTables(None, None, name, None)
             try:
-                if rs.next():
-                    return True
+                while rs.next():
+                    if rs.getString(3) == name:  # col 3 = TABLE_NAME
+                        return True
             finally:
                 rs.close()
         return False
@@ -333,8 +345,14 @@ def upsert_jdbc(
 
     ``staging_table`` defaults to ``<table>_stg`` — deterministic, so
     a crashed run's leftover staging is overwritten by the next run
-    (self-cleaning); pass distinct names to run concurrent upserts
-    into different targets over one database."""
+    (self-cleaning). **Concurrency contract: one writer per TARGET
+    table at a time.** Two concurrent upserts into the SAME target
+    share the default staging name — one overwrites the other's
+    staged batch and the loser's cleanup can drop the winner's
+    staging mid-merge. Concurrent upserts into *different* targets
+    are fine (distinct default staging names); for same-target
+    concurrency serialize upstream, exactly as the reference's
+    per-fetch transaction does (`etl/load.py:35-57`)."""
     if not keys:
         raise ValueError("upsert_jdbc requires at least one key column")
     missing = [k for k in keys if k not in df.columns]

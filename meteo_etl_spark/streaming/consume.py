@@ -58,6 +58,10 @@ class JdbcSink:
 
     url: str
     table: str = "observations"
+    #: upsert statement shape: "merge" (ANSI MERGE INTO) or
+    #: "on_conflict" (Postgres <15 / SQLite — the reference's own
+    #: statement shape, `etl/load.py:35-55`).
+    dialect: str = "merge"
     options: dict | None = None
 
 
@@ -109,6 +113,7 @@ def process_event_batch(
                 jdbc_sink.url,
                 records,
                 table=jdbc_sink.table,
+                dialect=jdbc_sink.dialect,
                 options=jdbc_sink.options,
             )
         else:

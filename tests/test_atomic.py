@@ -392,3 +392,149 @@ def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
     assert t.versions() == [3]
     with pytest.raises(ValueError, match=">= 1"):
         t.vacuum(retain_versions=0)
+
+
+def test_vacuum_never_collects_version_committed_after_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Writer-safety of the history-collection branch: a version file
+    committed by a concurrent writer AFTER vacuum's version-list
+    snapshot (but before the deletion loop re-lists the directory) is
+    newer than every kept version — it must survive, it is a
+    successful commit, not collectable history."""
+    from meteo_etl_spark.operators import atomic as atomic_mod
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a", "x")]))  # v1
+    t.overwrite(_df(spark, [(2, "b", "x")]))  # v2
+    stale_manifest = t._load_manifest()
+    stale_versions = atomic_mod._version_files(t._io, path)
+
+    # the "concurrent" commit that lands between snapshot and deletion
+    t.overwrite(_df(spark, [(3, "c", "x")]))  # v3
+    v3 = t._load_manifest()["version"]
+
+    # replay vacuum as if it had snapshotted at v2-time
+    monkeypatch.setattr(t, "_load_manifest", lambda: stale_manifest)
+    monkeypatch.setattr(
+        atomic_mod, "_version_files", lambda io, p: list(stale_versions)
+    )
+    removed = t.vacuum()  # default orphan age also protects v3's generation
+    monkeypatch.undo()
+
+    # v1's superseded generation was still collected...
+    assert any(r.startswith("gen-") for r in removed)
+    # ...but the concurrent v3 commit survives intact
+    assert t._load_manifest()["version"] == v3
+    assert t.versions()[-1] == v3
+    assert _snapshot(spark, path) == {(3, "c", "x")}
+
+
+def test_single_writer_mode_commits_without_arbiter(spark, tmp_path, monkeypatch):
+    """single_writer=True skips the exclusive-create arbiter (the
+    object-store deployment where the scheduler guarantees one writer):
+    commits go through a plain put, reads/merges/time travel behave
+    identically, and publish_exclusive is never invoked."""
+    from meteo_etl_spark.operators import atomic as atomic_mod
+    from meteo_etl_spark.operators import fsio
+
+    def boom(self, path, body):
+        raise AssertionError("arbiter must not run in single_writer mode")
+
+    monkeypatch.setattr(fsio.LocalIO, "publish_exclusive", boom)
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, single_writer=True)
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    t.overwrite(_df(spark, [(2, "b", "x")]))
+    assert _snapshot(spark, path) == {(2, "b", "x")}
+    assert t.versions() == [1, 2]
+    monkeypatch.undo()
+
+    # best-effort duplicate rejection: a SECOND writer instance that
+    # commits after the first completed still collides on the visible
+    # version file. (A true in-flight race is undetected by contract —
+    # that is what the mode's single-writer assertion means.)
+    stale = AtomicParquetTable(spark, path, single_writer=True)
+    stale_m = stale._load_manifest()
+    t.overwrite(_df(spark, [(3, "c", "x")]))  # v3 lands first
+    monkeypatch.setattr(stale, "_load_manifest", lambda: stale_m)
+    with pytest.raises(atomic_mod.ConcurrentWriteError):
+        stale.overwrite(_df(spark, [(9, "LOST", "x")]))
+    monkeypatch.undo()
+    assert _snapshot(spark, path) == {(3, "c", "x")}
+
+
+def test_single_writer_and_lock_io_are_mutually_exclusive(spark, tmp_path):
+    from meteo_etl_spark.operators.atomic import InMemoryLockIO
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        AtomicParquetTable(
+            spark, str(tmp_path / "t"), single_writer=True, lock_io=InMemoryLockIO()
+        )
+
+
+def test_lock_io_arbitrates_racing_writers(spark, tmp_path, monkeypatch):
+    """With lock_io set, the conditional-put store — not the filesystem
+    — arbitrates: the loser gets ConcurrentWriteError even on a store
+    whose native create is last-writer-wins (simulated by disabling
+    the filesystem arbiter entirely)."""
+    from meteo_etl_spark.operators import fsio
+    from meteo_etl_spark.operators.atomic import (
+        ConcurrentWriteError,
+        InMemoryLockIO,
+    )
+
+    def no_arbiter(self, path, body):
+        raise AssertionError("filesystem arbiter must not run in lock_io mode")
+
+    monkeypatch.setattr(fsio.LocalIO, "publish_exclusive", no_arbiter)
+    path = str(tmp_path / "t")
+    lock = InMemoryLockIO()  # the store shared by both writers
+    a = AtomicParquetTable(spark, path, lock_io=lock)
+    a.overwrite(_df(spark, [(1, "a", "x")]))
+
+    b = AtomicParquetTable(spark, path, lock_io=lock)
+    stale_m = b._load_manifest()
+    a.overwrite(_df(spark, [(2, "a2", "x")]))  # writer A commits v2 first
+    monkeypatch.setattr(b, "_load_manifest", lambda: stale_m)
+    with pytest.raises(ConcurrentWriteError):
+        b.overwrite(_df(spark, [(9, "LOST", "x")]))
+    assert _snapshot(spark, path) == {(2, "a2", "x")}
+
+
+def test_lock_io_completes_crashed_winners_commit(spark, tmp_path):
+    """Recovery contract: a winner that acquires the lock but dies
+    before materializing the version file in the data store is
+    COMPLETED by the next writer (the lock entry carries the full
+    manifest body) — the committed version is never lost and the table
+    converges on it."""
+    from meteo_etl_spark.operators.atomic import (
+        ConcurrentWriteError,
+        InMemoryLockIO,
+    )
+
+    path = str(tmp_path / "t")
+    lock = InMemoryLockIO()
+    t = AtomicParquetTable(spark, path, lock_io=lock)
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+
+    def die(point):
+        if point == "after_lock":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        t.overwrite(_df(spark, [(2, "WINNER", "x")]), _failpoint=die)
+    # lock held for v2, but no v2 version file in the store yet
+    assert t.versions() == [1]
+
+    rival = AtomicParquetTable(spark, path, lock_io=lock)
+    with pytest.raises(ConcurrentWriteError):
+        rival.overwrite(_df(spark, [(3, "RIVAL", "x")]))
+    # the rival completed the crashed winner's v2 before losing
+    assert t.versions() == [1, 2]
+    assert _snapshot(spark, path) == {(2, "WINNER", "x")}
+    # and a retry on the fresh snapshot (the contract's next step) works
+    rival2 = AtomicParquetTable(spark, path, lock_io=lock)
+    rival2.overwrite(_df(spark, [(3, "RIVAL", "x")]))
+    assert _snapshot(spark, path) == {(3, "RIVAL", "x")}

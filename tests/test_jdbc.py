@@ -225,3 +225,17 @@ def test_upsert_composite_key_and_validation(spark, derby_url):
         jdbc.upsert_jdbc(df, derby_url, "comp", [])
     with pytest.raises(ValueError, match="not in DataFrame"):
         jdbc.upsert_jdbc(df, derby_url, "comp", ["nope"])
+
+
+def test_table_exists_is_literal_not_like_pattern(spark, derby_url):
+    """DatabaseMetaData.getTables treats `_` as a single-char LIKE
+    wildcard; the probe must escape it, or `fetch_metadata` would
+    match a `fetchXmetadata` table and upsert/control DDL would skip
+    CREATE TABLE against a table that does not exist."""
+    df = spark.createDataFrame([Row(k=1)])
+    jdbc.write_jdbc(df, derby_url, "probeXtable", mode="overwrite")
+    assert jdbc.jdbc_table_exists(spark, derby_url, "probeXtable")
+    # `_` in the probed name must NOT wildcard-match probeXtable
+    assert not jdbc.jdbc_table_exists(spark, derby_url, "probe_table")
+    jdbc.write_jdbc(df, derby_url, "probe_table", mode="overwrite")
+    assert jdbc.jdbc_table_exists(spark, derby_url, "probe_table")
