@@ -239,6 +239,82 @@ def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
         conn.close()
 
 
+def _split_columns_spec(spec: str) -> list[str]:
+    """Split a ``createTableColumnTypes``-style spec ("a VARCHAR(16),
+    b DECIMAL(10,2)") on top-level commas only."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def create_table_ddl(
+    table: str,
+    schema,
+    *,
+    url: str,
+    column_types: str | None = None,
+) -> str:
+    """Portable CREATE TABLE for a Spark schema (used to pre-create
+    staging tables so Spark's JDBC writer only ever appends — its
+    overwrite-mode existence probe propagates exceptions on dialects
+    it doesn't know, e.g. DuckDB). ``column_types`` accepts the same
+    ``createTableColumnTypes`` spec as Spark and wins per column.
+
+    Strings default to CLOB on Derby (its dialect binds NULL strings
+    with the CLOB type code — a VARCHAR column would reject them) and
+    VARCHAR elsewhere; pin via ``column_types`` where that is wrong."""
+    from pyspark.sql import types as T
+
+    overrides: dict[str, str] = {}
+    for part in _split_columns_spec(column_types or ""):
+        name, _, ty = part.partition(" ")
+        overrides[name.strip().strip('"')] = ty.strip()
+
+    def sql_type(dt) -> str:
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        if isinstance(dt, T.StringType):
+            return "CLOB" if url.startswith("jdbc:derby") else "VARCHAR"
+        for cls, name in (
+            (T.LongType, "BIGINT"),
+            (T.IntegerType, "INTEGER"),
+            (T.ShortType, "SMALLINT"),
+            (T.ByteType, "SMALLINT"),
+            (T.DoubleType, "DOUBLE"),
+            (T.FloatType, "REAL"),
+            (T.BooleanType, "BOOLEAN"),
+            (T.TimestampNTZType, "TIMESTAMP"),
+            (T.TimestampType, "TIMESTAMP"),
+            (T.DateType, "DATE"),
+            (T.BinaryType, "BLOB"),
+        ):
+            if isinstance(dt, cls):
+                return name
+        raise ValueError(
+            f"no portable SQL type for {dt!r}; pin it via createTableColumnTypes"
+        )
+
+    cols = ", ".join(
+        '"{}" {}'.format(
+            f.name.replace('"', '""'), overrides.get(f.name) or sql_type(f.dataType)
+        )
+        for f in schema.fields
+    )
+    return f"CREATE TABLE {table} ({cols})"
+
+
 def merge_statement(
     table: str,
     staging: str,
@@ -367,11 +443,29 @@ def upsert_jdbc(
         require_driver(spark, driver)
 
     staging = staging_table or f"{table}_stg"
+    # Stage via append-into-a-pre-created table rather than Spark's
+    # overwrite mode: the writer's own existence probe (SELECT 1 FROM
+    # t) propagates on dialects Spark doesn't know (e.g. DuckDB), and
+    # owning the staging DDL keeps pinned column types authoritative
+    # across reruns instead of being re-derived per overwrite.
+    if jdbc_table_exists(spark, url, staging):
+        _execute_update(spark, url, f"DELETE FROM {staging}")
+    else:
+        _execute_update(
+            spark,
+            url,
+            create_table_ddl(
+                staging,
+                df.schema,
+                url=url,
+                column_types=(options or {}).get("createTableColumnTypes"),
+            ),
+        )
     write_jdbc(
         df,
         url,
         staging,
-        mode="overwrite",
+        mode="append",
         driver=driver,
         batchsize=batchsize,
         num_partitions=num_partitions,

@@ -239,3 +239,39 @@ def test_table_exists_is_literal_not_like_pattern(spark, derby_url):
     assert not jdbc.jdbc_table_exists(spark, derby_url, "probe_table")
     jdbc.write_jdbc(df, derby_url, "probe_table", mode="overwrite")
     assert jdbc.jdbc_table_exists(spark, derby_url, "probe_table")
+
+
+def test_create_table_ddl_types_and_overrides():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("amt", T.DecimalType(10, 2)),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    ddl = jdbc.create_table_ddl(
+        "t", schema, url="jdbc:derby:/x", column_types="v VARCHAR(16)"
+    )
+    assert ddl == (
+        'CREATE TABLE t ("k" BIGINT, "v" VARCHAR(16), '
+        '"amt" DECIMAL(10,2), "ts" TIMESTAMP)'
+    )
+    # Derby default for unpinned strings is CLOB (NULL-binding contract);
+    # elsewhere VARCHAR
+    assert '"v" CLOB' in jdbc.create_table_ddl("t", schema, url="jdbc:derby:/x")
+    assert '"v" VARCHAR' in jdbc.create_table_ddl("t", schema, url="jdbc:duckdb:/x")
+    # top-level comma split keeps DECIMAL(10,2) override intact
+    ddl2 = jdbc.create_table_ddl(
+        "t", schema, url="jdbc:derby:/x",
+        column_types="amt DECIMAL(12,4), v VARCHAR(8)",
+    )
+    assert '"amt" DECIMAL(12,4)' in ddl2 and '"v" VARCHAR(8)' in ddl2
+    with pytest.raises(ValueError, match="no portable SQL type"):
+        jdbc.create_table_ddl(
+            "t",
+            T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))]),
+            url="jdbc:derby:/x",
+        )
