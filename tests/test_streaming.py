@@ -513,3 +513,109 @@ def test_consume_e2e_atomic_warehouse_redelivery_idempotent(
     obs2 = read_observations(spark, wh)
     assert obs2.count() == obs.count()
     assert obs2.filter(F.col("fetch_id") == fetch_id).count() == N_HOURS
+
+
+def _wait_until(predicate, timeout=120.0, step=0.5):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(step)
+    return predicate()
+
+
+def test_continuous_trigger_soak_consumes_live_feed_then_stops(
+    spark, warehouse, offline_source, topic, tmp_path
+):
+    """The processingTime trigger path (reference `stop_event` loop,
+    `streaming/consumer.py:102-109`): start the consumer continuous,
+    feed it events WHILE it runs, assert multiple micro-batches
+    landed, then `query.stop()` for graceful shutdown. A subsequent
+    availableNow run over the SAME checkpoint must redeliver nothing —
+    offsets committed under one trigger mode are honored by the other
+    (no checkpoint leakage between modes)."""
+    ckpt = str(tmp_path / "ckpt")
+    _publish_one(spark, warehouse, topic)
+
+    stats = consume.ConsumeStats()
+    q = consume.consume_fetch_events(
+        spark,
+        warehouse,
+        topic,
+        ckpt,
+        available_now=False,
+        processing_interval="1 second",
+        stats=stats,
+    )
+    try:
+        assert _wait_until(lambda: stats.events >= 1), "first event not consumed"
+        # a second fetch published while the query is live
+        fetch2 = _publish_one(spark, warehouse, topic)
+        assert _wait_until(lambda: stats.events >= 2), "live-fed event not consumed"
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+
+    assert stats.events == 2
+    assert stats.batches >= 2  # the live feed arrived in a later trigger
+    obs = read_observations(spark, warehouse)
+    assert obs.count() == N_HOURS  # same natural keys -> merged, not duped
+    assert {r.fetch_id for r in obs.select("fetch_id").distinct().collect()} == {fetch2}
+
+    # mode switch on the same checkpoint: nothing to redeliver
+    s2 = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, ckpt, stats=s2
+    ).awaitTermination(120)
+    assert s2.events == 0 and s2.batches == 0
+    assert read_observations(spark, warehouse).count() == N_HOURS
+
+
+def test_continuous_trigger_soak_jdbc_sink(
+    spark, warehouse, offline_source, topic, tmp_path
+):
+    """Same continuous soak with the database sink: per-trigger staged
+    MERGEs land in Derby while the query runs; graceful stop; the
+    availableNow mode switch on the same checkpoint redelivers
+    nothing and the table stays stable."""
+    from meteo_etl_spark.sources import jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/soakdb;create=true"
+    ckpt = str(tmp_path / "ckpt")
+    sink = consume.JdbcSink(url)
+    _publish_one(spark, warehouse, topic)
+
+    stats = consume.ConsumeStats()
+    q = consume.consume_fetch_events(
+        spark,
+        warehouse,
+        topic,
+        ckpt,
+        available_now=False,
+        processing_interval="1 second",
+        stats=stats,
+        jdbc_sink=sink,
+    )
+    try:
+        assert _wait_until(lambda: stats.events >= 1)
+        _publish_one(spark, warehouse, topic)
+        assert _wait_until(lambda: stats.events >= 2)
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+
+    assert stats.events == 2 and stats.batches >= 2
+    rows = _derby_obs(spark, url).collect()
+    assert len(rows) == N_HOURS  # merged on the natural key across triggers
+    assert not os.path.exists(warehouse.observations_path)  # database-only
+
+    s2 = consume.ConsumeStats()
+    consume.consume_fetch_events(
+        spark, warehouse, topic, ckpt, stats=s2, jdbc_sink=sink
+    ).awaitTermination(120)
+    assert s2.events == 0
+    assert len(_derby_obs(spark, url).collect()) == N_HOURS
