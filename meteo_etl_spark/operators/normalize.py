@@ -87,3 +87,51 @@ def normalize_meteo(payloads: DataFrame) -> DataFrame:
         ],
         *passthrough,
     )
+
+
+#: ISO-8601 with zone designator (met.no timeseries: "...T03:00:00Z").
+ISO_SECOND_ZONED_FORMAT = "yyyy-MM-dd'T'HH:mm:ssX"
+
+
+def normalize_metno(payloads: DataFrame) -> DataFrame:
+    """met.no locationforecast payload rows → normalized weather records.
+
+    The second registered source's transform: the payload is
+    row-oriented GeoJSON (``properties.timeseries`` is an array of
+    per-instant structs — the OPPOSITE layout of Open-Meteo's
+    struct-of-arrays), so the unnest is a plain ``explode`` of the
+    struct array followed by nested-field projection; still one narrow
+    generate stage, no Python per row. Output columns match
+    ``WEATHER_RECORD_SCHEMA`` (measures the provider lacks — soil
+    temperature/moisture — are NULL, the reference's nullable-measure
+    contract); extra payload columns (e.g. ``fetch_id``) pass through.
+
+    Reference parity: a second BaseSource subclass with its own
+    payload model and transform (`etl/sources.py:29-90` template).
+    GeoJSON coordinate order is [longitude, latitude, altitude].
+    """
+    passthrough = [
+        c for c in payloads.columns if c not in ("type", "geometry", "properties")
+    ]
+    exploded = payloads.select(
+        F.bround(F.element_at("geometry.coordinates", 2), 1).alias("latitude"),
+        F.bround(F.element_at("geometry.coordinates", 1), 1).alias("longitude"),
+        *passthrough,
+        F.explode("properties.timeseries").alias("s"),
+    )
+    null_measure = F.lit(None).cast("double")
+    return exploded.select(
+        "latitude",
+        "longitude",
+        F.to_timestamp(F.col("s.time"), ISO_SECOND_ZONED_FORMAT).alias("timestamp"),
+        F.col("s.data.instant.details.air_temperature").alias("temperature"),
+        F.col("s.data.next_1_hours.details.precipitation_amount").alias(
+            "precipitation"
+        ),
+        null_measure.alias("soil_temperature"),
+        null_measure.alias("soil_moisture"),
+        F.col("s.data.instant.details.wind_speed").alias("wind_speed"),
+        F.col("s.data.instant.details.wind_from_direction").alias("wind_direction"),
+        F.col("s.data.instant.details.cloud_area_fraction").alias("cloud_cover"),
+        *passthrough,
+    )

@@ -56,6 +56,106 @@ METEO_PAYLOAD_SCHEMA = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# 1b. Second registered source: met.no-style locationforecast payload —
+#     row-oriented GeoJSON (array of per-instant structs), the opposite
+#     layout of Open-Meteo's struct-of-arrays. Field names follow the
+#     public api.met.no locationforecast/2.0 compact format. Proves the
+#     S2 registry generalizes beyond one payload shape (reference
+#     `etl/sources.py:69-77` exists to host multiple sources).
+# ---------------------------------------------------------------------------
+
+_METNO_INSTANT_DETAILS = T.StructType(
+    [
+        T.StructField("air_temperature", T.DoubleType(), True),
+        T.StructField("wind_speed", T.DoubleType(), True),
+        T.StructField("wind_from_direction", T.DoubleType(), True),
+        T.StructField("cloud_area_fraction", T.DoubleType(), True),
+        T.StructField("relative_humidity", T.DoubleType(), True),
+    ]
+)
+
+METNO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType(), True),
+        T.StructField(
+            "geometry",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType(), True),
+                    # GeoJSON order: [longitude, latitude, altitude]
+                    T.StructField(
+                        "coordinates", T.ArrayType(T.DoubleType(), False), False
+                    ),
+                ]
+            ),
+            False,
+        ),
+        T.StructField(
+            "properties",
+            T.StructType(
+                [
+                    T.StructField(
+                        "timeseries",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("time", T.StringType(), False),
+                                    T.StructField(
+                                        "data",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "instant",
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "details",
+                                                                _METNO_INSTANT_DETAILS,
+                                                                True,
+                                                            )
+                                                        ]
+                                                    ),
+                                                    True,
+                                                ),
+                                                T.StructField(
+                                                    "next_1_hours",
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "details",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "precipitation_amount",
+                                                                            T.DoubleType(),
+                                                                            True,
+                                                                        )
+                                                                    ]
+                                                                ),
+                                                                True,
+                                                            )
+                                                        ]
+                                                    ),
+                                                    True,
+                                                ),
+                                            ]
+                                        ),
+                                        True,
+                                    ),
+                                ]
+                            ),
+                            False,
+                        ),
+                        False,
+                    )
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # 2. Normalized weather record — one row per hourly sample.
 #    Reference: `etl/models.py:38-48` (WeatherRecord), produced by the
 #    columnar unnest `etl/models.py:72-90`. FIXTURES.md §2.

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from meteo_etl_spark import schemas
 from meteo_etl_spark.errors import TransformError
-from meteo_etl_spark.operators.normalize import normalize_meteo
+from meteo_etl_spark.operators.normalize import normalize_meteo, normalize_metno
 from meteo_etl_spark.sources import http
 
 
@@ -115,5 +115,25 @@ METEO_SOURCE = register_source(
         payload_schema=schemas.METEO_PAYLOAD_SCHEMA,
         normalize=normalize_meteo,
         required_params=("latitude", "longitude"),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Second registered source: met.no locationforecast (public
+# api.met.no/weatherapi/locationforecast/2.0 compact format) — a
+# row-oriented GeoJSON payload with its own schema and normalize,
+# proving the registry template generalizes beyond one payload shape
+# (the reference's registry exists for exactly this,
+# `etl/sources.py:69-77`). met.no requires an identifying User-Agent.
+# ---------------------------------------------------------------------------
+
+METNO_SOURCE = register_source(
+    SourceSpec(
+        name="metno",
+        url="https://api.met.no/weatherapi/locationforecast/2.0/compact",
+        static_params={},
+        payload_schema=schemas.METNO_PAYLOAD_SCHEMA,
+        normalize=normalize_metno,
+        required_params=("lat", "lon"),
     )
 )
