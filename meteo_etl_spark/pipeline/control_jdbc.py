@@ -41,11 +41,31 @@ from meteo_etl_spark.schemas import (
     FETCH_STATUSES,
     FINISHED_STATUSES,
 )
-from meteo_etl_spark.sources.jdbc import jdbc_table_exists, read_jdbc
+from meteo_etl_spark.sources.jdbc import (
+    jdbc_table_columns,
+    jdbc_table_exists,
+    read_jdbc,
+)
 
 CONTROL_TABLE = "fetch_metadata"
 
 _COLUMNS = [f.name for f in FETCH_METADATA_SCHEMA.fields]
+
+#: per-column SQL types — the single source for CREATE and for the
+#: additive ALTER path (evolution columns are added in nullable form;
+#: existing rows read them back as NULL).
+_COLUMN_TYPES = {
+    "id": "VARCHAR(36)",
+    "created_at": "TIMESTAMP",
+    "request_timestamp": "TIMESTAMP",
+    "request_params": "VARCHAR(4000)",
+    "request_url": "VARCHAR(2048)",
+    "status": "VARCHAR(16)",
+    "response_status": "INTEGER",
+    "error_data": "VARCHAR(4000)",
+    "payload_path": "VARCHAR(1024)",
+    "finished_at": "TIMESTAMP",
+}
 
 
 def _ddl() -> str:
@@ -106,14 +126,38 @@ def _execute_prepared(
 
 
 def ensure_control_table(spark: SparkSession, url: str) -> None:
-    if jdbc_table_exists(spark, url, CONTROL_TABLE):
+    """Create the control table, or — when an older-shape table already
+    exists — widen it additively (``ALTER TABLE .. ADD COLUMN`` per
+    declared column it lacks, in nullable form so existing rows read
+    back with NULLs). This is the database mirror of the parquet
+    store's additive-only evolution policy (`schemas.validate_evolution`)
+    and of the reference's migration discipline: its alembic revisions
+    add nullable columns to the live table rather than rebuild it
+    (e.g. `alembic/versions/3967a578f902_*.py` adds ``payload_path``)."""
+    if not jdbc_table_exists(spark, url, CONTROL_TABLE):
+        try:
+            _execute_prepared(spark, url, _ddl(), [])
+        except Exception:
+            # lost a concurrent-create race: fine as long as it exists now
+            if not jdbc_table_exists(spark, url, CONTROL_TABLE):
+                raise
         return
-    try:
-        _execute_prepared(spark, url, _ddl(), [])
-    except Exception:
-        # lost a concurrent-create race: fine as long as it exists now
-        if not jdbc_table_exists(spark, url, CONTROL_TABLE):
-            raise
+    existing = {c.lower() for c in jdbc_table_columns(spark, url, CONTROL_TABLE)}
+    for c in _COLUMNS:
+        if c.lower() in existing:
+            continue
+        try:
+            _execute_prepared(
+                spark,
+                url,
+                f'ALTER TABLE {CONTROL_TABLE} ADD COLUMN "{c}" {_COLUMN_TYPES[c]}',
+                [],
+            )
+        except Exception:
+            # concurrent migrator may have added it first
+            now = {x.lower() for x in jdbc_table_columns(spark, url, CONTROL_TABLE)}
+            if c.lower() not in now:
+                raise
 
 
 def insert_fetch_metadata(

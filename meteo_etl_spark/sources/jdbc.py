@@ -315,6 +315,29 @@ def create_table_ddl(
     return f"CREATE TABLE {table} ({cols})"
 
 
+def jdbc_table_columns(spark: SparkSession, url: str, table: str) -> list[str]:
+    """Column names of ``table`` from database metadata (empty list if
+    the table does not exist). Same literal-match discipline as
+    ``jdbc_table_exists`` — ``getColumns`` patterns are LIKE patterns."""
+    conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for name in (table, table.upper(), table.lower()):
+            rs = meta.getColumns(None, None, name, None)
+            cols: list[str] = []
+            try:
+                while rs.next():
+                    if rs.getString(3) == name:  # TABLE_NAME literal
+                        cols.append(rs.getString(4))  # COLUMN_NAME
+            finally:
+                rs.close()
+            if cols:
+                return cols
+        return []
+    finally:
+        conn.close()
+
+
 def merge_statement(
     table: str,
     staging: str,

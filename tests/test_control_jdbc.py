@@ -214,3 +214,64 @@ def test_batch_etl_with_database_silver_and_dashboard(
     assert f"Observations recorded: {N_HOURS}" in out
     assert "Jobs recorded: 2" in out
     assert "Last status recorded: 🟢 Success" in out
+
+
+def test_additive_schema_evolution_widens_old_table(spark, tmp_path, offline_source):
+    """An old-shape fetch_metadata table (pre-``payload_path``/
+    ``finished_at``/``error_data`` — the reference's pre-migration
+    state, cf. alembic revision 3967a578f902 adding payload_path) is
+    widened in place by ensure_control_table: missing columns are
+    added nullable, old rows read back with NULLs, and the full new
+    lifecycle runs against the widened table."""
+    from meteo_etl_spark.pipeline import control_jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/evo/db;create=true"
+
+    # old-shape table + one legacy row, created by "previous code"
+    jdbc._execute_update(
+        spark,
+        url,
+        'CREATE TABLE fetch_metadata ('
+        '"id" VARCHAR(36) NOT NULL PRIMARY KEY, '
+        '"created_at" TIMESTAMP NOT NULL, '
+        '"request_timestamp" TIMESTAMP NOT NULL, '
+        '"request_params" VARCHAR(4000), '
+        '"request_url" VARCHAR(2048) NOT NULL, '
+        '"status" VARCHAR(16) NOT NULL)',
+    )
+    jdbc._execute_update(
+        spark,
+        url,
+        "INSERT INTO fetch_metadata "
+        '("id", "created_at", "request_timestamp", "request_params", '
+        '"request_url", "status") VALUES '
+        "('00000000-0000-0000-0000-000000000001', "
+        "TIMESTAMP('2025-01-01 00:00:00'), TIMESTAMP('2025-01-01 00:00:00'), "
+        "'{}', 'https://old.example/v1', 'success')",
+    )
+
+    # new code against the old table: widened, not rebuilt
+    control_jdbc.ensure_control_table(spark, url)
+    cols = {c.lower() for c in jdbc.jdbc_table_columns(spark, url, "FETCH_METADATA")}
+    assert {"payload_path", "finished_at", "error_data", "response_status"} <= cols
+
+    wh = Warehouse(str(tmp_path / "wh"), control_jdbc_url=url)
+    rows = {r.id: r for r in control.read_fetch_metadata(spark, wh).collect()}
+    legacy = rows["00000000-0000-0000-0000-000000000001"]
+    assert legacy.status == "success"
+    assert legacy.payload_path is None  # added column reads NULL
+    assert legacy.finished_at is None and legacy.error_data is None
+
+    # full new lifecycle on the widened table
+    result = batch.run_etl(
+        spark, wh, "meteo", {"latitude": 3.06, "longitude": 5.25}
+    )
+    assert result.status == "success"
+    rows = {r.id: r for r in control.read_fetch_metadata(spark, wh).collect()}
+    assert len(rows) == 2
+    assert rows[result.fetch_id].finished_at is not None
+    # idempotent: a second ensure adds nothing and changes nothing
+    control_jdbc.ensure_control_table(spark, url)
+    assert len(control.read_fetch_metadata(spark, wh).collect()) == 2
