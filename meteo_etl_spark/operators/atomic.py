@@ -118,6 +118,77 @@ class InMemoryLockIO(LockIO):
         return self._entries.get(key)
 
 
+class JdbcLockIO(LockIO):
+    """LockIO backed by any SQL database: conditional-put = INSERT into
+    a table with a primary key on the lock key — the database's
+    uniqueness enforcement IS the arbiter (the same mechanism the
+    reference's ``u_loc_time`` constraint uses to arbitrate upserts,
+    `etl/db.py:118`). This makes atomic tables on plain object stores
+    deployable anywhere a shared database exists — e.g. the Postgres
+    the warehouse already talks to.
+
+    The lock table is created on first use; entries are tiny (one row
+    per commit) and can be pruned below the table's vacuum horizon."""
+
+    def __init__(self, spark: SparkSession, url: str, table: str = "atomic_commits"):
+        from meteo_etl_spark.sources import jdbc as _jdbc
+
+        self._spark = spark
+        self._url = url
+        self._table = table
+        if not _jdbc.jdbc_table_exists(spark, url, table):
+            try:
+                _jdbc._execute_update(
+                    spark,
+                    url,
+                    f'CREATE TABLE {table} ("lock_key" VARCHAR(512) NOT NULL '
+                    'PRIMARY KEY, "body" CLOB NOT NULL)',
+                )
+            except Exception:
+                if not _jdbc.jdbc_table_exists(spark, url, table):
+                    raise
+
+    def _prepared(self, sql: str, args: list[str]):
+        conn = self._spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
+            self._url
+        )
+        try:
+            ps = conn.prepareStatement(sql)
+            try:
+                for i, v in enumerate(args, start=1):
+                    ps.setString(i, v)
+                if sql.lstrip().upper().startswith("SELECT"):
+                    rs = ps.executeQuery()
+                    try:
+                        return rs.getString(1) if rs.next() else None
+                    finally:
+                        rs.close()
+                return ps.executeUpdate()
+            finally:
+                ps.close()
+        finally:
+            conn.close()
+
+    def put_if_absent(self, key: str, body: str) -> bool:
+        try:
+            self._prepared(
+                f'INSERT INTO {self._table} ("lock_key", "body") VALUES (?, ?)',
+                [key, body],
+            )
+            return True
+        except Exception:
+            # duplicate key = lost the race; anything else (connection
+            # failure) must not masquerade as a lost race
+            if self.get(key) is not None:
+                return False
+            raise
+
+    def get(self, key: str) -> str | None:
+        return self._prepared(
+            f'SELECT "body" FROM {self._table} WHERE "lock_key" = ?', [key]
+        )
+
+
 def _version_files(io, path: str) -> list[int]:
     try:
         names = io.listdir(path)

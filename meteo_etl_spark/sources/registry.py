@@ -34,6 +34,12 @@ class SourceSpec:
     normalize: Callable[[DataFrame], DataFrame]
     required_params: tuple[str, ...] = ()
     user_agent: str = http.DEFAULT_USER_AGENT
+    #: canonical param name → provider's wire name, applied when the
+    #: request is built. Callers (CLI, pipeline) speak one canonical
+    #: vocabulary (latitude/longitude); each source declares its own
+    #: spelling — the reference's per-source param model
+    #: (`etl/sources.py:41`, MeteoParams) as data instead of a class.
+    param_aliases: dict[str, str] = field(default_factory=dict)
 
 
 _REGISTRY: dict[str, SourceSpec] = {}
@@ -62,8 +68,12 @@ class Source:
         return self.spec.url
 
     def request_params(self, **extra: Any) -> dict[str, Any]:
-        """static ∪ required ∪ extra params (reference `etl/sources.py:49-55`)."""
-        return {**self.spec.static_params, **self.params, **extra}
+        """static ∪ required ∪ extra params (reference
+        `etl/sources.py:49-55`), re-keyed to the provider's wire names
+        per the spec's ``param_aliases``."""
+        merged = {**self.spec.static_params, **self.params, **extra}
+        aliases = self.spec.param_aliases
+        return {aliases.get(k, k): v for k, v in merged.items()}
 
     def extract(self, **extra: Any) -> dict:
         """Driver-side HTTP fetch (S1)."""
@@ -134,6 +144,7 @@ METNO_SOURCE = register_source(
         static_params={},
         payload_schema=schemas.METNO_PAYLOAD_SCHEMA,
         normalize=normalize_metno,
-        required_params=("lat", "lon"),
+        required_params=("latitude", "longitude"),
+        param_aliases={"latitude": "lat", "longitude": "lon"},
     )
 )

@@ -538,3 +538,50 @@ def test_lock_io_completes_crashed_winners_commit(spark, tmp_path):
     rival2 = AtomicParquetTable(spark, path, lock_io=lock)
     rival2.overwrite(_df(spark, [(3, "RIVAL", "x")]))
     assert _snapshot(spark, path) == {(3, "RIVAL", "x")}
+
+
+def test_jdbc_lock_io_arbitrates_via_database_unique_key(spark, tmp_path, monkeypatch):
+    """The deployable LockIO: commit arbitration through a database
+    primary-key insert (Derby e2e) — racing writers to an
+    object-store-like table are arbitrated by the database, and a
+    crashed winner's commit is completed from the stored body."""
+    from meteo_etl_spark.operators import fsio
+    from meteo_etl_spark.operators.atomic import ConcurrentWriteError, JdbcLockIO
+    from meteo_etl_spark.sources import jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/lockdb;create=true"
+
+    def no_arbiter(self, path, body):
+        raise AssertionError("filesystem arbiter must not run in lock_io mode")
+
+    monkeypatch.setattr(fsio.LocalIO, "publish_exclusive", no_arbiter)
+    path = str(tmp_path / "t")
+    a = AtomicParquetTable(spark, path, lock_io=JdbcLockIO(spark, url))
+    a.overwrite(_df(spark, [(1, "a", "x")]))
+
+    # rival with a stale snapshot loses at the database
+    b = AtomicParquetTable(spark, path, lock_io=JdbcLockIO(spark, url))
+    stale_m = b._load_manifest()
+    a.overwrite(_df(spark, [(2, "a2", "x")]))
+    monkeypatch.setattr(b, "_load_manifest", lambda: stale_m)
+    with pytest.raises(ConcurrentWriteError):
+        b.overwrite(_df(spark, [(9, "LOST", "x")]))
+    monkeypatch.undo()
+    assert _snapshot(spark, path) == {(2, "a2", "x")}
+
+    # crashed winner (lock row written, version file not) is completed
+    c = AtomicParquetTable(spark, path, lock_io=JdbcLockIO(spark, url))
+
+    def die(point):
+        if point == "after_lock":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        c.overwrite(_df(spark, [(3, "WINNER", "x")]), _failpoint=die)
+    assert c.versions() == [1, 2]
+    rival = AtomicParquetTable(spark, path, lock_io=JdbcLockIO(spark, url))
+    with pytest.raises(ConcurrentWriteError):
+        rival.overwrite(_df(spark, [(4, "RIVAL", "x")]))
+    assert _snapshot(spark, path) == {(3, "WINNER", "x")}

@@ -73,11 +73,10 @@ def offline_sources(monkeypatch):
     from meteo_etl_spark.sources.registry import Source
 
     def fake_extract(self, **extra):
-        if self.spec.name == "metno":
-            return metno_payload(
-                lat=float(self.params["lat"]), lon=float(self.params["lon"])
-            )
-        return golden_payload(
+        # both sources speak the canonical param vocabulary; aliasing
+        # to the provider's wire names happens in request_params
+        maker = metno_payload if self.spec.name == "metno" else golden_payload
+        return maker(
             lat=float(self.params["latitude"]), lon=float(self.params["longitude"])
         )
 
@@ -91,7 +90,10 @@ def test_metno_normalize_golden(spark):
     from meteo_etl_spark.schemas import METNO_PAYLOAD_SCHEMA, WEATHER_RECORD_SCHEMA
     from meteo_etl_spark.sources.registry import create_source
 
-    src = create_source("metno", {"lat": 59.91, "lon": 10.75})
+    src = create_source("metno", {"latitude": 59.91, "longitude": 10.75})
+    # canonical params re-keyed to the provider's wire names (T10-ish
+    # per-source param model as data)
+    assert src.request_params() == {"lat": 59.91, "lon": 10.75}
     df = src.transform(src.payload_to_df(spark, metno_payload()))
     assert df.columns == [f.name for f in WEATHER_RECORD_SCHEMA.fields]
     rows = df.orderBy("timestamp").collect()
@@ -110,7 +112,9 @@ def test_metno_normalize_golden(spark):
 def test_metno_batch_etl_lifecycle(spark, warehouse, offline_sources):
     """Full batch lifecycle (S11 -> extract -> normalize -> U1 merge ->
     S12) through the second source."""
-    result = batch.run_etl(spark, warehouse, "metno", {"lat": 59.91, "lon": 10.75})
+    result = batch.run_etl(
+        spark, warehouse, "metno", {"latitude": 59.91, "longitude": 10.75}
+    )
     assert result.status == "success"
     meta = (
         control.read_fetch_metadata(spark, warehouse)
@@ -140,7 +144,7 @@ def test_interleaved_sources_one_consumer_run(
     fids = {}
     for name, params in (
         ("meteo", {"latitude": 3.06, "longitude": 5.25}),
-        ("metno", {"lat": 59.91, "lon": 10.75}),
+        ("metno", {"latitude": 59.91, "longitude": 10.75}),
         ("meteo", {"latitude": 13.06, "longitude": 5.25}),
     ):
         r = batch.run_etl(
