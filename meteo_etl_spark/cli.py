@@ -50,6 +50,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="land lake tables through the crash-atomic manifest layout",
     )
     ap.add_argument(
+        "--atomic-single-writer", action="store_true",
+        help="with --atomic on a plain object store (s3a://...): skip the "
+        "filesystem commit arbiter — the scheduler guarantees one writer "
+        "per table (see operators/atomic; full racing-writer safety needs "
+        "a LockIO commit store instead)",
+    )
+    ap.add_argument(
         "--control-jdbc-url", default=None,
         help="keep the fetch_metadata lifecycle in this database "
         "(the reference's Postgres deployment), e.g. jdbc:postgresql://... "
@@ -144,6 +151,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         control_jdbc_url=args.control_jdbc_url,
         observations_jdbc_url=args.observations_jdbc_url,
         jdbc_dialect=args.jdbc_dialect,
+        atomic_options={"single_writer": True} if args.atomic_single_writer else {},
     )
 
     if args.command == "fetch":

@@ -97,6 +97,7 @@ def merge_parquet(
     partition_expr: Column | None = None,
     sort_within_partitions: list[str] | None = None,
     atomic: bool = False,
+    atomic_options: dict | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``path``.
 
@@ -124,6 +125,11 @@ def merge_parquet(
       (`etl/load.py:35-57`). Plain layout (default) stays readable by
       any parquet tool; atomic layout requires ``read_table``. A table
       stays on the layout it was created with.
+    - ``atomic_options``: extra ``AtomicParquetTable`` constructor
+      kwargs — the object-store commit-arbiter selection
+      (``{"single_writer": True}`` or ``{"lock_io": <LockIO>}``) —
+      so pipeline callers can deploy atomic tables on plain object
+      stores without dropping to the table API.
     """
     updates = dedup_last_write_wins(updates, key_cols, dedup_order)
     if partition_col and partition_col not in updates.columns:
@@ -147,7 +153,9 @@ def merge_parquet(
                 )
             inserts = inserts.withColumn(col, expr)
         if atomic:
-            AtomicParquetTable(spark, path, partition_col).overwrite(inserts)
+            AtomicParquetTable(
+                spark, path, partition_col, **(atomic_options or {})
+            ).overwrite(inserts)
             n = read_table(spark, path).count()
             return MergeStats(inserted=n, updated=0, target_rows=n)
         n = _write(inserts, path, partition_col, overwrite_dynamic=False)
@@ -245,7 +253,9 @@ def merge_parquet(
     if sort_within_partitions:
         merged = merged.sortWithinPartitions(*sort_within_partitions)
     if land_atomic:
-        table = AtomicParquetTable(spark, path, partition_col)
+        table = AtomicParquetTable(
+            spark, path, partition_col, **(atomic_options or {})
+        )
         if partition_col and not converting:
             # Only the pruned+merged partitions are in `merged`; the
             # commit repoints exactly those, atomically.

@@ -82,7 +82,14 @@ def insert_fetch_metadata(
         # an insert-only merge; the control table is small (one row per
         # job), so the whole-table rewrite is trivial — the same
         # bargain the reference makes with a Postgres metadata table.
-        merge_parquet(spark, warehouse.control_path, df, key_cols=["id"], atomic=True)
+        merge_parquet(
+            spark,
+            warehouse.control_path,
+            df,
+            key_cols=["id"],
+            atomic=True,
+            atomic_options=warehouse.atomic_options,
+        )
     else:
         df.write.mode("append").parquet(warehouse.control_path)
     return fetch_id
@@ -154,6 +161,7 @@ def update_fetch_metadata(
         # (reference `etl/load.py:104` adds it to the SET list conditionally).
         matched_set={"finished_at": lambda t, u: F.coalesce(u["finished_at"], t["finished_at"])},
         atomic=warehouse.atomic,
+        atomic_options=warehouse.atomic_options,
     )
     assert stats.updated == 1, f"expected exactly one updated row, got {stats}"
     return fetch_id

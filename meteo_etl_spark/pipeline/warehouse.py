@@ -13,7 +13,7 @@ Medallion-on-parquet layout (SURVEY.md §7):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +51,11 @@ class Warehouse:
     #: "on_conflict" (INSERT .. ON CONFLICT — Postgres <15, SQLite;
     #: the reference's own statement, `etl/load.py:35-55`).
     jdbc_dialect: str = "merge"
+    #: commit-arbiter selection for atomic tables on stores without
+    #: atomic create-if-absent: ``{"single_writer": True}`` or
+    #: ``{"lock_io": <LockIO>}`` (operators/atomic docstring). Empty =
+    #: filesystem arbiter (local/HDFS — the default deployment).
+    atomic_options: dict = field(default_factory=dict)
 
     @property
     def bronze_dir(self) -> str:
@@ -145,6 +150,7 @@ def merge_observations(
             # = the composite-index analogue (reference etl/db.py:119)
             sort_within_partitions=list(OBSERVATION_KEY),
             atomic=warehouse.atomic,
+            atomic_options=warehouse.atomic_options,
         )
     except Exception as exc:
         if isinstance(exc, LoadError):

@@ -585,3 +585,56 @@ def test_jdbc_lock_io_arbitrates_via_database_unique_key(spark, tmp_path, monkey
     with pytest.raises(ConcurrentWriteError):
         rival.overwrite(_df(spark, [(4, "RIVAL", "x")]))
     assert _snapshot(spark, path) == {(3, "WINNER", "x")}
+
+
+def test_warehouse_atomic_options_reach_the_commit_arbiter(
+    spark, tmp_path, monkeypatch
+):
+    """Deployment plumbing: Warehouse(atomic=True,
+    atomic_options={'single_writer': True}) must carry the arbiter
+    selection through merge_observations/merge_parquet down to every
+    AtomicParquetTable the pipeline constructs — proven by disabling
+    the filesystem arbiter and running a full merge+read cycle."""
+    from pyspark.sql import types as T
+
+    from meteo_etl_spark.operators import fsio
+    from meteo_etl_spark.pipeline.warehouse import (
+        Warehouse,
+        merge_observations,
+        read_observations,
+    )
+
+    def no_arbiter(self, path, body):
+        raise AssertionError(
+            "filesystem arbiter must not run under single_writer deployment"
+        )
+
+    monkeypatch.setattr(fsio.LocalIO, "publish_exclusive", no_arbiter)
+    wh = Warehouse(
+        str(tmp_path / "wh"), atomic=True, atomic_options={"single_writer": True}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("latitude", T.DoubleType()),
+            T.StructField("longitude", T.DoubleType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("temperature", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    rows = [
+        (1.0, 2.0, dt.datetime(2025, 12, 1, h), float(h)) for h in range(3)
+    ]
+    stats = merge_observations(
+        spark, wh, spark.createDataFrame(rows, schema), fetch_id="f1"
+    )
+    assert stats.inserted == 3
+    # second merge exercises the existing-table (overwrite_partitions) path
+    rows2 = [(1.0, 2.0, dt.datetime(2025, 12, 1, 1), 99.0)]
+    merge_observations(spark, wh, spark.createDataFrame(rows2, schema), fetch_id="f2")
+    got = {
+        (r.timestamp.hour, r.temperature, r.fetch_id)
+        for r in read_observations(spark, wh).collect()
+    }
+    assert got == {(0, 0.0, "f1"), (1, 99.0, "f2"), (2, 2.0, "f1")}
