@@ -1512,3 +1512,57 @@ def events_profile(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return profile(ev)
+
+
+@query(
+    "docs_unigram_freq",
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    t2 AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok)
+    SELECT t2.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(v.cnt) AS BIGINT) AS sum_freq,
+           floor(CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS mean_tok_freq
+    FROM t2 JOIN vocab v USING (tok)
+    GROUP BY t2.doc_id ORDER BY t2.doc_id""",
+    doc="Unigram-LM quality proxy (the CCNet-style filter signal): "
+    "score each document by the mean corpus frequency of its tokens — "
+    "documents dominated by rare/garbage tokens score low, "
+    "natural-language documents high. Log-free on purpose: the "
+    "monotone equivalent of mean log-probability is computed in exact "
+    "integer space (SUM of corpus counts / token count) with one IEEE "
+    "division at the end, so Spark and the oracle agree bit-for-bit "
+    "where ln() would not (same determinism discipline as "
+    "docs_tfidf_topk). Plan: tokenize is a narrow generate; the vocab "
+    "agg combines map-side; the tok-keyed join is "
+    "vocabulary-vs-tokens (AQE broadcasts the vocab side at small "
+    "scale; bucket both legs by tok at 100 TB); the per-doc agg is "
+    "one shuffle on doc_id. Composes with text_quality (surface "
+    "ratios) as the frequency-based second axis of corpus filtering.",
+)
+def docs_unigram_freq(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            (
+                F.floor(
+                    F.sum("cnt").cast("double") / F.count(F.lit(1)) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_tok_freq"),
+        )
+        .orderBy("doc_id")
+    )

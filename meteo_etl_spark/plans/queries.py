@@ -1749,6 +1749,10 @@ _DEFERRED: tuple[str, ...] = (
     # Round-6 state: zero "never" entries remain — jdbc_upsert_agg and
     # the three TPC-H round-2 additions (q21/q9/q20) are in-window r6;
     # every registered query has had at least one driver-hash check.
+    #
+    # New in round 6, deferred at birth to keep the r6 window stable
+    # (pytest-oracle green; first-rotation candidate for round 7):
+    "docs_unigram_freq",  # unigram-LM quality proxy: tfidf/vocab join+agg shapes (never)
 )
 
 
