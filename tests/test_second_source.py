@@ -169,3 +169,34 @@ def test_interleaved_sources_one_consumer_run(
     )
     # distinct locations -> no cross-source key collisions swallowed rows
     assert obs.count() == 2 * N_HOURS + METNO_HOURS
+
+
+def test_metno_normalize_edge_cases(spark):
+    """Ragged/partial payloads degrade to NULL measures, never to job
+    failure (the engine-wide nullable-measure contract): empty
+    timeseries -> zero rows; missing instant details -> NULL measures;
+    2-element coordinates (no altitude) still resolve [lon, lat]."""
+    from meteo_etl_spark.schemas import METNO_PAYLOAD_SCHEMA
+    from meteo_etl_spark.sources.registry import create_source
+
+    src = create_source("metno", {"latitude": 1.0, "longitude": 2.0})
+
+    empty = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [2.0, 1.0]},
+        "properties": {"timeseries": []},
+    }
+    assert src.transform(src.payload_to_df(spark, empty)).count() == 0
+
+    bare = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [2.0, 1.0]},
+        "properties": {
+            "timeseries": [{"time": "2025-12-01T00:00:00Z", "data": {}}]
+        },
+    }
+    row = src.transform(src.payload_to_df(spark, bare)).collect()[0]
+    assert (row.latitude, row.longitude) == (1.0, 2.0)
+    assert row.timestamp is not None
+    assert row.temperature is None and row.precipitation is None
+    assert row.wind_speed is None and row.cloud_cover is None
