@@ -123,7 +123,17 @@ def normalize_metno(payloads: DataFrame) -> DataFrame:
     return exploded.select(
         "latitude",
         "longitude",
-        F.to_timestamp(F.col("s.time"), ISO_SECOND_ZONED_FORMAT).alias("timestamp"),
+        # met.no always emits "...T03:00:00Z"; the fallback parse covers
+        # offset-bearing ISO variants ("+01:00") rather than degrading
+        # a whole instant to a NULL merge key on a format drift. The
+        # first branch must be try_ (ANSI to_timestamp THROWS on
+        # unparsed trailing text, never reaching a coalesce fallback);
+        # the final strict parse keeps garbage input failing loudly —
+        # the pydantic-parity contract.
+        F.coalesce(
+            F.try_to_timestamp(F.col("s.time"), F.lit(ISO_SECOND_ZONED_FORMAT)),
+            F.to_timestamp(F.col("s.time")),
+        ).alias("timestamp"),
         F.col("s.data.instant.details.air_temperature").alias("temperature"),
         F.col("s.data.next_1_hours.details.precipitation_amount").alias(
             "precipitation"

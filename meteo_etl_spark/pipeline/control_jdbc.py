@@ -67,6 +67,12 @@ _COLUMN_TYPES = {
     "finished_at": "TIMESTAMP",
 }
 
+# adding a field to FETCH_METADATA_SCHEMA requires its SQL type here
+# (both the CREATE and the additive ALTER path depend on it)
+assert set(_COLUMN_TYPES) == set(_COLUMNS), (
+    sorted(set(_COLUMNS) ^ set(_COLUMN_TYPES))
+)
+
 
 def _ddl() -> str:
     statuses = ", ".join(f"'{s}'" for s in FETCH_STATUSES)

@@ -469,21 +469,21 @@ def upsert_jdbc(
     # Stage via append-into-a-pre-created table rather than Spark's
     # overwrite mode: the writer's own existence probe (SELECT 1 FROM
     # t) propagates on dialects Spark doesn't know (e.g. DuckDB), and
-    # owning the staging DDL keeps pinned column types authoritative
-    # across reruns instead of being re-derived per overwrite.
+    # owning the staging DDL keeps pinned column types authoritative.
+    # A leftover staging (crashed run) is DROPPED, not truncated — its
+    # shape may not match this batch's schema.
     if jdbc_table_exists(spark, url, staging):
-        _execute_update(spark, url, f"DELETE FROM {staging}")
-    else:
-        _execute_update(
-            spark,
-            url,
-            create_table_ddl(
-                staging,
-                df.schema,
-                url=url,
-                column_types=(options or {}).get("createTableColumnTypes"),
-            ),
-        )
+        _execute_update(spark, url, f"DROP TABLE {staging}")
+    _execute_update(
+        spark,
+        url,
+        create_table_ddl(
+            staging,
+            df.schema,
+            url=url,
+            column_types=(options or {}).get("createTableColumnTypes"),
+        ),
+    )
     write_jdbc(
         df,
         url,

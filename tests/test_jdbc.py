@@ -275,3 +275,18 @@ def test_create_table_ddl_types_and_overrides():
             T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))]),
             url="jdbc:derby:/x",
         )
+
+
+def test_upsert_survives_stale_staging_with_different_shape(spark, derby_url):
+    """A crashed run's leftover staging table with a DIFFERENT schema
+    must not poison the next upsert: staging is dropped and recreated
+    from the current batch's shape."""
+    jdbc.write_jdbc(
+        spark.createDataFrame([Row(other=1.5)]), derby_url, "shape_stg",
+        mode="overwrite",
+    )  # stale leftover, wrong shape
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    n = jdbc.upsert_jdbc(df, derby_url, "shape", ["k"])
+    assert n == 1
+    got = jdbc.read_jdbc(spark, derby_url, '(SELECT "k", "v" FROM shape) t').collect()
+    assert [(r[0], r[1]) for r in got] == [(1, "a")]

@@ -200,3 +200,29 @@ def test_metno_normalize_edge_cases(spark):
     assert row.timestamp is not None
     assert row.temperature is None and row.precipitation is None
     assert row.wind_speed is None and row.cloud_cover is None
+
+
+def test_metno_timestamp_offset_variants(spark):
+    """Zone handling: 'Z' and explicit-offset ISO instants both parse
+    (offsets normalize to UTC); garbage time strings still fail loudly
+    (pydantic-parity strictness, not silent NULL keys)."""
+    from meteo_etl_spark.operators.normalize import normalize_metno
+    from meteo_etl_spark.schemas import METNO_PAYLOAD_SCHEMA
+
+    def p(time):
+        return {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [2.0, 1.0]},
+            "properties": {"timeseries": [{"time": time, "data": {}}]},
+        }
+
+    both = spark.createDataFrame(
+        [p("2025-12-01T03:00:00Z"), p("2025-12-01T04:00:00+01:00")],
+        schema=METNO_PAYLOAD_SCHEMA,
+    )
+    ts = sorted(str(r.timestamp) for r in normalize_metno(both).collect())
+    assert ts == ["2025-12-01 03:00:00", "2025-12-01 03:00:00"]
+
+    garbage = spark.createDataFrame([p("not-a-time")], schema=METNO_PAYLOAD_SCHEMA)
+    with pytest.raises(Exception, match="CANNOT_PARSE_TIMESTAMP|not-a-time"):
+        normalize_metno(garbage).collect()
