@@ -232,6 +232,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             min_files_to_compact=args.min_files,
             vacuum=args.vacuum,
+            atomic_options=wh.atomic_options,
         )
         print(
             f"partitions_compacted={stats.partitions_compacted} "
@@ -245,7 +246,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         if not is_atomic_table(args.path, spark):
             print(f"not an atomic table: {args.path}")
             return 1
-        removed = AtomicParquetTable(spark, args.path).vacuum(
+        removed = AtomicParquetTable(spark, args.path, **wh.atomic_options).vacuum(
             retain_versions=args.retain_versions,
             min_orphan_age_seconds=args.min_orphan_age_seconds,
         )

@@ -136,19 +136,22 @@ class JdbcLockIO(LockIO):
         self._spark = spark
         self._url = url
         self._table = table
+        # unbounded-text type per dialect: Derby has CLOB but no TEXT;
+        # Postgres/DuckDB/MySQL have TEXT but Postgres has no CLOB
+        body_type = "CLOB" if url.startswith("jdbc:derby") else "TEXT"
         if not _jdbc.jdbc_table_exists(spark, url, table):
             try:
                 _jdbc._execute_update(
                     spark,
                     url,
                     f'CREATE TABLE {table} ("lock_key" VARCHAR(512) NOT NULL '
-                    'PRIMARY KEY, "body" CLOB NOT NULL)',
+                    f'PRIMARY KEY, "body" {body_type} NOT NULL)',
                 )
             except Exception:
                 if not _jdbc.jdbc_table_exists(spark, url, table):
                     raise
 
-    def _prepared(self, sql: str, args: list[str]):
+    def _with_statement(self, sql: str, args: list[str], run):
         conn = self._spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
             self._url
         )
@@ -157,21 +160,28 @@ class JdbcLockIO(LockIO):
             try:
                 for i, v in enumerate(args, start=1):
                     ps.setString(i, v)
-                if sql.lstrip().upper().startswith("SELECT"):
-                    rs = ps.executeQuery()
-                    try:
-                        return rs.getString(1) if rs.next() else None
-                    finally:
-                        rs.close()
-                return ps.executeUpdate()
+                return run(ps)
             finally:
                 ps.close()
         finally:
             conn.close()
 
+    def _update(self, sql: str, args: list[str]) -> int:
+        return self._with_statement(sql, args, lambda ps: ps.executeUpdate())
+
+    def _query_scalar(self, sql: str, args: list[str]) -> str | None:
+        def run(ps):
+            rs = ps.executeQuery()
+            try:
+                return rs.getString(1) if rs.next() else None
+            finally:
+                rs.close()
+
+        return self._with_statement(sql, args, run)
+
     def put_if_absent(self, key: str, body: str) -> bool:
         try:
-            self._prepared(
+            self._update(
                 f'INSERT INTO {self._table} ("lock_key", "body") VALUES (?, ?)',
                 [key, body],
             )
@@ -184,7 +194,7 @@ class JdbcLockIO(LockIO):
             raise
 
     def get(self, key: str) -> str | None:
-        return self._prepared(
+        return self._query_scalar(
             f'SELECT "body" FROM {self._table} WHERE "lock_key" = ?', [key]
         )
 

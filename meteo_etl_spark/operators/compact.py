@@ -75,6 +75,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
     vacuum: bool = False,
+    atomic_options: dict | None = None,
 ) -> CompactStats:
     """Rewrite fragmented partitions into ~target-sized files.
 
@@ -104,7 +105,11 @@ def compact_table(
         return CompactStats(0, files_before, files_before)
 
     atomic = is_atomic_table(path)
-    table = AtomicParquetTable(spark, path, partition_col) if atomic else None
+    table = (
+        AtomicParquetTable(spark, path, partition_col, **(atomic_options or {}))
+        if atomic
+        else None
+    )
     df = table.read() if atomic else spark.read.parquet(path)
     if partition_col:
         # Prune the rewrite to the fragmented partitions only.

@@ -131,6 +131,13 @@ def _execute_prepared(
         conn.close()
 
 
+#: URLs whose control table this process has already created/migrated —
+#: ensure_control_table is called once per fetch registration (the
+#: per-job hot path), and the schema cannot regress mid-process, so the
+#: metadata probes are paid once per database, not per job.
+_ENSURED_URLS: set[str] = set()
+
+
 def ensure_control_table(spark: SparkSession, url: str) -> None:
     """Create the control table, or — when an older-shape table already
     exists — widen it additively (``ALTER TABLE .. ADD COLUMN`` per
@@ -139,7 +146,11 @@ def ensure_control_table(spark: SparkSession, url: str) -> None:
     store's additive-only evolution policy (`schemas.validate_evolution`)
     and of the reference's migration discipline: its alembic revisions
     add nullable columns to the live table rather than rebuild it
-    (e.g. `alembic/versions/3967a578f902_*.py` adds ``payload_path``)."""
+    (e.g. `alembic/versions/3967a578f902_*.py` adds ``payload_path``).
+
+    Idempotent and memoized per URL within the process."""
+    if url in _ENSURED_URLS:
+        return
     if not jdbc_table_exists(spark, url, CONTROL_TABLE):
         try:
             _execute_prepared(spark, url, _ddl(), [])
@@ -147,6 +158,7 @@ def ensure_control_table(spark: SparkSession, url: str) -> None:
             # lost a concurrent-create race: fine as long as it exists now
             if not jdbc_table_exists(spark, url, CONTROL_TABLE):
                 raise
+        _ENSURED_URLS.add(url)
         return
     existing = {c.lower() for c in jdbc_table_columns(spark, url, CONTROL_TABLE)}
     for c in _COLUMNS:
@@ -164,6 +176,7 @@ def ensure_control_table(spark: SparkSession, url: str) -> None:
             now = {x.lower() for x in jdbc_table_columns(spark, url, CONTROL_TABLE)}
             if c.lower() not in now:
                 raise
+    _ENSURED_URLS.add(url)
 
 
 def insert_fetch_metadata(

@@ -110,15 +110,22 @@ def merge_observations(
         from meteo_etl_spark.sources.jdbc import jdbc_row_count, jdbc_table_exists
 
         url = warehouse.observations_jdbc_url
-        before = (
-            jdbc_row_count(spark, url, "observations")
-            if jdbc_table_exists(spark, url, "observations")
-            else 0
-        )
-        touched = merge_observations_jdbc(
-            spark, url, records, fetch_id=fetch_id, dialect=warehouse.jdbc_dialect
-        )
-        after = jdbc_row_count(spark, url, "observations")
+        try:
+            before = (
+                jdbc_row_count(spark, url, "observations")
+                if jdbc_table_exists(spark, url, "observations")
+                else 0
+            )
+            touched = merge_observations_jdbc(
+                spark, url, records, fetch_id=fetch_id, dialect=warehouse.jdbc_dialect
+            )
+            after = jdbc_row_count(spark, url, "observations")
+        except LoadError:
+            raise
+        except Exception as exc:
+            # the count probes must classify like the merge itself
+            # ('load' in the error taxonomy), not as 'unexpected'
+            raise LoadError(f"jdbc observations merge failed: {exc}") from exc
         return MergeStats(
             inserted=after - before,
             updated=touched - (after - before),

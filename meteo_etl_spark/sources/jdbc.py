@@ -416,12 +416,14 @@ def upsert_jdbc(
     Reference parity: `etl/load.py:35-55` (INSERT .. ON CONFLICT DO
     UPDATE inside a transaction). Protocol:
 
-    1. bulk-write ``df`` to a staging table (``mode='overwrite'`` —
-       cluster-parallel batched inserts, the only write shape that
-       scales past one driver connection);
+    1. pre-create the staging table from the batch's schema
+       (``create_table_ddl``, honoring ``createTableColumnTypes``
+       pins; a leftover staging from a crashed run is dropped first),
+       then bulk-append ``df`` into it — cluster-parallel batched
+       inserts, the only write shape that scales past one driver
+       connection;
     2. if the target does not exist, create it from the staging
-       table's shape (``CREATE TABLE .. AS SELECT .. WITH NO DATA`` —
-       so ``createTableColumnTypes`` pins propagate);
+       table's shape (``CREATE TABLE .. AS SELECT .. WITH NO DATA``);
     3. fold staging into the target with ONE atomic database-side
        statement — ``MERGE INTO`` by default, or the Postgres-<15 /
        SQLite shape with ``dialect="on_conflict"`` (see

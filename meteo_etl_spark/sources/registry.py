@@ -82,8 +82,25 @@ class Source:
         )
 
     def payload_to_df(self, spark: SparkSession, payload: dict) -> DataFrame:
-        """One payload dict → single-row DataFrame with the declared schema."""
-        return spark.createDataFrame([payload], schema=self.spec.payload_schema)
+        """One payload dict → single-row DataFrame with the declared schema.
+
+        Routed through the JSON parser (``from_json``), not the Python
+        row verifier: real APIs encode whole numbers as JSON ints
+        (met.no altitude ``3``), which the strict verifier would reject
+        against DoubleType while the JSON parser coerces — and it makes
+        this path semantically identical to the bronze re-read
+        (``spark.read.schema(...).json``), one parsing behavior
+        everywhere."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        raw = spark.createDataFrame(
+            [(_json.dumps(payload),)], schema="payload string"
+        )
+        return raw.select(
+            F.from_json("payload", self.spec.payload_schema).alias("j")
+        ).select("j.*")
 
     def transform(self, payload_df: DataFrame) -> DataFrame:
         """Normalize raw payload rows to records (T1-T4)."""

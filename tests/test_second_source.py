@@ -226,3 +226,46 @@ def test_metno_timestamp_offset_variants(spark):
     garbage = spark.createDataFrame([p("not-a-time")], schema=METNO_PAYLOAD_SCHEMA)
     with pytest.raises(Exception, match="CANNOT_PARSE_TIMESTAMP|not-a-time"):
         normalize_metno(garbage).collect()
+
+
+def test_payload_to_df_coerces_json_integers(spark):
+    """The live met.no API encodes whole numbers as JSON ints
+    (altitude 3, temperature 5): payload_to_df must coerce them into
+    the declared DoubleType fields like the bronze JSON re-read does,
+    not reject them through the Python row verifier."""
+    from meteo_etl_spark.sources.registry import create_source
+
+    src = create_source("metno", {"latitude": 1.0, "longitude": 2.0})
+    payload = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [10, 59, 3]},  # all ints
+        "properties": {
+            "timeseries": [
+                {
+                    "time": "2025-12-01T00:00:00Z",
+                    "data": {
+                        "instant": {
+                            "details": {"air_temperature": 5, "wind_speed": 3}
+                        }
+                    },
+                }
+            ]
+        },
+    }
+    row = src.transform(src.payload_to_df(spark, payload)).collect()[0]
+    assert (row.latitude, row.longitude) == (59.0, 10.0)
+    assert row.temperature == 5.0 and row.wind_speed == 3.0
+
+    # the meteo struct-of-arrays shape coerces too (int lat/long/measures)
+    m = create_source("meteo", {"latitude": 1.0, "longitude": 2.0})
+    from meteo_etl_spark.schemas import HOURLY_MEASURES
+
+    mp = {
+        "latitude": 3, "longitude": 5,
+        "hourly": {
+            "time": ["2025-12-01T00:00"],
+            **{meas: [10] for meas in HOURLY_MEASURES},  # ints everywhere
+        },
+    }
+    mrow = m.transform(m.payload_to_df(spark, mp)).collect()[0]
+    assert (mrow.latitude, mrow.longitude, mrow.temperature) == (3.0, 5.0, 10.0)
