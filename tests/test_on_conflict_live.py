@@ -113,6 +113,17 @@ _DRIVER_SCRIPT = textwrap.dedent(
     # staging cleaned up
     assert not jdbc.jdbc_table_exists(spark, url, "ups_stg")
 
+    # the non-Derby LockIO path (TEXT body column — Postgres-class
+    # dialects have no CLOB) against a live database
+    from meteo_etl_spark.operators.atomic import JdbcLockIO
+
+    lk = JdbcLockIO(spark, url)
+    assert lk.put_if_absent("tbl#v1", '{"version": 1}')
+    assert not lk.put_if_absent("tbl#v1", "loser")
+    assert lk.get("tbl#v1") == '{"version": 1}'
+    assert lk.get("tbl#v2") is None
+    assert JdbcLockIO(spark, url).get("tbl#v1") == '{"version": 1}'  # table reused
+
     spark.stop()
     print("ON-CONFLICT-E2E-OK")
     """
