@@ -188,3 +188,138 @@ def trained_ivf_centroids(
     for ``ann_ivf_topk``-style routing (same plan, better lists)."""
     cents, _ = kmeans_fit(emb, k=k, iters=iters)
     return [[x / QUANT for x in c] for c in cents]
+
+
+# --- semantic dedup: cluster-blocked cosine pruning (SemDeDup) -------------
+
+#: integer cosine² threshold numerator: floor(tau² * 1e4). The dup test
+#: "cos(a,b) >= tau" is evaluated EXACTLY in int64 as
+#: 10000·dot² >= SEMANTIC_TAU_NUM·‖a‖²·‖b‖² (with dot > 0) over the
+#: quantized vectors — no FP division, no sqrt, bit-identical across
+#: engines. tau reuses dedup.COSINE_DUP_THRESHOLD (0.45 → 2025 exactly).
+def _semantic_tau_num() -> int:
+    from meteo_etl_spark.functions.dedup import COSINE_DUP_THRESHOLD
+
+    return int(round(COSINE_DUP_THRESHOLD * COSINE_DUP_THRESHOLD * 10000))
+
+
+#: sub-blocks per cluster for the within-cluster pair join: a cluster is
+#: a natural skew key (a 100 TB corpus can put billions of vectors in
+#: one cluster), so the pair space is additionally block-diagonalized —
+#: join key (cluster, block-pair task), task memory stays bounded by
+#: cluster_size/blocks regardless of cluster skew.
+SEMANTIC_PAIR_BLOCKS = 4
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = SEMANTIC_PAIR_BLOCKS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters
+    as the BLOCKING key, then exact pairwise cosine only WITHIN each
+    cluster; a vector is dropped when a lower-id vector in its cluster
+    is a near-duplicate (cos >= tau). Returns one row per vector:
+    ``(vec_id, cluster, n_dup_lower, is_kept)``.
+
+    Scale shape: clustering reduces the pair space from O(n²) to
+    Σ|cluster|² — the published method's entire point — and each
+    cluster's pair space is further block-diagonalized (join key is
+    (cluster, block-task), SEMANTIC_PAIR_BLOCKS sub-blocks) so one hot
+    cluster can never exceed task memory. The join is a shuffled
+    equi-join — never a cross join — and the keep-decision is one
+    partial-agg count per vector. All arithmetic is integer-quantized
+    (see kmeans_fit) so the DuckDB oracle replays it bit-for-bit.
+
+    Reference parity: no reference counterpart; mandated LLM-pipeline
+    extension (SURVEY.md §2.4) — the embedding-space twin of the
+    MinHash text dedup.
+    """
+    cents, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    q = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    av = assign_clusters(q, cents).select(
+        "vec_id", "cluster", "qv", _idot(F.col("qv"), F.col("qv")).alias("n2")
+    )
+    blk = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(blocks)).cast("int")
+    sided = av.withColumn("blk", blk)
+
+    def task_id(i: Column, j: Column) -> Column:
+        return F.concat_ws(":", i.cast("string"), j.cast("string"))
+
+    # Identical block-pair enumeration to dedup.embedding_cosine_pairs,
+    # with the cluster id prepended to the join key: a row of block b
+    # is LEFT in tasks (b, j>=b) and RIGHT in tasks (i<=b, b).
+    left = sided.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("id_l"),
+        F.col("qv").alias("qv_l"),
+        F.col("n2").alias("n2_l"),
+        F.col("blk").alias("blk_l"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(blocks - 1)),
+                lambda j: task_id(F.col("blk"), j),
+            )
+        ).alias("task"),
+    )
+    right = sided.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("id_r"),
+        F.col("qv").alias("qv_r"),
+        F.col("n2").alias("n2_r"),
+        F.col("blk").alias("blk_r"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: task_id(i, F.col("blk")),
+            )
+        ).alias("task"),
+    )
+    tau_num = _semantic_tau_num()
+    d = _idot(F.col("qv_l"), F.col("qv_r"))
+    pairs = (
+        left.join(right, ["cl", "task"])
+        .filter((F.col("blk_l") != F.col("blk_r")) | (F.col("id_l") < F.col("id_r")))
+        .select(
+            F.least("id_l", "id_r").alias("id_lo"),
+            F.greatest("id_l", "id_r").alias("id_hi"),
+            d.alias("d"),
+            F.col("n2_l").alias("n2_a"),
+            F.col("n2_r").alias("n2_b"),
+        )
+        .filter(
+            (F.col("d") > 0)
+            & (
+                F.lit(10000) * F.col("d") * F.col("d")
+                >= F.lit(tau_num) * F.col("n2_a") * F.col("n2_b")
+            )
+        )
+    )
+    dup = pairs.groupBy(F.col("id_hi").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dup_lower")
+    )
+    return (
+        av.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("n_dup_lower", F.lit(0)).cast("long").alias("n_dup_lower"),
+            F.col("n_dup_lower").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

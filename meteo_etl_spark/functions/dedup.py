@@ -272,14 +272,10 @@ def minhash_band_keys(vals_col: str = "sh") -> list[Column]:
     return keys
 
 
-def minhash_candidates(sh_docs: DataFrame) -> DataFrame:
-    """Banded-MinHash candidate pairs ``(doc_a, doc_b)``, ``a < b`` —
-    ONE equi-join on (band, bucket-key), sub-quadratic. Shared by every
-    verify strategy (Jaccard, edit distance): candidate generation is
-    the scale-critical half; the verifier only sees ~|corpus|·fp_rate
-    pairs."""
+def _melted_bands(sh_docs: DataFrame) -> DataFrame:
+    """(id, band, key) — one row per document per LSH band."""
     bands = sh_docs.select("id", *minhash_band_keys("sh"))
-    melted = bands.select(
+    return bands.select(
         "id",
         F.explode(
             F.array(*[
@@ -288,6 +284,15 @@ def minhash_candidates(sh_docs: DataFrame) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+
+
+def minhash_candidates(sh_docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs ``(doc_a, doc_b)``, ``a < b`` —
+    ONE equi-join on (band, bucket-key), sub-quadratic. Shared by every
+    verify strategy (Jaccard, edit distance): candidate generation is
+    the scale-critical half; the verifier only sees ~|corpus|·fp_rate
+    pairs."""
+    melted = _melted_bands(sh_docs)
 
     a = melted.alias("a")
     b = melted.alias("b")
@@ -598,6 +603,66 @@ def decontaminate(
     base = docs.select(F.col(id_col).alias("id"))
     return base.join(hits, "id", "left").select(
         "id", F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap")
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training docs that are
+    NEAR-duplicates (Jaccard >= threshold) of any eval doc — catches
+    paraphrased/lightly-edited benchmark leakage that the exact-shingle
+    ``decontaminate`` misses.
+
+    Per training doc: ``(id, n_matches, max_jaccard, contaminated)``
+    over EVERY row of ``docs`` (clean docs report 0 matches).
+
+    Scale shape: the eval corpus is tiny next to a 100 TB training
+    corpus, so BOTH eval probes are broadcast — candidate generation is
+    a map-side (band, key) equi-join against the eval band table, and
+    the Jaccard verify joins each candidate to the broadcast eval
+    shingle sets; the training corpus is shingled once and never
+    shuffled. Candidates are ~|corpus|·bands·collision_rate rows; the
+    exact verify touches only those.
+    """
+    train_sh = _shingle_docs(docs, id_col, text_col)
+    eval_sh = _shingle_docs(eval_docs, id_col, text_col)
+    evb = _melted_bands(eval_sh).select(
+        F.col("id").alias("eval_id"), "band", "key"
+    )
+    cand = (
+        _melted_bands(train_sh)
+        .join(F.broadcast(evb), ["band", "key"])
+        .select("id", "eval_id")
+        .distinct()
+    )
+    sa = train_sh.select("id", F.col("sh").alias("sh_a"))
+    sb = eval_sh.select(F.col("id").alias("eval_id"), F.col("sh").alias("sh_b"))
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = c.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - c
+    ).cast("double")
+    hits = (
+        cand.join(sa, "id")
+        .join(F.broadcast(sb), "eval_id")
+        .select("id", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("jaccard_raw"), 3).alias("max_jaccard"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        F.col("n_matches").isNotNull().alias("contaminated"),
     )
 
 

@@ -588,6 +588,62 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+#: trailing time-window width for events_window_agg (1 hour, in µs —
+#: epoch_us keys make the RANGE frame exact at full timestamp precision).
+WINDOW_RANGE_US = 3_600_000_000
+
+
+@query(
+    "events_window_agg",
+    f"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                      CAST(floor(value * 100) AS BIGINT) AS qv
+               FROM events)
+    SELECT event_id, user_id,
+           SUM(qv) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                          RANGE BETWEEN {WINDOW_RANGE_US} PRECEDING
+                                    AND CURRENT ROW) AS hr_n,
+           SUM(qv) OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {WINDOW_RANGE_US} PRECEDING
+                                   AND CURRENT ROW) AS hr_sum
+    FROM e ORDER BY event_id""",
+    doc="Per-user running + trailing-hour window analytics: cumulative "
+    "sum (ROWS frame, event_id tie-break) and 1-hour moving count/sum "
+    "(RANGE frame over epoch-µs keys) in one pass — the WindowExec "
+    "frame shapes the rollup/sessionize queries don't cover. Both "
+    "frames share ONE (user_id)-keyed shuffle and ONE in-partition "
+    "sort; frame evaluation is incremental (running accumulator / "
+    "sliding two-pointer), never per-row rescans. Values quantized to "
+    "int64 cents so every running sum is exact and order-independent "
+    "across engines. At 100 TB this is one exchange over the natural "
+    "key with bounded per-task state.",
+)
+def events_window_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    qv = F.floor(F.col("value") * 100).cast("long")
+    e = ev.select("event_id", "user_id", us.alias("us"), qv.alias("qv"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rng = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-WINDOW_RANGE_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum("qv").over(w_run).alias("run_sum"),
+        F.count(F.lit(1)).over(w_rng).alias("hr_n"),
+        F.sum("qv").over(w_rng).alias("hr_sum"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Dataset assembly: deterministic splits + multi-granularity rollups
 # ---------------------------------------------------------------------------
@@ -1082,6 +1138,58 @@ def docs_decontaminate(spark, sf_dir):
 
 
 @query(
+    "docs_fuzzy_decontaminate",
+    f"""WITH {_DUCK_SHINGLES},
+    sig AS (SELECT doc_id, {_duck_minhash_sig()} AS m FROM sh),
+    bands AS (SELECT doc_id, b,
+                     md5(m[2*b+1]::VARCHAR || '|' || m[2*b+2]::VARCHAR) AS key
+              FROM sig, UNNEST(range(0, {dd.MINHASH_BANDS})) AS u(b)),
+    evb AS (SELECT doc_id AS eval_id, b, key FROM bands
+            WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    trb AS (SELECT doc_id, b, key FROM bands
+            WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+    cand AS (SELECT DISTINCT t.doc_id, e.eval_id
+             FROM trb t JOIN evb e USING (b, key)),
+    common AS (SELECT cd.doc_id, cd.eval_id,
+                      len(list_intersect(p.s, q.s)) AS c,
+                      p2.n + q2.n AS tot
+               FROM cand cd JOIN sh p ON p.doc_id = cd.doc_id
+                            JOIN sh q ON q.doc_id = cd.eval_id
+                            JOIN cnt p2 ON p2.doc_id = cd.doc_id
+                            JOIN cnt q2 ON q2.doc_id = cd.eval_id),
+    hits AS (SELECT doc_id, COUNT(*) AS n_matches,
+                    ROUND(MAX(CAST(c AS DOUBLE)/CAST(tot - c AS DOUBLE)), 3) AS mj
+             FROM common
+             WHERE CAST(c AS DOUBLE)/CAST(tot - c AS DOUBLE)
+                     >= {dd.JACCARD_THRESHOLD}
+             GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+           COALESCE(h.mj, 0.0) AS max_jaccard,
+           h.n_matches IS NOT NULL AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id""",
+    doc="FUZZY benchmark decontamination: training docs that are "
+    "near-duplicates (MinHash-LSH candidates + exact Jaccard >= 0.8) "
+    "of any eval doc — catches paraphrased/lightly-edited leakage the "
+    "exact-shingle docs_decontaminate misses; the step data releases "
+    "run alongside it. Scale shape: the eval side is tiny vs a 100 TB "
+    "corpus, so BOTH eval probes (band table, shingle sets) are "
+    "broadcast — candidates come from a map-side (band,key) equi-join "
+    "and the verify touches candidates only; the training corpus is "
+    "shingled once, never shuffled.",
+)
+def docs_fuzzy_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    res = dd.fuzzy_decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+    return res.select(
+        F.col("id").alias("doc_id"), "n_matches", "max_jaccard", "contaminated"
+    ).orderBy("doc_id")
+
+
+@query(
     "docs_vocab_topk",
     """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                   FROM documents)
@@ -1165,11 +1273,14 @@ def dedup_minhash_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _duck_kmeans_sql() -> str:
+def _duck_kmeans_parts() -> list[str]:
     """Unrolled Lloyd's iterations in DuckDB — same seeds (md5 order),
     same integer-quantized arithmetic, same floor-mean update and
     empty-cluster COALESCE as functions/clustering.kmeans_fit, so the
-    trained centroids and final assignment match bit-for-bit."""
+    trained centroids and final assignment match bit-for-bit. Returns
+    the shared CTE list ending at ``af`` (final assignment) over ``q``
+    (quantized vectors) and ``c{iters}`` (final centroids); the kmeans
+    and semantic-dedup oracles append their own tails."""
     k, iters, dim, quant = cl.KMEANS_K, cl.KMEANS_ITERS, sim.EMBEDDING_DIM, cl.QUANT
     sq = (
         f"list_sum([(q.qv[d]-c.c[d])*(q.qv[d]-c.c[d]) "
@@ -1211,6 +1322,11 @@ def _duck_kmeans_sql() -> str:
                                     ORDER BY {sq}, c.cluster) AS rn
           FROM q CROSS JOIN c{iters} c) WHERE rn = 1)"""
     )
+    return parts
+
+
+def _duck_kmeans_sql() -> str:
+    parts = _duck_kmeans_parts()
     with_clause = ",\n    ".join(parts)
     return f"""WITH {with_clause}
     SELECT af.cluster,
@@ -1220,8 +1336,38 @@ def _duck_kmeans_sql() -> str:
     FROM af JOIN (
       SELECT cluster, CAST(list_sum(c) AS BIGINT) AS centroid_sum,
              CAST(list_sum([x * x FOR x IN c]) AS BIGINT) AS centroid_norm2
-      FROM c{iters}) cs USING (cluster)
+      FROM c{cl.KMEANS_ITERS}) cs USING (cluster)
     GROUP BY af.cluster ORDER BY cluster"""
+
+
+def _duck_semantic_dedup_sql() -> str:
+    """SemDeDup oracle: the shared kmeans CTEs (same trained centroids,
+    same final assignment) plus the within-cluster integer cosine² dup
+    test — 10000·dot² >= tau_num·n2a·n2b with dot > 0, evaluated in
+    exact int64 like clustering.semantic_dedup."""
+    dim = sim.EMBEDDING_DIM
+    tau_num = cl._semantic_tau_num()
+    parts = _duck_kmeans_parts()
+    idot = f"list_sum([a.qv[d]*b.qv[d] FOR d IN generate_series(1, {dim})])"
+    parts.append(
+        """av AS (SELECT af.vec_id, af.cluster, q.qv,
+        list_sum([x*x FOR x IN q.qv]) AS n2
+      FROM af JOIN q USING (vec_id))"""
+    )
+    parts.append(
+        f"""dup AS (SELECT b.vec_id, COUNT(*) AS n_dup_lower
+      FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {idot} > 0
+        AND 10000 * {idot} * {idot} >= {tau_num} * a.n2 * b.n2
+      GROUP BY b.vec_id)"""
+    )
+    with_clause = ",\n    ".join(parts)
+    return f"""WITH {with_clause}
+    SELECT av.vec_id, CAST(av.cluster AS BIGINT) AS cluster,
+           CAST(COALESCE(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+           d.vec_id IS NULL AS is_kept
+    FROM av LEFT JOIN dup d USING (vec_id)
+    ORDER BY av.vec_id"""
 
 
 @query(
@@ -1247,6 +1393,25 @@ def emb_kmeans(spark, sf_dir):
         "centroid_sum",
         "centroid_norm2",
     )
+
+
+@query(
+    "dedup_semantic",
+    _duck_semantic_dedup_sql(),
+    doc="SemDeDup (arXiv:2303.09540): k-means clusters as the blocking "
+    "key, exact pairwise cosine only WITHIN each cluster, drop vectors "
+    "with a lower-id near-duplicate (cos >= 0.45). The published "
+    "method's scale claim is the plan: clustering cuts the pair space "
+    "from O(n²) to Σ|cluster|², and each cluster is further "
+    "block-diagonalized (join key (cluster, block-task)) so a hot "
+    "cluster — the natural skew key — never exceeds task memory. "
+    "Shuffled equi-join, no cross join (plan-guard enforced); dup test "
+    "in exact int64 (10000·dot² >= 2025·n2a·n2b), so the oracle "
+    "replays the trained centroids AND the keep-set bit-for-bit.",
+)
+def dedup_semantic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.semantic_dedup(emb)
 
 
 # ---------------------------------------------------------------------------

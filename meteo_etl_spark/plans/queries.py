@@ -1753,6 +1753,9 @@ _DEFERRED: tuple[str, ...] = (
     # New in round 6, deferred at birth to keep the r6 window stable
     # (pytest-oracle green; first-rotation candidate for round 7):
     "docs_unigram_freq",  # unigram-LM quality proxy: tfidf/vocab join+agg shapes (never)
+    "dedup_semantic",  # SemDeDup cluster-blocked cosine: emb_kmeans + dedup_embedding_cosine shapes (never)
+    "events_window_agg",  # ROWS/RANGE window frames: events_sessionize window shapes (never)
+    "docs_fuzzy_decontaminate",  # LSH-candidate decon: docs_decontaminate + dedup_minhash_lsh shapes (never)
 )
 
 
