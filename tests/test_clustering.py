@@ -84,3 +84,37 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     # recovers the true clustering from the empty-cluster state.
     cents2, _ = cl.kmeans_fit(df, k=2, iters=2)
     assert cents2 == [[-50] * 4, [50] * 4]
+
+
+# --- semantic dedup (SemDeDup): cluster-blocked cosine pruning -------------
+
+
+def test_semantic_dedup_drops_exact_duplicate_lower_id_wins(spark, emb):
+    """An exact copy of an existing vector (same embedding, higher id)
+    lands in the same cluster with cosine 1 and must be dropped; its
+    lower-id original decides for both."""
+    some = emb.orderBy("vec_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(10_000, list(some.embedding), 0)], emb.schema
+    )
+    out = {r.vec_id: r for r in cl.semantic_dedup(emb.unionByName(dup)).collect()}
+    assert not out[10_000].is_kept
+    assert out[10_000].n_dup_lower >= 1
+    assert out[10_000].cluster == out[some.vec_id].cluster
+
+
+def test_semantic_dedup_block_diagonalization_is_complete(spark, emb):
+    """Sub-blocking a cluster's pair space must not lose pairs: the
+    1-block plan (plain within-cluster join) and the default blocked
+    plan return identical keep-sets and dup counts."""
+    a = sorted(map(tuple, cl.semantic_dedup(emb, blocks=1).collect()))
+    b = sorted(map(tuple, cl.semantic_dedup(emb).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_partition_invariant(spark, emb):
+    """Integer arithmetic end-to-end: input layout cannot leak into
+    the keep-set."""
+    a = sorted(map(tuple, cl.semantic_dedup(emb).collect()))
+    b = sorted(map(tuple, cl.semantic_dedup(emb.repartition(13)).collect()))
+    assert a == b

@@ -346,3 +346,25 @@ def test_incremental_minhash_matches_full_lsh_cross_pairs(spark, docs, tmp_path)
     }
     assert got == expected
     assert len(os.listdir(os.path.join(idx, "bands"))) >= 1
+
+
+def test_fuzzy_decontaminate_flags_near_dup_and_reports_short_docs(spark):
+    """An exact copy of an eval doc must be flagged (all LSH bands
+    collide, Jaccard 1.0); an unrelated doc and a sub-k-token doc are
+    clean — and every training doc gets a row either way."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base.strip()),          # train: exact copy of the eval doc
+        (2, "completely different text about spark shuffles and joins"),
+        (3, "too short"),           # < SHINGLE_K tokens: trivially clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, base.strip())], "doc_id long, text string"
+    )
+    out = {r.id: r for r in dd.fuzzy_decontaminate(docs, eval_docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_matches == 1
+    assert out[1].max_jaccard == 1.0
+    assert not out[2].contaminated and out[2].max_jaccard == 0.0
+    assert not out[3].contaminated and out[3].n_matches == 0
