@@ -220,6 +220,75 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
+def _assigned_vectors(
+    emb: DataFrame, *, k: int, iters: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, cluster, qv, n2): trained-cluster assignment plus the
+    quantized vector and its exact integer squared norm."""
+    cents, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    q = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    return assign_clusters(q, cents).select(
+        "vec_id", "cluster", "qv", _idot(F.col("qv"), F.col("qv")).alias("n2")
+    )
+
+
+def _cluster_blocked_pairs(av: DataFrame, blocks: int) -> DataFrame:
+    """Every unordered within-cluster pair exactly once:
+    ``(id_lo, id_hi, d, n2p)`` with d the exact int64 dot product and
+    n2p the (symmetric) product of squared norms.
+
+    Identical block-pair enumeration to dedup.embedding_cosine_pairs,
+    with the cluster id prepended to the join key: a row of block b is
+    LEFT in tasks (b, j>=b) and RIGHT in tasks (i<=b, b), so the join
+    is a shuffled equi-join on (cluster, task) — blocks·(blocks+1)/2
+    bounded-memory tasks per cluster, never a cross join."""
+    blk = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(blocks)).cast("int")
+    sided = av.withColumn("blk", blk)
+
+    def task_id(i: Column, j: Column) -> Column:
+        return F.concat_ws(":", i.cast("string"), j.cast("string"))
+
+    left = sided.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("id_l"),
+        F.col("qv").alias("qv_l"),
+        F.col("n2").alias("n2_l"),
+        F.col("blk").alias("blk_l"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(blocks - 1)),
+                lambda j: task_id(F.col("blk"), j),
+            )
+        ).alias("task"),
+    )
+    right = sided.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("id_r"),
+        F.col("qv").alias("qv_r"),
+        F.col("n2").alias("n2_r"),
+        F.col("blk").alias("blk_r"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: task_id(i, F.col("blk")),
+            )
+        ).alias("task"),
+    )
+    d = _idot(F.col("qv_l"), F.col("qv_r"))
+    return (
+        left.join(right, ["cl", "task"])
+        .filter((F.col("blk_l") != F.col("blk_r")) | (F.col("id_l") < F.col("id_r")))
+        .select(
+            F.least("id_l", "id_r").alias("id_lo"),
+            F.greatest("id_l", "id_r").alias("id_hi"),
+            d.alias("d"),
+            (F.col("n2_l") * F.col("n2_r")).alias("n2p"),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,
@@ -248,67 +317,11 @@ def semantic_dedup(
     extension (SURVEY.md §2.4) — the embedding-space twin of the
     MinHash text dedup.
     """
-    cents, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    q = fan_out(emb).select(
-        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
-    )
-    av = assign_clusters(q, cents).select(
-        "vec_id", "cluster", "qv", _idot(F.col("qv"), F.col("qv")).alias("n2")
-    )
-    blk = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(blocks)).cast("int")
-    sided = av.withColumn("blk", blk)
-
-    def task_id(i: Column, j: Column) -> Column:
-        return F.concat_ws(":", i.cast("string"), j.cast("string"))
-
-    # Identical block-pair enumeration to dedup.embedding_cosine_pairs,
-    # with the cluster id prepended to the join key: a row of block b
-    # is LEFT in tasks (b, j>=b) and RIGHT in tasks (i<=b, b).
-    left = sided.select(
-        F.col("cluster").alias("cl"),
-        F.col("vec_id").alias("id_l"),
-        F.col("qv").alias("qv_l"),
-        F.col("n2").alias("n2_l"),
-        F.col("blk").alias("blk_l"),
-        F.explode(
-            F.transform(
-                F.sequence(F.col("blk"), F.lit(blocks - 1)),
-                lambda j: task_id(F.col("blk"), j),
-            )
-        ).alias("task"),
-    )
-    right = sided.select(
-        F.col("cluster").alias("cl"),
-        F.col("vec_id").alias("id_r"),
-        F.col("qv").alias("qv_r"),
-        F.col("n2").alias("n2_r"),
-        F.col("blk").alias("blk_r"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("blk")),
-                lambda i: task_id(i, F.col("blk")),
-            )
-        ).alias("task"),
-    )
+    av = _assigned_vectors(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     tau_num = _semantic_tau_num()
-    d = _idot(F.col("qv_l"), F.col("qv_r"))
-    pairs = (
-        left.join(right, ["cl", "task"])
-        .filter((F.col("blk_l") != F.col("blk_r")) | (F.col("id_l") < F.col("id_r")))
-        .select(
-            F.least("id_l", "id_r").alias("id_lo"),
-            F.greatest("id_l", "id_r").alias("id_hi"),
-            d.alias("d"),
-            F.col("n2_l").alias("n2_a"),
-            F.col("n2_r").alias("n2_b"),
-        )
-        .filter(
-            (F.col("d") > 0)
-            & (
-                F.lit(10000) * F.col("d") * F.col("d")
-                >= F.lit(tau_num) * F.col("n2_a") * F.col("n2_b")
-            )
-        )
+    pairs = _cluster_blocked_pairs(av, blocks).filter(
+        (F.col("d") > 0)
+        & (F.lit(10000) * F.col("d") * F.col("d") >= F.lit(tau_num) * F.col("n2p"))
     )
     dup = pairs.groupBy(F.col("id_hi").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_dup_lower")
@@ -322,4 +335,66 @@ def semantic_dedup(
             F.col("n_dup_lower").isNull().alias("is_kept"),
         )
         .orderBy("vec_id")
+    )
+
+
+KNN_NEIGHBORS = 5
+
+
+def knn_graph(
+    emb: DataFrame,
+    *,
+    k_neighbors: int = KNN_NEIGHBORS,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = SEMANTIC_PAIR_BLOCKS,
+) -> DataFrame:
+    """Cluster-blocked k-NN graph: each vector's top-``k_neighbors``
+    cosine neighbors WITHIN its trained k-means cluster —
+    ``(src, rank, dst, cos)``, the adjacency list graph-based curation
+    (dedup clustering, diversity sampling, label propagation) starts
+    from.
+
+    Scale shape: the same Σ|cluster|² pair space as semantic_dedup
+    (never all-pairs), enumerated once per unordered pair and exploded
+    into both directions; top-k per source is a rank over the
+    (src)-keyed window — per-partition sort, no global sort. Cosine is
+    the exact integer dot over sqrt of the exact integer norm product,
+    so ranking is deterministic across engines (IEEE sqrt/division are
+    correctly rounded; ties break on dst id). A vector whose cluster
+    has no other member yields no rows — the graph is honest about
+    isolation rather than padding with cross-cluster guesses."""
+    from pyspark.sql import Window
+
+    av = _assigned_vectors(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    pairs = _cluster_blocked_pairs(av, blocks)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("src"), F.col("id_hi").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_hi").alias("src"), F.col("id_lo").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        (
+            F.col("d").cast("double")
+            / F.sqrt(F.col("n2p").cast("double"))
+        ).alias("cos_raw"),
+    ).select("e.src", "e.dst", "cos_raw")
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), "dst")
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "src",
+            F.col("rank").cast("long").alias("rank"),
+            "dst",
+            F.round("cos_raw", 4).alias("cos"),
+        )
+        .orderBy("src", "rank")
     )

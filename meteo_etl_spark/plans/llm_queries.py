@@ -1414,6 +1414,63 @@ def dedup_semantic(spark, sf_dir):
     return cl.semantic_dedup(emb)
 
 
+def _duck_knn_graph_sql() -> str:
+    """k-NN-graph oracle: shared kmeans CTEs, within-cluster pairs
+    enumerated once and mirrored into both directions, rank by the
+    identical double cosine (int dot / sqrt of int norm product)."""
+    dim = sim.EMBEDDING_DIM
+    parts = _duck_kmeans_parts()
+    idot = f"list_sum([a.qv[d]*b.qv[d] FOR d IN generate_series(1, {dim})])"
+    parts.append(
+        """av AS (SELECT af.vec_id, af.cluster, q.qv,
+        list_sum([x*x FOR x IN q.qv]) AS n2
+      FROM af JOIN q USING (vec_id))"""
+    )
+    parts.append(
+        f"""pr AS (SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+             {idot} AS dt, a.n2 * b.n2 AS n2p
+      FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)"""
+    )
+    parts.append(
+        """dir AS (SELECT id_lo AS src, id_hi AS dst, dt, n2p FROM pr
+      UNION ALL SELECT id_hi, id_lo, dt, n2p FROM pr)"""
+    )
+    parts.append(
+        """rk AS (SELECT src, dst,
+             CAST(dt AS DOUBLE) / sqrt(CAST(n2p AS DOUBLE)) AS cos_raw,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY CAST(dt AS DOUBLE) / sqrt(CAST(n2p AS DOUBLE)) DESC,
+                        dst) AS rank
+      FROM dir)"""
+    )
+    with_clause = ",\n    ".join(parts)
+    return f"""WITH {with_clause}
+    SELECT src, CAST(rank AS BIGINT) AS rank, dst,
+           ROUND(cos_raw, 4) AS cos
+    FROM rk WHERE rank <= {cl.KNN_NEIGHBORS}
+    ORDER BY src, rank"""
+
+
+@query(
+    "sim_knn_graph",
+    _duck_knn_graph_sql(),
+    doc="Cluster-blocked k-NN graph: each vector's top-5 cosine "
+    "neighbors within its trained k-means cluster — the adjacency "
+    "list graph-based curation (dedup clustering, diversity sampling, "
+    "label propagation) starts from. Same Σ|cluster|² pair space as "
+    "dedup_semantic (never all-pairs, block-diagonalized equi-join); "
+    "pairs enumerated once, mirrored into both directions, top-k via "
+    "one (src)-keyed window rank — per-partition sort, no global "
+    "sort. Cosine = exact int64 dot / sqrt(exact int64 norm product): "
+    "IEEE-identical in both engines, ties broken on dst id, so the "
+    "whole adjacency list hash-matches.",
+)
+def sim_knn_graph(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.knn_graph(emb)
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: near-dup pairs -> connected components
 # ---------------------------------------------------------------------------

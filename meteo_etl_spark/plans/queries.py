@@ -1756,6 +1756,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_semantic",  # SemDeDup cluster-blocked cosine: emb_kmeans + dedup_embedding_cosine shapes (never)
     "events_window_agg",  # ROWS/RANGE window frames: events_sessionize window shapes (never)
     "docs_fuzzy_decontaminate",  # LSH-candidate decon: docs_decontaminate + dedup_minhash_lsh shapes (never)
+    "sim_knn_graph",  # cluster-blocked kNN adjacency: dedup_semantic pairs + tfidf window top-k shapes (never)
 )
 
 

@@ -118,3 +118,37 @@ def test_semantic_dedup_partition_invariant(spark, emb):
     a = sorted(map(tuple, cl.semantic_dedup(emb).collect()))
     b = sorted(map(tuple, cl.semantic_dedup(emb.repartition(13)).collect()))
     assert a == b
+
+
+# --- cluster-blocked k-NN graph --------------------------------------------
+
+
+def test_knn_graph_invariants_and_block_completeness(spark, emb):
+    """Adjacency-list contract: no self-edges, ranks contiguous from 1
+    per source, cosine non-increasing along each source's ranks — and
+    the blocked pair enumeration loses nothing vs the 1-block plan."""
+    g = cl.knn_graph(emb).collect()
+    by_src: dict[int, list] = {}
+    for r in g:
+        assert r.src != r.dst
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= cl.KNN_NEIGHBORS
+        assert all(a.cos >= b.cos for a, b in zip(rs, rs[1:]))
+    single = sorted(map(tuple, cl.knn_graph(emb, blocks=1).collect()))
+    assert single == sorted(map(tuple, g))
+
+
+def test_knn_graph_exact_duplicate_is_rank_one_both_ways(spark, emb):
+    """An exact copy of a vector must be its original's rank-1
+    neighbor (cos 1.0) and vice versa."""
+    some = emb.orderBy("vec_id").limit(1).collect()[0]
+    dup = spark.createDataFrame([(10_000, list(some.embedding), 0)], emb.schema)
+    g = {
+        (r.src, r.rank): r
+        for r in cl.knn_graph(emb.unionByName(dup)).collect()
+    }
+    assert g[(some.vec_id, 1)].dst == 10_000 and g[(some.vec_id, 1)].cos == 1.0
+    assert g[(10_000, 1)].dst == some.vec_id and g[(10_000, 1)].cos == 1.0
