@@ -158,8 +158,8 @@ def enrich_stream(
     static side is fully available every trigger — the scale contract
     is only that ``dim`` stays broadcast-small. For stream-stream
     joins Spark requires watermarks on both sides; that is a different
-    operator with real join state, deliberately not hidden behind
-    this helper. ``how`` must be stream-preserving (inner/left —
+    operator with real join state — ``interval_join_streams`` below.
+    ``how`` must be stream-preserving (inner/left —
     right/full would need the unmatched static side emitted, which a
     stream cannot do)."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
@@ -167,3 +167,65 @@ def enrich_stream(
             f"enrich_stream: how={how!r} is not stream-preserving (inner/left only)"
         )
     return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    ts_col: str = "ts",
+    tolerance: str = "5 minutes",
+    watermark_delay: str = "1 hour",
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: rows of ``left`` and
+    ``right`` with equal ``on`` keys whose event times lie within
+    ``±tolerance`` of each other — the stateful join enrich_stream's
+    docstring points to (correlating two live feeds: clicks×impressions,
+    sensor×sensor, order×payment).
+
+    Every ``right`` column is suffixed ``right_suffix`` (keys
+    included), so both sides' payloads survive unambiguously; join keys
+    and the time band are equated explicitly in the condition.
+
+    State contract — the part that matters at 100 TB ingest: BOTH
+    sides carry a watermark and the join condition bounds event-time
+    distance, so Spark evicts join state older than
+    ``watermark_delay + tolerance`` instead of buffering both streams
+    forever; an unbounded stream-stream join is refused by the planner.
+    Physically each micro-batch shuffles both sides on the join key
+    into the same state-store partitioning — one co-partitioned
+    exchange per side, no broadcast of either stream.
+
+    ``how``: inner (emit on match, both states bounded) or left_outer
+    (unmatched LEFT rows emit with NULL right side once the watermark
+    closes their band — late-arriving matches after that are dropped,
+    the documented outer-join semantics). Right/full-outer are rejected.
+
+    Works identically on batch frames (watermarks are no-ops there) —
+    the e2e test pins stream == batch on the same inputs.
+
+    Reference parity: no reference counterpart (single-process poller);
+    this is engine-side Structured Streaming surface (SURVEY.md §2.4).
+    """
+    if how not in ("inner", "left_outer", "leftouter"):
+        raise ValueError(
+            f"interval_join_streams: how={how!r} unsupported"
+            " (inner/left_outer only — right/full would buffer the"
+            " unmatched right side unboundedly)"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(ts_col, watermark_delay) if left.isStreaming else left
+    r = right.withWatermark(ts_col, watermark_delay) if right.isStreaming else right
+    r = r.select([F.col(c).alias(c + right_suffix) for c in r.columns])
+    rts = ts_col + right_suffix
+    band = F.expr(f"INTERVAL {tolerance}")
+    cond = (
+        (F.col(rts) >= F.col(ts_col) - band)
+        & (F.col(rts) <= F.col(ts_col) + band)
+    )
+    for k in keys:
+        cond = (F.col(k) == F.col(k + right_suffix)) & cond
+    return l.join(r, cond, how)

@@ -619,3 +619,120 @@ def test_continuous_trigger_soak_jdbc_sink(
     ).awaitTermination(120)
     assert s2.events == 0
     assert len(_derby_obs(spark, url).collect()) == N_HOURS
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (two live file feeds,
+    availableNow drain) returns exactly the pairs the same join finds
+    in batch: equal key, |Δts| <= tolerance."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from meteo_etl_spark.streaming.windows import interval_join_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = datetime(2025, 6, 1, 12, 0, 0)
+    lrows = [
+        (1, 7, base),
+        (2, 7, base + timedelta(minutes=30)),
+        (3, 8, base),  # user 8: no right-side partner within band
+    ]
+    rrows = [
+        (101, 7, base + timedelta(minutes=4)),   # pairs with 1 (4m)
+        (102, 7, base + timedelta(minutes=26)),  # pairs with 2 (-4m)
+        (103, 8, base + timedelta(minutes=20)),  # 20m from 3: outside
+        (104, 9, base),                          # key with no left side
+    ]
+    lsrc, rsrc = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    spark.createDataFrame(lrows, schema).repartition(1).write.json(lsrc)
+    spark.createDataFrame(rrows, schema).repartition(1).write.json(rsrc)
+
+    lstream = spark.readStream.schema(schema).json(lsrc)
+    rstream = spark.readStream.schema(schema).json(rsrc)
+    q = (
+        interval_join_streams(lstream, rstream, "user_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == {(1, 101), (2, 102)}
+
+    # unified semantics: the same helper on batch frames agrees
+    lb = spark.createDataFrame(lrows, schema)
+    rb = spark.createDataFrame(rrows, schema)
+    batch_pairs = {
+        (r.event_id, r.event_id_r)
+        for r in interval_join_streams(lb, rb, "user_id").collect()
+    }
+    assert batch_pairs == got
+
+
+def test_stream_stream_interval_join_left_outer_and_rejects_full(spark, tmp_path):
+    """left_outer emits unmatched left rows with a NULL right side once
+    the watermark closes their band; right/full outer joins are refused
+    up front."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from meteo_etl_spark.streaming.windows import interval_join_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = datetime(2025, 6, 1, 12, 0, 0)
+    lrows = [(1, 7, base), (2, 8, base)]
+    rrows = [
+        (101, 7, base + timedelta(minutes=1)),
+        # far-future row on each side pushes the watermark past the
+        # earlier bands so unmatched outer rows actually emit
+        (199, 99, base + timedelta(days=7)),
+    ]
+    lrows.append((9, 99, base + timedelta(days=7)))
+    lsrc, rsrc = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    spark.createDataFrame(lrows, schema).repartition(1).write.json(lsrc)
+    spark.createDataFrame(rrows, schema).repartition(1).write.json(rsrc)
+
+    lstream = spark.readStream.schema(schema).json(lsrc)
+    rstream = spark.readStream.schema(schema).json(rsrc)
+    q = (
+        interval_join_streams(
+            lstream, rstream, "user_id", how="left_outer",
+            watermark_delay="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_lo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_lo").collect()
+    by_left = {r.event_id: r.event_id_r for r in rows}
+    assert by_left[1] == 101          # matched pair
+    assert by_left.get(2, None) is None  # unmatched left emitted with NULLs
+
+    with _pytest.raises(ValueError, match="inner/left_outer only"):
+        interval_join_streams(lstream, rstream, "user_id", how="full_outer")
