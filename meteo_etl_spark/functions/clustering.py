@@ -338,6 +338,53 @@ def semantic_dedup(
     )
 
 
+def cluster_prototypes(
+    emb: DataFrame,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per trained cluster, the representative vector nearest its
+    centroid: ``(cluster, prototype_id, dist2, n)`` — the prototype
+    selection step of dataset distillation / cluster inspection /
+    centroid labeling (one human-readable exemplar per cluster).
+
+    Scale shape: the per-vector distance to the k compiled-in centroid
+    literals is one codegen'd map (no join), and the per-cluster argmin
+    is a k-group aggregate — ONE shuffle whose reduce side carries one
+    row per cluster (the window ranks inside k tiny groups). dist2 is
+    the exact integer squared L2 in quantized space, ties to the lower
+    id, so selection is deterministic and the oracle replays it."""
+    from pyspark.sql import Window
+
+    cents, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    q = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    dists = F.array(*[_sqdist(F.col("qv"), c) for c in cents])
+    best = q.select(
+        "vec_id",
+        F.array_position(dists, F.array_min(dists)).cast("int").alias("cluster"),
+        F.array_min(dists).alias("dist"),
+    )
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("vec_id").alias("prototype_id"),
+            F.col("dist").alias("dist2"),
+            "n",
+        )
+        .orderBy("cluster")
+    )
+
+
 KNN_NEIGHBORS = 5
 
 

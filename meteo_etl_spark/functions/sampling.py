@@ -125,3 +125,53 @@ def stratified_sample(
         thr = F.when(cond, permille) if thr is None else thr.when(cond, permille)
     thr = thr.otherwise(F.lit(round(default_fraction * HASH_BUCKETS)))
     return df.filter(b < thr)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixing planner: per source, the token mass and the
+    sampling-rate multiplier that rebalances the corpus to a UNIFORM
+    target mixture — the "domain weights" table every multi-source
+    training run starts from (rate > 1 means the source is upsampled /
+    seen for multiple epochs, rate < 1 means downsampled).
+
+    Output per source: ``(source, n_docs, n_tokens, natural_share,
+    target_share, sampling_rate)`` with sampling_rate =
+    target_share / natural_share. Feed the rate into ``hash_sample``
+    (fraction = min(rate, 1)) for the downsampling side; upsampling is
+    a repeat count for the data loader.
+
+    Scale shape: one groupBy(source) aggregate over the corpus
+    (token counts combine map-side), then the per-source shares join
+    the 1-row global total as a broadcast scalar — the standard
+    decorrelated-scalar shape, O(sources) rows after the single
+    corpus-wide shuffle. All shares are exact-integer ratios rounded
+    at 6 dp, so the plan is engine-reproducible.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(text_col, " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+                "natural_share"
+            ),
+            F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+            F.round(
+                F.col("t").cast("double") / (F.col("k") * F.col("n_tokens")), 6
+            ).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )

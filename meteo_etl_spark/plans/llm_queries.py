@@ -673,6 +673,35 @@ def docs_hash_split(spark, sf_dir):
 
 
 @query(
+    "docs_mixture_plan",
+    """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS natural_share,
+           ROUND(1.0 / k, 6) AS target_share,
+           ROUND(CAST(t AS DOUBLE) / (k * n_tokens), 6) AS sampling_rate
+    FROM per, tot ORDER BY source""",
+    doc="Data-mixing planner: per-source token mass and the "
+    "sampling-rate multiplier that rebalances the corpus to a uniform "
+    "target mixture — the domain-weights table a multi-source training "
+    "run starts from (rate > 1 = upsample/epochs, < 1 = downsample; "
+    "feed min(rate,1) into hash_sample). Plan: ONE groupBy(source) "
+    "aggregate (token counts combine map-side), then the per-source "
+    "rows cross a 1-row broadcast global total — the standard "
+    "decorrelated-scalar shape, O(sources) rows post-shuffle.",
+)
+def docs_mixture_plan(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(fan_out(docs))
+
+
+@query(
     "events_rollup_multi",
     """SELECT CAST(ts AS DATE) AS d, event_type,
               COUNT(*) AS n,
@@ -1469,6 +1498,55 @@ def _duck_knn_graph_sql() -> str:
 def sim_knn_graph(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.knn_graph(emb)
+
+
+def _duck_prototypes_sql() -> str:
+    """Prototype-selection oracle: shared kmeans CTEs, per-vector best
+    (cluster, dist) from the same integer distance, per-cluster argmin
+    with the same (dist, vec_id) tie order."""
+    k, iters, dim = cl.KMEANS_K, cl.KMEANS_ITERS, sim.EMBEDDING_DIM
+    sq = (
+        f"list_sum([(q.qv[d]-c.c[d])*(q.qv[d]-c.c[d]) "
+        f"FOR d IN generate_series(1, {dim})])"
+    )
+    parts = _duck_kmeans_parts()
+    parts.append(
+        f"""best AS (SELECT vec_id, cluster, dist FROM (
+          SELECT q.vec_id, c.cluster, {sq} AS dist,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {sq}, c.cluster) AS rn
+          FROM q CROSS JOIN c{iters} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        """med AS (SELECT cluster, vec_id, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY dist, vec_id) AS mr
+      FROM best)"""
+    )
+    with_clause = ",\n    ".join(parts)
+    return f"""WITH {with_clause}
+    SELECT CAST(m.cluster AS BIGINT) AS cluster,
+           m.vec_id AS prototype_id, m.dist AS dist2,
+           s.n
+    FROM med m JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM best GROUP BY cluster) s USING (cluster)
+    WHERE m.mr = 1 ORDER BY m.cluster"""
+
+
+@query(
+    "emb_cluster_prototypes",
+    _duck_prototypes_sql(),
+    doc="Prototype selection: per trained k-means cluster, the vector "
+    "nearest its centroid (exact integer squared L2, ties to the "
+    "lower id) plus the cluster size — one human-readable exemplar "
+    "per cluster, the first step of dataset distillation and cluster "
+    "labeling. Plan: distances to the k compiled-in centroid literals "
+    "are one codegen'd map (no join); the per-cluster argmin windows "
+    "inside k tiny groups after ONE cluster-keyed shuffle.",
+)
+def emb_cluster_prototypes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.cluster_prototypes(emb)
 
 
 # ---------------------------------------------------------------------------

@@ -1757,6 +1757,8 @@ _DEFERRED: tuple[str, ...] = (
     "events_window_agg",  # ROWS/RANGE window frames: events_sessionize window shapes (never)
     "docs_fuzzy_decontaminate",  # LSH-candidate decon: docs_decontaminate + dedup_minhash_lsh shapes (never)
     "sim_knn_graph",  # cluster-blocked kNN adjacency: dedup_semantic pairs + tfidf window top-k shapes (never)
+    "emb_cluster_prototypes",  # per-cluster argmin exemplar: emb_kmeans assignment + q4 top-1 shapes (never)
+    "docs_mixture_plan",  # domain-weights agg: docs_vocab agg + tpch_q11 scalar-broadcast shapes (never)
 )
 
 
