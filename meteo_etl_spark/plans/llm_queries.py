@@ -588,6 +588,112 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "events_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    u AS (SELECT user_id, 1 AS step FROM v
+          UNION ALL SELECT user_id, 2 FROM c
+          UNION ALL SELECT user_id, 3 FROM p)
+    SELECT CAST(step AS BIGINT) AS step,
+           CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                     ELSE 'purchase' END AS step_name,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY step ORDER BY step""",
+    doc="Ordered funnel analysis (view -> click -> purchase): users "
+    "counted at each step only if the step's FIRST qualifying event "
+    "strictly follows their previous step's time — the sequencing "
+    "product analytics means by 'funnel', not three independent "
+    "counts. Plan: each stage is one user-keyed aggregate joined to "
+    "the (shrinking) qualified-user set of the stage before — all "
+    "three joins co-partition on user_id, so at 100 TB the funnel is "
+    "three reuse-partitioned shuffles over a monotonically smaller "
+    "frontier, never a re-scan per step pair.",
+)
+def events_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = (
+        v.select("user_id", F.lit(1).alias("step"))
+        .unionByName(c.select("user_id", F.lit(2).alias("step")))
+        .unionByName(p.select("user_id", F.lit(3).alias("step")))
+    )
+    return (
+        u.groupBy(F.col("step").cast("long").alias("step"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "step",
+            F.when(F.col("step") == 1, "view")
+            .when(F.col("step") == 2, "click")
+            .otherwise("purchase")
+            .alias("step_name"),
+            "n_users",
+        )
+        .orderBy("step")
+    )
+
+
+@query(
+    "events_retention",
+    """WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+              FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort, day_offset ORDER BY f.cohort, day_offset""",
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "counted on each later day they return — the (cohort × day-offset) "
+    "triangle every activation dashboard draws. Plan: the first-seen "
+    "aggregate and the distinct (user, day) activity set both key on "
+    "user_id, so the join is co-partitioned (one exchange reused), and "
+    "the final (cohort, offset) aggregate is a second small shuffle "
+    "whose output is bounded by days², independent of corpus size.",
+)
+def events_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.date_trunc("DAY", F.min("ts")).alias("cohort"))
+    a = ev.select("user_id", F.date_trunc("DAY", F.col("ts")).alias("d")).distinct()
+    return (
+        a.join(f, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("d").cast("date"), F.col("cohort").cast("date"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
 #: trailing time-window width for events_window_agg (1 hour, in µs —
 #: epoch_us keys make the RANGE frame exact at full timestamp precision).
 WINDOW_RANGE_US = 3_600_000_000

@@ -1759,6 +1759,8 @@ _DEFERRED: tuple[str, ...] = (
     "sim_knn_graph",  # cluster-blocked kNN adjacency: dedup_semantic pairs + tfidf window top-k shapes (never)
     "emb_cluster_prototypes",  # per-cluster argmin exemplar: emb_kmeans assignment + q4 top-1 shapes (never)
     "docs_mixture_plan",  # domain-weights agg: docs_vocab agg + tpch_q11 scalar-broadcast shapes (never)
+    "events_funnel",  # sequenced step joins: q8 join+agg + tpch_q4 semi shapes (never)
+    "events_retention",  # cohort matrix: events_rollup buckets + q3 distinct shapes (never)
 )
 
 
