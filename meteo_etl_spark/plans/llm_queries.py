@@ -588,6 +588,64 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+#: the closed event-type domain, compiled into the pivot so the output
+#: schema is static (a pivot without explicit values scans twice to
+#: discover the domain — never acceptable at 100 TB).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_pivot_daily",
+    f"""SELECT date_trunc('day', ts) AS d,
+           {', '.join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY d ORDER BY d""",
+    doc="PIVOT: the daily long-form event log turned into one wide row "
+    "per day with a count column per event type — the crosstab shape "
+    "dashboards and feature matrices want. The type domain is compiled "
+    "in (explicit values list), so Spark plans ONE scan + ONE "
+    "(day)-keyed aggregate with map-side partial pivot-counts; "
+    "omitting the list would add a full domain-discovery scan, which "
+    "this query refuses by construction. The oracle is the equivalent "
+    "conditional aggregation.",
+)
+def events_pivot_daily(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("DAY", F.col("ts")).alias("d"), "event_type"
+    )
+    wide = ev.groupBy("d").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "d",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    ).orderBy("d")
+
+
+@query(
+    "events_unpivot_daily",
+    f"""WITH w AS (SELECT date_trunc('day', ts) AS d,
+           {', '.join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY d)
+    SELECT d, event_type, n
+    FROM w UNPIVOT (n FOR event_type IN ({', '.join(EVENT_TYPES)}))
+    ORDER BY d, event_type""",
+    doc="UNPIVOT (melt): the wide daily crosstab back to tidy long "
+    "form (day, event_type, n) — the inverse reshape, exercising "
+    "Spark's Unpivot/Expand operator (each input row fans to one row "
+    "per value column inside the same stage; no shuffle beyond the "
+    "upstream aggregate). Zero-count cells survive the round trip "
+    "(explicit domain, coalesced counts), which a plain re-aggregation "
+    "of the log would silently drop; both engines run their native "
+    "UNPIVOT and must agree.",
+)
+def events_unpivot_daily(spark, sf_dir):
+    wide = events_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "d", list(EVENT_TYPES), variableColumnName="event_type", valueColumnName="n"
+        )
+        .orderBy("d", "event_type")
+    )
+
+
 @query(
     "events_funnel",
     """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events

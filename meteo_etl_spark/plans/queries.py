@@ -1761,6 +1761,8 @@ _DEFERRED: tuple[str, ...] = (
     "docs_mixture_plan",  # domain-weights agg: docs_vocab agg + tpch_q11 scalar-broadcast shapes (never)
     "events_funnel",  # sequenced step joins: q8 join+agg + tpch_q4 semi shapes (never)
     "events_retention",  # cohort matrix: events_rollup buckets + q3 distinct shapes (never)
+    "events_pivot_daily",  # PIVOT crosstab: events_rollup day buckets + conditional-agg shapes (never)
+    "events_unpivot_daily",  # UNPIVOT melt: inverse of the pivot, Expand generate shape (never)
 )
 
 
