@@ -103,3 +103,78 @@ def component_summary(cc: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("size"))
         .withColumn("is_singleton", F.col("size") == 1)
     )
+
+
+PAGERANK_SCALE = 1_000_000
+PAGERANK_DAMPING_PCT = 85
+PAGERANK_ITERS = 3
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over a DIRECTED edge list —
+    ``(node, score)`` after ``iters`` power iterations of
+    ``score' = ((100 - d)·scale + d·Σ_in floor(score_src / outdeg_src))
+    div 100`` (the per-node-teleport formulation, so scores need not
+    sum to 1 and an isolated node settles at ``(100-d)%·scale``).
+
+    Every operation is int64 (floor division for the per-edge
+    contribution and the damping mix), so iterations are bit-exact and
+    an oracle can replay them — the same exactness discipline as
+    ``kmeans_fit``. Mass lost to flooring is bounded by outdeg per node
+    per round: ranking-irrelevant, determinism-essential. Dangling
+    nodes (no out-edges) leak their damped mass, the standard
+    simplification; symmetrize the edge list if that matters.
+
+    Scale shape per iteration: one join of edges to scores on the src
+    key + one partial-agg sum shuffled on dst — both hash-partitioned
+    on node ids, the same co-partitioned round as
+    ``connected_components`` — with the frontier localCheckpoint'ed so
+    lineage stays O(1) in iterations. At 100 TB-scale graphs this is
+    k·iters co-partitioned shuffles of (node, long) rows.
+    """
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = nodes.select(F.col(node_col).alias("node"))
+    scores = base.select("node", F.lit(scale).cast("long").alias("score"))
+    src_edges = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).persist()
+    teleport = (100 - damping_pct) * scale
+    try:
+        for _ in range(iters):
+            contrib = (
+                src_edges.join(scores, "node")
+                .join(out_deg, "node")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("score div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("insum"))
+            )
+            scores = (
+                base.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST(({teleport} + {damping_pct}"
+                        " * coalesce(insum, CAST(0 AS BIGINT)))"
+                        " div 100 AS BIGINT)"
+                    ).alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return scores
+    finally:
+        src_edges.unpersist()

@@ -981,6 +981,81 @@ def events_range_join(spark, sf_dir):
     )
 
 
+def _duck_pagerank_sql() -> str:
+    """Unrolled integer PageRank oracle: same co-activity edge list
+    (band join), same floor-division contribution and damping mix as
+    operators/graph.pagerank, iteration for iteration."""
+    from meteo_etl_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    tol_us = BAND_TOLERANCE_SEC * 1_000_000
+    teleport = (100 - PAGERANK_DAMPING_PCT) * PAGERANK_SCALE
+    parts = [
+        f"""ed AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b
+        ON a.event_type = b.event_type AND a.user_id <> b.user_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {tol_us})""",
+        """outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS o
+      FROM ed GROUP BY src)""",
+        "nd AS (SELECT DISTINCT user_id FROM events)",
+        f"""s0 AS (SELECT user_id, CAST({PAGERANK_SCALE} AS BIGINT) AS score
+      FROM nd)""",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (SELECT ed.dst AS user_id,
+             SUM(s.score // o.o) AS insum
+      FROM ed JOIN s{i - 1} s ON s.user_id = ed.src
+              JOIN outd o ON o.src = ed.src
+      GROUP BY ed.dst)"""
+        )
+        parts.append(
+            f"""s{i} AS (SELECT nd.user_id,
+             CAST(({teleport} + {PAGERANK_DAMPING_PCT}
+                   * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS score
+      FROM nd LEFT JOIN c{i} c USING (user_id))"""
+        )
+    with_clause = ",\n    ".join(parts)
+    return f"""WITH {with_clause}
+    SELECT user_id, score FROM s{PAGERANK_ITERS} ORDER BY user_id"""
+
+
+@query(
+    "events_user_pagerank",
+    _duck_pagerank_sql(),
+    doc="Integer-arithmetic PageRank over the user co-activity graph "
+    "(edge: same event type within ±60s, both directions): the second "
+    "iterative graph algorithm after connected components, scoring "
+    "user centrality for influence/anomaly triage. Edges come from "
+    "the same time-bin equi-join as events_range_join (binning prunes, "
+    "exact band filters); each power iteration is one src-keyed join "
+    "+ one dst-keyed partial-agg sum — co-partitioned node-id "
+    "shuffles, frontier localCheckpoint'ed so lineage stays O(1). "
+    "Contributions use int64 floor division and the damping mix is "
+    "integer, so all 3 iterations replay bit-for-bit in the oracle.",
+)
+def events_user_pagerank(spark, sf_dir):
+    from meteo_etl_spark.operators.graph import pagerank
+    from meteo_etl_spark.operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    pairs = band_join(ev, ev, ["event_type"], tolerance_sec=BAND_TOLERANCE_SEC)
+    edges = (
+        pairs.filter(F.col("l_user_id") != F.col("r_user_id"))
+        .select(F.col("l_user_id").alias("src"), F.col("r_user_id").alias("dst"))
+        .distinct()
+    )
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    return (
+        pagerank(nodes, edges)
+        .select(F.col("node").alias("user_id"), "score")
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation
 # ---------------------------------------------------------------------------

@@ -51,3 +51,27 @@ def test_component_summary_sizes(spark):
         for r in component_summary(cc).collect()
     }
     assert summ == {1: (3, False), 7: (1, True)}
+
+
+def test_pagerank_hand_computed_and_partition_invariant(spark):
+    """3 integer power iterations on a 4-node graph, checked against
+    values computed by hand (floor division at every step); isolated
+    nodes settle at the pure-teleport score; input layout is
+    irrelevant."""
+    from meteo_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    got = {r.node: r.score for r in pagerank(nodes, edges).collect()}
+    # iter1: s={1:1_000_000, 2:575_000, 3:575_000}
+    # iter2: s={1:638_750, 2:575_000, 3:575_000}
+    # iter3: 1 gets 85*575_000 -> 638_750; 2,3 get 85*(638_750 div 2)
+    assert got == {1: 638_750, 2: 421_468, 3: 421_468, 4: 150_000}
+
+    re = {
+        r.node: r.score
+        for r in pagerank(nodes.repartition(7), edges.repartition(5)).collect()
+    }
+    assert re == got
