@@ -752,6 +752,46 @@ def events_retention(spark, sf_dir):
     )
 
 
+@query(
+    "events_value_deciles",
+    """WITH t AS (SELECT event_type, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS qv,
+                     ntile(10) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS decile
+              FROM events)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(qv) AS lo, MAX(qv) AS hi
+    FROM t GROUP BY event_type, decile ORDER BY event_type, decile""",
+    doc="NTILE decile bucketing: per event type, values split into 10 "
+    "equal-frequency buckets with per-bucket count and bounds — the "
+    "windowed quantile-bucket shape (score banding, outlier tiers) "
+    "that complements the exact-percentile aggregates. Partitioned by "
+    "event_type so the sort is per-partition after ONE type-keyed "
+    "shuffle — never a global sort; ties are broken on event_id so "
+    "bucket membership is deterministic, and bounds are int64 cents. "
+    "Both engines' NTILE use the same remainder-to-front rule and "
+    "must agree bucket for bucket.",
+)
+def events_value_deciles(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("qv"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        ev.groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qv").alias("lo"),
+            F.max("qv").alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
 #: trailing time-window width for events_window_agg (1 hour, in µs —
 #: epoch_us keys make the RANGE frame exact at full timestamp precision).
 WINDOW_RANGE_US = 3_600_000_000

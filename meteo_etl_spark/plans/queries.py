@@ -1764,6 +1764,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_pivot_daily",  # PIVOT crosstab: events_rollup day buckets + conditional-agg shapes (never)
     "events_unpivot_daily",  # UNPIVOT melt: inverse of the pivot, Expand generate shape (never)
     "events_user_pagerank",  # iterative integer PageRank: dedup_components rounds + events_range_join edges (never)
+    "events_value_deciles",  # NTILE bucketing: events_value_percentiles + window-rank shapes (never)
 )
 
 
