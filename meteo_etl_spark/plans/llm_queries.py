@@ -752,6 +752,58 @@ def events_retention(spark, sf_dir):
     )
 
 
+#: path length cap for events_user_paths — state per user is bounded
+#: BEFORE any sequence is materialized.
+PATH_MAX_EVENTS = 10
+
+
+@query(
+    "events_user_paths",
+    f"""WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    s AS (SELECT user_id,
+                 array_to_string(list(event_type ORDER BY rn), '>') AS path
+          FROM r WHERE rn <= {PATH_MAX_EVENTS} GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s GROUP BY path ORDER BY n_users DESC, path""",
+    doc="Behavioral path assembly: each user's first 10 events ordered "
+    "by (ts, event_id), concatenated into a path signature, then the "
+    "population count per distinct path — the sequence-assembly shape "
+    "that also turns event streams into training sequences. The cap "
+    "is applied by a window rank BEFORE any list is materialized, so "
+    "per-user aggregation state is bounded at 10 regardless of how "
+    "hot a user is; rank, slice, and collect all reuse the single "
+    "user-keyed shuffle (ordered collect is array_sort over (rn, "
+    "type) structs — collect_list alone has no order guarantee).",
+)
+def events_user_paths(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    seqs = (
+        ev.filter(F.col("rn") <= PATH_MAX_EVENTS)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("evs", lambda e: e.event_type)
+            ).alias("path")
+        )
+    )
+    return (
+        seqs.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+    )
+
+
 @query(
     "events_value_deciles",
     """WITH t AS (SELECT event_type, event_id,

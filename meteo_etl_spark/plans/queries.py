@@ -1765,6 +1765,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_unpivot_daily",  # UNPIVOT melt: inverse of the pivot, Expand generate shape (never)
     "events_user_pagerank",  # iterative integer PageRank: dedup_components rounds + events_range_join edges (never)
     "events_value_deciles",  # NTILE bucketing: events_value_percentiles + window-rank shapes (never)
+    "events_user_paths",  # ordered sequence assembly: sessionize window + vocab agg shapes (never)
 )
 
 

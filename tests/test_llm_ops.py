@@ -368,3 +368,24 @@ def test_fuzzy_decontaminate_flags_near_dup_and_reports_short_docs(spark):
     assert out[1].max_jaccard == 1.0
     assert not out[2].contaminated and out[2].max_jaccard == 0.0
     assert not out[3].contaminated and out[3].n_matches == 0
+
+
+def test_fuzzy_decontaminate_is_subset_of_exact_overlap(spark):
+    """Cross-operator invariant: a doc flagged by FUZZY decontamination
+    (near-dup of an eval doc) necessarily shares at least one shingle
+    with the eval corpus, so the exact-overlap op must report
+    n_overlap > 0 for every fuzzy-contaminated doc."""
+    from meteo_etl_spark.plans import queries as Q
+    from tests.conftest import SF_SMALL
+
+    fuzzy = {
+        r.doc_id
+        for r in Q.get("docs_fuzzy_decontaminate").fn(spark, SF_SMALL).collect()
+        if r.contaminated
+    }
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in Q.get("docs_decontaminate").fn(spark, SF_SMALL).collect()
+    }
+    assert fuzzy, "fixture should produce at least one contaminated doc"
+    assert all(exact[d] > 0 for d in fuzzy)
