@@ -124,6 +124,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also collect superseded generations (truncates time travel; "
         "requires no in-flight readers older than the last commit)",
     )
+    o.add_argument(
+        "--zorder-by", default=None, metavar="COL,COL[,..]",
+        help="cluster the rewrite along the Morton curve of these 2-8 "
+        "numeric columns so predicates on any of them prune "
+        "(OPTIMIZE ZORDER BY)",
+    )
 
     v = sub.add_parser(
         "vacuum", help="collect unreferenced generations of an atomic table"
@@ -233,6 +239,11 @@ def main(argv: Sequence[str] | None = None) -> int:
             min_files_to_compact=args.min_files,
             vacuum=args.vacuum,
             atomic_options=wh.atomic_options,
+            zorder_cols=(
+                [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                if args.zorder_by
+                else None
+            ),
         )
         print(
             f"partitions_compacted={stats.partitions_compacted} "

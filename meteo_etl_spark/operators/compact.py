@@ -67,6 +67,21 @@ def _partition_files(path: str, partition_col: str | None) -> dict[str, list[str
     return out
 
 
+def _zorder_layout(subset, cols, n_files, partition_col):
+    """Range layout along (partition, Morton value): each output file
+    is a contiguous curve segment, so every z column's per-file
+    min-max is tight (the pruning contract zorder.py tests)."""
+    from meteo_etl_spark.operators.zorder import Z_COL, zorder_values
+
+    z = zorder_values(subset, list(cols))
+    keys = ([partition_col] if partition_col else []) + [Z_COL]
+    return (
+        z.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .drop(Z_COL)
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -76,8 +91,18 @@ def compact_table(
     min_files_to_compact: int = 2,
     vacuum: bool = False,
     atomic_options: dict | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> CompactStats:
     """Rewrite fragmented partitions into ~target-sized files.
+
+    ``zorder_cols`` (2-8 numeric columns) additionally CLUSTERS the
+    rewrite along the Morton curve (operators/zorder.py): instead of a
+    hash spread, rows range-partition on (partition, z-value) and sort
+    within files, so every listed column gets tight per-file min-max
+    stats and predicates on any of them prune after the OPTIMIZE —
+    Delta's ``OPTIMIZE ZORDER BY`` composed with this command's
+    atomic-commit semantics. Same file-count sizing; the clustering
+    replaces only the row-to-file assignment.
 
     Rows are preserved exactly (count-verified); only partitions with
     more than ``min_files_to_compact`` files are touched. Supports a
@@ -164,17 +189,25 @@ def compact_table(
             )
             salt = F.pmod(row_hash, n_expr.otherwise(F.lit(1)))
             total_files = sum(per_part_files.values())
-            compacted = (
-                subset.withColumn("__csalt", salt)
-                .repartition(max(1, total_files), partition_col, "__csalt")
-                .drop("__csalt")
-            )
+            if zorder_cols:
+                compacted = _zorder_layout(
+                    subset, zorder_cols, max(1, total_files), partition_col
+                )
+            else:
+                compacted = (
+                    subset.withColumn("__csalt", salt)
+                    .repartition(max(1, total_files), partition_col, "__csalt")
+                    .drop("__csalt")
+                )
     else:
         bytes_total = sum(
             os.path.getsize(f) for files in fragmented.values() for f in files
         )
         n_files = max(1, round(bytes_total / target_file_bytes))
-        compacted = subset.repartition(n_files)
+        if zorder_cols:
+            compacted = _zorder_layout(subset, zorder_cols, n_files, None)
+        else:
+            compacted = subset.repartition(n_files)
 
     if atomic:
         # Same commit path as the merge: stage a fresh generation for

@@ -97,3 +97,40 @@ def test_zorder_rejects_bad_arity(spark):
     ev = load_table(spark, SF_SMALL, "events")
     with pytest.raises(ValueError, match="2-8 columns"):
         zorder_values(ev, ["value"])
+
+
+def test_optimize_with_zorder_clusters_and_preserves_rows(spark, tmp_path):
+    """compact_table(zorder_cols=...) both defragments AND clusters:
+    fewer files, tight per-file stats on every z column, identical
+    row multiset — OPTIMIZE ZORDER in one pass."""
+    from meteo_etl_spark.operators.compact import compact_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "frag")
+    # fragment: 64 round-robin files
+    ev.repartition(64).write.parquet(path)
+
+    stats = compact_table(
+        spark,
+        path,
+        target_file_bytes=4 * 1024,  # force several output files
+        zorder_cols=["user_id", "value"],
+    )
+    assert stats.files_after < stats.files_before
+
+    spans = _file_spans(path, ["user_id", "value"])
+    n_out = len(spans["user_id"])
+    assert n_out >= 4  # enough files for clustering to be observable
+    for c in ("user_id", "value"):
+        total = (
+            ev.agg({c: "max"}).collect()[0][0]
+            - ev.agg({c: "min"}).collect()[0][0]
+        )
+        mean_span = sum(spans[c]) / n_out / total
+        assert mean_span < 0.6, (c, mean_span, n_out)
+
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert a == b
