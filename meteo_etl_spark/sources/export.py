@@ -65,3 +65,111 @@ def export_ordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    content_cols: list[str],
+    num_shards: int,
+) -> list[tuple[int, int, int]]:
+    """WebDataset-style tar-shard export: ``shard-NNNNNN.tar`` files
+    whose members are ``{key}.{column}`` entries — samples grouped by
+    basename, the format streaming training loaders consume directly.
+    Returns per-shard ``(shard, n_samples, n_bytes)`` stats, sorted.
+
+    Plan shape: shard assignment is the deterministic content-hash
+    bucket (``sampling.hash_bucket`` — reproducible on any cluster
+    size and stable under repartitioning); rows shuffle ONCE on the
+    shard id and sort within partitions on (shard, key), so each task
+    STREAMS its rows into tar archives in order — one open tar at a
+    time, O(row) memory, never a whole shard buffered. Each shard id
+    lands in exactly one task, so writers never collide; archives are
+    written to a temp name and atomically renamed, making task retries
+    idempotent. Tar metadata (mtime/uid/gid) is zeroed so the export
+    is byte-reproducible.
+
+    String columns are encoded UTF-8; binary columns pass through.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
+    os.makedirs(path, exist_ok=True)
+    sel = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        *[F.col(c) for c in content_cols],
+        hash_bucket(F.col(key_col), num_shards).cast("int").alias("__shard"),
+    )
+
+    def write_shards(batches):
+        import io
+        import tarfile
+        import uuid
+
+        import pandas as pd
+
+        cur_shard = None
+        tar = None
+        tmp_name = final_name = None
+        stats: list[tuple[int, int, int]] = []
+        n_samples = 0
+
+        def close_current():
+            nonlocal tar, n_samples
+            if tar is None:
+                return
+            tar.close()
+            os.replace(tmp_name, final_name)
+            stats.append((cur_shard, n_samples, os.path.getsize(final_name)))
+            tar = None
+            n_samples = 0
+
+        def open_shard(shard):
+            nonlocal tar, tmp_name, final_name, cur_shard
+            cur_shard = shard
+            final_name = os.path.join(path, f"shard-{shard:06d}.tar")
+            tmp_name = final_name + f".{uuid.uuid4().hex[:8]}.tmp"
+            tar = tarfile.open(tmp_name, "w")
+
+        for pdf in batches:
+            # positional access: itertuples mangles the __-prefixed
+            # names; column order is (__key, *content_cols, __shard).
+            for row in pdf.itertuples(index=False):
+                shard = row[-1]
+                key = row[0]
+                if shard != cur_shard:
+                    close_current()
+                    open_shard(shard)
+                for i, c in enumerate(content_cols):
+                    val = row[1 + i]
+                    data = (
+                        val.encode("utf-8") if isinstance(val, str) else bytes(val)
+                    )
+                    info = tarfile.TarInfo(name=f"{key}.{c}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                n_samples += 1
+        close_current()
+        yield pd.DataFrame(
+            {
+                "shard": [s for s, _, _ in stats],
+                "n_samples": [n for _, n, _ in stats],
+                "n_bytes": [b for _, _, b in stats],
+            }
+        )
+
+    out = (
+        sel.repartition(num_shards, "__shard")
+        .sortWithinPartitions("__shard", "__key")
+        .mapInPandas(write_shards, "shard int, n_samples long, n_bytes long")
+        .collect()
+    )
+    return sorted((r.shard, r.n_samples, r.n_bytes) for r in out)

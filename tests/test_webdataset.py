@@ -1,0 +1,75 @@
+"""WebDataset tar-shard export: loader-readable round trip,
+deterministic shard assignment, byte-reproducible archives."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import tarfile
+
+from meteo_etl_spark.sources.export import export_webdataset
+from meteo_etl_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+N_SHARDS = 4
+
+
+def _read_all(path: str) -> dict[str, dict[str, bytes]]:
+    samples: dict[str, dict[str, bytes]] = {}
+    for f in sorted(glob.glob(os.path.join(path, "shard-*.tar"))):
+        with tarfile.open(f) as tar:
+            for m in tar.getmembers():
+                key, col = m.name.rsplit(".", 1)
+                samples.setdefault(key, {})[col] = tar.extractfile(m).read()
+    return samples
+
+
+def test_webdataset_round_trip_and_stats(spark, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "wds")
+    stats = export_webdataset(
+        docs, path, key_col="doc_id", content_cols=["text", "lang"],
+        num_shards=N_SHARDS,
+    )
+
+    src = {
+        str(r.doc_id): {"text": r.text.encode(), "lang": r.lang.encode()}
+        for r in docs.collect()
+    }
+    got = _read_all(path)
+    assert got == src
+
+    assert sum(n for _, n, _ in stats) == len(src)
+    assert {s for s, _, _ in stats} <= set(range(N_SHARDS))
+    for s, _, b in stats:
+        f = os.path.join(path, f"shard-{s:06d}.tar")
+        assert os.path.getsize(f) == b
+    # no stray temp files from the atomic-rename protocol
+    assert not glob.glob(os.path.join(path, "*.tmp"))
+
+
+def test_webdataset_is_byte_reproducible(spark, tmp_path):
+    """Same input -> byte-identical shards (zeroed tar metadata,
+    deterministic hash assignment, sorted members) regardless of the
+    input's partition layout."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    def digest(path):
+        return {
+            os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(path, "shard-*.tar"))
+        }
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    export_webdataset(
+        docs, p1, key_col="doc_id", content_cols=["text"], num_shards=N_SHARDS
+    )
+    export_webdataset(
+        docs.repartition(13), p2, key_col="doc_id", content_cols=["text"],
+        num_shards=N_SHARDS,
+    )
+    d1, d2 = digest(p1), digest(p2)
+    assert d1 and d1 == d2
