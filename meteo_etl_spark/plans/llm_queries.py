@@ -752,6 +752,95 @@ def events_retention(spark, sf_dir):
     )
 
 
+@query(
+    "events_hourly_full_outer",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n_click
+              FROM events WHERE event_type = 'click' GROUP BY h),
+    p AS (SELECT date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY h)
+    SELECT COALESCE(c.h, p.h) AS h, c.n_click, p.n_purchase
+    FROM c FULL OUTER JOIN p ON c.h = p.h
+    ORDER BY h""",
+    doc="FULL OUTER join: hourly click and purchase series aligned on "
+    "the hour, keeping hours where EITHER side is missing (NULL counts "
+    "survive — the gap signal a coalesce-to-zero pivot would erase). "
+    "The two inputs pre-aggregate to hour grain BEFORE the join, so "
+    "the full-outer SortMergeJoin sees bounded series rows, never raw "
+    "events; both aggregates and the join key on the same hour column "
+    "share partitioning. Exercises the one outer-join shape (FullOuter "
+    "SMJ) the rest of the surface doesn't.",
+)
+def events_hourly_full_outer(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("HOUR", F.col("ts")).alias("h")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    return (
+        c.join(p, "h", "full_outer")
+        .select("h", "n_click", "n_purchase")
+        .orderBy("h")
+    )
+
+
+@query(
+    "docs_vocab_setops",
+    """WITH a AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+              FROM documents WHERE source = 'src0'),
+    b AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+          FROM documents WHERE source = 'src1')
+    SELECT 'common' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT tok FROM a INTERSECT SELECT tok FROM b)
+    UNION ALL
+    SELECT 'only_a', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT tok FROM a EXCEPT SELECT tok FROM b)
+    UNION ALL
+    SELECT 'only_b', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT tok FROM b EXCEPT SELECT tok FROM a)
+    ORDER BY kind""",
+    doc="Set operations: vocabulary overlap census between two sources "
+    "— INTERSECT and EXCEPT DISTINCT over the per-source token sets "
+    "(Spark's declared set-op nodes, planned as hash-aggregated "
+    "semi/anti joins — not hand-rolled), all three counts in ONE lazy "
+    "plan with no driver-side counting. The vocabulary comparison is "
+    "the domain-shift smell test run before mixing corpora; each "
+    "side's distinct-token aggregate runs BEFORE the set ops, so the "
+    "joins see vocabularies, not token streams.",
+)
+def docs_vocab_setops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+
+    def vocab(src):
+        return (
+            docs.filter(F.col("source") == src)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+
+    a, b = vocab("src0"), vocab("src1")
+
+    def census(kind, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(kind).alias("kind"), "n"
+        )
+
+    return (
+        census("common", a.intersect(b))
+        .unionByName(census("only_a", a.subtract(b)))
+        .unionByName(census("only_b", b.subtract(a)))
+        .orderBy("kind")
+    )
+
+
 #: path length cap for events_user_paths — state per user is bounded
 #: BEFORE any sequence is materialized.
 PATH_MAX_EVENTS = 10

@@ -1766,6 +1766,8 @@ _DEFERRED: tuple[str, ...] = (
     "events_user_pagerank",  # iterative integer PageRank: dedup_components rounds + events_range_join edges (never)
     "events_value_deciles",  # NTILE bucketing: events_value_percentiles + window-rank shapes (never)
     "events_user_paths",  # ordered sequence assembly: sessionize window + vocab agg shapes (never)
+    "events_hourly_full_outer",  # FULL OUTER series align: events_rollup buckets + join shapes (never)
+    "docs_vocab_setops",  # INTERSECT/EXCEPT census: docs_vocab distinct + q9 anti shapes (never)
 )
 
 
