@@ -564,12 +564,16 @@ def test_continuous_trigger_soak_consumes_live_feed_then_stops(
     assert obs.count() == N_HOURS  # same natural keys -> merged, not duped
     assert {r.fetch_id for r in obs.select("fetch_id").distinct().collect()} == {fetch2}
 
-    # mode switch on the same checkpoint: nothing to redeliver
+    # Mode switch on the same checkpoint. Committed offsets are honored
+    # across trigger modes; the one legitimate redelivery is the LAST
+    # batch, when stop() lands between its sink commit and its
+    # checkpoint commit — the documented at-least-once contract, which
+    # the idempotent keyed merge must absorb invisibly.
     s2 = consume.ConsumeStats()
     consume.consume_fetch_events(
         spark, warehouse, topic, ckpt, stats=s2
     ).awaitTermination(120)
-    assert s2.events == 0 and s2.batches == 0
+    assert s2.batches <= 1 and s2.events <= 2, "more than the last batch redelivered"
     assert read_observations(spark, warehouse).count() == N_HOURS
 
 
@@ -613,11 +617,14 @@ def test_continuous_trigger_soak_jdbc_sink(
     assert len(rows) == N_HOURS  # merged on the natural key across triggers
     assert not os.path.exists(warehouse.observations_path)  # database-only
 
+    # same at-least-once caveat as the parquet soak: stop() may strand
+    # the last batch's checkpoint commit; the database MERGE absorbs
+    # the redelivery.
     s2 = consume.ConsumeStats()
     consume.consume_fetch_events(
         spark, warehouse, topic, ckpt, stats=s2, jdbc_sink=sink
     ).awaitTermination(120)
-    assert s2.events == 0
+    assert s2.batches <= 1 and s2.events <= 2, "more than the last batch redelivered"
     assert len(_derby_obs(spark, url).collect()) == N_HOURS
 
 
