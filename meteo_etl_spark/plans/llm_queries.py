@@ -752,6 +752,91 @@ def events_retention(spark, sf_dir):
     )
 
 
+#: cumulative corpus-mass cutoff for the nucleus vocabulary (per mille).
+VOCAB_TOPP_PERMILLE = 950
+
+
+@query(
+    "docs_vocab_topp",
+    f"""WITH tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT UNNEST(string_split(text, ' ')) AS tok
+                     FROM documents) GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS t FROM tf),
+    r AS (SELECT tok, tf,
+                 SUM(tf) OVER (ORDER BY tf DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+          FROM tf)
+    SELECT tok, tf, CAST(cum AS BIGINT) AS cum_tf
+    FROM r, tot
+    WHERE (cum - tf) * 1000 < {VOCAB_TOPP_PERMILLE} * t
+    ORDER BY tf DESC, tok""",
+    doc="Nucleus (top-p) vocabulary truncation: the smallest "
+    "frequency-ranked token set covering 95% of corpus token mass — "
+    "how a tokenizer's vocab/coverage cutoff is actually chosen "
+    "(frequency-rank head, not a fixed top-k). The cutoff test is "
+    "exact integer ((cum-tf)·1000 < 950·total: a token enters while "
+    "the mass BEFORE it is still under the target, the standard "
+    "nucleus rule). The running sum orders over the (small) distinct-"
+    "token aggregate, not the corpus; the corpus-wide tf aggregate "
+    "combines map-side and the global total is one scalar.",
+)
+def docs_vocab_topp(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = tf.agg(F.sum("tf").cast("long").alias("t"))
+    r = tf.withColumn("cum", F.sum("tf").over(w))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter((F.col("cum") - F.col("tf")) * 1000 < VOCAB_TOPP_PERMILLE * F.col("t"))
+        .select("tok", "tf", F.col("cum").cast("long").alias("cum_tf"))
+        .orderBy(F.desc("tf"), "tok")
+    )
+
+
+@query(
+    "events_ohlc",
+    """SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(floor(arg_min(value, ts) * 100) AS BIGINT) AS open,
+           CAST(floor(MAX(value) * 100) AS BIGINT) AS high,
+           CAST(floor(MIN(value) * 100) AS BIGINT) AS low,
+           CAST(floor(arg_max(value, ts) * 100) AS BIGINT) AS close
+    FROM events GROUP BY event_type, h ORDER BY event_type, h""",
+    doc="OHLC candles: per (type, hour) the opening value (at the "
+    "earliest ts), high, low, and closing value (at the latest ts) — "
+    "the time-series downsampling shape, exercising the min_by/max_by "
+    "argument-aggregate class the rest of the surface doesn't. ONE "
+    "grouped aggregate with map-side partials (min_by/max_by combine "
+    "like min/max carrying a payload); values quantized to int64 "
+    "cents. Timestamps are unique per (type, hour) slice in this "
+    "schema, so the arg extremes are well-defined on both engines.",
+)
+def events_ohlc(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("HOUR", F.col("ts")).alias("h")
+    q = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    return (
+        ev.groupBy("event_type", h)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            q(F.min_by("value", "ts")).alias("open"),
+            q(F.max("value")).alias("high"),
+            q(F.min("value")).alias("low"),
+            q(F.max_by("value", "ts")).alias("close"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 @query(
     "events_hourly_full_outer",
     """WITH c AS (SELECT date_trunc('hour', ts) AS h,

@@ -1768,6 +1768,8 @@ _DEFERRED: tuple[str, ...] = (
     "events_user_paths",  # ordered sequence assembly: sessionize window + vocab agg shapes (never)
     "events_hourly_full_outer",  # FULL OUTER series align: events_rollup buckets + join shapes (never)
     "docs_vocab_setops",  # INTERSECT/EXCEPT census: docs_vocab distinct + q9 anti shapes (never)
+    "docs_vocab_topp",  # nucleus vocab cutoff: docs_vocab agg + running-sum window shapes (never)
+    "events_ohlc",  # min_by/max_by candles: events_rollup buckets + arg-aggregate shapes (never)
 )
 
 

@@ -35,6 +35,7 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_lsh",  # same query-vector pattern, LSH-bucketed candidates
     "sim_ann_ivf",  # same query-vector pattern, IVF-routed candidates
     "docs_mixture_plan",  # 1-row global token total crossed into per-source rows
+    "docs_vocab_topp",  # 1-row global token-mass total crossed into the vocab head
 }
 
 
