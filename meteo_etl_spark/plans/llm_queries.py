@@ -803,6 +803,67 @@ def docs_vocab_topp(spark, sf_dir):
 
 
 @query(
+    "events_anomaly_iqr",
+    """WITH r AS (SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+    q AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+                 MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+          FROM r GROUP BY event_type)
+    SELECT e.event_type, MIN(q.n) AS n, MIN(q.q1) AS q1, MIN(q.q3) AS q3,
+           CAST(COUNT(*) FILTER (WHERE
+                2 * CAST(ROUND(e.value * 100) AS BIGINT)
+                    < 2 * q.q1 - 3 * (q.q3 - q.q1)
+             OR 2 * CAST(ROUND(e.value * 100) AS BIGINT)
+                    > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type""",
+    doc="Tukey-fence anomaly census: per event type, count values "
+    "outside [q1 - 1.5·IQR, q3 + 1.5·IQR] — the standard statistical "
+    "outlier filter, all-integer: nearest-rank (Type-1) quartiles in "
+    "cents and a doubled fence test (2v vs 2q ± 3·IQR) so no FP "
+    "enters the comparison on either engine. Plan: one type-keyed "
+    "window pass yields the quartiles (5 rows), which BROADCAST back "
+    "onto the events for a map-side flag count — the table is scanned "
+    "twice but shuffled once, and never joined shuffle-to-shuffle on "
+    "the 5-value skew key.",
+)
+def events_anomaly_iqr(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wp = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.expr("rn = (n + 3) div 4"), F.col("v"))).alias("q1"),
+        F.max(F.when(F.expr("rn = (3 * n + 3) div 4"), F.col("v"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (2 * F.col("v") < 2 * F.col("q1") - 3 * iqr) | (
+        2 * F.col("v") > 2 * F.col("q3") + 3 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_ohlc",
     """SELECT event_type, date_trunc('hour', ts) AS h,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -1770,6 +1770,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_vocab_setops",  # INTERSECT/EXCEPT census: docs_vocab distinct + q9 anti shapes (never)
     "docs_vocab_topp",  # nucleus vocab cutoff: docs_vocab agg + running-sum window shapes (never)
     "events_ohlc",  # min_by/max_by candles: events_rollup buckets + arg-aggregate shapes (never)
+    "events_anomaly_iqr",  # Tukey-fence census: events_value_percentiles rank picks + broadcast flag count (never)
 )
 
 
