@@ -158,13 +158,14 @@ def export_webdataset(
                     tar.addfile(info, io.BytesIO(data))
                 n_samples += 1
         close_current()
-        yield pd.DataFrame(
-            {
-                "shard": [s for s, _, _ in stats],
-                "n_samples": [n for _, n, _ in stats],
-                "n_bytes": [b for _, _, b in stats],
-            }
-        )
+        if stats:  # empty partitions (hash can leave one shardless) yield nothing
+            yield pd.DataFrame(
+                {
+                    "shard": [s for s, _, _ in stats],
+                    "n_samples": [n for _, n, _ in stats],
+                    "n_bytes": [b for _, _, b in stats],
+                }
+            )
 
     out = (
         sel.repartition(num_shards, "__shard")
