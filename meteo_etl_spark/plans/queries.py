@@ -1746,12 +1746,15 @@ _DEFERRED: tuple[str, ...] = (
     # tpch_q13_order_distribution, docs_vocab_topk, sim_topk_cosine,
     # corpus_clean — all now in-window r4.
     #
-    # Round-6 state: zero "never" entries remain — jdbc_upsert_agg and
-    # the three TPC-H round-2 additions (q21/q9/q20) are in-window r6;
-    # every registered query has had at least one driver-hash check.
+    # Round-6 state: zero "never" entries remain among the queries
+    # that existed before this round — jdbc_upsert_agg and the three
+    # TPC-H round-2 additions (q21/q9/q20) are in-window r6, so every
+    # pre-round-6 query has had at least one driver-hash check.
     #
-    # New in round 6, deferred at birth to keep the r6 window stable
-    # (pytest-oracle green; first-rotation candidate for round 7):
+    # New in round 6, deferred at birth to keep the r6 window stable.
+    # Every entry below is pytest-oracle green AND was hash-verified
+    # against DuckDB at sf0.01 (the driver's scale) in-session; they
+    # are the round-7 rotation candidates:
     "docs_unigram_freq",  # unigram-LM quality proxy: tfidf/vocab join+agg shapes (never)
     "dedup_semantic",  # SemDeDup cluster-blocked cosine: emb_kmeans + dedup_embedding_cosine shapes (never)
     "events_window_agg",  # ROWS/RANGE window frames: events_sessionize window shapes (never)
