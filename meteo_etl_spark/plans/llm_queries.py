@@ -802,6 +802,53 @@ def docs_vocab_topp(spark, sf_dir):
     )
 
 
+#: view->purchase correlation band for events_interval_join (10 min, µs).
+INTERVAL_JOIN_TOL_US = 600_000_000
+
+
+@query(
+    "events_interval_join",
+    f"""SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND epoch_us(p.ts) >= epoch_us(v.ts) - {INTERVAL_JOIN_TOL_US}
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + {INTERVAL_JOIN_TOL_US}
+    ORDER BY view_id, purchase_id""",
+    doc="Keyed interval join: (view, purchase) pairs by the same user "
+    "within ±10 minutes — driven through streaming/windows."
+    "interval_join_streams, the SAME operator the watermarked "
+    "stream-stream path runs (unified batch/stream semantics: "
+    "watermarks no-op on batch frames, the join condition is "
+    "identical). This registers the stream-stream join's semantics "
+    "under the oracle hash check; its state-eviction behavior is "
+    "pinned by the streaming e2e tests. Plan: both sides shuffle once "
+    "on user_id into a co-partitioned join; the time band is a "
+    "residual predicate on the equi-join, not a nested loop.",
+)
+def events_interval_join(spark, sf_dir):
+    from meteo_etl_spark.streaming.windows import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").drop("event_type")
+    p = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    joined = interval_join_streams(
+        v, p, "user_id", tolerance=f"{INTERVAL_JOIN_TOL_US // 1_000_000} seconds"
+    )
+    return (
+        joined.select(
+            F.col("event_id").alias("view_id"),
+            F.col("event_id_r").alias("purchase_id"),
+            "user_id",
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 @query(
     "events_anomaly_iqr",
     """WITH r AS (SELECT event_type,

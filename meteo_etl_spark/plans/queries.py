@@ -1774,6 +1774,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_vocab_topp",  # nucleus vocab cutoff: docs_vocab agg + running-sum window shapes (never)
     "events_ohlc",  # min_by/max_by candles: events_rollup buckets + arg-aggregate shapes (never)
     "events_anomaly_iqr",  # Tukey-fence census: events_value_percentiles rank picks + broadcast flag count (never)
+    "events_interval_join",  # stream-stream join semantics under oracle: events_range_join band + J1 equi shapes (never)
 )
 
 
