@@ -1,0 +1,148 @@
+"""The end-to-end corpus curation pipeline — the round's operators
+composed into the workflow a training-data release actually runs:
+
+    1. exact dedup        (content digest, keep lowest id)
+    2. near-dup removal   (MinHash-LSH candidates + exact Jaccard)
+    3. quality gate       (native expression score >= threshold)
+    4. decontamination    (exact shingle overlap AND fuzzy near-dup
+                           against the held-out eval corpus)
+    5. split assignment   (deterministic hash buckets)
+    6. sequence packing   (greedy token packing within each split)
+    7. delivery           (WebDataset tar shards of the train split)
+
+Every stage is one of the independently oracle-checked operators from
+``functions/*``; this module only wires them, tags each document with
+its FIRST failing stage (an auditable drop ledger, the same contract
+as the ``corpus_clean`` query), and materializes the outputs. One
+corpus pass per stage family, no collect() of document data — the
+driver sees only the per-reason counts.
+
+Reference parity: no reference counterpart (the reference ships
+weather rows to Postgres); this is the BASELINE.json training-data
+mandate assembled end to end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from meteo_etl_spark.functions import dedup as dd
+from meteo_etl_spark.functions import text as tx
+from meteo_etl_spark.functions.packing import PACK_BUDGET, pack_sequences
+from meteo_etl_spark.functions.sampling import hash_split
+from meteo_etl_spark.operators.parallelism import fan_out
+from meteo_etl_spark.sources.export import export_webdataset
+
+QUALITY_MIN = 0.3
+CURATE_SHARDS = 4
+
+
+@dataclass(frozen=True)
+class CurateStats:
+    reasons: dict[str, int]  # first-failing-stage counts, incl. "kept"
+    splits: dict[str, int]  # kept docs per train/val/test split
+    n_packs: int  # token packs over the kept train split
+    shards: list[tuple[int, int, int]]  # webdataset (shard, n, bytes)
+
+
+def drop_ledger(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
+    """(doc_id, reason) for every training doc; reason is the FIRST
+    failing stage ('exact_dup' | 'near_dup' | 'low_quality' |
+    'contaminated' | 'kept'). All flag sets are id-sized (never carry
+    text) and broadcast into one labeling pass over the corpus."""
+    docs = fan_out(docs).cache()
+
+    exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_dups = (
+        docs.withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("dup_id"))
+    )
+    near_dups = (
+        dd.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("near_id"))
+        .distinct()
+    )
+    exact_con = (
+        dd.decontaminate(docs, eval_docs)
+        .filter(F.col("n_overlap") > 0)
+        .select(F.col("id").alias("con_id"))
+    )
+    fuzzy_con = (
+        dd.fuzzy_decontaminate(docs, eval_docs)
+        .filter("contaminated")
+        .select(F.col("id").alias("fcon_id"))
+    )
+    contaminated = exact_con.unionByName(
+        fuzzy_con.withColumnRenamed("fcon_id", "con_id")
+    ).distinct()
+
+    scored = docs.select("doc_id", tx.quality_score(F.col("text")).alias("score"))
+    return (
+        scored.join(F.broadcast(exact_dups), scored.doc_id == F.col("dup_id"), "left")
+        .join(F.broadcast(near_dups), scored.doc_id == F.col("near_id"), "left")
+        .join(F.broadcast(contaminated), scored.doc_id == F.col("con_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .when(F.col("score") < QUALITY_MIN, "low_quality")
+            .when(F.col("con_id").isNotNull(), "contaminated")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    *,
+    pack_budget: int = PACK_BUDGET,
+    num_shards: int = CURATE_SHARDS,
+) -> CurateStats:
+    """Run the full curation pipeline; writes the train split as
+    WebDataset shards under ``out_dir`` and returns the audit stats."""
+    ledger = drop_ledger(docs, eval_docs)
+    reasons = {
+        r.reason: r.n
+        for r in ledger.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    kept = docs.join(
+        F.broadcast(ledger.filter(F.col("reason") == "kept").select("doc_id")),
+        "doc_id",
+    )
+    split = hash_split(
+        kept.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    splits = {
+        r.split: r.n
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    train = kept.join(F.broadcast(split.filter("split = 'train'")), "doc_id")
+    packed = pack_sequences(
+        train.select(
+            "doc_id", tx.token_count(F.col("text")).alias("n_tokens"), "split"
+        ),
+        "doc_id",
+        "n_tokens",
+        "split",
+        budget=pack_budget,
+    )
+    n_packs = packed.select("pack_id").distinct().count()
+
+    shards = export_webdataset(
+        train.select("doc_id", "text"),
+        out_dir,
+        key_col="doc_id",
+        content_cols=["text"],
+        num_shards=num_shards,
+    )
+    return CurateStats(reasons=reasons, splits=splits, n_packs=n_packs, shards=shards)
