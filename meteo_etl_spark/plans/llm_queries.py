@@ -802,6 +802,85 @@ def docs_vocab_topp(spark, sf_dir):
     )
 
 
+#: minimum co-occurrence count for basket_part_pairs.
+BASKET_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_part_pairs",
+    f"""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    ORDER BY support DESC, part_a, part_b""",
+    doc="Market-basket pair mining: part pairs co-occurring in the "
+    "same order at least twice — the pairwise co-occurrence core of "
+    "frequent-itemset / association analysis. The pair space is a "
+    "SELF-EQUI-JOIN on the basket key with a < residual, and baskets "
+    "are naturally bounded (<= 7 lineitems per TPC-H order), so the "
+    "blow-up per order is <= 21 pairs — the join stays linear in "
+    "lineitems at any corpus size and shuffle-partitions on the order "
+    "key, never all-pairs over parts. Support counts combine "
+    "map-side; the HAVING prunes the singleton tail before any sort.",
+)
+def basket_part_pairs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
+
+
+@query(
+    "events_percent_rank",
+    """WITH r AS (SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v,
+                     percent_rank() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS pr,
+                     cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS cd
+              FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE pr >= 0.99) AS BIGINT) AS n_top1pct,
+           CAST(COUNT(*) FILTER (WHERE cd <= 0.10) AS BIGINT) AS n_bottom10pct,
+           MIN(CASE WHEN pr >= 0.99 THEN v END) AS top1pct_floor
+    FROM r GROUP BY event_type ORDER BY event_type""",
+    doc="percent_rank / cume_dist window class: per type, the top-1% "
+    "(by relative rank) and bottom-10% (by cumulative distribution) "
+    "population counts plus the top-percentile value floor — the "
+    "relative-standing shapes SLO and score-normalization dashboards "
+    "use, distinct from NTILE's equal-frequency buckets. Both "
+    "functions are exact rank arithmetic ((rank-1)/(n-1), rank/n) on "
+    "a deterministic (value, event_id) order, so the FP values are "
+    "IEEE-identical across engines; one type-keyed shuffle feeds both "
+    "windows and the final aggregate.",
+)
+def events_percent_rank(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("pr") >= 0.99, 1)).alias("n_top1pct"),
+            F.count(F.when(F.col("cd") <= 0.10, 1)).alias("n_bottom10pct"),
+            F.min(F.when(F.col("pr") >= 0.99, F.col("v"))).alias("top1pct_floor"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: view->purchase correlation band for events_interval_join (10 min, µs).
 INTERVAL_JOIN_TOL_US = 600_000_000
 

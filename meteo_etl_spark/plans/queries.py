@@ -1775,6 +1775,8 @@ _DEFERRED: tuple[str, ...] = (
     "events_ohlc",  # min_by/max_by candles: events_rollup buckets + arg-aggregate shapes (never)
     "events_anomaly_iqr",  # Tukey-fence census: events_value_percentiles rank picks + broadcast flag count (never)
     "events_interval_join",  # stream-stream join semantics under oracle: events_range_join band + J1 equi shapes (never)
+    "basket_part_pairs",  # market-basket pair mining: bounded self-join + support agg shapes (never)
+    "events_percent_rank",  # percent_rank/cume_dist class: deciles/percentiles window twins (never)
 )
 
 
