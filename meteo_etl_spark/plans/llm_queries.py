@@ -1477,6 +1477,52 @@ def _duck_pagerank_sql() -> str:
 
 
 @query(
+    "events_triangle_count",
+    f"""WITH ed AS (SELECT DISTINCT
+            LEAST(a.user_id, b.user_id) AS u, GREATEST(a.user_id, b.user_id) AS v
+      FROM events a JOIN events b
+        ON a.event_type = b.event_type AND a.user_id <> b.user_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {BAND_TOLERANCE_SEC * 1_000_000})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges
+    FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+               JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    doc="Triangle counting over the user co-activity graph — the graph "
+    "MOTIF class (clustering coefficient, community density) beyond "
+    "reachability (connected components) and centrality (PageRank). "
+    "Edges canonicalize to u < v once, so each triangle is counted "
+    "exactly once by the ordered 2-path + closing-edge join "
+    "(u<v<w): two co-partitioned equi-joins on node keys, never "
+    "enumeration of all 2-hop pairs without a key. At scale the "
+    "standard refinement is degree-ordered orientation (point each "
+    "edge at the higher-degree node) bounding 2-path fan-out — the "
+    "join shape is unchanged.",
+)
+def events_triangle_count(spark, sf_dir):
+    from meteo_etl_spark.operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    pairs = band_join(ev, ev, ["event_type"], tolerance_sec=BAND_TOLERANCE_SEC)
+    ed = (
+        pairs.filter(F.col("l_user_id") != F.col("r_user_id"))
+        .select(
+            F.least("l_user_id", "r_user_id").alias("u"),
+            F.greatest("l_user_id", "r_user_id").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edges = ed.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(edges)
+
+
+@query(
     "events_user_pagerank",
     _duck_pagerank_sql(),
     doc="Integer-arithmetic PageRank over the user co-activity graph "

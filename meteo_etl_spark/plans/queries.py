@@ -1777,6 +1777,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_interval_join",  # stream-stream join semantics under oracle: events_range_join band + J1 equi shapes (never)
     "basket_part_pairs",  # market-basket pair mining: bounded self-join + support agg shapes (never)
     "events_percent_rank",  # percent_rank/cume_dist class: deciles/percentiles window twins (never)
+    "events_triangle_count",  # graph motif census: pagerank edges + 2-path equi-join shapes (never)
 )
 
 
