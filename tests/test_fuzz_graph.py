@@ -107,3 +107,49 @@ def test_mixture_plan_matches_python_reference(spark, docs):
         assert g[2] == round(nt / total, 6)
         assert g[3] == round(1.0 / k, 6)
         assert g[4] == round(total / (k * nt), 6)
+
+
+def _triangles_ref(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = {x for e in es for x in e}
+    adj = {n: set() for n in nodes}
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    count = 0
+    for u, v in es:
+        count += len(adj[u] & adj[v])
+    return count // 3  # each triangle counted once per edge
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_triangle_join_matches_python_reference(spark, edges):
+    """The ordered 2-path + closing-edge join counts exactly the
+    triangles a set-intersection reference finds, on any graph."""
+    from pyspark.sql import functions as F
+
+    canon = sorted({(min(e), max(e)) for e in edges})
+    ed = (
+        spark.createDataFrame(canon, "u long, v long")
+        if canon
+        else spark.createDataFrame([], "u long, v long")
+    )
+    e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    got = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    assert got == _triangles_ref(edges)
