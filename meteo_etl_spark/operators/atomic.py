@@ -540,6 +540,26 @@ class AtomicParquetTable:
             return []
         now = time.time()
         all_versions = _version_files(self._io, self.path)
+        if self._lock_io is not None:
+            # Complete crashed lock winners BEFORE computing orphans: a
+            # commit that exists only in the lock store (winner died
+            # between put_if_absent and the version-file replace) has a
+            # generation dir referenced by NO version file — the orphan
+            # age gate would eventually collect it, and the next
+            # writer's crashed-winner completion would then publish a
+            # version pointing at deleted data. Commits are strictly
+            # sequential, so pending locks can only sit at
+            # max(committed)+1, +2, ... — walk them and materialize.
+            nxt = (all_versions[-1] + 1) if all_versions else 1
+            while True:
+                body = self._lock_io.get(f"{self.path}#v{nxt}")
+                if body is None:
+                    break
+                vpath = os.path.join(self.path, f"{VERSION_PREFIX}{nxt}.json")
+                if not self._io.isfile(vpath):
+                    self._io.replace(vpath, body)
+                nxt += 1
+            all_versions = _version_files(self._io, self.path)
         keep_versions = set(all_versions[-retain_versions:])
         keep_versions.add(m["version"])  # the live version is never collected
         live: set[str] = set()

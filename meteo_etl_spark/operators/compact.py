@@ -161,13 +161,17 @@ def compact_table(
         if not per_part_files:
             # No 'key=value' dirs parsed (layout isn't hive-style for
             # this column) — fall back to a plain size-based rewrite
-            # rather than building an empty CASE expression.
+            # rather than building an empty CASE expression. A
+            # requested z-order still applies: dropping it silently
+            # would leave the caller believing the table is clustered.
             bytes_total = sum(
                 os.path.getsize(f) for files in fragmented.values() for f in files
             )
-            compacted = subset.repartition(
-                max(1, round(bytes_total / target_file_bytes))
-            )
+            n_fb = max(1, round(bytes_total / target_file_bytes))
+            if zorder_cols:
+                compacted = _zorder_layout(subset, zorder_cols, n_fb, None)
+            else:
+                compacted = subset.repartition(n_fb)
         else:
             n_expr = None
             for v, n in per_part_files.items():

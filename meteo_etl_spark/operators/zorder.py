@@ -35,8 +35,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: bits per column in the interleaved value. 8 bits = 256 buckets per
-#: column; with k columns the z-value uses 8k bits — int64-safe to 8
-#: columns and far finer than per-file granularity needs.
+#: column; with k columns the z-value uses 8k bits, which must stay
+#: under 64 to keep bit 63 (the int64 SIGN bit) clear — a set sign bit
+#: would order the curve's top quadrant before everything else. At the
+#: default 8 bits that allows up to 7 columns; ``zorder_values`` lowers
+#: ``bits`` automatically for 8 columns (7 bits → 128 buckets, still
+#: far finer than per-file granularity needs).
 ZORDER_BITS = 8
 
 Z_COL = "__z"
@@ -73,6 +77,10 @@ def zorder_values(
     the z computation itself is a pure codegen'd map."""
     if not 2 <= len(cols) <= 8:
         raise ValueError(f"zorder needs 2-8 columns, got {len(cols)}")
+    # keep the interleaved value inside int64's non-negative range:
+    # k*bits <= 63 (bit 63 is the sign bit — setting it would sort the
+    # curve's top quadrant FIRST and split every range boundary file)
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],

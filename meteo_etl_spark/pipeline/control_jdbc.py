@@ -154,12 +154,15 @@ def ensure_control_table(spark: SparkSession, url: str) -> None:
     if not jdbc_table_exists(spark, url, CONTROL_TABLE):
         try:
             _execute_prepared(spark, url, _ddl(), [])
+            _ENSURED_URLS.add(url)
+            return  # freshly created — already the declared shape
         except Exception:
-            # lost a concurrent-create race: fine as long as it exists now
+            # Lost a concurrent-create race: fine as long as it exists
+            # now — but the winner may run OLDER code (mixed-version
+            # rollout) and have created the pre-evolution shape, so
+            # fall through to the widening pass instead of memoizing.
             if not jdbc_table_exists(spark, url, CONTROL_TABLE):
                 raise
-        _ENSURED_URLS.add(url)
-        return
     existing = {c.lower() for c in jdbc_table_columns(spark, url, CONTROL_TABLE)}
     for c in _COLUMNS:
         if c.lower() in existing:

@@ -53,8 +53,16 @@ def drop_ledger(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
     """(doc_id, reason) for every training doc; reason is the FIRST
     failing stage ('exact_dup' | 'near_dup' | 'low_quality' |
     'contaminated' | 'kept'). All flag sets are id-sized (never carry
-    text) and broadcast into one labeling pass over the corpus."""
-    docs = fan_out(docs).cache()
+    text) and broadcast into one labeling pass over the corpus.
+
+    Does NOT cache: each stage re-scans the input (fine for ad-hoc
+    use). ``curate_corpus`` caches the corpus around this call and
+    unpersists when its actions complete — cache lifetime belongs to
+    the caller that knows when the last action ran."""
+    return _drop_ledger_on(fan_out(docs), eval_docs)
+
+
+def _drop_ledger_on(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
 
     exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_dups = (
@@ -107,42 +115,54 @@ def curate_corpus(
     num_shards: int = CURATE_SHARDS,
 ) -> CurateStats:
     """Run the full curation pipeline; writes the train split as
-    WebDataset shards under ``out_dir`` and returns the audit stats."""
-    ledger = drop_ledger(docs, eval_docs)
-    reasons = {
-        r.reason: r.n
-        for r in ledger.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    WebDataset shards under ``out_dir`` and returns the audit stats.
 
-    kept = docs.join(
-        F.broadcast(ledger.filter(F.col("reason") == "kept").select("doc_id")),
-        "doc_id",
-    )
-    split = hash_split(
-        kept.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
-    ).select("doc_id", "split")
-    splits = {
-        r.split: r.n
-        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    The corpus is cached for the pipeline's multiple scans and
+    unpersisted before returning — every output is an action inside
+    this function, so nothing lazy outlives the cache."""
+    cached = fan_out(docs).cache()
+    try:
+        ledger = _drop_ledger_on(cached, eval_docs)
+        reasons = {
+            r.reason: r.n
+            for r in ledger.groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
-    train = kept.join(F.broadcast(split.filter("split = 'train'")), "doc_id")
-    packed = pack_sequences(
-        train.select(
-            "doc_id", tx.token_count(F.col("text")).alias("n_tokens"), "split"
-        ),
-        "doc_id",
-        "n_tokens",
-        "split",
-        budget=pack_budget,
-    )
-    n_packs = packed.select("pack_id").distinct().count()
+        kept = cached.join(
+            F.broadcast(ledger.filter(F.col("reason") == "kept").select("doc_id")),
+            "doc_id",
+        )
+        split = hash_split(
+            kept.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select("doc_id", "split")
+        splits = {
+            r.split: r.n
+            for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
-    shards = export_webdataset(
-        train.select("doc_id", "text"),
-        out_dir,
-        key_col="doc_id",
-        content_cols=["text"],
-        num_shards=num_shards,
-    )
-    return CurateStats(reasons=reasons, splits=splits, n_packs=n_packs, shards=shards)
+        train = kept.join(F.broadcast(split.filter("split = 'train'")), "doc_id")
+        packed = pack_sequences(
+            train.select(
+                "doc_id", tx.token_count(F.col("text")).alias("n_tokens"), "split"
+            ),
+            "doc_id",
+            "n_tokens",
+            "split",
+            budget=pack_budget,
+        )
+        n_packs = packed.select("pack_id").distinct().count()
+
+        shards = export_webdataset(
+            train.select("doc_id", "text"),
+            out_dir,
+            key_col="doc_id",
+            content_cols=["text"],
+            num_shards=num_shards,
+        )
+        return CurateStats(
+            reasons=reasons, splits=splits, n_packs=n_packs, shards=shards
+        )
+    finally:
+        cached.unpersist()

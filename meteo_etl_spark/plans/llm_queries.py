@@ -1503,6 +1503,11 @@ def events_triangle_count(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     pairs = band_join(ev, ev, ["event_type"], tolerance_sec=BAND_TOLERANCE_SEC)
+    # The edge list feeds four consumers; cache it for the run and
+    # RELEASE it before returning — the two results are scalars, so
+    # they are collected here and returned as a literal frame (same
+    # driver-state contract as emb_kmeans), leaving no lazy plan that
+    # would pin the cache past this call.
     ed = (
         pairs.filter(F.col("l_user_id") != F.col("r_user_id"))
         .select(
@@ -1512,14 +1517,17 @@ def events_triangle_count(spark, sf_dir):
         .distinct()
         .persist()
     )
-    e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    try:
+        e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        n_tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+        n_edges = ed.count()
+    finally:
+        ed.unpersist()
+    return spark.createDataFrame(
+        [(n_tri, n_edges)], "n_triangles long, n_edges long"
     )
-    edges = ed.agg(F.count(F.lit(1)).alias("n_edges"))
-    return tri.crossJoin(edges)
 
 
 @query(

@@ -92,6 +92,11 @@ def export_webdataset(
     is byte-reproducible.
 
     String columns are encoded UTF-8; binary columns pass through.
+    Any other content type is rejected up front (``bytes(5)`` would
+    silently write zero-filled garbage), and a NULL content value
+    fails the export with the offending key in the error — a sample
+    with a missing member is a corrupt dataset, not a formatting
+    choice.
     """
     import os
 
@@ -99,6 +104,13 @@ def export_webdataset(
 
     from meteo_etl_spark.functions.sampling import hash_bucket
 
+    types = dict(df.dtypes)
+    bad = [c for c in content_cols if types.get(c) not in ("string", "binary")]
+    if bad:
+        raise ValueError(
+            f"export_webdataset: content columns must be string/binary; "
+            f"got {[(c, types.get(c)) for c in bad]}"
+        )
     os.makedirs(path, exist_ok=True)
     sel = df.select(
         F.col(key_col).cast("string").alias("__key"),
@@ -147,6 +159,12 @@ def export_webdataset(
                     open_shard(shard)
                 for i, c in enumerate(content_cols):
                     val = row[1 + i]
+                    if val is None:
+                        raise ValueError(
+                            f"export_webdataset: NULL {c!r} for key {key!r}"
+                            " — a sample with a missing member is corrupt;"
+                            " filter or fill upstream"
+                        )
                     data = (
                         val.encode("utf-8") if isinstance(val, str) else bytes(val)
                     )

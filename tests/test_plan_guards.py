@@ -36,7 +36,6 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_ivf",  # same query-vector pattern, IVF-routed candidates
     "docs_mixture_plan",  # 1-row global token total crossed into per-source rows
     "docs_vocab_topp",  # 1-row global token-mass total crossed into the vocab head
-    "events_triangle_count",  # two 1-row aggregates (triangles, edges) crossed
 }
 
 

@@ -269,3 +269,18 @@ def test_payload_to_df_coerces_json_integers(spark):
     }
     mrow = m.transform(m.payload_to_df(spark, mp)).collect()[0]
     assert (mrow.latitude, mrow.longitude, mrow.temperature) == (3.0, 5.0, 10.0)
+
+
+def test_payload_to_df_shape_mismatch_raises_not_nulls(spark):
+    """FAILFAST parsing: a payload whose shape contradicts the declared
+    schema must raise (so the batch error taxonomy records a failure),
+    never silently null the fields and report a 0-record success."""
+    import pytest as _pytest
+
+    from meteo_etl_spark.sources.registry import create_source
+
+    src = create_source("metno", {"latitude": 1.0, "longitude": 2.0})
+    bad = metno_payload()
+    bad["properties"]["timeseries"] = {"not": "an array"}
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        src.payload_to_df(spark, bad).collect()

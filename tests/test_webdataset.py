@@ -73,3 +73,27 @@ def test_webdataset_is_byte_reproducible(spark, tmp_path):
     )
     d1, d2 = digest(p1), digest(p2)
     assert d1 and d1 == d2
+
+
+def test_webdataset_rejects_bad_types_and_null_content(spark, tmp_path):
+    """Non-string/binary content columns are refused up front; a NULL
+    content value fails the export naming the key."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with _pytest.raises(ValueError, match="string/binary"):
+        export_webdataset(
+            docs, str(tmp_path / "x"), key_col="doc_id",
+            content_cols=["n_chars"], num_shards=2,
+        )
+
+    from pyspark.sql import functions as F
+
+    nulled = docs.select(
+        "doc_id", F.when(F.col("doc_id") == 7, None).otherwise(F.col("text")).alias("text")
+    )
+    with _pytest.raises(Exception, match="NULL 'text' for key '7'"):
+        export_webdataset(
+            nulled, str(tmp_path / "y"), key_col="doc_id",
+            content_cols=["text"], num_shards=2,
+        )

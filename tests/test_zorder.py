@@ -134,3 +134,15 @@ def test_optimize_with_zorder_clusters_and_preserves_rows(spark, tmp_path):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert a == b
+
+
+def test_zorder_eight_columns_stays_non_negative(spark):
+    """8 columns auto-lower bits so the interleave never touches the
+    int64 sign bit — the curve stays monotone end to end."""
+    cols = [f"c{i}" for i in range(8)]
+    rows = [tuple(float(v) for _ in cols) for v in (0.0, 63.0, 127.0)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols))
+    zs = [r["__z"] for r in zorder_values(df, cols).collect()]
+    assert all(z >= 0 for z in zs)
+    assert sorted(zs) == zs or sorted(zs, reverse=True) == zs  # monotone per row order
+    assert max(zs) < 1 << 63
