@@ -152,10 +152,9 @@ class JdbcLockIO(LockIO):
                     raise
 
     def _with_statement(self, sql: str, args: list[str], run):
-        conn = self._spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
-            self._url
-        )
-        try:
+        from meteo_etl_spark.sources.jdbc import driver_connection
+
+        with driver_connection(self._spark, self._url) as conn:
             ps = conn.prepareStatement(sql)
             try:
                 for i, v in enumerate(args, start=1):
@@ -163,8 +162,6 @@ class JdbcLockIO(LockIO):
                 return run(ps)
             finally:
                 ps.close()
-        finally:
-            conn.close()
 
     def _update(self, sql: str, args: list[str]) -> int:
         return self._with_statement(sql, args, lambda ps: ps.executeUpdate())

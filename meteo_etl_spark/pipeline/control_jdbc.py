@@ -42,6 +42,7 @@ from meteo_etl_spark.schemas import (
     FINISHED_STATUSES,
 )
 from meteo_etl_spark.sources.jdbc import (
+    driver_connection,
     jdbc_table_columns,
     jdbc_table_exists,
     read_jdbc,
@@ -104,8 +105,7 @@ def _execute_prepared(
     jvm = spark.sparkContext._jvm
     types = jvm.java.sql.Types
     sql_type = {"str": types.VARCHAR, "int": types.INTEGER, "ts": types.TIMESTAMP}
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    try:
+    with driver_connection(spark, url) as conn:
         ps = conn.prepareStatement(sql)
         try:
             for i, (kind, v) in enumerate(binds, start=1):
@@ -127,8 +127,6 @@ def _execute_prepared(
             return ps.executeUpdate()
         finally:
             ps.close()
-    finally:
-        conn.close()
 
 
 #: URLs whose control table this process has already created/migrated —

@@ -39,6 +39,7 @@ Spark itself — so this module is e2e-tested in-image, not gated.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -178,19 +179,29 @@ def write_jdbc(
     writer.save()
 
 
-def _execute_update(spark: SparkSession, url: str, sql: str) -> int:
-    """Run one DDL/DML statement over a driver-side JDBC connection
-    (JVM DriverManager — no Python DB driver needed) and return the
-    affected-row count."""
+@contextmanager
+def driver_connection(spark: SparkSession, url: str):
+    """Driver-side JDBC connection via the JVM DriverManager (no Python
+    DB driver needed), closed on exit. The ONE connection-lifecycle
+    implementation — control_jdbc's prepared statements and atomic's
+    JdbcLockIO route through here too, so a future timeout/retry fix
+    lands once."""
     conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
     try:
+        yield conn
+    finally:
+        conn.close()
+
+
+def _execute_update(spark: SparkSession, url: str, sql: str) -> int:
+    """Run one DDL/DML statement over a driver-side JDBC connection
+    and return the affected-row count."""
+    with driver_connection(spark, url) as conn:
         stmt = conn.createStatement()
         try:
             return stmt.executeUpdate(sql)
         finally:
             stmt.close()
-    finally:
-        conn.close()
 
 
 def jdbc_row_count(spark: SparkSession, url: str, table: str) -> int:
