@@ -802,6 +802,49 @@ def docs_vocab_topp(spark, sf_dir):
     )
 
 
+#: sliding-window shape for events_sliding_window: 2 h windows every 1 h.
+SLIDE_SIZE_US = 7_200_000_000
+SLIDE_STEP_US = 3_600_000_000
+
+
+@query(
+    "events_sliding_window",
+    f"""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                      CAST(floor(value * 100) AS BIGINT) AS qv
+               FROM events),
+    w AS (SELECT event_type, qv,
+                 make_timestamp(((us // {SLIDE_STEP_US}) - i) * {SLIDE_STEP_US})
+                   AS window_start
+          FROM e, UNNEST(range(0, {SLIDE_SIZE_US // SLIDE_STEP_US})) AS u(i)
+          WHERE ((us // {SLIDE_STEP_US}) - i) * {SLIDE_STEP_US} + {SLIDE_SIZE_US} > us)
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, SUM(qv) AS total
+    FROM w GROUP BY window_start, event_type
+    ORDER BY window_start, event_type""",
+    doc="SLIDING event-time windows (2 h size, 1 h slide): each event "
+    "lands in size/slide overlapping windows — the hopping-window "
+    "aggregate shape (F.window with a slide) that tumbling rollups "
+    "don't cover, and the same operator Structured Streaming runs "
+    "with a watermark. Spark plans ONE Expand (×2 row replication) + "
+    "one (window, type)-keyed aggregate with map-side partials; the "
+    "oracle derives the identical window starts from integer epoch-µs "
+    "arithmetic. Values in int64 cents so every window total is "
+    "exact.",
+)
+def events_sliding_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .orderBy("window_start", "event_type")
+    )
+
+
 #: minimum co-occurrence count for basket_part_pairs.
 BASKET_MIN_SUPPORT = 2
 

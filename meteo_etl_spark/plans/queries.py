@@ -1778,6 +1778,7 @@ _DEFERRED: tuple[str, ...] = (
     "basket_part_pairs",  # market-basket pair mining: bounded self-join + support agg shapes (never)
     "events_percent_rank",  # percent_rank/cume_dist class: deciles/percentiles window twins (never)
     "events_triangle_count",  # graph motif census: pagerank edges + 2-path equi-join shapes (never)
+    "events_sliding_window",  # hopping-window agg: rollup buckets + Expand shapes (never)
 )
 
 
