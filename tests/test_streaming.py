@@ -743,3 +743,56 @@ def test_stream_stream_interval_join_left_outer_and_rejects_full(spark, tmp_path
 
     with _pytest.raises(ValueError, match="inner/left_outer only"):
         interval_join_streams(lstream, rstream, "user_id", how="full_outer")
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The hopping-window aggregate (2h size / 1h slide) drains to the
+    same (window, key) totals streaming as in batch — the overlapping-
+    window twin of the tumbling-window parity test."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    base = datetime(2025, 6, 1, 0, 0, 0)
+    rows = [
+        (base + timedelta(minutes=37 * i), "ab"[i % 2], i) for i in range(40)
+    ]
+    src = str(tmp_path / "slide_src")
+    spark.createDataFrame(rows, schema).repartition(1).write.json(src)
+
+    def agg(df):
+        if df.isStreaming:
+            df = df.withWatermark("ts", "4 hours")
+        return (
+            df.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(F.col("w.start").alias("ws"), "k", "n", "s")
+        )
+
+    q = (
+        agg(spark.readStream.schema(schema).json(src))
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.ws, r.k): (r.n, r.s) for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    exp = {
+        (r.ws, r.k): (r.n, r.s)
+        for r in agg(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == exp and len(got) > 0
+    # overlap sanity: every event is in exactly 2 windows
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
