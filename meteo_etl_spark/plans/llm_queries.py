@@ -802,6 +802,53 @@ def docs_vocab_topp(spark, sf_dir):
     )
 
 
+@query(
+    "docs_constraint_audit",
+    """WITH a AS (SELECT
+        CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS c0,
+        CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS c1,
+        CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS c2,
+        CAST(COUNT(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 END)
+             AS BIGINT) AS c3,
+        CAST(COUNT(CASE WHEN n_chars < 0 OR n_chars > 100000 THEN 1 END)
+             AS BIGINT) AS c4,
+        CAST(COUNT(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 END)
+             AS BIGINT) AS c5
+      FROM documents)
+    SELECT 'not_null' AS "constraint", 'doc_id' AS "column",
+           c0 AS violations, c0 = 0 AS passed FROM a
+    UNION ALL SELECT 'unique', 'doc_id', c1, c1 = 0 FROM a
+    UNION ALL SELECT 'not_null', 'text', c2, c2 = 0 FROM a
+    UNION ALL SELECT 'in_domain', 'lang', c3, c3 = 0 FROM a
+    UNION ALL SELECT 'in_range[0,100000]', 'n_chars', c4, c4 = 0 FROM a
+    UNION ALL SELECT 'matches', 'source', c5, c5 = 0 FROM a
+    ORDER BY "column", "constraint" """,
+    doc="Declarative constraint audit (Deequ/Great-Expectations class) "
+    "over the corpus: key completeness + uniqueness, text "
+    "completeness, language domain, char-count range, source-name "
+    "regex — the release gate every training-data drop runs. ALL "
+    "violation counts compute in ONE aggregate pass over one scan "
+    "(operators/constraints.audit — map-side partials; uniqueness "
+    "folds in as count - count_distinct), never a job per rule; the "
+    "report unpivots driver-side from that single row.",
+)
+def docs_constraint_audit(spark, sf_dir):
+    from meteo_etl_spark.operators import constraints as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.audit(
+        docs,
+        [
+            C.not_null("doc_id"),
+            C.unique("doc_id"),
+            C.not_null("text"),
+            C.in_domain("lang", ["en", "de", "fr", "es"]),
+            C.in_range("n_chars", 0, 100_000),
+            C.matches("source", "^src[0-9]+$"),
+        ],
+    )
+
+
 #: sliding-window shape for events_sliding_window: 2 h windows every 1 h.
 SLIDE_SIZE_US = 7_200_000_000
 SLIDE_STEP_US = 3_600_000_000
