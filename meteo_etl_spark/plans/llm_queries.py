@@ -802,6 +802,63 @@ def docs_vocab_topp(spark, sf_dir):
     )
 
 
+#: fixed scoring anchor for orders_rfm_segments (after the last order
+#: date in the synthetic corpus, 2001-08-01) — a literal, so no scalar-broadcast pass is needed and
+#: recency is reproducible across runs.
+RFM_ANCHOR = "2001-12-31"
+
+
+@query(
+    "orders_rfm_segments",
+    f"""WITH per AS (SELECT o_custkey AS custkey,
+                    CAST(date_diff('day', MAX(o_orderdate), DATE '{RFM_ANCHOR}')
+                         AS BIGINT) AS recency_days,
+                    CAST(COUNT(*) AS BIGINT) AS frequency,
+                    CAST(floor(SUM(o_totalprice) * 100) AS BIGINT) AS monetary
+             FROM orders GROUP BY o_custkey)
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS BIGINT)
+             AS m_score
+    FROM per ORDER BY custkey""",
+    doc="RFM segmentation: per customer, recency (days before a fixed "
+    "literal anchor — no scalar-broadcast pass), order frequency, and "
+    "monetary total in cents, each scored into quintiles (higher = "
+    "better: most-recent/most-frequent/highest-spend land in 5) — the "
+    "canonical customer-value segmentation. One orders scan + one "
+    "custkey aggregate; the quintile windows rank the CUSTOMER "
+    "aggregate (orders-of-magnitude smaller than the fact table; "
+    "bucket-by-range first if even that outgrows one sort task). "
+    "Deterministic ntile tie order on custkey, exact integer inputs.",
+)
+def orders_rfm_segments(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.floor(F.sum("o_totalprice") * 100).cast("long").alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("recency_days"), "custkey")
+    wf = Window.orderBy("frequency", "custkey")
+    wm = Window.orderBy("monetary", "custkey")
+    return per.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    ).orderBy("custkey")
+
+
 @query(
     "docs_constraint_audit",
     """WITH a AS (SELECT

@@ -1780,6 +1780,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_triangle_count",  # graph motif census: pagerank edges + 2-path equi-join shapes (never)
     "events_sliding_window",  # hopping-window agg: rollup buckets + Expand shapes (never)
     "docs_constraint_audit",  # Deequ-style one-pass audit: q6 conditional counts + q3 distinct shapes (never)
+    "orders_rfm_segments",  # RFM quintile segmentation: q8 agg + deciles ntile shapes (never)
 )
 
 
