@@ -86,10 +86,19 @@ def _read_string(buf: io.BytesIO) -> str:
     n = _read_long(buf)
     if n < 0:
         raise ValueError(f"negative string length {n}")
+    # Bound against what is actually left: a corrupt varint can decode
+    # to ~2**62, and buf.read(n) would raise OverflowError (not the
+    # contracted ValueError) before the length-mismatch check runs.
+    remaining = len(buf.getbuffer()) - buf.tell()
+    if n > remaining:
+        raise ValueError(f"string length {n} exceeds remaining {remaining} bytes")
     raw = buf.read(n)
     if len(raw) != n:
         raise ValueError("truncated string")
-    return raw.decode("utf-8")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"invalid utf-8 string: {exc}") from None
 
 
 # ---------------------------------------------------------------------------
