@@ -1751,36 +1751,38 @@ _DEFERRED: tuple[str, ...] = (
     # TPC-H round-2 additions (q21/q9/q20) are in-window r6, so every
     # pre-round-6 query has had at least one driver-hash check.
     #
-    # New in round 6, deferred at birth to keep the r6 window stable.
-    # Every entry below is pytest-oracle green AND was hash-verified
-    # against DuckDB at sf0.01 (the driver's scale) in-session; they
-    # are the round-7 rotation candidates:
-    "docs_unigram_freq",  # unigram-LM quality proxy: tfidf/vocab join+agg shapes (never)
-    "dedup_semantic",  # SemDeDup cluster-blocked cosine: emb_kmeans + dedup_embedding_cosine shapes (never)
-    "events_window_agg",  # ROWS/RANGE window frames: events_sessionize window shapes (never)
-    "docs_fuzzy_decontaminate",  # LSH-candidate decon: docs_decontaminate + dedup_minhash_lsh shapes (never)
-    "sim_knn_graph",  # cluster-blocked kNN adjacency: dedup_semantic pairs + tfidf window top-k shapes (never)
-    "emb_cluster_prototypes",  # per-cluster argmin exemplar: emb_kmeans assignment + q4 top-1 shapes (never)
-    "docs_mixture_plan",  # domain-weights agg: docs_vocab agg + tpch_q11 scalar-broadcast shapes (never)
-    "events_funnel",  # sequenced step joins: q8 join+agg + tpch_q4 semi shapes (never)
-    "events_retention",  # cohort matrix: events_rollup buckets + q3 distinct shapes (never)
-    "events_pivot_daily",  # PIVOT crosstab: events_rollup day buckets + conditional-agg shapes (never)
-    "events_unpivot_daily",  # UNPIVOT melt: inverse of the pivot, Expand generate shape (never)
-    "events_user_pagerank",  # iterative integer PageRank: dedup_components rounds + events_range_join edges (never)
-    "events_value_deciles",  # NTILE bucketing: events_value_percentiles + window-rank shapes (never)
-    "events_user_paths",  # ordered sequence assembly: sessionize window + vocab agg shapes (never)
-    "events_hourly_full_outer",  # FULL OUTER series align: events_rollup buckets + join shapes (never)
-    "docs_vocab_setops",  # INTERSECT/EXCEPT census: docs_vocab distinct + q9 anti shapes (never)
-    "docs_vocab_topp",  # nucleus vocab cutoff: docs_vocab agg + running-sum window shapes (never)
-    "events_ohlc",  # min_by/max_by candles: events_rollup buckets + arg-aggregate shapes (never)
-    "events_anomaly_iqr",  # Tukey-fence census: events_value_percentiles rank picks + broadcast flag count (never)
-    "events_interval_join",  # stream-stream join semantics under oracle: events_range_join band + J1 equi shapes (never)
-    "basket_part_pairs",  # market-basket pair mining: bounded self-join + support agg shapes (never)
-    "events_percent_rank",  # percent_rank/cume_dist class: deciles/percentiles window twins (never)
-    "events_triangle_count",  # graph motif census: pagerank edges + 2-path equi-join shapes (never)
-    "events_sliding_window",  # hopping-window agg: rollup buckets + Expand shapes (never)
-    "docs_constraint_audit",  # Deequ-style one-pass audit: q6 conditional counts + q3 distinct shapes (never)
-    "orders_rfm_segments",  # RFM quintile segmentation: q8 agg + deciles ntile shapes (never)
+    # Round-7 rotation: ALL 26 round-6 newcomers (docs_unigram_freq …
+    # orders_rfm_segments) leave this tuple and enter the window — with
+    # them driver-hash checked, every query registered before round 7
+    # is driver-certified at least once. Rotated OUT to make room, each
+    # a ≥4×-driver-green veteran with an in-window or incoming shape
+    # twin:
+    "q1_scan_topk",  # O1 sort+limit: tpch_q10/tpch_q15 top-k (in-window r6, 6× green)
+    "q5_summary_stats",  # A3 8-stat summary: events_profile twin (in-window r6, 6× green)
+    "q8_join_count_per_customer",  # J1+A4: events_funnel join+agg (in-window r6, 6× green)
+    "q15_last_write_wins",  # U1 LWW: q15_atomic_merge twin (in-window r6, 6× green)
+    "events_value_percentiles",  # exact percentiles: events_value_deciles/anomaly_iqr (in-window r6, 5× green)
+    "tpch_q7_nation_volume",  # star join: tpch_q9 (in-window r6, 4× green)
+    "tpch_q10_returned_items",  # join+agg+topk: tpch_q15 (in-window r6, 4× green)
+    "tpch_q2_min_price_supplier",  # correlated min: tpch_q20 (in-window r6, 4× green)
+    "tpch_q13_order_distribution",  # grouped-count distribution: tpch_q16 + events_retention (in-window r6, 4× green)
+    "tpch_q8_market_share",  # conditional ratio: tpch_q9 profit shape (in-window r6, 6× green)
+    "text_quality",  # text heuristics: docs_unigram_freq + docs_constraint_audit (in-window r6, 6× green)
+    "dedup_exact",  # hash-groupBy dedup: docs_vocab_setops distinct census (in-window r6, 6× green)
+    "dedup_embedding_cosine",  # cosine pair dedup: dedup_semantic blocked cosine (in-window r6, 6× green)
+    "sim_topk_cosine",  # brute-force ANN baseline: sim_knn_graph (in-window r6, 4× green)
+    "corpus_clean",  # stage composition: docs_fuzzy_decontaminate (in-window r6, 4× green)
+    "events_sessionize",  # gap sessionize: events_user_paths window (in-window r6, 5× green)
+    "events_rollup_multi",  # bucketed rollup: events_sliding_window + events_pivot_daily (in-window r6, 6× green)
+    "events_asof_join",  # as-of band join: events_interval_join (in-window r6, 4× green)
+    "events_range_join",  # range band join: events_interval_join (in-window r6, 4× green)
+    "skew_salted_join",  # salted equi join: events_funnel equi shape (in-window r6, 5× green)
+    "text_repetition",  # n-gram repetition: docs_unigram_freq agg (in-window r6, 5× green)
+    "text_pii_scrub",  # regex scrub: docs_constraint_audit regex checks (in-window r6, 5× green)
+    "docs_stratified_sample",  # weighted sampling: docs_mixture_plan (in-window r6, 5× green)
+    "docs_pack_sequences",  # sequence packing: docs_chunk_windows stays in-window (in-window r6, 5× green)
+    "dedup_minhash_incremental",  # incremental index: dedup_minhash_lsh stays in-window (in-window r6, 5× green)
+    "events_resample_gapfill",  # series gap-fill: events_hourly_full_outer align (in-window r6, 5× green)
 )
 
 
