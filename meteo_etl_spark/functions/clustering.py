@@ -4,10 +4,17 @@
 IVF indexes train those centroids with Lloyd's algorithm. This module
 is that trainer, written as an iterative DataFrame program:
 
-- **assignment** is a pure map: the k centroids are tiny driver-side
-  state compiled into the plan as literals (exactly how MLlib
-  broadcasts cluster centers), so each iteration's assignment is one
-  codegen'd pass with NO join and NO shuffle of the corpus;
+- **assignment** is a pure map with NO shuffle of the corpus, via one
+  of two equivalent physical paths chosen on k: small k compiles the
+  centroids into the plan as literal expressions (exactly how MLlib
+  broadcasts cluster centers); large k (> ``ASSIGN_LITERAL_MAX``,
+  where Catalyst's expression tree would blow up — literals cap out
+  around 10³ centroids) packs the centroid table into ONE broadcast
+  row (``collect_list`` of (cluster, cv) structs, built JVM-side) and
+  reduces per vector with ``array_min`` over a ``transform`` — the
+  1-row-broadcast scalar shape the plan guard allowlists, k bound only
+  by broadcast size (k·dim longs: k=50 000, dim=64 ≈ 25 MB, the k the
+  SemDeDup paper actually uses);
 - **update** is one ``groupBy(cluster)`` with per-dimension partial
   aggregation — map-side combine reduces each task's contribution to
   k×(dim+1) longs before the single k-row shuffle;
@@ -47,6 +54,12 @@ from meteo_etl_spark.operators.parallelism import fan_out
 QUANT = 100
 KMEANS_K = 8
 KMEANS_ITERS = 3
+#: assignment-path crossover: up to this many centroids they compile
+#: into the plan as literal distance expressions; above it, assignment
+#: joins a 1-row broadcast of the packed centroid table instead (the
+#: literal expression tree stops being free around 10²-10³ centroids,
+#: and SemDeDup-scale k is 10⁴-10⁵).
+ASSIGN_LITERAL_MAX = 64
 
 
 def quantize(vec: Column) -> Column:
@@ -67,14 +80,72 @@ def _sqdist(qv: Column, centroid: list[int]) -> Column:
     )
 
 
-def assign_clusters(quantized: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Add a 1-based ``cluster`` column: argmin squared distance, ties
-    to the lowest cluster id (``array_position`` finds the first
-    minimum — the oracle's ``ORDER BY dist, cluster`` mirror)."""
+def assign_clusters(
+    quantized: DataFrame,
+    centroids: list[list[int]],
+    *,
+    with_dist: bool = False,
+) -> DataFrame:
+    """Add a 1-based ``cluster`` column (and, with ``with_dist``, the
+    exact integer ``dist2`` to it): argmin squared distance, ties to
+    the lowest cluster id (the oracle's ``ORDER BY dist, cluster``
+    mirror). Small k compiles the centroids in as literals; k >
+    ``ASSIGN_LITERAL_MAX`` routes to the 1-row-broadcast join path —
+    same semantics, same no-corpus-shuffle property, no literal cap."""
+    if len(centroids) > ASSIGN_LITERAL_MAX:
+        return _assign_clusters_join(quantized, centroids, with_dist=with_dist)
     dists = F.array(*[_sqdist(F.col("qv"), c) for c in centroids])
-    return quantized.withColumn(
+    out = quantized.withColumn(
         "cluster", F.array_position(dists, F.array_min(dists)).cast("int")
     )
+    if with_dist:
+        out = out.withColumn("dist2", F.array_min(dists))
+    return out
+
+
+def _assign_clusters_join(
+    quantized: DataFrame, centroids: list[list[int]], *, with_dist: bool
+) -> DataFrame:
+    """Large-k assignment: the centroid table is packed JVM-side into
+    ONE row (``collect_list`` of (cluster, cv) structs), broadcast, and
+    cross-joined in — the allowlisted 1-row scalar-broadcast shape —
+    then each vector reduces with ``array_min`` over a ``transform``:
+    min on struct<d, cluster> is (min dist, then min cluster id),
+    identical tie order to the literal path. Cost per row is the
+    inherent O(k·dim) distance work; nothing shuffles, and k is bound
+    only by broadcast size (k·dim longs), not by Catalyst's expression
+    tree."""
+    spark = quantized.sparkSession
+    cents = spark.createDataFrame(
+        [(j + 1, [int(x) for x in c]) for j, c in enumerate(centroids)],
+        "cluster int, cv array<long>",
+    )
+    packed = cents.agg(
+        F.collect_list(F.struct(F.col("cluster"), F.col("cv"))).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    out = (
+        quantized.join(F.broadcast(packed))
+        .withColumn("_best", best)
+        .withColumn("cluster", F.col("_best").getField("cluster"))
+    )
+    if with_dist:
+        out = out.withColumn("dist2", F.col("_best").getField("d"))
+    return out.drop("_cents", "_best")
 
 
 def seed_centroids(quantized: DataFrame, k: int, id_col: str = "vec_id") -> list[list[int]]:
@@ -120,14 +191,13 @@ def kmeans_fit(
         cents = seed_centroids(q, k)
         inertia: list[int] = []
         for _ in range(iters):
-            assigned = assign_clusters(q, cents)
+            assigned = assign_clusters(q, cents, with_dist=True)
             dim = len(cents[0])
             agg_cols = [F.count(F.lit(1)).alias("n")] + [
                 F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dim)
             ]
-            dists = F.array(*[_sqdist(F.col("qv"), c) for c in cents])
             stats = assigned.groupBy("cluster").agg(
-                *agg_cols, F.sum(F.array_min(dists)).alias("inertia")
+                *agg_cols, F.sum("dist2").alias("inertia")
             )
             rows = {r["cluster"]: r for r in stats.collect()}
             inertia.append(sum(int(r["inertia"]) for r in rows.values()))
@@ -363,11 +433,8 @@ def cluster_prototypes(
     q = fan_out(emb).select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qv")
     )
-    dists = F.array(*[_sqdist(F.col("qv"), c) for c in cents])
-    best = q.select(
-        "vec_id",
-        F.array_position(dists, F.array_min(dists)).cast("int").alias("cluster"),
-        F.array_min(dists).alias("dist"),
+    best = assign_clusters(q, cents, with_dist=True).select(
+        "vec_id", "cluster", F.col("dist2").alias("dist")
     )
     w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
     sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))

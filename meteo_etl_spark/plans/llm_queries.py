@@ -2195,15 +2195,20 @@ def dedup_minhash_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _duck_kmeans_parts() -> list[str]:
+def _duck_kmeans_parts(
+    k: int = cl.KMEANS_K, iters: int = cl.KMEANS_ITERS
+) -> list[str]:
     """Unrolled Lloyd's iterations in DuckDB — same seeds (md5 order),
     same integer-quantized arithmetic, same floor-mean update and
     empty-cluster COALESCE as functions/clustering.kmeans_fit, so the
-    trained centroids and final assignment match bit-for-bit. Returns
-    the shared CTE list ending at ``af`` (final assignment) over ``q``
-    (quantized vectors) and ``c{iters}`` (final centroids); the kmeans
-    and semantic-dedup oracles append their own tails."""
-    k, iters, dim, quant = cl.KMEANS_K, cl.KMEANS_ITERS, sim.EMBEDDING_DIM, cl.QUANT
+    trained centroids and final assignment match bit-for-bit — for ANY
+    k: the CROSS JOIN + row_number argmin here is k-generic, mirroring
+    both of assign_clusters' physical paths (literal and 1-row
+    broadcast). Returns the shared CTE list ending at ``af`` (final
+    assignment) over ``q`` (quantized vectors) and ``c{iters}`` (final
+    centroids); the kmeans and semantic-dedup oracles append their own
+    tails."""
+    dim, quant = sim.EMBEDDING_DIM, cl.QUANT
     sq = (
         f"list_sum([(q.qv[d]-c.c[d])*(q.qv[d]-c.c[d]) "
         f"FOR d IN generate_series(1, {dim})])"
@@ -2262,14 +2267,16 @@ def _duck_kmeans_sql() -> str:
     GROUP BY af.cluster ORDER BY cluster"""
 
 
-def _duck_semantic_dedup_sql() -> str:
+def _duck_semantic_dedup_sql(
+    k: int = cl.KMEANS_K, iters: int = cl.KMEANS_ITERS
+) -> str:
     """SemDeDup oracle: the shared kmeans CTEs (same trained centroids,
     same final assignment) plus the within-cluster integer cosine² dup
     test — 10000·dot² >= tau_num·n2a·n2b with dot > 0, evaluated in
     exact int64 like clustering.semantic_dedup."""
     dim = sim.EMBEDDING_DIM
     tau_num = cl._semantic_tau_num()
-    parts = _duck_kmeans_parts()
+    parts = _duck_kmeans_parts(k, iters)
     idot = f"list_sum([a.qv[d]*b.qv[d] FOR d IN generate_series(1, {dim})])"
     parts.append(
         """av AS (SELECT af.vec_id, af.cluster, q.qv,
@@ -2334,6 +2341,37 @@ def emb_kmeans(spark, sf_dir):
 def dedup_semantic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.semantic_dedup(emb)
+
+
+#: big-k SemDeDup settings: k far above ASSIGN_LITERAL_MAX so the
+#: driver-checked query exercises the 1-row-broadcast join assignment
+#: (the 10⁴-10⁵-k scale path), yet k <= the sf0.01 corpus (500 vectors)
+#: so seeding stays well-posed at the oracle's scale.
+SEMANTIC_BIGK_K = 200
+SEMANTIC_BIGK_ITERS = 2
+
+
+@query(
+    "dedup_semantic_bigk",
+    _duck_semantic_dedup_sql(SEMANTIC_BIGK_K, SEMANTIC_BIGK_ITERS),
+    doc=f"SemDeDup at large k (k={SEMANTIC_BIGK_K}): same algorithm as "
+    "dedup_semantic but k is past the literal-expression crossover "
+    f"(clustering.ASSIGN_LITERAL_MAX={cl.ASSIGN_LITERAL_MAX}), so "
+    "assignment runs the scale path — the centroid table packed into "
+    "ONE broadcast row and reduced per vector with array_min over a "
+    "transform (no corpus shuffle, no Catalyst expression blow-up; k "
+    "bound only by broadcast size, k=50k*dim=64 is ~25 MB — the k the "
+    "SemDeDup paper uses). Published SemDeDup needs k~=50k-100k; the "
+    "former literal-only assignment capped k near 10^3, which made the "
+    "within-cluster pair space ~n^2/k quadratic in practice. The "
+    "oracle replays the identical iterations (its CROSS JOIN argmin is "
+    "k-generic), pinning both trained centroids and keep-set at k=200.",
+)
+def dedup_semantic_bigk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.semantic_dedup(
+        emb, k=SEMANTIC_BIGK_K, iters=SEMANTIC_BIGK_ITERS
+    )
 
 
 def _duck_knn_graph_sql() -> str:

@@ -1783,6 +1783,9 @@ _DEFERRED: tuple[str, ...] = (
     "docs_pack_sequences",  # sequence packing: docs_chunk_windows stays in-window (in-window r6, 5× green)
     "dedup_minhash_incremental",  # incremental index: dedup_minhash_lsh stays in-window (in-window r6, 5× green)
     "events_resample_gapfill",  # series gap-fill: events_hourly_full_outer align (in-window r6, 5× green)
+    # deferred to admit the round-7 newcomer dedup_semantic_bigk
+    # (large-k broadcast-join assignment) into the window:
+    "sim_ann_lsh",  # hyperplane-LSH ANN: sim_ann_ivf + build_lsh_index stay (in-window r6, 6× green)
 )
 
 

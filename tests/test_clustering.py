@@ -152,3 +152,44 @@ def test_knn_graph_exact_duplicate_is_rank_one_both_ways(spark, emb):
     }
     assert g[(some.vec_id, 1)].dst == 10_000 and g[(some.vec_id, 1)].cos == 1.0
     assert g[(10_000, 1)].dst == some.vec_id and g[(10_000, 1)].cos == 1.0
+
+
+def test_literal_and_join_assignment_paths_agree(spark, emb):
+    """The large-k 1-row-broadcast join assignment is value-identical
+    (cluster AND dist2) to the literal-compiled path on the same
+    trained centroids — the k > ASSIGN_LITERAL_MAX crossover changes
+    the physical plan only."""
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    cents, _ = cl.kmeans_fit(emb, k=8, iters=2)
+    lit = cl.assign_clusters(q, cents, with_dist=True).select(
+        "vec_id", "cluster", "dist2"
+    )
+    jn = cl._assign_clusters_join(q, cents, with_dist=True).select(
+        "vec_id", "cluster", "dist2"
+    )
+    assert lit.exceptAll(jn).count() == 0
+    assert jn.exceptAll(lit).count() == 0
+
+
+def test_large_k_routes_to_join_path_and_trains(spark, emb):
+    """k > ASSIGN_LITERAL_MAX trains end-to-end through the broadcast
+    join path: every vector assigned, inertia non-increasing, and the
+    executed plan carries the 1-row packed-centroid broadcast instead
+    of a k-literal expression tree."""
+    k = cl.ASSIGN_LITERAL_MAX + 36
+    cents, hist = cl.kmeans_fit(emb, k=k, iters=2)
+    assert len(cents) == k
+    assert all(a >= b for a, b in zip(hist, hist[1:])), hist
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    assigned = cl.assign_clusters(q, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid pack
+    n = emb.count()
+    assert assigned.filter(F.col("cluster").isNotNull()).count() == n
+    assert assigned.filter(
+        (F.col("cluster") >= 1) & (F.col("cluster") <= k)
+    ).count() == n

@@ -36,6 +36,7 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_ivf",  # same query-vector pattern, IVF-routed candidates
     "docs_mixture_plan",  # 1-row global token total crossed into per-source rows
     "docs_vocab_topp",  # 1-row global token-mass total crossed into the vocab head
+    "dedup_semantic_bigk",  # 1-row packed centroid table (collect_list) crossed in for large-k argmin assignment
 }
 
 
