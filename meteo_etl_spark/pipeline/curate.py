@@ -52,8 +52,12 @@ class CurateStats:
 def drop_ledger(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
     """(doc_id, reason) for every training doc; reason is the FIRST
     failing stage ('exact_dup' | 'near_dup' | 'low_quality' |
-    'contaminated' | 'kept'). All flag sets are id-sized (never carry
-    text) and broadcast into one labeling pass over the corpus.
+    'contaminated' | 'kept'). The flag sets are id-sized (never carry
+    text) but still O(corpus) rows — near-dup ids alone can be a large
+    fraction of all docs — so they are NOT broadcast: the tagged ids
+    union into one stage-priority aggregate and reach the corpus
+    through a single shuffled join on doc_id (AQE still broadcasts the
+    flag side when it is genuinely small).
 
     Does NOT cache: each stage re-scans the input (fine for ad-hoc
     use). ``curate_corpus`` caches the corpus around this call and
@@ -70,39 +74,46 @@ def _drop_ledger_on(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select(F.col("doc_id").alias("dup_id"))
     )
-    near_dups = (
-        dd.minhash_lsh_pairs(docs)
-        .select(F.col("doc_b").alias("near_id"))
-        .distinct()
-    )
+    # No .distinct() on the flag sets: the min(pri) aggregate below
+    # dedups all of them in its single shuffle.
+    near_dups = dd.minhash_lsh_pairs(docs).select(F.col("doc_b").alias("near_id"))
     exact_con = (
         dd.decontaminate(docs, eval_docs)
         .filter(F.col("n_overlap") > 0)
-        .select(F.col("id").alias("con_id"))
+        .select(F.col("id").alias("flag_id"))
     )
     fuzzy_con = (
         dd.fuzzy_decontaminate(docs, eval_docs)
         .filter("contaminated")
-        .select(F.col("id").alias("fcon_id"))
+        .select(F.col("id").alias("flag_id"))
     )
-    contaminated = exact_con.unionByName(
-        fuzzy_con.withColumnRenamed("fcon_id", "con_id")
-    ).distinct()
+
+    # Stage priority encodes "first failing stage": 1 exact_dup,
+    # 2 near_dup, 4 contaminated (3 is the quality gate, computed from
+    # the score, not a flag set). min(pri) over the union replaces the
+    # three per-set distincts AND the three corpus joins with one
+    # aggregate + ONE shuffled join — no O(corpus) broadcast anywhere.
+    def tagged(ids: DataFrame, pri: int) -> DataFrame:
+        return ids.toDF("doc_id").select("doc_id", F.lit(pri).alias("pri"))
+
+    flags = (
+        tagged(exact_dups, 1)
+        .unionByName(tagged(near_dups, 2))
+        .unionByName(tagged(exact_con, 4))
+        .unionByName(tagged(fuzzy_con, 4))
+        .groupBy("doc_id")
+        .agg(F.min("pri").alias("pri"))
+    )
 
     scored = docs.select("doc_id", tx.quality_score(F.col("text")).alias("score"))
-    return (
-        scored.join(F.broadcast(exact_dups), scored.doc_id == F.col("dup_id"), "left")
-        .join(F.broadcast(near_dups), scored.doc_id == F.col("near_id"), "left")
-        .join(F.broadcast(contaminated), scored.doc_id == F.col("con_id"), "left")
-        .select(
-            "doc_id",
-            F.when(F.col("dup_id").isNotNull(), "exact_dup")
-            .when(F.col("near_id").isNotNull(), "near_dup")
-            .when(F.col("score") < QUALITY_MIN, "low_quality")
-            .when(F.col("con_id").isNotNull(), "contaminated")
-            .otherwise("kept")
-            .alias("reason"),
-        )
+    return scored.join(flags, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("pri") == 1, "exact_dup")
+        .when(F.col("pri") == 2, "near_dup")
+        .when(F.col("score") < QUALITY_MIN, "low_quality")
+        .when(F.col("pri") == 4, "contaminated")
+        .otherwise("kept")
+        .alias("reason"),
     )
 
 
@@ -130,9 +141,14 @@ def curate_corpus(
             .collect()
         }
 
+        # left_semi, not broadcast: the kept-id set is ~the whole corpus
+        # (most docs survive), so forcing a broadcast would ship
+        # O(corpus) ids to every executor; a semi join shuffles on
+        # doc_id and AQE may still broadcast when genuinely small.
         kept = cached.join(
-            F.broadcast(ledger.filter(F.col("reason") == "kept").select("doc_id")),
+            ledger.filter(F.col("reason") == "kept").select("doc_id"),
             "doc_id",
+            "left_semi",
         )
         split = hash_split(
             kept.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -142,7 +158,7 @@ def curate_corpus(
             for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
         }
 
-        train = kept.join(F.broadcast(split.filter("split = 'train'")), "doc_id")
+        train = kept.join(split.filter("split = 'train'"), "doc_id")
         packed = pack_sequences(
             train.select(
                 "doc_id", tx.token_count(F.col("text")).alias("n_tokens"), "split"
