@@ -82,6 +82,71 @@ def _zorder_layout(subset, cols, n_files, partition_col):
     )
 
 
+#: z-grid subdivisions per hive partition for the byte-sized z layout;
+#: per-partition file-count granularity is bounded by this (a partition
+#: gets at most this many files per layout call).
+ZORDER_PART_GRID = 128
+
+
+def _zorder_layout_partitioned(subset, cols, per_part_files, partition_col):
+    """Per-partition-value z layout honoring each partition's OWN byte-
+    derived file count. A single global ``repartitionByRange(total,
+    partition, z)`` allocates range buckets in proportion to SAMPLED
+    ROW density, which drifts from ``target_file_bytes`` when row sizes
+    differ across partitions or the sampler under-sees a skewed one.
+    Here each partition value gets exactly ``per_part_files[value]``
+    files (capped by the grid granularity):
+
+    1. one sketch pass computes per-partition z-quantiles at a fixed
+       grid (``percentile_approx`` — map-side-combining, one scan; the
+       broadcastable result is n_partitions × grid doubles, metadata
+       not data);
+    2. every row maps to ``file_idx = offset(partition) +
+       floor(grid_cell · n_p / G)`` — a codegen'd expression over the
+       broadcast boundaries;
+    3. one range exchange on (file_idx, z) lands each file as a
+       contiguous curve segment of its own partition.
+    """
+    from meteo_etl_spark.operators.zorder import Z_COL, zorder_values
+
+    grid = max(ZORDER_PART_GRID, min(4096, 2 * max(per_part_files.values())))
+    z = zorder_values(subset, list(cols))
+    pcol = F.col(partition_col).cast("string")
+    fracs = [i / grid for i in range(1, grid)]
+    bnds = z.groupBy(pcol.alias("__p")).agg(
+        F.percentile_approx(Z_COL, fracs, 10000).alias("__b")
+    )
+    values = sorted(per_part_files)
+    offsets, acc = {}, 0
+    for v in values:
+        offsets[v] = acc
+        acc += min(per_part_files[v], grid)
+    off_expr, np_expr = None, None
+    for v in values:
+        cond = pcol == v
+        n_p = min(per_part_files[v], grid)
+        off_expr = (
+            F.when(cond, offsets[v])
+            if off_expr is None
+            else off_expr.when(cond, offsets[v])
+        )
+        np_expr = (
+            F.when(cond, n_p) if np_expr is None else np_expr.when(cond, n_p)
+        )
+    cell = F.size(F.filter(F.col("__b"), lambda b: b <= F.col(Z_COL)))
+    fidx = (
+        off_expr.otherwise(F.lit(0))
+        + F.floor(cell * np_expr.otherwise(F.lit(1)) / F.lit(grid))
+    ).cast("long")
+    return (
+        z.join(F.broadcast(bnds), pcol == F.col("__p"))
+        .withColumn("__fidx", fidx)
+        .repartitionByRange(max(1, acc), "__fidx", Z_COL)
+        .sortWithinPartitions("__fidx", Z_COL)
+        .drop(Z_COL, "__p", "__b", "__fidx")
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -194,8 +259,8 @@ def compact_table(
             salt = F.pmod(row_hash, n_expr.otherwise(F.lit(1)))
             total_files = sum(per_part_files.values())
             if zorder_cols:
-                compacted = _zorder_layout(
-                    subset, zorder_cols, max(1, total_files), partition_col
+                compacted = _zorder_layout_partitioned(
+                    subset, zorder_cols, per_part_files, partition_col
                 )
             else:
                 compacted = (

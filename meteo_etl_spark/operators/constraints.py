@@ -81,6 +81,8 @@ def audit(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     a SINGLE aggregate (one scan, map-side partials — count_distinct
     adds its Expand inside the same job), then unpivoted to the
     per-constraint report. ``passed`` is violations == 0."""
+    if not constraints:
+        raise ValueError("audit needs at least one constraint")
     aggs = [
         c.violation.cast("long").alias(f"__c{i}")
         for i, c in enumerate(constraints)

@@ -955,15 +955,19 @@ BASKET_MIN_SUPPORT = 2
 
 @query(
     "basket_part_pairs",
-    f"""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            CAST(COUNT(*) AS BIGINT) AS support
-    FROM lineitem a JOIN lineitem b
+    FROM items a JOIN items b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY part_a, part_b HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
     ORDER BY support DESC, part_a, part_b""",
     doc="Market-basket pair mining: part pairs co-occurring in the "
     "same order at least twice — the pairwise co-occurrence core of "
-    "frequent-itemset / association analysis. The pair space is a "
+    "frequent-itemset / association analysis. Support is the STANDARD "
+    "distinct-basket count: (order, part) is deduplicated before the "
+    "self-join, so an order holding the same part on two lineitems "
+    "contributes each of its pairs once. The pair space is a "
     "SELF-EQUI-JOIN on the basket key with a < residual, and baskets "
     "are naturally bounded (<= 7 lineitems per TPC-H order), so the "
     "blow-up per order is <= 21 pairs — the join stays linear in "
@@ -972,7 +976,11 @@ BASKET_MIN_SUPPORT = 2
     "map-side; the HAVING prunes the singleton tail before any sort.",
 )
 def basket_part_pairs(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (

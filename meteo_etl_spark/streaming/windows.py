@@ -217,6 +217,13 @@ def interval_join_streams(
             " unmatched right side unboundedly)"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    collisions = {c + right_suffix for c in right.columns} & set(left.columns)
+    if collisions:
+        raise ValueError(
+            "interval_join_streams: suffixed right columns collide with"
+            f" left columns {sorted(collisions)}; pass a different"
+            f" right_suffix than {right_suffix!r}"
+        )
     l = left.withWatermark(ts_col, watermark_delay) if left.isStreaming else left
     r = right.withWatermark(ts_col, watermark_delay) if right.isStreaming else right
     r = r.select([F.col(c).alias(c + right_suffix) for c in r.columns])

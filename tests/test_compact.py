@@ -155,3 +155,61 @@ def test_compact_atomic_default_preserves_reader_snapshots_and_history(
     assert t.versions() == [1, 2]
     assert {(r.k, r.v, r.p) for r in t.read(version=1).collect()} == rows
     assert {(r.k, r.v, r.p) for r in read_table(spark, path).collect()} == rows
+
+
+def test_zorder_partitioned_honors_per_partition_file_counts(spark, tmp_path):
+    """The hive-partitioned z-order path sizes files from EACH
+    partition's own bytes (per-partition quantile grid), not a global
+    range sample: a partition 8x larger than its sibling must get
+    proportionally more files, and rows must never cross partition
+    values."""
+    path = str(tmp_path / "tz")
+    big = (
+        spark.range(0, 8000)
+        .withColumn("p", F.lit("big"))
+        .withColumn("x", (F.col("id") * 37 % 1000).cast("long"))
+        .withColumn("y", (F.col("id") * 91 % 1000).cast("long"))
+    )
+    small = (
+        spark.range(8000, 9000)
+        .withColumn("p", F.lit("small"))
+        .withColumn("x", (F.col("id") * 37 % 1000).cast("long"))
+        .withColumn("y", (F.col("id") * 91 % 1000).cast("long"))
+    )
+    for chunk in range(4):  # fragment both partitions
+        big.filter(F.col("id") % 4 == chunk).unionByName(
+            small.filter(F.col("id") % 4 == chunk)
+        ).write.mode("append").partitionBy("p").parquet(path)
+    rows_before = sorted(
+        (r.id, r.p) for r in spark.read.parquet(path).select("id", "p").collect()
+    )
+    # target sized so big wants ~4 files and small ~1
+    big_bytes = sum(
+        os.path.getsize(f) for f in _parquet_files(path) if "p=big" in f
+    )
+    stats = compact_table(
+        spark,
+        path,
+        partition_col="p",
+        target_file_bytes=max(1, big_bytes // 4),
+        zorder_cols=["x", "y"],
+    )
+    assert stats.partitions_compacted == 2
+    after_big = [f for f in _parquet_files(path) if "p=big" in f]
+    after_small = [f for f in _parquet_files(path) if "p=small" in f]
+    assert len(after_big) >= 2 * len(after_small), (after_big, after_small)
+    after = spark.read.parquet(path)
+    assert sorted((r.id, r.p) for r in after.select("id", "p").collect()) == rows_before
+    # z-clustering held per file: x min-max spans are narrower than global
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in after_big:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        st = md.row_group(0).column(cols["x"]).statistics
+        spans.append(st.max - st.min)
+    assert min(spans) < 1000, spans  # at least one tight file

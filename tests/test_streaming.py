@@ -796,3 +796,21 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
     # overlap sanity: every event is in exactly 2 windows
     assert sum(n for n, _ in got.values()) == 2 * len(rows)
+
+
+def test_interval_join_rejects_suffix_collisions(spark):
+    """A left frame already holding a suffixed name (e.g. 'ts_r') would
+    make the join condition resolve ambiguously — refused up front."""
+    from datetime import datetime
+
+    from meteo_etl_spark.streaming.windows import interval_join_streams
+
+    base = datetime(2025, 6, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, base, base)], "event_id long, user_id long, ts timestamp, ts_r timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, 7, base)], "event_id long, user_id long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="collide.*ts_r"):
+        interval_join_streams(left, right, "user_id")
