@@ -178,3 +178,55 @@ def pagerank(
         return scores
     finally:
         src_edges.unpersist()
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact triangle count over an undirected edge list via
+    DEGREE-ORDERED orientation (``edges``: canonical ``u < v`` pairs,
+    deduplicated).
+
+    Every edge is re-pointed at its higher-(degree, id) endpoint, so a
+    node's oriented out-degree is its count of HIGHER-ranked neighbors
+    — bounded by O(sqrt(m)) on any graph (a node of degree d > sqrt(m)
+    has fewer than sqrt(m) neighbors of even higher degree). The wedge
+    join (pairs of out-edges sharing a source) therefore fans out
+    quadratically in sqrt(m) per node instead of quadratically in raw
+    degree: on a star/hub graph the id-ordered variant builds O(d²)
+    2-paths at the hub while this builds O(1). Each triangle
+    {a ≺ b ≺ c} (≺ = (degree, id) order) is counted exactly once as
+    the wedge (a→b, a→c) closed by the oriented edge b→c. Two
+    co-partitioned equi-joins on node keys; the count is
+    orientation-invariant, so callers' oracles need no change.
+    """
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # (degree, id) rank as one orderable long pair packed per endpoint
+    with_deg = (
+        edges.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).persist()
+    try:
+        e1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                       F.col("ddeg").alias("db"))
+        e2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                       F.col("ddeg").alias("dc"))
+        wedges = e1.join(e2, "a").filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        return wedges.join(closing, ["b", "c"]).count()
+    finally:
+        oe.unpersist()

@@ -1645,24 +1645,25 @@ def _duck_pagerank_sql() -> str:
     doc="Triangle counting over the user co-activity graph — the graph "
     "MOTIF class (clustering coefficient, community density) beyond "
     "reachability (connected components) and centrality (PageRank). "
-    "Edges canonicalize to u < v once, so each triangle is counted "
-    "exactly once by the ordered 2-path + closing-edge join "
-    "(u<v<w): two co-partitioned equi-joins on node keys, never "
-    "enumeration of all 2-hop pairs without a key. At scale the "
-    "standard refinement is degree-ordered orientation (point each "
-    "edge at the higher-degree node) bounding 2-path fan-out — the "
-    "join shape is unchanged.",
+    "Edges canonicalize to u < v once; counting runs DEGREE-ORDERED "
+    "orientation (operators/graph.triangle_count): every edge points "
+    "at its higher-(degree, id) endpoint, so oriented out-degree — and "
+    "with it the wedge join's per-node fan-out — is O(sqrt(m)) on ANY "
+    "graph, where the id-ordered variant blows up quadratically at "
+    "hubs. Two co-partitioned equi-joins on node keys; the count is "
+    "orientation-invariant, so the oracle is unchanged.",
 )
 def events_triangle_count(spark, sf_dir):
+    from meteo_etl_spark.operators.graph import triangle_count
     from meteo_etl_spark.operators.temporal import band_join
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     pairs = band_join(ev, ev, ["event_type"], tolerance_sec=BAND_TOLERANCE_SEC)
-    # The edge list feeds four consumers; cache it for the run and
-    # RELEASE it before returning — the two results are scalars, so
-    # they are collected here and returned as a literal frame (same
-    # driver-state contract as emb_kmeans), leaving no lazy plan that
-    # would pin the cache past this call.
+    # The edge list feeds several consumers (degree pass + orientation
+    # + count); cache it for the run and RELEASE it before returning —
+    # the two results are scalars, so they are collected here and
+    # returned as a literal frame (same driver-state contract as
+    # emb_kmeans), leaving no lazy plan that would pin the cache.
     ed = (
         pairs.filter(F.col("l_user_id") != F.col("r_user_id"))
         .select(
@@ -1673,10 +1674,7 @@ def events_triangle_count(spark, sf_dir):
         .persist()
     )
     try:
-        e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        n_tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+        n_tri = triangle_count(ed)
         n_edges = ed.count()
     finally:
         ed.unpersist()

@@ -75,3 +75,54 @@ def test_pagerank_hand_computed_and_partition_invariant(spark):
         for r in pagerank(nodes.repartition(7), edges.repartition(5)).collect()
     }
     assert re == got
+
+
+def test_triangle_count_correct_and_degree_orientation_bounds_fanout(spark):
+    """Skew fixture: a hub star (degree 40, zero triangles) plus a
+    K5 clique (10 triangles) plus one hub-clique bridge. The count
+    must be exact, and the degree-ordered orientation must leave the
+    hub with ~zero out-edges (its neighbors all rank lower), where
+    id-ordering a mid-id hub would keep O(degree) out-edges and build
+    O(degree^2) wedges."""
+    from itertools import combinations
+
+    from meteo_etl_spark.operators.graph import triangle_count
+
+    hub = 500  # mid-range id: id-ordering would orient ~half outward
+    star = [(min(hub, leaf), max(hub, leaf)) for leaf in range(40)] + [
+        (min(hub, leaf), max(hub, leaf)) for leaf in range(960, 1000)
+    ]
+    clique = list(combinations([100, 200, 300, 400, 600], 2))
+    bridge = [(100, 500)]
+    edges = spark.createDataFrame(
+        sorted(set(star + clique + bridge)), "u long, v long"
+    )
+    assert triangle_count(edges) == 10  # C(5,3) from K5; star adds none
+
+    # orientation bound: hub degree 81, every neighbor has degree <= 5,
+    # so ALL hub edges point INTO the hub -> hub out-degree 0
+    deg = (
+        edges.selectExpr("u as n")
+        .unionAll(edges.selectExpr("v as n"))
+        .groupBy("n")
+        .count()
+    )
+    hub_deg = {r.n: r["count"] for r in deg.collect()}[hub]
+    assert hub_deg == 81
+    # id-ordered out-degree of the hub would be 40 (leaves 960..999
+    # sort above 500); degree-ordering must give 0.
+    from pyspark.sql import functions as F
+
+    d = deg.withColumnRenamed("n", "node").withColumnRenamed("count", "deg")
+    wd = (
+        edges.join(d.selectExpr("node as u", "deg as du"), "u")
+        .join(d.selectExpr("node as v", "deg as dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    out_src = wd.select(F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"))
+    hub_out = out_src.filter(F.col("src") == hub).count()
+    id_ordered_hub_out = edges.filter(F.col("u") == hub).count()
+    assert hub_out == 0
+    assert id_ordered_hub_out == 40
