@@ -175,3 +175,36 @@ def mixture_plan(
         )
         .orderBy("source")
     )
+
+
+def priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    reproducible uniform u ∈ (0, 1] from md5(id) and gets priority
+    w / u; the k highest priorities win. Inclusion probability is
+    min(1, w/τ) with τ the (k+1)-th priority — the estimator with
+    minimal variance among threshold schemes.
+
+    Determinism/parity: u = (md5-int + 1) / 2³² and the priority are
+    each ONE correctly-rounded IEEE division, so the ranking — and the
+    sample — is bit-identical in any engine replaying the same md5
+    arithmetic (no rand(), no pow/log). Ties break on id.
+
+    Scale shape: priority is a pure map; top-k is TakeOrdered
+    (per-partition heaps, no global sort). Adds a ``priority`` column;
+    weights must be positive."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )

@@ -2803,3 +2803,134 @@ def docs_unigram_freq(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: data-selection scoring + weighted sampling + grouping sets
+# ---------------------------------------------------------------------------
+
+#: DSIR target slice: two sources stand in for the target domain
+#: (e.g. wiki+books in the paper's recipe).
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def _duck_dsir_sql() -> str:
+    from meteo_etl_spark.functions import importance as imp
+
+    b = imp.DSIR_BUCKETS
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents),
+    feats AS (SELECT doc_id, source IN ({tgt}) AS tgt,
+             ('0x' || substr(md5(u.f), 1, 8))::BIGINT % {b} AS bucket
+      FROM tk, UNNEST(t || [t[i] || '_' || t[i+1]
+                       FOR i IN generate_series(1, len(t) - 1)]) AS u(f)),
+    bc AS (SELECT bucket,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
+             SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS s
+      FROM feats GROUP BY bucket),
+    tot AS (SELECT SUM(t) AS tt, SUM(s) AS ss FROM bc),
+    w AS (SELECT bucket,
+            CAST(FLOOR((CAST(t + 1 AS DOUBLE) / CAST(s + 1 AS DOUBLE))
+                 * (CAST(ss + {b} AS DOUBLE) / CAST(tt + {b} AS DOUBLE))
+                 * {float(imp.RATIO_SCALE)}) AS BIGINT) AS w
+      FROM bc CROSS JOIN tot),
+    pd AS (SELECT doc_id, bucket, COUNT(*) AS c
+      FROM feats WHERE NOT tgt GROUP BY doc_id, bucket)
+    SELECT pd.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+           CAST(SUM(c * w.w) AS BIGINT) AS score
+    FROM pd JOIN w USING (bucket)
+    GROUP BY pd.doc_id ORDER BY doc_id"""
+
+
+@query(
+    "docs_dsir_weights",
+    _duck_dsir_sql(),
+    doc="DSIR-style data-selection scoring (arXiv:2302.03169): every "
+    "non-target document scored by hashed-n-gram importance against "
+    "the target slice (sources src0/src1) — the scorer behind "
+    "importance-resampled pretraining mixtures. Features are word "
+    "unigrams+bigrams md5-hashed into 1024 buckets; bucket weights "
+    "are the add-one-smoothed target/source probability ratio "
+    "quantized by single correctly-rounded IEEE ops (the log-ratio "
+    "production form is the same plan with F.log in one expression); "
+    "doc score is an exact int64 sum. Plan: one corpus explode, one "
+    "bucket-keyed agg (<= 1024 rows, broadcast by construction), one "
+    "1-row totals cross, one doc-keyed partial agg — no UDFs, no "
+    "data-sized driver state, scales as two shuffles of (doc, bucket) "
+    "pairs.",
+)
+def docs_dsir_weights(spark, sf_dir):
+    from meteo_etl_spark.functions.importance import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, F.col("source").isin(*DSIR_TARGET_SOURCES)
+    ).orderBy("doc_id")
+
+
+PRIORITY_SAMPLE_K = 50
+
+
+@query(
+    "docs_priority_sample",
+    f"""WITH pr AS (SELECT doc_id, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / ((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                      AS DOUBLE) + 1.0) / 4294967296.0) AS priority
+      FROM documents)
+    SELECT doc_id, n_chars, ROUND(priority, 4) AS priority
+    FROM pr ORDER BY priority DESC, doc_id LIMIT {PRIORITY_SAMPLE_K}""",
+    doc="Deterministic weighted sampling via PRIORITY SAMPLING "
+    "(Duffield-Lund-Thorup, JACM 2007): u ~ md5(doc_id) mapped to "
+    "(0,1], priority = weight/u, top-k wins — inclusion probability "
+    "min(1, w/tau), the minimal-variance threshold scheme. Both the "
+    "uniform and the priority are single correctly-rounded IEEE "
+    "divisions (no rand/pow/log), so the SAMPLE ITSELF is "
+    "bit-identical across engines — reproducible weighted selection "
+    "under repartitioning, the property corpus re-draws need. Plan: "
+    "pure map + TakeOrderedAndProject (per-partition heaps, no "
+    "global sort).",
+)
+def docs_priority_sample(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, "doc_id", "n_chars", PRIORITY_SAMPLE_K).select(
+        "doc_id", "n_chars", F.round("priority", 4).alias("priority")
+    )
+
+
+@query(
+    "events_grouping_sets",
+    """SELECT GROUPING(event_type, d) AS gid, event_type, d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events) e
+    GROUP BY CUBE(event_type, d)
+    ORDER BY gid, event_type, d""",
+    doc="CUBE / GROUPING SETS census: per (type, day), per type, per "
+    "day, and grand-total aggregates in ONE pass, disambiguated by "
+    "the standard grouping-id bitmask — the multi-rollup shape BI "
+    "layers push down. Spark plans a single Expand (each input row "
+    "fans into its 4 grouping sets) above one shuffle — no "
+    "re-aggregation of the base table per set; the oracle is DuckDB's "
+    "native CUBE, so both engines' bitmask semantics are pinned "
+    "against each other.",
+)
+def events_grouping_sets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "value"
+    )
+    return (
+        ev.cube("event_type", "d")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total"),
+        )
+        .select("gid", "event_type", "d", "n", "total")
+        .orderBy("gid", "event_type", "d")
+    )

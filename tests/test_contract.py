@@ -57,26 +57,35 @@ def test_publish_unfinished_fetch_raises(spark, warehouse):
 def test_correctness_window_composition_is_pinned():
     """The driver hash-checks the FIRST 50 entries of queries(), so the
     window composition is part of the correctness contract. Pin the
-    round-4 roster: an accidental registration-order change (imports,
+    round-7 roster: an accidental registration-order change (imports,
     new @query placement) must fail HERE, not in the driver's ledger.
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]
+    window = list(e.queries())[:50]  # pinned roster: round-7 rotation
     must_be_in_window = {
-        # NTZ-regression trio (restored in round 4)
-        "events_sessionize", "events_asof_join", "events_range_join",
-        # round-4 rotation readmissions
-        "tpch_q2_min_price_supplier", "tpch_q7_nation_volume",
-        "tpch_q10_returned_items", "tpch_q13_order_distribution",
-        "docs_vocab_topk", "sim_topk_cosine", "corpus_clean",
-        # round-5 rotation: the round-4 I/O layer gets its first driver
-        # hash check...
+        # round-7 rotation: the 26 round-6 newcomers take their first
+        # driver hash check (completes at-least-once certification of
+        # every pre-round-7 query)...
+        "docs_unigram_freq", "dedup_semantic", "events_window_agg",
+        "docs_fuzzy_decontaminate", "sim_knn_graph",
+        "emb_cluster_prototypes", "docs_mixture_plan", "events_funnel",
+        "events_retention", "events_pivot_daily", "events_unpivot_daily",
+        "events_user_pagerank", "events_value_deciles",
+        "events_user_paths", "events_hourly_full_outer",
+        "docs_vocab_setops", "docs_vocab_topp", "events_ohlc",
+        "events_anomaly_iqr", "events_interval_join", "basket_part_pairs",
+        "events_percent_rank", "events_triangle_count",
+        "events_sliding_window", "docs_constraint_audit",
+        "orders_rfm_segments",
+        # ...plus the round-7 newcomer exercising the large-k
+        # broadcast-join centroid assignment
+        "dedup_semantic_bigk",
+        # round-5/6 holdovers kept for a second consecutive check
         "events_profile", "jdbc_roundtrip_agg", "events_session_window",
-        "q15_atomic_merge",
-        # ...plus four TPC-H entries that had never been in-window
-        "tpch_q11_value_share", "tpch_q15_top_supplier",
-        "tpch_q16_supplier_cnt", "tpch_q6_forecast_revenue",
+        "q15_atomic_merge", "jdbc_upsert_agg",
+        "tpch_q21_waiting_supplier", "tpch_q9_product_profit",
+        "tpch_q20_excess_supplier",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
