@@ -245,6 +245,48 @@ def ivf_list_of(v: Column) -> Column:
     return F.array_position(d, F.array_max(d))
 
 
+def ivf_route_join(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "v",
+    out_col: str = "lst",
+) -> DataFrame:
+    """Large-k IVF routing: add the 1-based inverted-list id by
+    argmax-dot against a TRAINED centroid set (e.g.
+    ``clustering.trained_ivf_centroids(k=...)``) shipped as ONE
+    broadcast row — the same packed-centroid idiom as
+    ``clustering._assign_clusters_join``, because literal-compiled
+    routing (``ivf_list_of``) caps the list count near 10³ while real
+    IVF indexes carve 10⁴-10⁵ lists. argmax is ``array_min`` over
+    struct(-dot, list): min of the negated dot = max dot, ties to the
+    lowest list id — the exact tie order of the literal path (verified
+    equivalent in tests). Pure map per row after the 1-row broadcast;
+    nothing shuffles."""
+    spark = vecs.sparkSession
+    cents = spark.createDataFrame(
+        [(j + 1, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "lst int, cv array<double>",
+    )
+    packed = cents.agg(
+        F.collect_list(F.struct(F.col("lst"), F.col("cv"))).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot(F.col(vec_col), c["cv"]) * F.lit(-1.0)).alias("nd"),
+                c["lst"].alias("lst"),
+            ),
+        )
+    )
+    return (
+        vecs.join(F.broadcast(packed))
+        .withColumn(out_col, best.getField("lst").cast("long"))
+        .drop("_cents")
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_id: int,

@@ -193,3 +193,33 @@ def test_large_k_routes_to_join_path_and_trains(spark, emb):
     assert assigned.filter(
         (F.col("cluster") >= 1) & (F.col("cluster") <= k)
     ).count() == n
+
+
+def test_ivf_route_join_matches_literal_routing(spark, emb):
+    """The packed-broadcast IVF router (large-k path) assigns every
+    vector the SAME inverted list as the literal-compiled ivf_list_of
+    on the default centroid set — and routes a trained large-k set the
+    literal path cannot express."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lit = vecs.withColumn("lst", sim.ivf_list_of(F.col("v"))).select(
+        "vec_id", "lst"
+    )
+    default_cents = [sim.ivf_centroid(k) for k in range(sim.IVF_LISTS)]
+    jn = sim.ivf_route_join(vecs, default_cents).select("vec_id", "lst")
+    assert lit.exceptAll(jn).count() == 0
+    assert jn.exceptAll(lit).count() == 0
+
+    # trained large-k set: every vector routed to a valid list
+    trained = cl.trained_ivf_centroids(emb, k=cl.ASSIGN_LITERAL_MAX + 36, iters=1)
+    routed = sim.ivf_route_join(vecs, trained)
+    n = vecs.count()
+    assert (
+        routed.filter(
+            (F.col("lst") >= 1) & (F.col("lst") <= len(trained))
+        ).count()
+        == n
+    )
