@@ -2934,3 +2934,66 @@ def events_grouping_sets(spark, sf_dir):
         .select("gid", "event_type", "d", "n", "total")
         .orderBy("gid", "event_type", "d")
     )
+
+
+@query(
+    "docs_datasheet",
+    """WITH base AS (SELECT source, lang, n_chars, doc_id,
+           len(string_split(text, ' ')) AS n_toks FROM documents),
+    med AS (SELECT source, n_chars AS median_chars FROM (
+        SELECT source, n_chars, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base) WHERE rn = (n + 1) // 2)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           MIN(m.median_chars) AS median_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM base b JOIN med m USING (source)
+    GROUP BY b.source ORDER BY b.source""",
+    doc="Corpus datasheet (Datasheets for Datasets, Gebru et al.): "
+    "per-source doc/token totals, language breadth, and EXACT "
+    "char-length min/median/max — the release-documentation table "
+    "every training-data drop ships with. Median is nearest-rank "
+    "(lower) over a deterministic (n_chars, doc_id) order — the "
+    "events_value_percentiles integer idiom, not an approx sketch — "
+    "so both engines agree bit-for-bit. Plan: ONE source-keyed "
+    "shuffle shared by the ranking window, the count window and the "
+    "final aggregate; token counts are a codegen'd split-size map. "
+    "At 100 TB this is a single pass + one 20-row join.",
+)
+def docs_datasheet(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cnt = Window.partitionBy("source")
+    med = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    return (
+        base.join(med, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.min("median_chars").alias("median_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1792,6 +1792,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_dsir_weights",  # DSIR importance scoring: tfidf explode+agg shapes (never)
     "docs_priority_sample",  # weighted top-k sampling: q1 TakeOrdered + hash_split md5 shapes (never)
     "events_grouping_sets",  # CUBE/Expand census: events_pivot conditional-agg + rollup shapes (never)
+    "docs_datasheet",  # corpus datasheet: percentile rank-pick + grouped-agg shapes (never)
 )
 
 
