@@ -163,3 +163,59 @@ class SchemaRegistryClient:
         schema_id, schema = int(out["id"]), out["schema"]
         self._by_id.setdefault(schema_id, schema)
         return schema_id, schema
+
+
+# ---------------------------------------------------------------------------
+# producer / consumer framing against a live registry (the reference's
+# AvroSerializer / AvroDeserializer pair, engine-side)
+# ---------------------------------------------------------------------------
+
+
+def frame_events_for_topic(
+    events: DataFrame, client: SchemaRegistryClient, topic: str
+) -> tuple[int, DataFrame]:
+    """Producer side (reference `streaming/events.py:93-104`
+    `get_fetch_event_serializer`): register the FetchEvent schema
+    under ``{topic}-value`` (idempotent) and return (schema_id, frames)
+    where frames carry registry-framed ``value`` bytes — 5-byte header
+    + Avro body. ONE registry call per produce job; all per-event work
+    is the existing Avro encode + a JVM-side concat."""
+    from meteo_etl_spark.schemas import FETCH_EVENT_AVRO_SCHEMA
+    from meteo_etl_spark.streaming.events import to_avro_value
+
+    schema_id = client.register(subject_for_topic(topic), FETCH_EVENT_AVRO_SCHEMA)
+    return schema_id, with_confluent_header(to_avro_value(events), schema_id)
+
+
+def decode_registry_frames(
+    raw: DataFrame, client: SchemaRegistryClient, topic: str
+) -> DataFrame:
+    """Consumer side: resolve the topic's subject against the registry
+    ONCE (driver-side, cached), then decode each frame's body only
+    when its header id matches a registered version of the FetchEvent
+    schema — frames with unknown ids, bad magic, or short headers keep
+    a NULL event and flow to dead-letter (ST3), exactly the Confluent
+    deserializer's contract. Column-level id check (codegen'd), Avro
+    decode through the engine codec."""
+    import json as _json
+
+    from meteo_etl_spark.schemas import FETCH_EVENT_AVRO_SCHEMA
+    from meteo_etl_spark.streaming.avro_codec import decode_avro_values
+
+    sid, schema = client.latest(subject_for_topic(topic))
+    if _json.loads(schema) != _json.loads(FETCH_EVENT_AVRO_SCHEMA):
+        raise ValueError(
+            f"registry subject {subject_for_topic(topic)!r} latest schema"
+            f" (id {sid}) is not the FetchEvent schema this consumer reads"
+        )
+    known = raw.filter(confluent_schema_id(F.col("value")) == sid)
+    unknown = raw.filter(
+        confluent_schema_id(F.col("value")).isNull()
+        | (confluent_schema_id(F.col("value")) != sid)
+    )
+    decoded = decode_avro_values(known, confluent_header=True)
+    dead = unknown.select(
+        F.lit(None).cast(decoded.schema["event"].dataType).alias("event"),
+        F.col("value").alias("raw_value"),
+    )
+    return decoded.unionByName(dead)

@@ -173,3 +173,46 @@ def test_header_id_roundtrips_through_registry_and_spark(spark, registry_url):
     )
     framed_jvm = reg.with_confluent_header(payload_df, sid).collect()[0].value
     assert bytes(framed_jvm) == framed
+
+
+def test_registry_framed_produce_consume_round_trip(spark, registry_url):
+    """The serializer/deserializer pair end-to-end: events framed for a
+    topic through a live registry decode back through the same
+    registry; frames with a foreign schema id dead-letter (null event)
+    instead of decoding."""
+    from meteo_etl_spark.schemas import FETCH_EVENT_SCHEMA
+
+    client = reg.SchemaRegistryClient(registry_url)
+    events = spark.createDataFrame(
+        [
+            ("a", "open-meteo", "success", "/p1", {"q": "1"}, 1718000000000),
+            ("b", "met.no", "error", None, {}, 1718000001000),
+        ],
+        schema=FETCH_EVENT_SCHEMA,
+    )
+    sid, frames = reg.frame_events_for_topic(events, client, "fetch-events")
+    collected = [bytes(r.value) for r in frames.collect()]
+    assert all(v[:5] == reg.make_confluent_header(sid) for v in collected)
+
+    # a foreign producer registers a different schema -> different id
+    foreign_id = client.register("other-value", '{"type": "string"}')
+    assert foreign_id != sid
+    foreign = reg.make_confluent_header(foreign_id) + b"\x02x"
+
+    raw = spark.createDataFrame([(v,) for v in collected] + [(foreign,)],
+                                "value binary")
+    out = reg.decode_registry_frames(
+        raw, reg.SchemaRegistryClient(registry_url), "fetch-events"
+    ).collect()
+    got = {bytes(r.raw_value): r.event for r in out}
+    assert got[foreign] is None  # unknown id -> dead-letter
+    decoded_ids = sorted(
+        e.fetch_id for v, e in got.items() if e is not None
+    )
+    assert decoded_ids == ["a", "b"]
+
+    # consumer refuses a subject whose latest schema isn't FetchEvent
+    with pytest.raises(ValueError, match="not the FetchEvent schema"):
+        reg.decode_registry_frames(
+            raw, reg.SchemaRegistryClient(registry_url), "other"
+        )
