@@ -455,24 +455,28 @@ def corpus_clean(spark, sf_dir):
         docs.withColumn("rn", F.row_number().over(exact_w))
         .filter(F.col("rn") > 1)
         .select("doc_id")
-        .withColumnRenamed("doc_id", "dup_id")
     )
-    near_dups = (
-        dd.minhash_lsh_pairs(docs)
-        .select(F.col("doc_b").alias("near_id"))
-        .distinct()
-    )
+    near_dups = dd.minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id"))
     scored = docs.select("doc_id", tx.quality_score(F.col("text")).alias("score"))
 
+    # The flag sets are id-sized but O(corpus) rows, so they are NOT
+    # force-broadcast (same fix as pipeline/curate.drop_ledger): tagged
+    # ids union into one min(stage-priority) aggregate — which also
+    # dedups the near-dup multiset in the same shuffle — and reach the
+    # corpus through ONE shuffled join on doc_id (AQE still broadcasts
+    # when genuinely small).
+    flags = (
+        exact_dups.select("doc_id", F.lit(1).alias("pri"))
+        .unionByName(near_dups.select("doc_id", F.lit(2).alias("pri")))
+        .groupBy("doc_id")
+        .agg(F.min("pri").alias("pri"))
+    )
     return (
-        scored.join(
-            F.broadcast(exact_dups), scored.doc_id == F.col("dup_id"), "left"
-        )
-        .join(F.broadcast(near_dups), scored.doc_id == F.col("near_id"), "left")
+        scored.join(flags, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("dup_id").isNotNull(), "exact_dup")
-            .when(F.col("near_id").isNotNull(), "near_dup")
+            F.when(F.col("pri") == 1, "exact_dup")
+            .when(F.col("pri") == 2, "near_dup")
             .when(F.col("score") < 0.3, "low_quality")
             .otherwise("kept")
             .alias("reason"),
