@@ -208,3 +208,46 @@ def priority_sample(
         .orderBy(F.desc("priority"), F.col(id_col))
         .limit(k)
     )
+
+
+#: default shard count for the epoch-shuffle demo surface; real runs
+#: size this to (corpus bytes / target shard bytes).
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    epoch: int,
+    shards: int = EPOCH_SHARDS,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training-order
+    serving: every row gets a ``(shard, pos)`` address that is a
+    reproducible pseudorandom permutation of the corpus, re-drawn per
+    epoch (hash of ``epoch || ':' || id``).
+
+    The global training order is shard-major — (shard 0, pos 1..),
+    (shard 1, pos 1..), … — which is exactly what a sharded data
+    loader consumes. Crucially there is NO global sort: the plan is
+    one hash shuffle into ``shards`` groups plus a per-shard window
+    sort, so each reducer sorts corpus/shards rows; at 100 TB the
+    writer pairs this with ``repartition(shards, shard)`` +
+    ``sortWithinPartitions`` so every epoch manifest streams out
+    without ever totally ordering the corpus. Same-epoch replays are
+    bit-identical on any cluster size; no ``rand()`` anywhere."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(shards))
+    from pyspark.sql import Window
+
+    out = df.withColumn("__h", h).withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(id_col))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop("__h")

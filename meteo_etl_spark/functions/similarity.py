@@ -338,3 +338,77 @@ def ann_ivf_topk(
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH candidate route against exact brute force,
+    one row per query vector (ids < ``n_queries``).
+
+    The evaluation harness every ANN deployment needs BEFORE trusting
+    bucket routing at scale: both the exact ranking and the
+    candidate-restricted ranking are computed from ONE scored frame
+    (corpus x broadcast query panel, cosine once per pair), so truth
+    and approximation can never diverge on scoring. One shuffle on the
+    query id serves both row_number rankings and the final aggregate.
+    Cost is n_queries exact scans — an offline audit run on a sample,
+    not a serving path."""
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        *[_bucket(v, t).alias(f"b{t}") for t in range(LSH_TABLES)],
+    )
+    q = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(LSH_TABLES)],
+    )
+    match_any = None
+    for t in range(LSH_TABLES):
+        m = F.col(f"b{t}") == F.col(f"qb{t}")
+        match_any = m if match_any is None else match_any | m
+    scored = (
+        corpus.join(F.broadcast(q), on=F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv")).alias("sim_raw"),
+            match_any.alias("cand"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        scored.filter(F.col("cand"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(approx, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -1,0 +1,68 @@
+"""Changelog (CDC) application: keyed upsert with delete tombstones.
+
+The engine's upsert family (``operators/upsert.py``, reference
+`etl/load.py:45-55` ``ON CONFLICT`` upsert) covers insert/update. A
+change-data-capture feed adds the third verb: a DELETE tombstone that
+must REMOVE the key from the snapshot. ``apply_changelog`` closes that
+gap as a pure DataFrame program:
+
+1. last-write-wins the changelog per key (only the FINAL change for a
+   key matters — an insert later deleted is a no-op, a delete later
+   re-inserted survives);
+2. snapshot rows whose key never appears in the changelog pass through
+   (anti join on the key);
+3. the surviving latest changes (op != delete) are unioned in.
+
+Plan shape / 100 TB: the changelog LWW is one shuffle on the key over
+the (small, incremental) changelog only; the anti join repartitions
+both sides on the same key — AQE broadcasts the changelog key set when
+it is genuinely small, which is the nightly-CDC norm, so the snapshot
+usually never shuffles. Compose with ``upsert.merge_parquet``'s
+partition-pruned rewrite to land the result: only partitions holding a
+changed key are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.upsert import dedup_last_write_wins
+
+#: default changelog verb column / delete marker.
+OP_COL = "op"
+DELETE_OP = "D"
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    *,
+    op_col: str = OP_COL,
+    delete_op: str = DELETE_OP,
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a keyed snapshot.
+
+    ``changes`` must carry every ``snapshot`` column plus ``op_col``;
+    ``order_cols`` orders changes per key newest-first (the FIRST row
+    under this ordering wins, matching ``dedup_last_write_wins``).
+    Rows whose final verb equals ``delete_op`` are removed; any other
+    verb upserts the row. Keys absent from the changelog are untouched.
+    """
+    missing = [c for c in [*snapshot.columns, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changelog is missing columns {missing}")
+    for k in key_cols:
+        if k not in snapshot.columns:
+            raise ValueError(f"key column {k!r} not in snapshot")
+
+    latest = dedup_last_write_wins(changes, key_cols, order_cols)
+    survivors = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *snapshot.columns
+    )
+    untouched = snapshot.join(
+        latest.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return untouched.unionByName(survivors)

@@ -208,3 +208,61 @@ def jdbc_upsert_agg(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "events_cdc_apply",
+    """WITH snap AS (
+         SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1),
+       chg AS (
+         SELECT user_id, event_type, event_id, value,
+                CASE WHEN value < 25.0 THEN 'D' ELSE 'U' END AS op,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+       latest AS (SELECT * FROM chg WHERE rn = 1)
+       SELECT user_id, event_type, event_id, value FROM snap s
+       WHERE NOT EXISTS (SELECT 1 FROM latest l
+                         WHERE l.user_id = s.user_id
+                           AND l.event_type = s.event_type)
+       UNION ALL
+       SELECT user_id, event_type, event_id, value FROM latest WHERE op <> 'D'
+       ORDER BY user_id, event_type""",
+    doc="CDC changelog application (operators/cdc.apply_changelog): the "
+    "pre-cutoff last-write-wins state per (user_id, event_type) is the "
+    "snapshot; post-cutoff rows form an I/U/D changelog (low-value "
+    "rows become DELETE tombstones). The final verb per key wins: "
+    "tombstoned keys vanish, updated keys take the newest row, "
+    "untouched keys pass through the anti join. Extends the upsert "
+    "family (reference etl/load.py:45-55 ON CONFLICT upsert) with the "
+    "delete verb a CDC feed requires. Plan: one key shuffle LWWs the "
+    "changelog; the snapshot-side anti join broadcasts the changelog "
+    "key set under AQE when the feed is small (the nightly-CDC norm), "
+    "so the snapshot itself never shuffles; compose with "
+    "merge_parquet's partition-pruned rewrite to land the result.",
+)
+def events_cdc_apply(spark, sf_dir):
+    from meteo_etl_spark.operators.cdc import apply_changelog
+    from meteo_etl_spark.operators.upsert import dedup_last_write_wins
+
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    snapshot = dedup_last_write_wins(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], order
+    ).select("user_id", "event_type", "event_id", "value")
+    changes = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn(
+            "op", F.when(F.col("value") < 25.0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .select("user_id", "event_type", "event_id", "value", "op", "ts")
+    )
+    applied = apply_changelog(
+        snapshot, changes, ["user_id", "event_type"], order
+    )
+    return applied.orderBy("user_id", "event_type")

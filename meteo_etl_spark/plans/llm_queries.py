@@ -3001,3 +3001,155 @@ def docs_datasheet(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 late additions: epoch shuffle, canonical keep-policy, ANN recall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_epoch_shuffle",
+    """WITH h AS (SELECT doc_id,
+                         md5('1:' || CAST(doc_id AS VARCHAR)) AS hh
+                  FROM documents),
+       s AS (SELECT doc_id, hh,
+                    ('0x' || substr(hh, 1, 8))::BIGINT % 8 AS shard
+             FROM h)
+       SELECT doc_id, shard,
+              row_number() OVER (PARTITION BY shard
+                                 ORDER BY hh, doc_id) AS pos
+       FROM s ORDER BY shard, pos""",
+    doc="Deterministic per-epoch training shuffle "
+    "(functions/sampling.epoch_shuffle, epoch=1, 8 shards): every doc "
+    "gets a (shard, pos) address that is a reproducible pseudorandom "
+    "permutation, re-drawn per epoch from md5(epoch:doc_id). The "
+    "shard-major order is what a sharded loader consumes; there is NO "
+    "global sort — one hash shuffle into shards plus a per-shard "
+    "window sort, so reducer memory is corpus/shards, and at 100 TB "
+    "the writer streams each shard out with sortWithinPartitions. "
+    "Same-epoch replays are bit-identical on any cluster size; no "
+    "rand() anywhere (partition-layout-independent by construction).",
+)
+def docs_epoch_shuffle(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle(docs, "doc_id", epoch=1, shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "dedup_canonical",
+    f"""WITH RECURSIVE {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN cnt p ON p.doc_id = doc_a
+              JOIN cnt q ON q.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                      >= {dd.JACCARD_THRESHOLD}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.node),
+    lab AS (SELECT node AS doc_id, MIN(label) AS component
+            FROM walk GROUP BY node),
+    ld AS (SELECT l.doc_id, l.component, length(d.text) AS len
+           FROM lab l JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, component, len,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY len DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY component) AS n
+          FROM ld)
+    SELECT component, doc_id AS keep_doc_id, len AS kept_len,
+           CAST(n AS BIGINT) AS n_docs
+    FROM r WHERE rn = 1 ORDER BY component""",
+    doc="Canonical-document selection — the keep-policy pass that "
+    "turns dedup_components' cluster labels into an actual curated "
+    "corpus: per near-dup cluster keep the LONGEST document (ties to "
+    "the lowest id), the standard 'best representative' rule (longest "
+    "doc usually carries the least-truncated text). Distinct from "
+    "dedup_components' min-id canonical flag: selection here is "
+    "content-aware, which is what curation actually ships. Plan: the "
+    "CC closure's node-keyed rounds as before, then ONE "
+    "component-keyed shuffle serves both the ranking window and the "
+    "cluster-size count. Oracle: independent recursive-CTE fixpoint "
+    "plus the same window rule.",
+)
+def dedup_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from meteo_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    ld = cc.select(F.col("node").alias("doc_id"), "component").join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("len"), F.asc("doc_id"))
+    cnt = Window.partitionBy("component")
+    return (
+        ld.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("len").alias("kept_len"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+        .orderBy("component")
+    )
+
+
+@query(
+    "sim_ann_recall",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_bucket('v', 0)} AS b0,
+                 {_duck_bucket('v', 1)} AS b1 FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, b0 AS qb0, b1 AS qb1
+          FROM c WHERE vec_id < 10),
+    s AS (SELECT q.qid, c.vec_id,
+                 {_duck_dot('c.v', 'q.qv')}
+                   / (sqrt({_duck_dot('c.v', 'c.v')})
+                      * sqrt({_duck_dot('q.qv', 'q.qv')})) AS sim_raw,
+                 (c.b0 = q.qb0 OR c.b1 = q.qb1) AS cand
+          FROM c, q WHERE c.vec_id <> q.qid),
+    truth AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim_raw DESC, vec_id) AS rn
+        FROM s) WHERE rn <= 5),
+    approx AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim_raw DESC, vec_id) AS rn
+        FROM s WHERE cand) WHERE rn <= 5)
+    SELECT t.qid AS query_id, COUNT(*) AS k, COUNT(a.vec_id) AS n_hit,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+    GROUP BY t.qid ORDER BY query_id""",
+    doc="ANN recall@5 audit (functions/similarity.ann_recall, 10 query "
+    "vectors): the exact brute-force top-5 and the LSH "
+    "candidate-restricted top-5 are ranked from ONE scored frame "
+    "(cosine computed once per pair), then recall = |intersection|/5 "
+    "per query. This is the evaluation harness a deployment runs "
+    "BEFORE trusting bucket routing at 100 TB — the measured recall "
+    "is the contract the sim_ann_lsh serving path is held to. One "
+    "shuffle on the query id serves both rankings and the final "
+    "aggregate; the query panel broadcasts.",
+)
+def sim_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_recall(emb, n_queries=10, k=5)

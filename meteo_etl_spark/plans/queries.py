@@ -1793,6 +1793,10 @@ _DEFERRED: tuple[str, ...] = (
     "docs_priority_sample",  # weighted top-k sampling: q1 TakeOrdered + hash_split md5 shapes (never)
     "events_grouping_sets",  # CUBE/Expand census: events_pivot conditional-agg + rollup shapes (never)
     "docs_datasheet",  # corpus datasheet: percentile rank-pick + grouped-agg shapes (never)
+    "events_cdc_apply",  # I/U/D changelog apply: q15 LWW + q9 anti-join shapes (never)
+    "docs_epoch_shuffle",  # sharded epoch shuffle: docs_hash_split md5 + window shapes (never)
+    "dedup_canonical",  # keep-policy per dup cluster: dedup_components CC + window shapes (never)
+    "sim_ann_recall",  # ANN recall audit: sim_ann_lsh + sim_topk shapes (never)
 )
 
 

@@ -38,6 +38,7 @@ SCALAR_BROADCAST_OK = {
     "docs_vocab_topp",  # 1-row global token-mass total crossed into the vocab head
     "dedup_semantic_bigk",  # 1-row packed centroid table (collect_list) crossed in for large-k argmin assignment
     "docs_dsir_weights",  # 1-row target/source feature totals crossed into the <=1024-row bucket weight table
+    "sim_ann_recall",  # the 10-row (data-independent audit panel) query set crossed into the corpus scan
 }
 
 
