@@ -66,3 +66,55 @@ def apply_changelog(
         latest.select(*key_cols), on=key_cols, how="left_anti"
     )
     return untouched.unionByName(survivors)
+
+
+def apply_changelog_parquet(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    *,
+    op_col: str = OP_COL,
+    delete_op: str = DELETE_OP,
+    partition_col: str | None = None,
+    partition_expr: Column | None = None,
+    **merge_kwargs,
+):
+    """Land an I/U/D changelog on the parquet table at ``path`` in ONE
+    partition-pruned rewrite (the CDC sink).
+
+    The changelog is resolved to its final verb per key first
+    (last-write-wins under ``order_cols``), split into upserts and
+    tombstones, and handed to ``upsert.merge_parquet`` — updates merge,
+    tombstoned keys are dropped, and only partitions holding a changed
+    or deleted key are rewritten. Idempotent under redelivery
+    (re-applying the same changelog is a no-op), so it slots directly
+    into a ``foreachBatch`` streaming consumer as the at-least-once
+    sink (ST2 discipline). Returns ``MergeStats`` with the
+    insert/update/delete split.
+    """
+    from meteo_etl_spark.operators.upsert import merge_parquet
+
+    latest = dedup_last_write_wins(changes, key_cols, order_cols)
+    if partition_col and partition_col not in latest.columns:
+        if partition_expr is None:
+            raise ValueError(
+                f"changes lack partition col {partition_col!r} and no "
+                "partition_expr given"
+            )
+        latest = latest.withColumn(partition_col, partition_expr)
+    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    del_cols = [*key_cols] + (
+        [partition_col] if partition_col and partition_col not in key_cols else []
+    )
+    deletes = latest.filter(F.col(op_col) == F.lit(delete_op)).select(*del_cols)
+    return merge_parquet(
+        spark,
+        path,
+        upserts,
+        key_cols,
+        partition_col=partition_col,
+        delete_keys=deletes,
+        **merge_kwargs,
+    )

@@ -43,11 +43,12 @@ from meteo_etl_spark.operators.atomic import AtomicParquetTable, is_atomic_table
 
 @dataclass
 class MergeStats:
-    """Row accounting for a merge (insert/update split)."""
+    """Row accounting for a merge (insert/update/delete split)."""
 
     inserted: int
     updated: int
     target_rows: int
+    deleted: int = 0
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
@@ -98,6 +99,7 @@ def merge_parquet(
     sort_within_partitions: list[str] | None = None,
     atomic: bool = False,
     atomic_options: dict | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``path``.
 
@@ -130,12 +132,34 @@ def merge_parquet(
       (``{"single_writer": True}`` or ``{"lock_io": <LockIO>}``) —
       so pipeline callers can deploy atomic tables on plain object
       stores without dropping to the table API.
+    - ``delete_keys``: keys to REMOVE from the target in the same
+      rewrite (the CDC tombstone verb — ``operators/cdc`` resolves a
+      changelog into this plus ``updates``). Must carry ``key_cols``;
+      when ``partition_col`` is set it must carry that too, so the
+      delete's partitions join the pruning set (derive it upstream
+      with the same ``partition_expr`` as the data). A key present in
+      BOTH ``delete_keys`` and ``updates`` nets to the update (the
+      target row is dropped first, the update then inserts) — callers
+      wanting last-verb-wins resolve the changelog first
+      (``cdc.apply_changelog_parquet`` does). NULL-safe key equality,
+      matching the merge join.
     """
     updates = dedup_last_write_wins(updates, key_cols, dedup_order)
     if partition_col and partition_col not in updates.columns:
         if partition_expr is None:
             raise ValueError(f"updates lack partition col {partition_col!r} and no partition_expr given")
         updates = updates.withColumn(partition_col, partition_expr)
+    if delete_keys is not None:
+        missing = [c for c in key_cols if c not in delete_keys.columns]
+        if missing:
+            raise ValueError(f"delete_keys lack key columns {missing}")
+        if partition_col and partition_col not in delete_keys.columns:
+            raise ValueError(
+                f"delete_keys lack partition col {partition_col!r} — derive it "
+                "upstream with the same partition_expr as the data so the "
+                "delete pass stays partition-pruned"
+            )
+        delete_keys = delete_keys.dropDuplicates(key_cols)
 
     update_cols = update_cols or [c for c in updates.columns if c not in key_cols]
     matched_set = matched_set or {}
@@ -177,9 +201,25 @@ def merge_parquet(
     if partition_col and not converting:
         # Prune: only partitions the batch touches are read & rewritten.
         affected = updates.select(partition_col).distinct()
+        if delete_keys is not None:
+            affected = affected.union(
+                delete_keys.select(partition_col).distinct()
+            ).distinct()
         target_subset = target.join(F.broadcast(affected), partition_col, "left_semi")
     else:
         target_subset = target
+
+    n_deleted = 0
+    if delete_keys is not None:
+        dk = delete_keys.select(*key_cols).alias("d")
+        del_cond = None
+        for k in key_cols:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}"))
+            del_cond = c if del_cond is None else del_cond & c
+        n_deleted = (
+            target_subset.alias("t").join(dk, del_cond, "left_semi").count()
+        )
+        target_subset = target_subset.alias("t").join(dk, del_cond, "left_anti")
 
     # Alias-qualified references (F.col("t.x") / F.col("u.x")) — the
     # pruning semi-join gives target_subset and updates shared lineage,
@@ -267,7 +307,12 @@ def merge_parquet(
     else:
         _rewrite_partitions(spark, merged, path, partition_col)
     total = read_table(spark, path).count()
-    return MergeStats(inserted=n_inserted, updated=n_matched, target_rows=total)
+    return MergeStats(
+        inserted=n_inserted,
+        updated=n_matched,
+        target_rows=total,
+        deleted=n_deleted,
+    )
 
 
 def _remove_plain_layout(path: str) -> None:

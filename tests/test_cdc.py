@@ -85,3 +85,143 @@ def test_idempotent_reapplication(spark):
     assert sorted((r.k, r.name, r.v) for r in twice.collect()) == sorted(
         (r.k, r.name, r.v) for r in once.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet CDC sink: apply_changelog_parquet / merge_parquet(delete_keys=...)
+# ---------------------------------------------------------------------------
+
+import os
+
+from meteo_etl_spark.operators.cdc import apply_changelog_parquet
+from meteo_etl_spark.operators.upsert import merge_parquet
+
+
+def _state(spark, path):
+    return sorted(
+        (r.k, r.name, r.v)
+        for r in spark.read.parquet(path).select("k", "name", "v").collect()
+    )
+
+
+def test_parquet_sink_applies_all_verbs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _snap(spark).write.parquet(path)
+    chg = _chg(
+        spark,
+        [
+            (2, "b2", 21.0, "U", 1),
+            (3, "c", 0.0, "D", 1),
+            (4, "d", 40.0, "U", 1),
+        ],
+    )
+    stats = apply_changelog_parquet(
+        spark, path, chg, ["k"], [F.col("seq").desc()]
+    )
+    assert _state(spark, path) == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+    assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 1)
+    assert stats.target_rows == 3
+
+
+def test_parquet_sink_idempotent_redelivery(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _snap(spark).write.parquet(path)
+    chg = _chg(spark, [(2, "b2", 21.0, "U", 1), (3, "c", 0.0, "D", 1)])
+    apply_changelog_parquet(spark, path, chg, ["k"], [F.col("seq").desc()])
+    once = _state(spark, path)
+    apply_changelog_parquet(spark, path, chg, ["k"], [F.col("seq").desc()])
+    assert _state(spark, path) == once
+
+
+def test_parquet_sink_last_verb_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _snap(spark).write.parquet(path)
+    chg = _chg(
+        spark,
+        [
+            (1, "a1", 11.0, "U", 1),
+            (1, "a", 0.0, "D", 2),  # delete wins over the earlier update
+            (3, "c9", 39.0, "D", 1),
+            (3, "c9", 39.0, "U", 2),  # re-insert wins over the earlier delete
+        ],
+    )
+    apply_changelog_parquet(spark, path, chg, ["k"], [F.col("seq").desc()])
+    assert _state(spark, path) == [(2, "b", 20.0), (3, "c9", 39.0)]
+
+
+def test_partitioned_delete_prunes_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (2, "b", 20.0, "p1"), (3, "c", 30.0, "p2")],
+        "k int, name string, v double, part string",
+    )
+    base.write.partitionBy("part").parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, "part=p2", f))
+        for f in os.listdir(os.path.join(path, "part=p2"))
+        if f.endswith(".parquet")
+    }
+    chg = spark.createDataFrame(
+        [(1, "a", 0.0, "p1", "D", 1)],
+        "k int, name string, v double, part string, op string, seq int",
+    )
+    stats = apply_changelog_parquet(
+        spark, path, chg, ["k"], [F.col("seq").desc()], partition_col="part"
+    )
+    assert stats.deleted == 1 and stats.inserted == 0 and stats.updated == 0
+    got = sorted(
+        (r.k, r.part) for r in spark.read.parquet(path).select("k", "part").collect()
+    )
+    assert got == [(2, "p1"), (3, "p2")]
+    after = {
+        f: os.path.getmtime(os.path.join(path, "part=p2", f))
+        for f in os.listdir(os.path.join(path, "part=p2"))
+        if f.endswith(".parquet")
+    }
+    assert after == before  # p2 files untouched: the delete pass pruned
+
+
+def test_delete_keys_require_partition_col(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1")], "k int, name string, v double, part string"
+    )
+    base.write.partitionBy("part").parquet(path)
+    dels = spark.createDataFrame([(1,)], "k int")
+    ups = spark.createDataFrame([], "k int, name string, v double, part string")
+    with pytest.raises(ValueError, match="partition col"):
+        merge_parquet(
+            spark, path, ups, ["k"], partition_col="part", delete_keys=dels
+        )
+
+
+def test_merge_delete_and_update_same_key_nets_to_update(spark, tmp_path):
+    """Raw merge_parquet contract: a key in BOTH delete_keys and
+    updates → drop-then-insert (the update wins)."""
+    path = str(tmp_path / "t")
+    _snap(spark).write.parquet(path)
+    ups = spark.createDataFrame([(2, "b9", 29.0)], "k int, name string, v double")
+    dels = spark.createDataFrame([(2,), (3,)], "k int")
+    stats = merge_parquet(spark, path, ups, ["k"], delete_keys=dels)
+    assert _state(spark, path) == [(1, "a", 10.0), (2, "b9", 29.0)]
+    assert (stats.inserted, stats.updated, stats.deleted) == (1, 0, 2)
+
+
+def test_atomic_layout_cdc(spark, tmp_path):
+    from meteo_etl_spark.operators.atomic import read_table
+
+    path = str(tmp_path / "t")
+    chg0 = _chg(
+        spark,
+        [(1, "a", 10.0, "U", 1), (2, "b", 20.0, "U", 1), (3, "c", 30.0, "U", 1)],
+    )
+    apply_changelog_parquet(
+        spark, path, chg0, ["k"], [F.col("seq").desc()], atomic=True
+    )
+    chg1 = _chg(spark, [(2, "b", 0.0, "D", 2), (4, "d", 40.0, "U", 2)])
+    stats = apply_changelog_parquet(
+        spark, path, chg1, ["k"], [F.col("seq").desc()], atomic=True
+    )
+    got = sorted((r.k, r.name, r.v) for r in read_table(spark, path).collect())
+    assert got == [(1, "a", 10.0), (3, "c", 30.0), (4, "d", 40.0)]
+    assert (stats.inserted, stats.updated, stats.deleted) == (1, 0, 1)
