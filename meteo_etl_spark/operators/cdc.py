@@ -118,3 +118,49 @@ def apply_changelog_parquet(
         delete_keys=deletes,
         **merge_kwargs,
     )
+
+
+def changelog_foreach_batch(
+    spark,
+    path: str,
+    key_cols: list[str],
+    order_cols_fn,
+    *,
+    op_col: str = OP_COL,
+    delete_op: str = DELETE_OP,
+    **merge_kwargs,
+):
+    """``foreachBatch`` body for a streaming CDC feed: each micro-batch
+    of change rows lands through ``apply_changelog_parquet``.
+
+    ``order_cols_fn`` is a zero-arg callable returning the newest-first
+    ordering columns (a callable, not columns, because foreachBatch
+    bodies run per-batch and Column objects must be built against the
+    live session). Within a batch the final verb per key wins; ACROSS
+    batches the later batch wins per key, which is arrival order — so
+    the per-key correctness contract is the standard CDC one: the feed
+    must be per-key ordered across batches (a keyed Kafka topic gives
+    exactly this; Spark's file source delivers files in discovery
+    order). Redelivery of a batch is idempotent (ST2). Usage::
+
+        stream.writeStream.foreachBatch(
+            changelog_foreach_batch(spark, path, ["k"],
+                                    lambda: [F.col("seq").desc()])
+        ).option("checkpointLocation", ckpt).trigger(availableNow=True)
+    """
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changelog_parquet(
+            spark,
+            path,
+            batch_df,
+            key_cols,
+            order_cols_fn(),
+            op_col=op_col,
+            delete_op=delete_op,
+            **merge_kwargs,
+        )
+
+    return handle

@@ -225,3 +225,48 @@ def test_atomic_layout_cdc(spark, tmp_path):
     got = sorted((r.k, r.name, r.v) for r in read_table(spark, path).collect())
     assert got == [(1, "a", 10.0), (3, "c", 30.0), (4, "d", 40.0)]
     assert (stats.inserted, stats.updated, stats.deleted) == (1, 0, 1)
+
+
+def test_streaming_changelog_sink(spark, tmp_path):
+    """Structured-Streaming CDC e2e: a file-source changelog stream
+    lands through changelog_foreach_batch; a second run with new
+    change files (same checkpoint) applies only the new batch."""
+    import json
+
+    from meteo_etl_spark.operators.cdc import changelog_foreach_batch
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k int, name string, v double, op string, seq int"
+
+    def emit(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps(dict(zip(["k", "name", "v", "op", "seq"], r)))
+                for r in rows
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                changelog_foreach_batch(
+                    spark, tgt, ["k"], lambda: [F.col("seq").desc()]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit("b0.json", [(1, "a", 10.0, "U", 1), (2, "b", 20.0, "U", 1)])
+    run()
+    assert _state(spark, tgt) == [(1, "a", 10.0), (2, "b", 20.0)]
+
+    emit("b1.json", [(1, "a", 0.0, "D", 2), (3, "c", 30.0, "U", 2)])
+    run()
+    assert _state(spark, tgt) == [(2, "b", 20.0), (3, "c", 30.0)]
