@@ -125,6 +125,38 @@ def build_lsh_index(
     df.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
 
 
+def append_lsh_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental growth of the persisted LSH index: bucket ONLY the
+    new vectors and append them under their (table, bucket) partitions.
+
+    The daily-crawl shape (twin of ``dedup.build_minhash_index``): the
+    existing corpus is never re-read or re-bucketed — each increment
+    costs one narrow pass over the new vectors per table, and the
+    partition layout stays query-identical to a full rebuild (pinned
+    by test). Append-only contract: ids must be NEW. An update/delete
+    would have to find the row's OLD buckets (sign patterns of the old
+    vector) to touch the right partitions — keep a vec_id→bucket
+    sidecar or rebuild the index for mutation-heavy corpora."""
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    tables = [
+        corpus.select(
+            "vec_id", "v", F.lit(t).alias("table"), _bucket(F.col("v"), t).alias("bucket")
+        )
+        for t in range(LSH_TABLES)
+    ]
+    df = tables[0]
+    for t in tables[1:]:
+        df = df.unionAll(t)
+    df.write.mode("append").partitionBy("table", "bucket").parquet(path)
+
+
 def query_lsh_index(
     spark,
     path: str,

@@ -3153,3 +3153,49 @@ def dedup_canonical(spark, sf_dir):
 def sim_ann_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_recall(emb, n_queries=10, k=5)
+
+
+@query(
+    "docs_contamination_report",
+    f"""WITH {_DUCK_SHINGLES},
+    ev AS (SELECT DISTINCT tok FROM ex WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, tok FROM ex WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n
+             FROM tr JOIN ev USING (tok) GROUP BY doc_id)
+    SELECT d.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS rate
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    GROUP BY d.source ORDER BY d.source""",
+    doc="Contamination rate report: the per-source release-gate table "
+    "on top of docs_decontaminate — how many training docs per source "
+    "share any k-shingle with the eval corpus, and the flagged "
+    "fraction. This is the number a data release publishes (and gates "
+    "on) next to its datasheet. Plan: the same broadcast eval-key "
+    "semi-join (no corpus shuffle), one doc-keyed partial-agg count, "
+    "then a co-keyed join back to the source column and a tiny "
+    "per-source aggregate.",
+)
+def docs_contamination_report(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train = docs.filter(~is_eval)
+    res = dd.decontaminate(train, docs.filter(is_eval))
+    flagged = F.when(F.col("n_overlap") > 0, 1).otherwise(0)
+    return (
+        train.select("doc_id", "source")
+        .join(res.select(F.col("id").alias("doc_id"), "n_overlap"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum(flagged).cast("double") / F.count(F.lit(1)), 4
+            ).alias("rate"),
+        )
+        .orderBy("source")
+    )

@@ -1797,6 +1797,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_epoch_shuffle",  # sharded epoch shuffle: docs_hash_split md5 + window shapes (never)
     "dedup_canonical",  # keep-policy per dup cluster: dedup_components CC + window shapes (never)
     "sim_ann_recall",  # ANN recall audit: sim_ann_lsh + sim_topk shapes (never)
+    "docs_contamination_report",  # per-source release gate: docs_decontaminate + grouped-agg shapes (never)
 )
 
 

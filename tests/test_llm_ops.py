@@ -389,3 +389,38 @@ def test_fuzzy_decontaminate_is_subset_of_exact_overlap(spark):
     }
     assert fuzzy, "fixture should produce at least one contaminated doc"
     assert all(exact[d] > 0 for d in fuzzy)
+
+
+def test_incremental_lsh_index_equals_full_rebuild(spark, tmp_path):
+    """Append-only index growth: build on the first half of the corpus,
+    append the second half — queries must return exactly what a full
+    one-shot build returns, and the incremental layout must keep the
+    same (table, bucket) partitioning."""
+    import os
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cut = 1000
+    inc = str(tmp_path / "inc_index")
+    full = str(tmp_path / "full_index")
+    sim.build_lsh_index(emb.filter(F.col("vec_id") < cut), inc)
+    sim.append_lsh_index(emb.filter(F.col("vec_id") >= cut), inc)
+    sim.build_lsh_index(emb, full)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = sim.query_lsh_index(spark, inc, qv, k=5, exclude_id=0)
+    exp = sim.query_lsh_index(spark, full, qv, k=5, exclude_id=0)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in exp.collect()]
+
+    # identical partition directory set (layout parity with a rebuild)
+    def parts(p):
+        out = set()
+        for t in os.listdir(p):
+            if t.startswith("table="):
+                for b in os.listdir(os.path.join(p, t)):
+                    if b.startswith("bucket="):
+                        out.add((t, b))
+        return out
+
+    assert parts(inc) == parts(full)
