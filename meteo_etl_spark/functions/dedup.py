@@ -761,3 +761,125 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard_raw") >= threshold)
         .select("corpus_id", "new_id", F.round("jaccard_raw", 3).alias("jaccard"))
     )
+
+
+def append_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental growth of the persisted MinHash index: shingle and
+    band ONLY the new docs and append under the same layout
+    (``bands/`` partitioned by band, ``shingles/``). The corpus is
+    never re-shingled; ids must be new (the index has no replace verb
+    — rebuild for mutation-heavy corpora)."""
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
+    bands = sh_docs.select("id", *minhash_band_keys("sh"))
+    melted = bands.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    (
+        melted.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sh_docs.write.mode("append").parquet(f"{path}/shingles")
+    sh_docs.unpersist()
+
+
+def online_dedup_batch(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> dict:
+    """One round of ONLINE near-dup ingestion (the daily-crawl loop):
+
+    1. batch-internal near-dups via minhash_lsh_pairs (greedy
+       keep-lowest-id: the higher id of each pair drops);
+    2. survivors probe the persisted corpus index — candidates from
+       the (band, key) equi-join only, no corpus re-shingle; any match
+       drops the new doc (the corpus always wins cross-batch);
+    3. novel docs append to ``out_path`` AND their signatures append
+       to the index, so the NEXT batch dedups against them too.
+
+    Returns ``{"n_in", "n_batch_dup", "n_corpus_dup", "n_kept"}``.
+    Exactly-once on the corpus table comes from the caller's
+    checkpointing (foreachBatch redelivery re-runs step 2, where the
+    now-indexed docs self-match and drop — idempotent by construction
+    at threshold <= 1.0 self-similarity)."""
+    batch = batch.cache()
+    n_in = batch.count()
+    if n_in == 0:
+        return {"n_in": 0, "n_batch_dup": 0, "n_corpus_dup": 0, "n_kept": 0}
+
+    internal = minhash_lsh_pairs(batch, id_col, text_col, threshold)
+    batch_dups = internal.select(F.col("doc_b").alias(id_col)).distinct()
+    n_batch_dup = batch_dups.count()
+    stage1 = batch.join(batch_dups, id_col, "left_anti").cache()
+
+    import os
+
+    if os.path.isdir(f"{index_path}/bands"):
+        cross = incremental_minhash_pairs(
+            spark, stage1, index_path, id_col, text_col, threshold
+        )
+        corpus_dups = cross.select(F.col("new_id").alias(id_col)).distinct()
+        n_corpus_dup = corpus_dups.count()
+        novel = stage1.join(corpus_dups, id_col, "left_anti").cache()
+    else:
+        n_corpus_dup = 0
+        novel = stage1
+
+    n_kept = novel.count()
+    if n_kept:
+        novel.write.mode("append").parquet(out_path)
+        if os.path.isdir(f"{index_path}/bands"):
+            append_minhash_index(novel, index_path, id_col, text_col)
+        else:
+            build_minhash_index(novel, index_path, id_col, text_col)
+    batch.unpersist()
+    return {
+        "n_in": n_in,
+        "n_batch_dup": n_batch_dup,
+        "n_corpus_dup": n_corpus_dup,
+        "n_kept": n_kept,
+    }
+
+
+def dedup_stream_foreach_batch(
+    spark,
+    index_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    stats: list | None = None,
+):
+    """``foreachBatch`` body wrapping :func:`online_dedup_batch` — the
+    streaming ingestion shape: each micro-batch of crawled docs is
+    near-dup-filtered against itself and the ever-growing corpus
+    index, and only novel docs land. Pass a list as ``stats`` to
+    collect the per-batch accounting dicts."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        s = online_dedup_batch(
+            spark, batch_df, index_path, out_path, id_col, text_col, threshold
+        )
+        if stats is not None:
+            stats.append({"batch_id": batch_id, **s})
+
+    return handle

@@ -424,3 +424,64 @@ def test_incremental_lsh_index_equals_full_rebuild(spark, tmp_path):
         return out
 
     assert parts(inc) == parts(full)
+
+
+def test_streaming_online_dedup(spark, tmp_path):
+    """Online ingestion e2e: build the index on a seed corpus, then
+    stream two micro-batches of crawled docs through
+    dedup_stream_foreach_batch — corpus dups drop, batch-internal dups
+    drop, novel docs land AND join the index so the NEXT batch dedups
+    against them."""
+    import json
+
+    from meteo_etl_spark.functions.dedup import (
+        build_minhash_index,
+        dedup_stream_foreach_batch,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "corpus")
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    t_seed = "the quick brown fox jumps over the lazy dog today"
+    t_a = "large scale data pipelines need deterministic reproducible sampling everywhere"
+    t_b = "structured streaming applies incremental computation over unbounded event tables"
+    t_c = "catalyst optimizes declarative plans into efficient physical execution stages"
+
+    seed = spark.createDataFrame([(1, t_seed)], "doc_id long, text string")
+    build_minhash_index(seed, idx)
+    seed.write.parquet(out)
+
+    def emit(fname, rows):
+        (src / fname).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    stats: list = []
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                dedup_stream_foreach_batch(spark, idx, out, stats=stats)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit("b0.json", [(10, t_seed), (11, t_a), (12, t_a), (13, t_b)])
+    run()
+    assert stats[-1] == {
+        "batch_id": 0, "n_in": 4, "n_batch_dup": 1, "n_corpus_dup": 1, "n_kept": 2,
+    }
+
+    emit("b1.json", [(20, t_a), (21, t_c)])  # 20 dups a doc indexed in batch 0
+    run()
+    assert stats[-1]["n_corpus_dup"] == 1 and stats[-1]["n_kept"] == 1
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 11, 13, 21]
