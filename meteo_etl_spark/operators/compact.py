@@ -17,6 +17,7 @@ OPTIMIZE, not a full-table rewrite.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -35,6 +36,54 @@ class CompactStats:
     partitions_compacted: int
     files_before: int
     files_after: int
+
+
+#: default expected distinct values per bloom-filtered column chunk —
+#: sized for ~1M-row row groups of a unique key; parquet sizes the
+#: bitset from this (1M NDV @ 1% fpp ≈ 1.2 MB per chunk).
+BLOOM_NDV = 1_000_000
+
+
+@contextmanager
+def _bloom_write_conf(spark: SparkSession, cols: list[str], ndv: int):
+    """Scope parquet bloom-filter writer properties to one rewrite.
+
+    The engine's commit paths (dynamic-partition staging, atomic
+    generations) write through the hadoop job conf, not a per-writer
+    option chain — so the properties are set on the session's hadoop
+    conf and unset afterward (single-driver engine; writes inside the
+    scope are the compaction's own)."""
+    conf = spark._jsc.hadoopConfiguration()
+    try:
+        for c in cols:
+            conf.set(f"parquet.bloom.filter.enabled#{c}", "true")
+            conf.set(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        yield
+    finally:
+        for c in cols:
+            conf.unset(f"parquet.bloom.filter.enabled#{c}")
+            conf.unset(f"parquet.bloom.filter.expected.ndv#{c}")
+
+
+def bloom_filter_offset(spark: SparkSession, parquet_file: str, column: str) -> int:
+    """Footer probe: the bloom-filter offset of ``column``'s first
+    column chunk in ``parquet_file`` (-1 = no filter written). Reads
+    the footer through parquet-java (what Spark ships), the same
+    metadata the scan's row-group skipping consults."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(parquet_file)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hp, spark._jsc.hadoopConfiguration()
+    )
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        for rg in rd.getRowGroups():
+            for col in rg.getColumns():
+                if col.getPath().toDotString() == column:
+                    return col.getBloomFilterOffset()
+        raise ValueError(f"column {column!r} not found in {parquet_file}")
+    finally:
+        rd.close()
 
 
 def _partition_files(path: str, partition_col: str | None) -> dict[str, list[str]]:
@@ -157,6 +206,8 @@ def compact_table(
     vacuum: bool = False,
     atomic_options: dict | None = None,
     zorder_cols: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int = BLOOM_NDV,
 ) -> CompactStats:
     """Rewrite fragmented partitions into ~target-sized files.
 
@@ -168,6 +219,15 @@ def compact_table(
     Delta's ``OPTIMIZE ZORDER BY`` composed with this command's
     atomic-commit semantics. Same file-count sizing; the clustering
     replaces only the row-to-file assignment.
+
+    ``bloom_filter_cols`` writes a parquet BLOOM FILTER for each listed
+    column on the rewritten files (sized by ``bloom_filter_ndv``): the
+    data-skipping structure for POINT lookups on high-cardinality keys
+    (doc_id, event_id), where min-max stats — even z-ordered — cannot
+    prune because every file spans the full key range. An equality
+    probe then skips row groups whose filter rules the key out, at
+    ~1.2 MB footer cost per chunk. Complements zorder_cols (range
+    predicates) — list the same key in both for range+point pruning.
 
     Rows are preserved exactly (count-verified); only partitions with
     more than ``min_files_to_compact`` files are touched. Supports a
@@ -278,22 +338,23 @@ def compact_table(
         else:
             compacted = subset.repartition(n_files)
 
-    if atomic:
-        # Same commit path as the merge: stage a fresh generation for
-        # exactly the fragmented partitions and flip the manifest.
-        # Readers never see a partial rewrite — OPTIMIZE with snapshot
-        # isolation. Superseded generations are NOT collected here by
-        # default: an in-flight reader of the previous version must
-        # keep its snapshot, and OPTIMIZE must not silently wipe
-        # time-travel history (collection is vacuum's job).
-        if partition_col:
-            table.overwrite_partitions(compacted)
+    with _bloom_write_conf(spark, bloom_filter_cols or [], bloom_filter_ndv):
+        if atomic:
+            # Same commit path as the merge: stage a fresh generation for
+            # exactly the fragmented partitions and flip the manifest.
+            # Readers never see a partial rewrite — OPTIMIZE with snapshot
+            # isolation. Superseded generations are NOT collected here by
+            # default: an in-flight reader of the previous version must
+            # keep its snapshot, and OPTIMIZE must not silently wipe
+            # time-travel history (collection is vacuum's job).
+            if partition_col:
+                table.overwrite_partitions(compacted)
+            else:
+                table.overwrite(compacted)
+            if vacuum:
+                table.vacuum()
         else:
-            table.overwrite(compacted)
-        if vacuum:
-            table.vacuum()
-    else:
-        _rewrite_partitions(spark, compacted, path, partition_col)
+            _rewrite_partitions(spark, compacted, path, partition_col)
 
     reread = table.read() if atomic else spark.read.parquet(path)
     n_after = (

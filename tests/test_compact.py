@@ -213,3 +213,43 @@ def test_zorder_partitioned_honors_per_partition_file_counts(spark, tmp_path):
         st = md.row_group(0).column(cols["x"]).statistics
         spans.append(st.max - st.min)
     assert min(spans) < 1000, spans  # at least one tight file
+
+
+def test_compact_writes_bloom_filters_when_asked(spark, tmp_path):
+    """bloom_filter_cols: every rewritten file carries a bloom filter
+    on the listed column (footer-verified via parquet-java — the same
+    metadata the scan's row-group skip consults); without the option
+    no filter is written, and the session conf is left clean."""
+    from meteo_etl_spark.operators.compact import bloom_filter_offset
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 3000).withColumn("p", (F.col("id") % 2).cast("string"))
+    for i in range(3):
+        df.filter(F.col("id") % 3 == i).write.mode("append").partitionBy(
+            "p"
+        ).parquet(path)
+
+    compact_table(spark, path, partition_col="p", bloom_filter_cols=["id"])
+    files = _parquet_files(path)
+    assert files
+    assert all(bloom_filter_offset(spark, f, "id") >= 0 for f in files)
+
+    # conf restored: a plain write after compaction carries no filter
+    plain = str(tmp_path / "plain")
+    spark.range(100).write.parquet(plain)
+    assert all(
+        bloom_filter_offset(spark, f, "id") == -1 for f in _parquet_files(plain)
+    )
+
+
+def test_compact_without_bloom_leaves_no_filters(spark, tmp_path):
+    from meteo_etl_spark.operators.compact import bloom_filter_offset
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000)
+    for i in range(3):
+        df.filter(F.col("id") % 3 == i).write.mode("append").parquet(path)
+    compact_table(spark, path)
+    assert all(
+        bloom_filter_offset(spark, f, "id") == -1 for f in _parquet_files(path)
+    )
