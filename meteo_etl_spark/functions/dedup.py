@@ -850,6 +850,11 @@ def online_dedup_batch(
             append_minhash_index(novel, index_path, id_col, text_col)
         else:
             build_minhash_index(novel, index_path, id_col, text_col)
+    # Long-running streams call this per micro-batch: release every
+    # cache pinned this round so executor storage stays O(batch).
+    if novel is not stage1:
+        novel.unpersist()
+    stage1.unpersist()
     batch.unpersist()
     return {
         "n_in": n_in,
