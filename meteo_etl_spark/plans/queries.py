@@ -1798,6 +1798,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_canonical",  # keep-policy per dup cluster: dedup_components CC + window shapes (never)
     "sim_ann_recall",  # ANN recall audit: sim_ann_lsh + sim_topk shapes (never)
     "docs_contamination_report",  # per-source release gate: docs_decontaminate + grouped-agg shapes (never)
+    "dedup_lsh_recall",  # sketch-vs-exact recall audit: dedup_minhash_lsh + dedup_ngram_jaccard shapes (never)
 )
 
 
