@@ -3245,3 +3245,65 @@ def dedup_lsh_recall(spark, sf_dir):
             F.count("hit").cast("double") / F.count(F.lit(1)), 4
         ).alias("recall"),
     )
+
+
+@query(
+    "docs_packing_stats",
+    f"""WITH f AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                            OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                            0) AS BIGINT) AS off
+            FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tokens) AS BIGINT) - 1) // {pk.PACK_BUDGET} + 1 AS n_packs,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (((CAST(SUM(n_tokens) AS BIGINT) - 1) // {pk.PACK_BUDGET} + 1)
+                    * {pk.PACK_BUDGET}), 4) AS fill_rate,
+           CAST(SUM(CASE WHEN off // {pk.PACK_BUDGET}
+                          <> (off + n_tokens - 1) // {pk.PACK_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM f GROUP BY lang ORDER BY lang""",
+    doc="Packing-efficiency report over pack_sequences' contiguous "
+    "layout: per language shard, the pack count, the fill rate (only "
+    "the final pack is partial, so waste is bounded by one budget per "
+    "shard) and — the number that matters for training quality — how "
+    "many documents STRADDLE a pack boundary and thus get split "
+    "attention. The knob this report drives: larger PACK_BUDGET "
+    "lowers boundary crossings but raises tail waste. Plan: the same "
+    "single per-shard window prefix-sum as docs_pack_sequences, then "
+    "one tiny per-lang aggregate.",
+)
+def docs_packing_stats(spark, sf_dir):
+    from meteo_etl_spark.functions.packing import PACK_BUDGET, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    f = pack_sequences(docs, "doc_id", "n_tokens", "lang")
+    b = F.lit(PACK_BUDGET)
+    n_packs = (F.sum("n_tokens").cast("long") - 1) / b
+    straddles = F.when(
+        (F.col("offset") / b).cast("long")
+        != ((F.col("offset") + F.col("n_tokens") - 1) / b).cast("long"),
+        1,
+    ).otherwise(0)
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.floor(n_packs) + 1).cast("long").alias("n_packs"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / ((F.floor(n_packs) + 1) * b).cast("double"),
+                4,
+            ).alias("fill_rate"),
+            F.sum(straddles).cast("long").alias("n_boundary_docs"),
+        )
+        .orderBy("lang")
+    )

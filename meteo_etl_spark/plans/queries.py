@@ -1799,6 +1799,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_recall",  # ANN recall audit: sim_ann_lsh + sim_topk shapes (never)
     "docs_contamination_report",  # per-source release gate: docs_decontaminate + grouped-agg shapes (never)
     "dedup_lsh_recall",  # sketch-vs-exact recall audit: dedup_minhash_lsh + dedup_ngram_jaccard shapes (never)
+    "docs_packing_stats",  # packing efficiency report: docs_pack_sequences window + grouped-agg shapes (never)
 )
 
 
