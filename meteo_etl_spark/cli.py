@@ -130,6 +130,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "numeric columns so predicates on any of them prune "
         "(OPTIMIZE ZORDER BY)",
     )
+    o.add_argument(
+        "--bloom-filter-by", default=None, metavar="COL[,COL..]",
+        help="write parquet bloom filters for these columns on the "
+        "rewritten files (point-lookup row-group skipping on "
+        "high-cardinality keys)",
+    )
 
     v = sub.add_parser(
         "vacuum", help="collect unreferenced generations of an atomic table"
@@ -242,6 +248,11 @@ def main(argv: Sequence[str] | None = None) -> int:
             zorder_cols=(
                 [c.strip() for c in args.zorder_by.split(",") if c.strip()]
                 if args.zorder_by
+                else None
+            ),
+            bloom_filter_cols=(
+                [c.strip() for c in args.bloom_filter_by.split(",") if c.strip()]
+                if args.bloom_filter_by
                 else None
             ),
         )

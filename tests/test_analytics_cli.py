@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from meteo_etl_spark import cli
 from meteo_etl_spark.errors import TransformError
 from meteo_etl_spark.pipeline import batch
@@ -169,3 +171,24 @@ def test_cli_database_deployment_flags(
     assert f"merged_rows={N_HOURS}" in capsys.readouterr().out
     assert jdbc.read_jdbc(spark, url, "observations").count() == N_HOURS
     assert jdbc.read_jdbc(spark, url, "fetch_metadata").count() == 1
+
+
+def test_cli_optimize_bloom_filter_flag(spark, tmp_path, capsys):
+    """--bloom-filter-by threads through to the rewrite: every
+    compacted file carries a bloom filter on the listed column."""
+    import os
+
+    from meteo_etl_spark.operators.compact import bloom_filter_offset
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    for i in range(3):
+        df.filter(F.col("k") % 3 == i).write.mode("append").parquet(path)
+
+    rc = cli.main(["optimize", "--path", path, "--min-files", "1",
+                   "--bloom-filter-by", "k"])
+    assert rc == 0
+    assert "partitions_compacted=1" in capsys.readouterr().out
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(path)
+             for f in fs if f.endswith(".parquet")]
+    assert files and all(bloom_filter_offset(spark, f, "k") >= 0 for f in files)
