@@ -377,6 +377,7 @@ def ann_recall(
     *,
     n_queries: int = 10,
     k: int = 5,
+    max_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -390,7 +391,8 @@ def ann_recall(
     and approximation can never diverge on scoring. One shuffle on the
     query id serves both row_number rankings and the final aggregate.
     Cost is n_queries exact scans — an offline audit run on a sample,
-    not a serving path."""
+    not a serving path. ``max_hamming`` > 0 audits the multi-probe
+    route (``ann_multiprobe_topk``) instead of exact-bucket routing."""
     v = F.col(vec_col).cast("array<double>")
     corpus = fan_out(emb).select(
         F.col(id_col).alias("vec_id"),
@@ -404,7 +406,11 @@ def ann_recall(
     )
     match_any = None
     for t in range(LSH_TABLES):
-        m = F.col(f"b{t}") == F.col(f"qb{t}")
+        m = (
+            (F.col(f"b{t}") == F.col(f"qb{t}"))
+            if max_hamming == 0
+            else (_hamming(F.col(f"b{t}"), F.col(f"qb{t}")) <= max_hamming)
+        )
         match_any = m if match_any is None else match_any | m
     scored = (
         corpus.join(F.broadcast(q), on=F.col("vec_id") != F.col("qid"))
@@ -443,4 +449,64 @@ def ann_recall(
             F.round(F.col("n_hit").cast("double") / F.col("k"), 4).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+def _hamming(a: Column, b: Column, bits: int = LSH_PLANES) -> Column:
+    """Positional Hamming distance between two P-char bit strings —
+    P codegen'd substring compares, no UDF."""
+    terms = [
+        F.when(
+            F.substring(a, p + 1, 1) != F.substring(b, p + 1, 1), 1
+        ).otherwise(0)
+        for p in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def ann_multiprobe_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    *,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): candidates come from
+    every bucket within ``max_hamming`` sign flips of the query's
+    bucket in ANY table, then exact cosine re-rank.
+
+    The recall lever that costs no extra tables or index space: a
+    near-neighbor that lands one sign flip away (a projection near the
+    hyperplane) is recovered by probing the adjacent buckets —
+    P+1 probes per table at h<=1 instead of 1, multiplying the
+    candidate set ~(P+1)x and the measured recall with it (see
+    sim_ann_recall / R7_NEWOPS.md: the single-probe config audits
+    poorly on this corpus). At 100 TB with the bucket-partitioned
+    index the probe set is still a handful of partitions."""
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        *[_bucket(v, t).alias(f"b{t}") for t in range(LSH_TABLES)],
+    )
+    q = corpus.filter(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(LSH_TABLES)],
+    )
+    match_any = None
+    for t in range(LSH_TABLES):
+        m = _hamming(F.col(f"b{t}"), F.col(f"qb{t}")) <= max_hamming
+        match_any = m if match_any is None else match_any | m
+    return (
+        corpus.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(q), on=match_any)
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
     )

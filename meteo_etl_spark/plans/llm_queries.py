@@ -3307,3 +3307,43 @@ def docs_packing_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _duck_hamming(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {p + 1}, 1) <> substr({b}, {p + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for p in range(sim.LSH_PLANES)
+    )
+    return f"({terms})"
+
+
+@query(
+    "sim_ann_multiprobe",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_bucket('v', 0)} AS b0,
+                 {_duck_bucket('v', 1)} AS b1 FROM v),
+    q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM c WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')}
+                   / (sqrt({_duck_dot('v', 'v')})
+                      * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM c, q
+          WHERE vec_id <> 0
+            AND ({_duck_hamming('c.b0', 'q.qb0')} <= 1
+                 OR {_duck_hamming('c.b1', 'q.qb1')} <= 1))
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc="Multi-probe LSH ANN (Lv et al., VLDB'07; "
+    "similarity.ann_multiprobe_topk): candidates from every bucket "
+    "within ONE sign flip of the query's bucket in either table, "
+    "exact cosine re-rank of candidates only — the recall lever "
+    "sim_ann_recall's audit motivates, costing P+1 probes per table "
+    "instead of extra tables/index space. The Hamming test is P "
+    "codegen'd substring compares; with the bucket-partitioned "
+    "persisted index the probe set is still a handful of partitions "
+    "at 100 TB.",
+)
+def sim_ann_multiprobe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_multiprobe_topk(emb, query_id=0, k=5)

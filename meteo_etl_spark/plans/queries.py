@@ -1800,6 +1800,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_contamination_report",  # per-source release gate: docs_decontaminate + grouped-agg shapes (never)
     "dedup_lsh_recall",  # sketch-vs-exact recall audit: dedup_minhash_lsh + dedup_ngram_jaccard shapes (never)
     "docs_packing_stats",  # packing efficiency report: docs_pack_sequences window + grouped-agg shapes (never)
+    "sim_ann_multiprobe",  # multi-probe LSH ANN: sim_ann_lsh shape + Hamming-probe widening (never)
 )
 
 

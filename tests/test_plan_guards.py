@@ -39,6 +39,7 @@ SCALAR_BROADCAST_OK = {
     "dedup_semantic_bigk",  # 1-row packed centroid table (collect_list) crossed in for large-k argmin assignment
     "docs_dsir_weights",  # 1-row target/source feature totals crossed into the <=1024-row bucket weight table
     "sim_ann_recall",  # the 10-row (data-independent audit panel) query set crossed into the corpus scan
+    "sim_ann_multiprobe",  # the single query vector crossed in; Hamming probe is a residual condition
 }
 
 
