@@ -164,12 +164,19 @@ def query_lsh_index(
     *,
     k: int = 5,
     exclude_id: int | None = None,
+    max_hamming: int = 0,
 ) -> DataFrame:
     """Top-k over the persisted IVF index: compute the query's bucket
     per table driver-side (P·dim flops on a constant), then scan ONLY
     the matching (table, bucket) partitions — Catalyst turns the
     bucket equality into PartitionFilters, so I/O is proportional to
-    the candidate set, not the corpus."""
+    the candidate set, not the corpus.
+
+    ``max_hamming`` > 0 multi-probes: the probe list per table becomes
+    every bucket within that many sign flips (computed driver-side —
+    still a LITERAL bucket IN-list, still partition-pruned; h<=1 reads
+    P+1 partitions per table instead of 1 and buys the recall
+    ann_multiprobe_topk measures)."""
     qv = [float(x) for x in query_vec]
 
     def bucket_of(table: int) -> str:
@@ -182,10 +189,23 @@ def query_lsh_index(
             bits.append("1" if s > 0 else "0")
         return "".join(bits)
 
+    def probes_of(table: int) -> list[str]:
+        base = bucket_of(table)
+        out = {base}
+        frontier = {base}
+        for _ in range(max_hamming):
+            nxt = set()
+            for b in frontier:
+                for p in range(LSH_PLANES):
+                    nxt.add(b[:p] + ("0" if b[p] == "1" else "1") + b[p + 1:])
+            out |= nxt
+            frontier = nxt
+        return sorted(out)
+
     df = spark.read.parquet(path)
     match_any = None
     for t in range(LSH_TABLES):
-        m = (F.col("table") == t) & (F.col("bucket") == bucket_of(t))
+        m = (F.col("table") == t) & (F.col("bucket").isin(probes_of(t)))
         match_any = m if match_any is None else match_any | m
     cand = df.filter(match_any)
     if exclude_id is not None:

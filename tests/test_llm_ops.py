@@ -485,3 +485,34 @@ def test_streaming_online_dedup(spark, tmp_path):
 
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 11, 13, 21]
+
+
+def test_multiprobe_index_matches_inline_and_prunes(spark, tmp_path):
+    """query_lsh_index(max_hamming=1) returns exactly the inline
+    multi-probe result, and the probe list is still a literal
+    partition filter (pruned scan)."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "lsh_index")
+    sim.build_lsh_index(emb, idx)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = sim.query_lsh_index(spark, idx, qv, k=5, exclude_id=0, max_hamming=1)
+    exp = sim.ann_multiprobe_topk(emb, query_id=0, k=5, max_hamming=1)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in exp.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter list is empty"
+
+    # multiprobe candidates strictly contain the single-probe set
+    # (k large enough that neither list is cap-truncated)
+    big = emb.count()
+    single = sim.query_lsh_index(spark, idx, qv, k=big, exclude_id=0)
+    multi = sim.query_lsh_index(spark, idx, qv, k=big, exclude_id=0, max_hamming=1)
+    s_ids = {r.vec_id for r in single.collect()}
+    m_ids = {r.vec_id for r in multi.collect()}
+    assert s_ids <= m_ids and len(m_ids) > len(s_ids)
