@@ -3347,3 +3347,71 @@ def _duck_hamming(a: str, b: str) -> str:
 def sim_ann_multiprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_multiprobe_topk(emb, query_id=0, k=5)
+
+
+@query(
+    "events_ewma",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                         CAST(floor(value * 100) AS BIGINT) AS qv
+                  FROM events),
+       w AS (SELECT event_id, user_id,
+                    list(qv) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN 15 PRECEDING
+                                            AND CURRENT ROW) AS arr
+             FROM e)
+       SELECT event_id, user_id,
+              ((CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+                                 (acc, x) -> acc * 0.5
+                                             + CAST(x AS DOUBLE) * 0.5)
+                     * 65536 AS BIGINT) * 10000 + 32768) // 65536)
+                / 1000000.0 AS ewma
+       FROM w ORDER BY event_id""",
+    doc="Exponentially-weighted moving average per user (alpha=1/2, "
+    "16-row trailing frame) — the smoothing pass a telemetry/meteo "
+    "series runs before thresholding (reference domain: hourly "
+    "observation smoothing). alpha=1/2 on purpose: every fold step is "
+    "acc/2 + x/2 over integer cents, so all intermediates are DYADIC "
+    "rationals — exact in binary floating point, bit-identical across "
+    "engines and fold directions-free (the same discipline as the "
+    "fixed-point money sums; a generic alpha^j would straddle ulps). "
+    "Plan: ONE user-keyed shuffle serves the frame collect + fold "
+    "(codegen'd higher-order aggregate, no UDF); the bounded 16-row "
+    "frame caps per-row state, so reducer memory is O(group), not "
+    "O(history) — the property that keeps it runnable on unbounded "
+    "event history at 100 TB.",
+)
+def events_ewma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc(), F.col("event_id").asc())
+        .rowsBetween(-15, 0)
+    )
+    arr = F.collect_list(F.floor(F.col("value") * 100).cast("long")).over(w)
+    fold = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.5) + x.cast("double") * F.lit(0.5),
+    )
+    # Exact rounding: the fold is a dyadic rational (granularity 2^-16
+    # cents), so fold*65536 is an exactly-represented integer; the
+    # 6-dp half-up round is then pure integer arithmetic (the same
+    # (2S+n) div 2n idiom as the money sums) and ONE final IEEE
+    # division — bit-identical across engines, where ROUND(fold/100,6)
+    # would straddle the half-way ulp.
+    e = (fold * F.lit(65536.0)).cast("long")
+    ewma6 = F.floor((e * F.lit(10000) + F.lit(32768)) / F.lit(65536.0)).cast(
+        "long"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (ewma6 / F.lit(1000000.0)).alias("ewma"),
+        )
+        .orderBy("event_id")
+    )

@@ -1804,6 +1804,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_lsh_recall",  # sketch-vs-exact recall audit: dedup_minhash_lsh + dedup_ngram_jaccard shapes (never)
     "docs_packing_stats",  # packing efficiency report: docs_pack_sequences window + grouped-agg shapes (never)
     "sim_ann_multiprobe",  # multi-probe LSH ANN: sim_ann_lsh shape + Hamming-probe widening (never)
+    "events_ewma",  # EWMA smoothing: events_window_agg ROWS-frame shape + dyadic fold (never)
 )
 
 
