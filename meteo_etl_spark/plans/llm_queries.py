@@ -3415,3 +3415,59 @@ def events_ewma(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "docs_chunk_dup_ratio",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n FROM t),
+    c AS (SELECT doc_id, w,
+                 CASE WHEN n <= {pk.CHUNK_TOKENS} THEN 1
+                      ELSE CAST(ceil((n - {pk.CHUNK_TOKENS}) / {float(pk.CHUNK_STRIDE)}) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM n),
+    x AS (SELECT doc_id, w, UNNEST(range(0, n_chunks)) AS chunk_id FROM c),
+    s AS (SELECT doc_id, chunk_id,
+                 md5(array_to_string(
+                     w[chunk_id * {pk.CHUNK_STRIDE} + 1 :
+                       chunk_id * {pk.CHUNK_STRIDE} + {pk.CHUNK_TOKENS}], ' '))
+                   AS h
+          FROM x),
+    nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+    SELECT s.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           ROUND(CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS shared_ratio
+    FROM s JOIN nd USING (h)
+    GROUP BY s.doc_id ORDER BY s.doc_id""",
+    doc="Cross-document repeated-chunk ratio (RefinedWeb-style "
+    "line/passage-level dedup signal on fixed token windows): per "
+    "document, the fraction of its content chunks whose exact hash "
+    "also appears in at least one OTHER document — the boilerplate / "
+    "template-share detector that set-level MinHash misses (a doc can "
+    "be 30% boilerplate yet Jaccard-far from everything). Composes "
+    "docs_chunk_windows' shuffle-free chunker with one hash-keyed "
+    "distinct-doc count and one doc-keyed aggregate; at 100 TB the "
+    "hash agg is the only corpus-wide exchange and combines map-side.",
+)
+def docs_chunk_dup_ratio(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ch = pk.chunk_token_windows(fan_out(docs)).select("doc_id", "chunk_hash")
+    nd = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        ch.join(nd, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 4
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1805,6 +1805,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_packing_stats",  # packing efficiency report: docs_pack_sequences window + grouped-agg shapes (never)
     "sim_ann_multiprobe",  # multi-probe LSH ANN: sim_ann_lsh shape + Hamming-probe widening (never)
     "events_ewma",  # EWMA smoothing: events_window_agg ROWS-frame shape + dyadic fold (never)
+    "docs_chunk_dup_ratio",  # cross-doc repeated-chunk detector: docs_chunk_windows chunker + hash-keyed agg (never)
 )
 
 
