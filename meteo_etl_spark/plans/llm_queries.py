@@ -3471,3 +3471,86 @@ def docs_chunk_dup_ratio(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_per_source_sample",
+    """WITH h AS (SELECT doc_id, source,
+                         md5(CAST(doc_id AS VARCHAR)) AS hh
+                  FROM documents),
+       r AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY hh, doc_id) AS rn
+             FROM h)
+       SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+       FROM r WHERE rn <= 20 ORDER BY source, rn""",
+    doc="Deterministic exact-k per-group sample (k=20 per source): the "
+    "fixed-size eval/inspection panel each domain contributes — where "
+    "stratified_sample keeps a FRACTION, this keeps an exact count, "
+    "chosen by md5 order so the panel is stable under corpus growth "
+    "reordering (a doc's rank only changes if earlier-hash docs "
+    "arrive). Plan: one source-keyed shuffle, rank window, rn<=k "
+    "filter — WindowGroupLimit pushes the top-k into the sort at "
+    "scale, so no group ever materializes fully.",
+)
+def docs_per_source_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(hh.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+@query(
+    "docs_adaptive_quality_gate",
+    """WITH q AS (SELECT doc_id, source,
+                    CAST(floor((0.4 * least((__h * 1.0 / __n) * 5, 1.0)
+                        + 0.3 * least(__n / 100.0, 1.0)
+                        + 0.3 * least(((length(text) - (__n - 1)) * 1.0 / __n) / 8.0, 1.0))
+                        * 10000.0 + 0.5) AS BIGINT) AS s4
+             FROM (SELECT doc_id, source, text,
+                          {hits} AS __h,
+                          len(string_split(text, ' ')) AS __n
+                   FROM documents)),
+       r AS (SELECT doc_id, source, s4,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY s4, doc_id) AS rn,
+                    COUNT(*) OVER (PARTITION BY source) AS n
+             FROM q)
+       SELECT doc_id, source, s4 / 10000.0 AS score,
+              rn * 5 > n AS keep
+       FROM r ORDER BY doc_id""".format(hits=_STOP_HITS["en"]),
+    doc="Adaptive per-source quality gate: instead of one global "
+    "threshold (text_quality's 0.5 — which can wipe out a domain "
+    "whose scores run low, e.g. code vs prose), each source drops its "
+    "own bottom 20% by exact quality rank. The per-domain calibration "
+    "step real curation runs before mixing. Exact integer rank "
+    "arithmetic (rn·5 > n == rn/n > 0.2) — no percentile "
+    "interpolation, engine-identical. Plan: the score is a pure map; "
+    "ONE source-keyed shuffle serves the rank and count windows.",
+)
+def docs_adaptive_quality_gate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s4 = F.round(tx.quality_score(F.col("text")) * 10000).cast("long")
+    base = docs.select("doc_id", "source", s4.alias("s4"))
+    w = Window.partitionBy("source").orderBy(F.col("s4").asc(), F.col("doc_id").asc())
+    cnt = Window.partitionBy("source")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("s4") / F.lit(10000.0)).alias("score"),
+            (F.col("rn") * 5 > F.col("n")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

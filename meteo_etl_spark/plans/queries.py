@@ -1806,6 +1806,8 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_multiprobe",  # multi-probe LSH ANN: sim_ann_lsh shape + Hamming-probe widening (never)
     "events_ewma",  # EWMA smoothing: events_window_agg ROWS-frame shape + dyadic fold (never)
     "docs_chunk_dup_ratio",  # cross-doc repeated-chunk detector: docs_chunk_windows chunker + hash-keyed agg (never)
+    "docs_per_source_sample",  # exact-k per-group panel: docs_stratified_sample md5 + rank shapes (never)
+    "docs_adaptive_quality_gate",  # per-source quality calibration: text_quality score + percent_rank shapes (never)
 )
 
 
