@@ -484,22 +484,39 @@ class AtomicParquetTable:
         self._flip(manifest, _failpoint)
 
     def overwrite_partitions(
-        self, df: DataFrame, *, _failpoint: Callable[[str], None] | None = None
+        self,
+        df: DataFrame,
+        *,
+        drop: list[str] | None = None,
+        _failpoint: Callable[[str], None] | None = None,
     ) -> None:
         """Replace exactly the partitions present in ``df`` (dynamic
         partition overwrite semantics), atomically. Untouched partitions
         keep pointing at their existing generations — their bytes are
-        not read, copied, or moved."""
+        not read, copied, or moved.
+
+        ``drop`` removes the listed partition dir names (``col=value``)
+        from the table in the SAME commit, UNLESS the staged data
+        re-creates them — so a caller may pass every candidate
+        partition and only the genuinely emptied ones vanish (the
+        all-rows-deleted case a CDC tombstone batch produces, where a
+        partition must disappear rather than keep its stale
+        generation). Dropped generations stay on disk for snapshot
+        readers until vacuum."""
         if not self.partition_col:
             raise ValueError("overwrite_partitions requires a partitioned table")
         m = self._load_manifest()
         if m is None:
             return self.overwrite(df, _failpoint=_failpoint)
         gen, parts = self._stage_generation(df)
+        partitions = {**m["partitions"], **{p: gen for p in parts}}
+        for p in drop or ():
+            if p not in parts:  # drop unless the staged data re-creates it
+                partitions.pop(p, None)
         manifest = {
             "version": m["version"] + 1,
             "partition_col": self.partition_col,
-            "partitions": {**m["partitions"], **{p: gen for p in parts}},
+            "partitions": partitions,
         }
         self._flip(manifest, _failpoint)
 

@@ -292,21 +292,68 @@ def merge_parquet(
 
     if sort_within_partitions:
         merged = merged.sortWithinPartitions(*sort_within_partitions)
+
+    # Partitions a delete EMPTIED need explicit removal: both landing
+    # paths replace only partitions PRESENT in the written data, so an
+    # all-rows-deleted partition would otherwise keep its stale files
+    # (the deletes would silently resurface). The affected-value set is
+    # metadata-sized (it pruned the rewrite); partitions still holding
+    # rows are read from the staged write, and the difference — compared
+    # on Spark's own escaped ``col=value`` dir naming — is dropped in
+    # the same commit (atomic) or removed after the landing (plain).
+    affected_dirs: set[str] = set()
+    if delete_keys is not None and partition_col and not converting:
+        # Materialize the affected VALUES through Spark's own partition
+        # dir naming (escaping included) via a tiny partitioned write —
+        # metadata-sized, and immune to value-formatting drift.
+        probe_dir = f"{path.rstrip('/')}__partprobe_{uuid.uuid4().hex[:8]}"
+        try:
+            affected.withColumn("__x", F.lit(1)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(probe_dir)
+            affected_dirs = {
+                d
+                for d in os.listdir(probe_dir)
+                if d.startswith(f"{partition_col}=")
+            }
+        finally:
+            shutil.rmtree(probe_dir, ignore_errors=True)
+
     if land_atomic:
         table = AtomicParquetTable(
             spark, path, partition_col, **(atomic_options or {})
         )
         if partition_col and not converting:
             # Only the pruned+merged partitions are in `merged`; the
-            # commit repoints exactly those, atomically.
-            table.overwrite_partitions(merged)
+            # commit repoints exactly those — and drops any affected
+            # partition the staged data did NOT re-create (emptied by
+            # deletes) — atomically.
+            table.overwrite_partitions(merged, drop=sorted(affected_dirs))
         else:
             table.overwrite(merged)
         if converting:
             _remove_plain_layout(path)
     else:
-        _rewrite_partitions(spark, merged, path, partition_col)
-    total = read_table(spark, path).count()
+        landed = _rewrite_partitions(spark, merged, path, partition_col)
+        if partition_col:
+            for pkey in sorted(affected_dirs - set(landed)):
+                shutil.rmtree(os.path.join(path, pkey), ignore_errors=True)
+            if affected_dirs - set(landed):
+                spark.catalog.refreshByPath(path)
+    # A tombstone batch can empty the TABLE: no parquet files (plain)
+    # or a zero-partition manifest (atomic) — a read would fail on
+    # schema inference, so report 0 directly.
+    if land_atomic:
+        from meteo_etl_spark.operators.atomic import load_manifest
+
+        m_after = load_manifest(path)
+        emptied_out = (
+            m_after.get("partition_col") is not None
+            and not m_after.get("partitions")
+        )
+    else:
+        emptied_out = not table_exists(spark, path)
+    total = 0 if emptied_out else read_table(spark, path).count()
     return MergeStats(
         inserted=n_inserted,
         updated=n_matched,
@@ -341,15 +388,36 @@ def _write(df: DataFrame, path: str, partition_col: str | None, *, overwrite_dyn
 
 def _rewrite_partitions(
     spark: SparkSession, merged: DataFrame, path: str, partition_col: str | None
-) -> None:
+) -> list[str]:
     """Stage the merged rows, then land them with dynamic partition
-    overwrite (only the affected partitions are replaced)."""
+    overwrite (only the affected partitions are replaced). Returns the
+    staged partition dir names (``col=value``); an all-rows-empty
+    merge stages nothing and lands nothing (the caller handles
+    partitions a delete emptied — dynamic overwrite cannot remove a
+    partition absent from the written data)."""
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     try:
         w = merged.write.mode("overwrite")
         if partition_col:
             w = w.partitionBy(partition_col)
         w.parquet(staging)
+
+        staged_parts = (
+            [
+                d
+                for d in os.listdir(staging)
+                if d.startswith(f"{partition_col}=")
+            ]
+            if partition_col
+            else []
+        )
+        has_files = any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(staging)
+            for f in files
+        )
+        if not has_files:
+            return staged_parts
 
         staged = spark.read.parquet(staging)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -364,5 +432,6 @@ def _rewrite_partitions(
         # Spark's shared file-status cache may still list the replaced
         # files; invalidate so subsequent scans see the rewrite.
         spark.catalog.refreshByPath(path)
+        return staged_parts
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -270,3 +270,91 @@ def test_streaming_changelog_sink(spark, tmp_path):
     emit("b1.json", [(1, "a", 0.0, "D", 2), (3, "c", 30.0, "U", 2)])
     run()
     assert _state(spark, tgt) == [(2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_delete_empties_whole_partition_plain(spark, tmp_path):
+    """All rows of a partition tombstoned → the partition DIRECTORY is
+    removed (dynamic overwrite alone cannot drop a partition absent
+    from the written data — the deletes would silently resurface)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p1"), (3, 30.0, "p2")],
+        "k int, v double, part string",
+    )
+    base.write.partitionBy("part").parquet(path)
+    chg = spark.createDataFrame(
+        [(3, 0.0, "p2", "D", 1)],
+        "k int, v double, part string, op string, seq int",
+    )
+    stats = apply_changelog_parquet(
+        spark, path, chg, ["k"], [F.col("seq").desc()], partition_col="part"
+    )
+    assert stats.deleted == 1
+    got = sorted((r.k, r.part) for r in spark.read.parquet(path).select("k", "part").collect())
+    assert got == [(1, "p1"), (2, "p1")]
+    assert not os.path.isdir(os.path.join(path, "part=p2"))
+
+
+def test_delete_empties_whole_table_partitioned(spark, tmp_path):
+    """Every partition emptied in one batch: nothing to stage, every
+    affected partition dropped, table reads back empty."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2")], "k int, v double, part string"
+    )
+    base.write.partitionBy("part").parquet(path)
+    chg = spark.createDataFrame(
+        [(1, 0.0, "p1", "D", 1), (2, 0.0, "p2", "D", 1)],
+        "k int, v double, part string, op string, seq int",
+    )
+    stats = apply_changelog_parquet(
+        spark, path, chg, ["k"], [F.col("seq").desc()], partition_col="part"
+    )
+    assert stats.deleted == 2 and stats.target_rows == 0
+
+
+def test_delete_empties_whole_partition_atomic(spark, tmp_path):
+    """Atomic layout: the emptied partition leaves the manifest in the
+    SAME commit; time travel still sees it at the previous version."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable, read_table
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="part")
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, "p1"), (3, 30.0, "p2")], "k int, v double, part string"
+        )
+    )
+    chg = spark.createDataFrame(
+        [(3, 0.0, "p2", "D", 1), (1, 11.0, "p1", "U", 1)],
+        "k int, v double, part string, op string, seq int",
+    )
+    stats = apply_changelog_parquet(
+        spark, path, chg, ["k"], [F.col("seq").desc()],
+        partition_col="part", atomic=True,
+    )
+    assert stats.deleted == 1 and stats.updated == 1
+    got = sorted((r.k, r.v, r.part) for r in read_table(spark, path).collect())
+    assert got == [(1, 11.0, "p1")]
+    prev = sorted((r.k, r.part) for r in t.read(version=1).select("k", "part").collect())
+    assert prev == [(1, "p1"), (3, "p2")]  # snapshot history intact
+
+
+def test_atomic_drop_spares_restaged_partition(spark, tmp_path):
+    """overwrite_partitions(drop=...) removes a listed partition ONLY
+    when the staged data does not re-create it."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable, read_table
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="part")
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "p1"), (2, "p2")], "k int, part string"
+        )
+    )
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, "p1")], "k int, part string"),
+        drop=["part=p1", "part=p2"],
+    )
+    got = sorted((r.k, r.part) for r in read_table(spark, path).collect())
+    assert got == [(9, "p1")]  # p1 restaged (kept, new data), p2 dropped
