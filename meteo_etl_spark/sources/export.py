@@ -74,6 +74,7 @@ def export_webdataset(
     key_col: str,
     content_cols: list[str],
     num_shards: int,
+    resume: bool = False,
 ) -> list[tuple[int, int, int]]:
     """WebDataset-style tar-shard export: ``shard-NNNNNN.tar`` files
     whose members are ``{key}.{column}`` entries — samples grouped by
@@ -97,6 +98,17 @@ def export_webdataset(
     fails the export with the offending key in the error — a sample
     with a missing member is a corrupt dataset, not a formatting
     choice.
+
+    ``resume=True`` makes a re-run after a crash INCREMENTAL: existing
+    ``shard-NNNNNN.tar`` files are trusted complete (the atomic
+    tmp+rename publish guarantees a final name is never partial),
+    orphaned ``*.tmp`` staging files are removed, and only the missing
+    shards are computed and written — at 100 TB a died-at-90% export
+    costs 10% to finish, not 100%. Safe because shards are
+    byte-reproducible: re-running over the SAME input and parameters
+    regenerates exactly the bytes the crashed run would have produced
+    (the caller owns that contract — input changed means start fresh).
+    Returned stats cover only the newly written shards.
     """
     import os
 
@@ -117,6 +129,19 @@ def export_webdataset(
         *[F.col(c) for c in content_cols],
         hash_bucket(F.col(key_col), num_shards).cast("int").alias("__shard"),
     )
+    if resume:
+        import re as _re
+
+        done = []
+        for f in os.listdir(path):
+            if f.endswith(".tmp"):
+                os.unlink(os.path.join(path, f))  # crashed staging
+                continue
+            m = _re.fullmatch(r"shard-(\d{6})\.tar", f)
+            if m:
+                done.append(int(m.group(1)))
+        if done:
+            sel = sel.filter(~F.col("__shard").isin(done))
 
     def write_shards(batches):
         import io

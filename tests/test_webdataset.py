@@ -97,3 +97,45 @@ def test_webdataset_rejects_bad_types_and_null_content(spark, tmp_path):
             nulled, str(tmp_path / "y"), key_col="doc_id",
             content_cols=["text"], num_shards=2,
         )
+
+
+def test_resume_rewrites_only_missing_shards(spark, tmp_path):
+    """Crash-resume contract: delete two finished shards + plant a
+    stray .tmp; resume=True regenerates exactly the missing shards
+    byte-identically, trusts the surviving ones, removes the orphan."""
+    import hashlib
+    import os
+
+    from meteo_etl_spark.sources.export import export_webdataset
+
+    docs = (
+        spark.range(0, 200)
+        .selectExpr("id AS doc_id", "concat('text-', id) AS text")
+    )
+    out1 = str(tmp_path / "full")
+    stats1 = export_webdataset(
+        docs, out1, key_col="doc_id", content_cols=["text"], num_shards=8
+    )
+    digests = {
+        f: hashlib.md5(open(os.path.join(out1, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(out1))
+    }
+    assert len(digests) == 8
+
+    # simulate the crash: two shards missing, one orphaned staging file
+    os.unlink(os.path.join(out1, "shard-000002.tar"))
+    os.unlink(os.path.join(out1, "shard-000005.tar"))
+    stray = os.path.join(out1, "shard-000005.tar.deadbeef.tmp")
+    open(stray, "wb").write(b"partial")
+
+    stats2 = export_webdataset(
+        docs, out1, key_col="doc_id", content_cols=["text"],
+        num_shards=8, resume=True,
+    )
+    assert sorted(s for s, _, _ in stats2) == [2, 5]  # only the missing two
+    assert not os.path.exists(stray)
+    after = {
+        f: hashlib.md5(open(os.path.join(out1, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(out1))
+    }
+    assert after == digests  # byte-identical to the uninterrupted export
