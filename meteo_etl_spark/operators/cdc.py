@@ -50,6 +50,13 @@ def apply_changelog(
     under this ordering wins, matching ``dedup_last_write_wins``).
     Rows whose final verb equals ``delete_op`` are removed; any other
     verb upserts the row. Keys absent from the changelog are untouched.
+
+    NULL-key semantics: this kernel's anti join is name-based (NULL
+    keys never match — NULL-key snapshot rows always pass through and
+    tombstones cannot target them), which also keeps shared-lineage
+    inputs unambiguous. The parquet sink's merge layer
+    (``merge_parquet``) is null-SAFE on keys; a feed with NULL merge
+    keys should route through the sink, not this kernel.
     """
     missing = [c for c in [*snapshot.columns, op_col] if c not in changes.columns]
     if missing:
