@@ -58,6 +58,7 @@ def chunk_token_windows(
     text_col: str = "text",
     width: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Overlapping token-window chunks — the other half of sequence
     assembly (packing concatenates short docs; chunking splits long
@@ -67,7 +68,10 @@ def chunk_token_windows(
     arithmetically, explode a ``sequence`` of chunk ids, and slice the
     cached token array per chunk — no shuffle at all; output size is
     ~n_tokens/stride rows per doc. Every chunk carries a content hash
-    so downstream exact-dedup composes directly.
+    so downstream exact-dedup composes directly. ``keep_text=True``
+    additionally carries the chunk's text (for rewrite-style consumers
+    that reassemble documents); detection-only consumers should leave
+    it off so the exchange ships hashes, not content.
     """
     if not (0 < stride <= width):
         raise ValueError(f"need 0 < stride <= width, got {stride}/{width}")
@@ -91,5 +95,10 @@ def chunk_token_windows(
             "chunk_id",
             F.size("__chunk").cast("long").alias("n_tokens"),
             F.md5(F.array_join("__chunk", " ").cast("binary")).alias("chunk_hash"),
+            *(
+                [F.array_join("__chunk", " ").alias("chunk_text")]
+                if keep_text
+                else []
+            ),
         )
     )

@@ -251,3 +251,72 @@ def epoch_shuffle(
     out = df.withColumn("__h", h).withColumn(shard_col, shard)
     w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(id_col))
     return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop("__h")
+
+
+#: prefix-sum bucket fan-out for token_budget_sample — 2 hex chars of
+#: the order key, so bucket order IS order-key order (fixed-width
+#: lowercase hex sorts identically as string and as integer).
+BUDGET_BUCKETS = 256
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    *,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep documents — in deterministic md5(id) order — until a
+    cumulative token budget is exhausted: the "give me exactly N
+    training tokens, reproducibly" primitive every run-budgeted
+    pretraining mix needs (priority_sample fixes a row COUNT, this
+    fixes the TOKEN total the model actually consumes).
+
+    Scale shape — a distributed prefix sum, never a global sort:
+
+    1. bucket = first 2 md5 hex chars (256 buckets); bucket order is
+       a prefix of the full order key, so (bucket, key) order == key
+       order.
+    2. per-bucket token totals: one map-side-combined aggregate to
+       256 rows; a 256-row running sum (driver-scale window) yields
+       each bucket's starting offset.
+    3. offsets broadcast back; a per-bucket window running sum plus
+       the offset gives every row its exact global cumulative
+       position; rows with ``cum <= budget`` survive.
+
+    At 100 TB the only data-sized exchange is the per-bucket window
+    shuffle (each reducer sorts corpus/256 rows); raise
+    BUDGET_BUCKETS to keep reducer slices bounded. Same answer on any
+    cluster size — no rand(), no partition-layout dependence."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    hh = F.md5(F.col(id_col).cast("string"))
+    keyed = df.withColumn("__hh", hh).withColumn(
+        "__b", F.conv(F.substring("__hh", 1, 2), 16, 10).cast("int")
+    )
+    totals = keyed.groupBy("__b").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__t")
+    )
+    # 256-row frame: the unpartitioned window is a deliberate
+    # driver-scale step, NOT a corpus-wide single-reducer sort.
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__hh"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            cum_col,
+            (F.sum(F.col(tokens_col).cast("long")).over(w_run) + F.col("__off")),
+        )
+        .filter(F.col(cum_col) <= F.lit(int(budget)))
+        .drop("__b", "__hh", "__off")
+    )

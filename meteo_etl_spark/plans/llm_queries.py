@@ -3554,3 +3554,393 @@ def docs_adaptive_quality_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second half: corpus governance (quality census, budget
+# sampling, drift, chunk-level rewrite, quantization audit)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style rule thresholds (Rae et al. 2021 table A1, adapted to
+#: this corpus's scale: docs run ~10-120 whitespace tokens).
+QR_MIN_TOKENS = 20
+QR_MAX_TOKENS = 100
+QR_MIN_MEAN_LEN = 3  # mean token length bounds, integer cross-multiplied
+QR_MAX_MEAN_LEN = 6
+_QR_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+
+@query(
+    "docs_quality_rules",
+    f"""WITH t AS (SELECT doc_id, source, text,
+                          str_split(text, ' ') AS w FROM documents),
+    m AS (SELECT source,
+                 len(w) AS n,
+                 length(text) - (len(w) - 1) AS tok_chars,
+                 len(list_distinct(w)) AS nd,
+                 len(list_filter(w, x -> x IN ({_QR_STOPS}))) AS stops
+          FROM t),
+    r AS (SELECT source,
+                 CASE WHEN n < {QR_MIN_TOKENS} OR n > {QR_MAX_TOKENS}
+                      THEN 1 ELSE 0 END AS f_len,
+                 CASE WHEN tok_chars < {QR_MIN_MEAN_LEN} * n
+                        OR tok_chars > {QR_MAX_MEAN_LEN} * n
+                      THEN 1 ELSE 0 END AS f_word,
+                 CASE WHEN stops = 0 THEN 1 ELSE 0 END AS f_stop,
+                 CASE WHEN 2 * nd < n THEN 1 ELSE 0 END AS f_rep
+          FROM m)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f_len) AS BIGINT) AS fail_len,
+           CAST(SUM(f_word) AS BIGINT) AS fail_wordlen,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopword,
+           CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+           CAST(SUM(CASE WHEN f_len + f_word + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM r GROUP BY source ORDER BY source""",
+    doc="Gopher-style quality-rule census (Rae et al. 2021 §A1.1): per "
+    "source, how many documents fail each heuristic filter — token "
+    "count bounds, mean-word-length bounds, stopword presence, "
+    "distinct-token repetition — and how many pass every rule. All "
+    "thresholds compare in INTEGER space (cross-multiplied bounds), "
+    "so the census is FP-free and bit-identical in any engine. Plan: "
+    "one projection + one map-side-combined aggregate keyed on "
+    "source — a single corpus scan, no joins; at 100 TB this is the "
+    "cheapest possible shape (the same pass a real curation run "
+    "piggybacks on its first read).",
+)
+def docs_quality_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = tx.tokens(F.col("text"))
+    n = F.size(w)
+    tok_chars = F.length("text") - (n - F.lit(1))
+    nd = F.size(F.array_distinct(w))
+    stops = tx.stopword_hits(F.col("text"), "en")
+    f_len = (
+        (n < QR_MIN_TOKENS) | (n > QR_MAX_TOKENS)
+    ).cast("int")
+    f_word = (
+        (tok_chars < F.lit(QR_MIN_MEAN_LEN) * n)
+        | (tok_chars > F.lit(QR_MAX_MEAN_LEN) * n)
+    ).cast("int")
+    f_stop = (stops == 0).cast("int")
+    f_rep = (F.lit(2) * nd < n).cast("int")
+    proj = fan_out(docs).select(
+        "source",
+        f_len.alias("f_len"),
+        f_word.alias("f_word"),
+        f_stop.alias("f_stop"),
+        f_rep.alias("f_rep"),
+    )
+    return (
+        proj.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_len").cast("long").alias("fail_len"),
+            F.sum("f_word").cast("long").alias("fail_wordlen"),
+            F.sum("f_stop").cast("long").alias("fail_stopword"),
+            F.sum("f_rep").cast("long").alias("fail_repetition"),
+            F.sum(
+                (
+                    F.col("f_len") + F.col("f_word") + F.col("f_stop")
+                    + F.col("f_rep")
+                    == 0
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+#: token budget for the budget-sampling demo query — roughly 40% of
+#: the sf0.001 corpus, ~4% at sf0.01, so both scales exercise the cut.
+TOKEN_BUDGET = 12_000
+
+
+@query(
+    "docs_token_budget_sample",
+    f"""WITH h AS (SELECT doc_id,
+                          len(str_split(text, ' ')) AS n,
+                          md5(CAST(doc_id AS VARCHAR)) AS hh
+                   FROM documents),
+    c AS (SELECT doc_id,
+                 SUM(n) OVER (ORDER BY hh, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM h)
+    SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {TOKEN_BUDGET} ORDER BY doc_id""",
+    doc="Token-budget sampling: keep documents in deterministic "
+    "md5(doc_id) order until a cumulative token budget "
+    f"({TOKEN_BUDGET}) is exhausted — 'give me exactly N training "
+    "tokens, reproducibly', the knob a budgeted pretraining mix "
+    "actually turns (priority_sample fixes a row count; this fixes "
+    "the token total the model consumes). The oracle is a global "
+    "running sum; the Spark plan is a DISTRIBUTED PREFIX SUM "
+    "(sampling.token_budget_sample): 256 order-prefix buckets, one "
+    "map-combined per-bucket total, a 256-row offset window, then "
+    "per-bucket running sums + broadcast offsets — no global sort, "
+    "each reducer sorts corpus/256 rows at 100 TB.",
+)
+def docs_token_budget_sample(spark, sf_dir):
+    import meteo_etl_spark.functions.sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        sp.token_budget_sample(docs, "doc_id", "n_tok", TOKEN_BUDGET)
+        .select("doc_id", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_drift_report",
+    """WITH half AS (SELECT source,
+                            CASE WHEN doc_id % 2 = 0 THEN 'ref'
+                                 ELSE 'cur' END AS snap
+                     FROM documents),
+    cnt AS (SELECT source,
+                   SUM(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END) AS n_cur
+            FROM half GROUP BY source),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt),
+    p AS (SELECT source, n_ref, n_cur,
+                 CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref,
+                 CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS p_cur
+          FROM cnt, tot)
+    SELECT source,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(floor(p_ref * 1000000.0 + 0.5) AS BIGINT) AS p_ref_ppm,
+           CAST(floor(p_cur * 1000000.0 + 0.5) AS BIGINT) AS p_cur_ppm,
+           CASE WHEN n_ref = 0 THEN NULL
+                ELSE CAST(floor(((p_cur - p_ref) * (p_cur - p_ref) / p_ref)
+                          * 1000000.0 + 0.5) AS BIGINT)
+           END AS drift_ppm
+    FROM p ORDER BY source""",
+    doc="Corpus drift report between two snapshots (doc_id parity "
+    "stands in for crawl generations): per source, the share of the "
+    "reference vs current corpus and a chi-square-style drift score "
+    "(p_cur-p_ref)^2/p_ref — the 'did the mixture shift under me' "
+    "gate run between crawl ingests. Deliberately avoids ln() (PSI's "
+    "log term is libm-dependent across engines); chi-square uses "
+    "only IEEE-exact ops, reported in integer ppm, NULL for sources "
+    "absent from the reference half (new domains are a flag, not a "
+    "division by zero). Plan: one "
+    "conditional aggregate to |sources| rows, totals via a scalar "
+    "cross join of a 1-row aggregate — the corpus is read ONCE.",
+)
+def docs_drift_report(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = (F.col("doc_id") % 2 == 0).cast("int")
+    cnt = docs.groupBy("source").agg(
+        F.sum(is_ref).alias("n_ref"),
+        F.sum(1 - is_ref).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    ppm = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            ppm(p_ref).alias("p_ref_ppm"),
+            ppm(p_cur).alias("p_cur_ppm"),
+            F.when(
+                F.col("n_ref") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(ppm((p_cur - p_ref) * (p_cur - p_ref) / p_ref))
+            .alias("drift_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: non-overlapping chunk width for the rewrite path — rewrite needs a
+#: partition of the token stream (overlap would double-count tokens).
+REWRITE_CHUNK = 32
+
+
+@query(
+    "docs_chunk_dedup_rewrite",
+    f"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n FROM t),
+    c AS (SELECT doc_id, w,
+                 CASE WHEN n <= {REWRITE_CHUNK} THEN 1
+                      ELSE CAST(ceil((n - {REWRITE_CHUNK}) / {float(REWRITE_CHUNK)}) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM n),
+    x AS (SELECT doc_id, w, UNNEST(range(0, n_chunks)) AS chunk_id FROM c),
+    s AS (SELECT doc_id, chunk_id,
+                 array_to_string(w[chunk_id * {REWRITE_CHUNK} + 1 :
+                                   chunk_id * {REWRITE_CHUNK} + {REWRITE_CHUNK}],
+                                 ' ') AS ch
+          FROM x),
+    h AS (SELECT doc_id, chunk_id, ch, md5(ch) AS hh,
+                 len(str_split(ch, ' ')) AS n_tokens
+          FROM s),
+    k AS (SELECT hh, MIN(doc_id) AS keeper FROM h GROUP BY hh),
+    j AS (SELECT h.*, CASE WHEN k.keeper < h.doc_id THEN 1 ELSE 0 END AS dropped
+          FROM h JOIN k USING (hh))
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dropped = 0 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           md5(COALESCE(string_agg(CASE WHEN dropped = 0 THEN ch END,
+                                   ' ' ORDER BY chunk_id), '')) AS rebuilt_md5
+    FROM j GROUP BY doc_id ORDER BY doc_id""",
+    doc="Chunk-level dedup REWRITE (RefinedWeb/CCNet passage dedup as a "
+    "transformation, not just a signal): partition every document "
+    f"into non-overlapping {REWRITE_CHUNK}-token chunks, keep each "
+    "repeated chunk only in its lowest-doc_id occurrence, and "
+    "reassemble every document from its surviving chunks — the "
+    "operation that strips shared boilerplate while keeping the "
+    "novel remainder (doc-level dedup would either keep or kill the "
+    "whole page). Returns per-doc chunk/drop/token counts plus an "
+    "md5 of the rebuilt text so the full rewrite is hash-pinned. "
+    "Plan: shuffle-free chunker, one hash-keyed min-aggregate, one "
+    "hash join back, one doc-keyed aggregate whose only wide state "
+    "is the doc's own kept chunks (collect_list bounded by doc "
+    "length). At 100 TB both exchanges are content-hash/doc keyed "
+    "and combine map-side; nothing is ever all-pairs.",
+)
+def docs_chunk_dedup_rewrite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ch = pk.chunk_token_windows(
+        fan_out(docs), width=REWRITE_CHUNK, stride=REWRITE_CHUNK, keep_text=True
+    )
+    keeper = ch.groupBy("chunk_hash").agg(F.min("doc_id").alias("keeper"))
+    j = ch.join(keeper, "chunk_hash").withColumn(
+        "dropped", (F.col("keeper") < F.col("doc_id")).cast("int")
+    )
+    kept = F.col("dropped") == 0
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(kept, F.struct("chunk_id", "chunk_text"))
+                )
+            ),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.md5(rebuilt.cast("binary")).alias("rebuilt_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_fold(terms: str) -> str:
+    """Sequential left fold from 0.0 over per-index ``terms`` (use
+    ``v[i]``-style element refs) — same order as Spark ``aggregate``."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}), "
+        f"i -> {terms})), (acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "emb_quant_audit",
+    f"""WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT label, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+          FROM v),
+    d AS (SELECT label, v, sc,
+                 CASE WHEN sc = 0 THEN v
+                      ELSE list_transform(v, x ->
+                             floor(abs(x / sc) + 0.5) * sign(x) * sc)
+                 END AS dq
+          FROM s),
+    e AS (SELECT label,
+                 sqrt({_duck_fold('(v[i] - dq[i]) * (v[i] - dq[i])')}) AS err,
+                 CASE WHEN sc = 0 THEN 1.0
+                      ELSE {_duck_fold('v[i] * dq[i]')}
+                           / (sqrt({_duck_fold('v[i] * v[i]')})
+                              * sqrt({_duck_fold('dq[i] * dq[i]')}))
+                 END AS cos
+          FROM d)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(err * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_err_u,
+           CAST(SUM(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cos_u
+    FROM e GROUP BY label ORDER BY label""",
+    doc="Int8 symmetric-quantization audit: per embedding, quantize "
+    "with the per-vector scale max|x|/127 (round half away from "
+    "zero, the onnx/faiss convention), dequantize, and measure the "
+    "L2 reconstruction error and cosine preservation vs the fp "
+    "original; report per-label counts and micro-unit sums — the "
+    "go/no-go table for serving a 4x-smaller ANN index. FP parity "
+    "discipline: every per-vector value is one chain of IEEE-exact "
+    "ops + sequential folds, then SNAPPED TO INTEGER micro-units "
+    "BEFORE the group sum (float sums across a group are "
+    "order-dependent; integer sums are not), so the result is "
+    "bit-identical on any partitioning. Plan: pure map + one "
+    "map-combined aggregate to |labels| rows — no joins, no "
+    "shuffle of vector data at 100 TB.",
+)
+def emb_quant_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def dot(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: x * y))
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = fan_out(emb).select("label", v.alias("v"))
+    sc = F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    with_sc = base.withColumn("sc", sc)
+    dq = F.when(F.col("sc") == 0, F.col("v")).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(F.abs(x / F.col("sc")) + F.lit(0.5))
+            * F.signum(x)
+            * F.col("sc"),
+        )
+    )
+    with_dq = with_sc.withColumn("dq", dq)
+    err = F.sqrt(
+        fold(F.zip_with("v", "dq", lambda x, y: (x - y) * (x - y)))
+    )
+    cos = F.when(F.col("sc") == 0, F.lit(1.0)).otherwise(
+        dot(F.col("v"), F.col("dq"))
+        / (
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("dq"), F.col("dq")))
+        )
+    )
+    u = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    per_vec = with_dq.select(
+        "label", u(err).alias("err_u"), u(cos).alias("cos_u")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_u").cast("long").alias("sum_err_u"),
+            F.sum("cos_u").cast("long").alias("sum_cos_u"),
+        )
+        .orderBy("label")
+    )

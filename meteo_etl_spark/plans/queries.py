@@ -1808,6 +1808,13 @@ _DEFERRED: tuple[str, ...] = (
     "docs_chunk_dup_ratio",  # cross-doc repeated-chunk detector: docs_chunk_windows chunker + hash-keyed agg (never)
     "docs_per_source_sample",  # exact-k per-group panel: docs_stratified_sample md5 + rank shapes (never)
     "docs_adaptive_quality_gate",  # per-source quality calibration: text_quality score + percent_rank shapes (never)
+    # Round-7 second-half additions (corpus governance), deferred at
+    # birth; oracle-verified at sf0.001 AND sf0.01 in-session:
+    "docs_quality_rules",  # Gopher rule census: text_quality + grouped conditional-agg shapes (never)
+    "docs_token_budget_sample",  # distributed prefix-sum budget cut: docs_hash_split md5 + window shapes (never)
+    "docs_drift_report",  # chi-square mixture drift: docs_mixture_plan share + scalar-broadcast shapes (never)
+    "docs_chunk_dedup_rewrite",  # chunk dedup as transformation: docs_chunk_dup_ratio + collect_list rebuild (never)
+    "emb_quant_audit",  # int8 quantization error audit: emb sequential-fold + grouped-agg shapes (never)
 )
 
 

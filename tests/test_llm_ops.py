@@ -516,3 +516,53 @@ def test_multiprobe_index_matches_inline_and_prunes(spark, tmp_path):
     s_ids = {r.vec_id for r in single.collect()}
     m_ids = {r.vec_id for r in multi.collect()}
     assert s_ids <= m_ids and len(m_ids) > len(s_ids)
+
+
+def test_token_budget_sample_prefix_exact_and_layout_invariant(spark, docs):
+    """The distributed prefix sum must equal the naive global running
+    sum (same keep set, same cumulative values) and must not depend on
+    the input partition layout."""
+    from meteo_etl_spark.functions.sampling import token_budget_sample
+
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tok"))
+    budget = 9_000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(d, "doc_id", "n_tok", budget).collect()
+    }
+    # naive oracle: sort the whole frame by (md5, id) on the driver
+    rows = d.withColumn("hh", F.md5(F.col("doc_id").cast("string"))).collect()
+    rows.sort(key=lambda r: (r["hh"], r["doc_id"]))
+    cum, want = 0, {}
+    for r in rows:
+        cum += r["n_tok"]
+        if cum <= budget:
+            want[r["doc_id"]] = cum
+    assert got == want and got  # non-empty at this budget
+    relaid = token_budget_sample(
+        d.repartition(13), "doc_id", "n_tok", budget
+    ).collect()
+    assert {r["doc_id"]: r["cum_tokens"] for r in relaid} == want
+
+
+def test_token_budget_sample_edges(spark, docs):
+    from meteo_etl_spark.functions.sampling import token_budget_sample
+
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tok"))
+    assert token_budget_sample(d, "doc_id", "n_tok", 0).count() == 0
+    total = d.agg(F.sum("n_tok")).collect()[0][0]
+    assert token_budget_sample(d, "doc_id", "n_tok", total).count() == d.count()
+    with pytest.raises(ValueError):
+        token_budget_sample(d, "doc_id", "n_tok", -1)
+
+
+def test_chunk_keep_text_matches_hash_and_default_omits_text(spark, docs):
+    from meteo_etl_spark.functions.packing import chunk_token_windows
+
+    plain = chunk_token_windows(docs)
+    assert "chunk_text" not in plain.columns
+    with_text = chunk_token_windows(docs, keep_text=True).limit(200)
+    bad = with_text.filter(
+        F.md5(F.col("chunk_text").cast("binary")) != F.col("chunk_hash")
+    ).count()
+    assert bad == 0

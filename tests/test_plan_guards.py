@@ -40,6 +40,7 @@ SCALAR_BROADCAST_OK = {
     "docs_dsir_weights",  # 1-row target/source feature totals crossed into the <=1024-row bucket weight table
     "sim_ann_recall",  # the 10-row (data-independent audit panel) query set crossed into the corpus scan
     "sim_ann_multiprobe",  # the single query vector crossed in; Hamming probe is a residual condition
+    "docs_drift_report",  # 1-row (t_ref, t_cur) snapshot totals crossed into the |sources|-row share table
 }
 
 
