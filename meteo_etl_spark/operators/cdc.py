@@ -171,3 +171,57 @@ def changelog_foreach_batch(
         )
 
     return handle
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_cols: list[str] | None = None,
+    *,
+    op_col: str = OP_COL,
+    delete_op: str = DELETE_OP,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE 2 history from a change
+    feed: every non-delete change opens a validity interval at its
+    timestamp, closed by the key's NEXT change (half-open
+    ``[valid_from, valid_to)``; open-ended ⇒ the current version).
+    A ``delete_op`` change closes the previous interval without
+    opening one — a deleted key simply has no current row.
+
+    This is the warehouse-side complement of ``apply_changelog``:
+    apply_changelog materializes the LATEST snapshot; scd2_history
+    materializes EVERY version with its validity window, which is what
+    as-of joins (``operators/temporal.asof_join``) and point-in-time
+    training-feature extraction need. Reference parity: extends the
+    reference's latest-only upsert (`etl/load.py:45-55`) the same way
+    its ``fetch_metadata`` audit rows extend its data rows.
+
+    Plan shape / 100 TB: ONE shuffle on the key for the lead() window
+    — no joins, no self-join on time ranges; each reducer holds one
+    key's change rows. ``tie_cols`` breaks same-timestamp ordering
+    deterministically (defaults to the key itself, which suffices only
+    when timestamps are unique per key — pass a sequence/LSN column
+    for real CDC feeds).
+    """
+    from pyspark.sql import Window
+
+    for c in [*key_cols, ts_col, op_col]:
+        if c not in changes.columns:
+            raise ValueError(f"changes lack required column {c!r}")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changes.withColumn(valid_to_col, F.lead(ts_col).over(w))
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .withColumn(valid_from_col, F.col(ts_col))
+        .withColumn(
+            current_col,
+            F.when(F.col(valid_to_col).isNull(), 1).otherwise(0),
+        )
+    )

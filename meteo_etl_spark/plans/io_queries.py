@@ -266,3 +266,45 @@ def events_cdc_apply(spark, sf_dir):
         snapshot, changes, ["user_id", "event_type"], order
     )
     return applied.orderBy("user_id", "event_type")
+
+
+@query(
+    "events_scd2",
+    """WITH ch AS (
+         SELECT user_id, ts, event_id, event_type, value,
+                CASE WHEN value < 25.0 THEN 'D' ELSE 'U' END AS op
+         FROM events),
+       w AS (
+         SELECT user_id, event_id, value, op,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to
+         FROM ch)
+       SELECT user_id, event_id, valid_from, valid_to,
+              CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+              value
+       FROM w WHERE op <> 'D'
+       ORDER BY user_id, valid_from, event_id""",
+    doc="Slowly-changing-dimension TYPE 2 history "
+    "(operators/cdc.scd2_history): each user's change feed (events as "
+    "attribute updates; low-value rows as delete tombstones) becomes "
+    "versioned rows with half-open [valid_from, valid_to) validity — "
+    "the point-in-time dimension shape that as-of joins and "
+    "leakage-free training-feature extraction consume (the LATEST-only "
+    "complement is events_cdc_apply). A tombstone closes the prior "
+    "interval without opening one, so a deleted key has no current "
+    "row. Plan: ONE key shuffle for the lead() window — no range "
+    "self-join; at 100 TB each reducer holds one key's change rows "
+    "and the op composes with partition pruning on the key's hash "
+    "range.",
+)
+def events_scd2(spark, sf_dir):
+    from meteo_etl_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("value") < 25.0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    hist = scd2_history(ev, ["user_id"], "ts", tie_cols=["event_id"])
+    return hist.select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current", "value"
+    ).orderBy("user_id", "valid_from", "event_id")

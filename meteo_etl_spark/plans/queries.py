@@ -1815,6 +1815,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_drift_report",  # chi-square mixture drift: docs_mixture_plan share + scalar-broadcast shapes (never)
     "docs_chunk_dedup_rewrite",  # chunk dedup as transformation: docs_chunk_dup_ratio + collect_list rebuild (never)
     "emb_quant_audit",  # int8 quantization error audit: emb sequential-fold + grouped-agg shapes (never)
+    "events_scd2",  # SCD-2 validity intervals: events_cdc_apply LWW + lead() window shapes (never)
 )
 
 

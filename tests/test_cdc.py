@@ -358,3 +358,57 @@ def test_atomic_drop_spares_restaged_partition(spark, tmp_path):
     )
     got = sorted((r.k, r.part) for r in read_table(spark, path).collect())
     assert got == [(9, "p1")]  # p1 restaged (kept, new data), p2 dropped
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history
+# ---------------------------------------------------------------------------
+
+
+def _hist_rows(spark, rows):
+    from meteo_etl_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(rows, "k int, ts int, seq int, op string, v string")
+    return {
+        (r["k"], r["valid_from"]): (r["valid_to"], r["is_current"], r["v"])
+        for r in scd2_history(df, ["k"], "ts", tie_cols=["seq"]).collect()
+    }
+
+
+def test_scd2_intervals_chain_and_delete_closes(spark):
+    got = _hist_rows(
+        spark,
+        [
+            (1, 10, 0, "I", "a"),
+            (1, 20, 0, "U", "b"),
+            (1, 30, 0, "D", None),  # tombstone: closes b, opens nothing
+            (2, 15, 0, "I", "x"),
+        ],
+    )
+    assert got == {
+        (1, 10): (20, 0, "a"),
+        (1, 20): (30, 0, "b"),  # closed BY the delete's ts
+        (2, 15): (None, 1, "x"),
+    }
+    # key 1 was deleted: no current row for it
+    assert not any(k == 1 and cur == 1 for (k, _), (_, cur, _) in got.items())
+
+
+def test_scd2_same_ts_tie_breaks_on_seq(spark):
+    got = _hist_rows(
+        spark,
+        [(1, 10, 1, "U", "late"), (1, 10, 0, "U", "early")],
+    )
+    assert got[(1, 10)] == (10, 1, "late") or list(got) == [(1, 10)]
+    # lead() pairs the seq=0 row with the seq=1 row at the same ts:
+    # the final version is 'late' and it is the only current row
+    current = [(v, cur) for (_, _), (_, cur, v) in got.items() if cur == 1]
+    assert current == [("late", 1)]
+
+
+def test_scd2_requires_columns(spark):
+    from meteo_etl_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame([(1, 2)], "k int, ts int")
+    with pytest.raises(ValueError):
+        scd2_history(df, ["k"], "ts")  # no op column
