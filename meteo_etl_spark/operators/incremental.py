@@ -1,0 +1,154 @@
+"""Incremental rollup maintenance: keep an aggregate table in sync
+with a partitioned fact table by recomputing ONLY changed partitions.
+
+The 100 TB problem this solves: a daily/hourly rollup over an
+append-mostly fact table must not rescan the whole fact on every
+refresh — at scale the fact is thousands of date partitions and only
+the last few ever change. The standard answer (TimescaleDB continuous
+aggregates, Druid auto-compaction rollups, Delta/BigQuery incremental
+materialized views) is partition-level change detection + partial
+recompute, which is exactly what this operator does with plain
+parquet + a fingerprint manifest:
+
+1. fingerprint every fact partition (file names + sizes + mtimes —
+   content identity under Spark's immutable-file writers);
+2. diff against the manifest from the previous refresh;
+3. recompute the aggregate for changed/new partitions only, reading
+   just those partition directories (scan bound by the delta, not the
+   table);
+4. land them with Spark's dynamic partition overwrite (only touched
+   rollup partitions rewritten); drop rollup partitions whose fact
+   partition vanished;
+5. publish the new manifest.
+
+Correctness requires the rollup's group key to INCLUDE the partition
+column — then every output row is derived from exactly one fact
+partition and partition-local recompute is exact (the hypertable
+rollup shape). ``incremental_rollup`` validates this.
+
+A refresh is idempotent (re-running with no fact changes touches
+nothing) and crash-safe in the usual lake sense: the manifest is
+published last, so a crash mid-write just means the next refresh
+recomputes those partitions again.
+
+Reference parity: the reference refreshes its dashboard aggregates by
+full rescan per page load (`dashboard/streamlit_app.py:28-47`
+st.cache_data over whole-table queries); this is the engine-side
+replacement that stays cheap when the observation table is 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from meteo_etl_spark.operators.compact import _partition_files
+
+MANIFEST = "_rollup_manifest.json"
+DATA_DIR = "data"
+
+
+@dataclass(frozen=True)
+class RollupStats:
+    recomputed: int
+    removed: int
+    unchanged: int
+
+    @property
+    def total(self) -> int:
+        return self.recomputed + self.unchanged
+
+
+def _fingerprints(fact_path: str, partition_col: str) -> dict[str, str]:
+    """partition dir name -> content fingerprint (names+sizes+mtimes).
+
+    Immutable-file discipline (Spark never appends in place) makes
+    this exact content identity; mtime_ns catches same-size rewrites.
+    """
+    out: dict[str, str] = {}
+    for key, files in _partition_files(fact_path, partition_col).items():
+        if not key.startswith(f"{partition_col}="):
+            raise ValueError(
+                f"fact table is not hive-partitioned by {partition_col!r}:"
+                f" found data under {key!r}"
+            )
+        ident = sorted(
+            (os.path.basename(f), os.path.getsize(f), os.stat(f).st_mtime_ns)
+            for f in files
+        )
+        out[key] = hashlib.md5(json.dumps(ident).encode()).hexdigest()
+    return out
+
+
+def read_rollup(spark: SparkSession, state_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(state_path, DATA_DIR))
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    fact_path: str,
+    state_path: str,
+    partition_col: str,
+    build: Callable[[DataFrame], DataFrame],
+) -> RollupStats:
+    """Refresh the rollup at ``state_path`` from the hive-partitioned
+    fact table at ``fact_path``, recomputing only partitions whose
+    fingerprint changed since the last refresh.
+
+    ``build`` maps a fact DataFrame to its aggregate and MUST group by
+    (at least) ``partition_col`` — validated against its output schema
+    — so partition-local recompute equals the global rollup restricted
+    to those partitions.
+    """
+    manifest_path = os.path.join(state_path, MANIFEST)
+    data_path = os.path.join(state_path, DATA_DIR)
+    old: dict[str, str] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            old = json.load(fh)["fingerprints"]
+
+    new = _fingerprints(fact_path, partition_col)
+    changed = [k for k, fp in new.items() if old.get(k) != fp]
+    removed = [k for k in old if k not in new]
+    unchanged = len(new) - len(changed)
+
+    if changed:
+        subset = (
+            spark.read.option("basePath", fact_path)
+            .parquet(*(os.path.join(fact_path, k) for k in changed))
+        )
+        result = build(subset)
+        if partition_col not in result.columns:
+            raise ValueError(
+                f"build() must group by {partition_col!r}; its output"
+                f" lacks that column ({result.columns})"
+            )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            result.write.mode("overwrite").partitionBy(partition_col).parquet(
+                data_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    import shutil
+
+    for k in removed:
+        gone = os.path.join(data_path, k)
+        if os.path.isdir(gone):
+            shutil.rmtree(gone)
+
+    os.makedirs(state_path, exist_ok=True)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"partition_col": partition_col, "fingerprints": new}, fh)
+    os.replace(tmp, manifest_path)
+    return RollupStats(
+        recomputed=len(changed), removed=len(removed), unchanged=unchanged
+    )
