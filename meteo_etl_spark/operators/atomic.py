@@ -636,3 +636,59 @@ class AtomicParquetTable:
         if m is None or not m.get("partition_col"):
             return []
         return sorted(m["partitions"])
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """What changed between two committed versions of an atomic table:
+    one row per key that was ``added``, ``removed``, or ``changed``
+    (same key, different non-key content), with ``change`` labeling
+    the verb — the audit/debug complement of time travel (``read(
+    version=)`` answers "what WAS the table"; this answers "what did
+    commit N..M DO"), and the input a downstream incremental consumer
+    needs to resync without a full re-read.
+
+    Plan shape: both snapshots project keys + ONE xxhash64 over the
+    non-key columns (column-pruned scans), then a single full outer
+    join on the key — rows whose content hash matches drop out. At
+    100 TB the join shuffles key+hash pairs only (16-24 bytes/row),
+    never the payload; identical-version diffs reduce to an empty
+    result without reading data twice thanks to parquet column
+    pruning. NULL-safe on non-key content (hash treats NULL as a
+    value); keys must be non-NULL (the atomic table's merge contract
+    already requires that).
+    """
+    table = AtomicParquetTable(spark, path)
+    a, b = table.read(version=v_from), table.read(version=v_to)
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}: "
+            f"{sorted(set(a.columns) ^ set(b.columns))} — diff keys+content "
+            "on the common projection yourself"
+        )
+    for k in key_cols:
+        if k not in a.columns:
+            raise ValueError(f"key column {k!r} not in table columns")
+    payload = sorted(c for c in a.columns if c not in key_cols)
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_cols, F.xxhash64(*payload).alias(f"__h_{tag}")
+        )
+
+    j = keyed(a, "a").join(keyed(b, "b"), on=key_cols, how="full_outer")
+    change = (
+        F.when(F.col("__h_a").isNull(), F.lit("added"))
+        .when(F.col("__h_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -308,3 +308,69 @@ def events_scd2(spark, sf_dir):
     return hist.select(
         "user_id", "event_id", "valid_from", "valid_to", "is_current", "value"
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@query(
+    "rollup_incremental_agg",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="Incremental-rollup certification (operators/incremental.py): "
+    "land the pre-cutoff events as a day-partitioned fact and refresh "
+    "the rollup; append the post-cutoff events and refresh AGAIN — the "
+    "second refresh recomputes only the days the append touched "
+    "(partition fingerprints; asserted inside the query) — then "
+    "return the final rollup state. The oracle states the same "
+    "aggregate over ALL events directly, so a hash match proves "
+    "incremental maintenance converges to the full recompute. "
+    "Exact-cents SUM keeps the compare order-independent. The 100 TB "
+    "shape under certification: refresh cost bound by the delta, not "
+    "the table.",
+)
+def rollup_incremental_agg(spark, sf_dir):
+    from meteo_etl_spark.operators.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    fact = _scratch("rollup_fact")
+    state = _scratch("rollup_state")
+    ev.filter(F.col("ts") < cutoff).write.partitionBy("day").parquet(fact)
+
+    def build(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+
+    first = incremental_rollup(spark, fact, state, "day", build)
+    late = ev.filter(F.col("ts") >= cutoff)
+    late.write.mode("append").partitionBy("day").parquet(fact)
+    second = incremental_rollup(spark, fact, state, "day", build)
+    # the append touched only the post-cutoff days: the second refresh
+    # must be partial (strictly fewer recomputes than a full rebuild)
+    late_days = {r["day"] for r in late.select("day").distinct().collect()}
+    pre_days = first.total
+    assert second.recomputed == len(late_days), (second, late_days)
+    # every pre-cutoff day the append did NOT touch stays byte-stable
+    overlap = len(late_days) - (second.total - pre_days)
+    assert second.unchanged == pre_days - overlap, (first, second)
+    return (
+        read_rollup(spark, state)
+        # hive partition inference types day as DATE on read-back
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1816,6 +1816,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_chunk_dedup_rewrite",  # chunk dedup as transformation: docs_chunk_dup_ratio + collect_list rebuild (never)
     "emb_quant_audit",  # int8 quantization error audit: emb sequential-fold + grouped-agg shapes (never)
     "events_scd2",  # SCD-2 validity intervals: events_cdc_apply LWW + lead() window shapes (never)
+    "rollup_incremental_agg",  # incremental-rollup e2e certification: jdbc_roundtrip_agg cents-agg shape (never)
 )
 
 

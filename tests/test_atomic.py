@@ -670,3 +670,42 @@ def test_vacuum_completes_pending_lock_commit_instead_of_collecting_it(
     assert all("gen-" not in r or True for r in removed)
     # v2 is the newest version -> its generation survived and reads
     assert _snapshot(spark, path) == {(2, "WINNER", "x")}
+
+
+# ---------------------------------------------------------------------------
+# diff_versions
+# ---------------------------------------------------------------------------
+
+
+def test_diff_versions_add_remove_change(spark, tmp_path):
+    from meteo_etl_spark.operators.atomic import diff_versions
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]))
+    v1 = t.versions()[-1]
+    # change k=1's value, drop k=2, add k=4
+    t.overwrite(_df(spark, [(1, "A!", "x"), (3, "c", "y"), (4, "d", "y")]))
+    v2 = t.versions()[-1]
+    got = {
+        r["k"]: r["change"]
+        for r in diff_versions(spark, path, v1, v2, ["k"]).collect()
+    }
+    assert got == {1: "changed", 2: "removed", 4: "added"}
+    # unchanged key 3 absent; identical-version diff is empty
+    assert diff_versions(spark, path, v2, v2, ["k"]).count() == 0
+
+
+def test_diff_versions_schema_change_rejected(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.operators.atomic import diff_versions
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    v1 = t.versions()[-1]
+    t.overwrite(_df(spark, [(1, "a", "x")]).withColumn("extra", F.lit(1)))
+    v2 = t.versions()[-1]
+    with pytest.raises(ValueError, match="schema changed"):
+        diff_versions(spark, path, v1, v2, ["k"])

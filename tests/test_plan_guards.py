@@ -24,7 +24,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 #: side-effecting certification queries (write scratch Derby/atomic
 #: tables when invoked) — their plan shape is covered by their pytest
 #: e2e suites; excluded here to keep this test read-only.
-SIDE_EFFECTING = {"jdbc_roundtrip_agg", "jdbc_upsert_agg", "q15_atomic_merge"}
+SIDE_EFFECTING = {
+    "jdbc_roundtrip_agg",
+    "jdbc_upsert_agg",
+    "q15_atomic_merge",
+    "rollup_incremental_agg",
+}
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
 #: data-independent) relation broadcast against the fact — linear work.
