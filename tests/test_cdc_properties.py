@@ -104,3 +104,53 @@ def test_parquet_sink_matches_model(mspark, batches, tmp_path_factory):
         return
     got = {r.k: r.v for r in mspark.read.parquet(path).select("k", "v").collect()}
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 properties: vs a sequential model, and structural interval
+# invariants (per-key chains partition the timeline; one current row per
+# surviving key).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(CHANGE, min_size=1, max_size=14))
+def test_scd2_matches_sequential_model(mspark, batch):
+    from meteo_etl_spark.operators.cdc import scd2_history
+
+    rows = _with_seq(batch, 0)  # seq doubles as the event time (unique)
+    chg = mspark.createDataFrame(rows, SCHEMA)
+    hist = scd2_history(chg, ["k"], "seq").collect()
+
+    # model: replay per key in seq order
+    per_key: dict = {}
+    for k, v, op, seq in rows:
+        per_key.setdefault(k, []).append((seq, op, v))
+    want = set()
+    for k, evs in per_key.items():
+        evs.sort()
+        for i, (seq, op, v) in enumerate(evs):
+            if op == "D":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            want.add((k, seq, nxt, 1 if nxt is None else 0, v))
+    got = {
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["v"])
+        for r in hist
+    }
+    assert got == want
+
+    # structural invariants
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rs) <= 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] is not None
+            assert a["valid_to"] <= b["valid_from"]  # never overlapping
