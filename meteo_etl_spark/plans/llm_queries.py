@@ -3944,3 +3944,55 @@ def emb_quant_audit(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "events_key_skew_report",
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n) AS tot, COUNT(*) AS nkeys FROM c)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(n AS DOUBLE) * 1000000.0 / CAST(tot AS DOUBLE)
+                      + 0.5) AS BIGINT) AS share_ppm,
+           CAST(floor(CAST(n AS DOUBLE) * CAST(nkeys AS DOUBLE) * 1000000.0
+                      / CAST(tot AS DOUBLE) + 0.5) AS BIGINT) AS skew_x_ppm
+    FROM c, t ORDER BY n DESC, user_id LIMIT 5""",
+    doc="Join-key skew census: the top heavy keys of a prospective "
+    "join/aggregation key with their share of all rows (ppm) and "
+    "their skew multiple vs a uniform key (n x n_keys / total) — the "
+    "measurement that decides BEFORE a 100 TB join whether to salt "
+    "(operators/skew.salted_join), lean on AQE skew-join splitting, "
+    "or isolate the hot keys. Plan: one map-combined count per key, a "
+    "1-row totals broadcast crossed into the per-key frame, and "
+    "TakeOrderedAndProject for the top-k — per-partition heaps, no "
+    "global sort; the full key census never leaves the executors.",
+)
+def events_key_skew_report(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nkeys")
+    )
+    share = F.floor(
+        F.col("n").cast("double") * F.lit(1000000.0)
+        / F.col("tot").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    skew_x = F.floor(
+        F.col("n").cast("double")
+        * F.col("nkeys").cast("double")
+        * F.lit(1000000.0)
+        / F.col("tot").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            share.alias("share_ppm"),
+            skew_x.alias("skew_x_ppm"),
+        )
+        .orderBy(F.desc("n"), F.col("user_id"))
+        .limit(5)
+    )
