@@ -374,3 +374,74 @@ def rollup_incremental_agg(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_scd2_pit_join",
+    """WITH ch AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN value < 25.0 THEN 'D' ELSE 'U' END AS op
+         FROM events WHERE event_type <> 'purchase'),
+       dim AS (
+         SELECT user_id, event_id AS version_id, value AS profile_value,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to,
+                op
+         FROM ch),
+       v AS (SELECT * FROM dim WHERE op <> 'D')
+       SELECT p.event_id, p.user_id, v.version_id,
+              CAST(floor(v.profile_value * 100 + 0.5) AS BIGINT)
+                AS profile_cents
+       FROM events p
+       LEFT JOIN v ON v.user_id = p.user_id
+                  AND v.valid_from <= p.ts
+                  AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+       WHERE p.event_type = 'purchase'
+       ORDER BY p.event_id""",
+    doc="Point-in-time (leakage-free) dimension join: each purchase "
+    "fact picks the SCD Type-2 profile version that was valid AT its "
+    "timestamp — the feature-extraction join that prevents "
+    "train-serve skew (joining the LATEST profile would leak future "
+    "attribute values into past training rows). Dimension = "
+    "cdc.scd2_history over the non-purchase change feed; facts keep "
+    "rows with no valid version (LEFT join — deleted/never-seen "
+    "users). Plan: equi join on user_id with the validity range as a "
+    "residual predicate — SortMergeJoin/broadcast under AQE, never a "
+    "nested loop; the half-open intervals guarantee AT MOST ONE "
+    "matching version per fact, so the join cannot fan out.",
+)
+def events_scd2_pit_join(spark, sf_dir):
+    from meteo_etl_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") != "purchase").withColumn(
+        "op", F.when(F.col("value") < 25.0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    dim = scd2_history(changes, ["user_id"], "ts", tie_cols=["event_id"]).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("profile_value"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return (
+        purchases.join(dim, cond, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "version_id",
+            F.floor(F.col("profile_value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("profile_cents"),
+        )
+        .orderBy("event_id")
+    )

@@ -1818,6 +1818,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_scd2",  # SCD-2 validity intervals: events_cdc_apply LWW + lead() window shapes (never)
     "rollup_incremental_agg",  # incremental-rollup e2e certification: jdbc_roundtrip_agg cents-agg shape (never)
     "events_key_skew_report",  # heavy-key skew census: tpch_q11 share-of-total + top-k shapes (never)
+    "events_scd2_pit_join",  # point-in-time dim join: events_scd2 intervals + equi-join residual-range shape (never)
 )
 
 
