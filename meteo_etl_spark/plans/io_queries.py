@@ -410,6 +410,7 @@ def rollup_incremental_agg(spark, sf_dir):
     "residual predicate — SortMergeJoin/broadcast under AQE, never a "
     "nested loop; the half-open intervals guarantee AT MOST ONE "
     "matching version per fact, so the join cannot fan out.",
+    bench=True,
 )
 def events_scd2_pit_join(spark, sf_dir):
     from meteo_etl_spark.operators.cdc import scd2_history

@@ -3608,6 +3608,7 @@ _QR_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
     "source — a single corpus scan, no joins; at 100 TB this is the "
     "cheapest possible shape (the same pass a real curation run "
     "piggybacks on its first read).",
+    bench=True,
 )
 def docs_quality_rules(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -3898,6 +3899,7 @@ def _duck_fold(terms: str) -> str:
     "bit-identical on any partitioning. Plan: pure map + one "
     "map-combined aggregate to |labels| rows — no joins, no "
     "shuffle of vector data at 100 TB.",
+    bench=True,
 )
 def emb_quant_audit(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
