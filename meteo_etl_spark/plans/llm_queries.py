@@ -3998,3 +3998,188 @@ def events_key_skew_report(spark, sf_dir):
         .orderBy(F.desc("n"), F.col("user_id"))
         .limit(5)
     )
+
+
+@query(
+    "docs_bigram_fluency",
+    """WITH t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> length(x) > 0) AS t
+          FROM documents),
+    b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+    cu AS (SELECT tok, COUNT(*) AS cu
+           FROM (SELECT UNNEST(t) AS tok FROM t) GROUP BY 1),
+    p AS (SELECT doc_id, (1000000 * cb.cb) // cu.cu AS ppm
+          FROM b JOIN cb USING (w1, w2) JOIN cu ON b.w1 = cu.tok)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+           CAST((2 * SUM(ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS fluency_ppm
+    FROM p GROUP BY doc_id ORDER BY doc_id""",
+    doc="Bigram-LM fluency score (the conditional, word-ORDER-aware "
+    "complement of docs_unigram_freq's frequency signal — the CCNet "
+    "recipe scores with an n-gram LM precisely because unigram "
+    "frequency cannot see scrambled or boilerplate-stitched text): "
+    "each document scores the mean MLE transition probability "
+    "P(w2|w1) = c(w1 w2)/c(w1) over its adjacent token pairs. "
+    "Determinism discipline: probabilities live in integer ppm via "
+    "BIGINT division ((1000000*c_bigram) div c_prefix — exact and "
+    "identical in both engines, no libm log), and the per-doc mean "
+    "rounds half-up in pure integer space ((2*sum+n) div (2n)). "
+    "Plan: tokenize+pair is a narrow generate (transform over an "
+    "index sequence, no self-join to form pairs); bigram and unigram "
+    "count tables combine map-side; both count joins are "
+    "vocabulary-vs-occurrences (AQE broadcasts the count side at "
+    "small scale; bucket both legs by the gram key at 100 TB); one "
+    "final shuffle on doc_id. Docs with <2 tokens have no transitions "
+    "and are absent by construction in both engines.",
+)
+def docs_bigram_fluency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out(docs).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
+    )
+    # Pair adjacent tokens with ONE generate over an index sequence —
+    # never a positional self-join. The size>=2 guard keeps
+    # sequence(0, size-2) from generating a descending range.
+    pairs = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    scored = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(cu, pairs["w1"] == cu["tok"])
+        .select("doc_id", F.expr("(1000000 * cb) div cu").alias("ppm"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ppm").cast("long").alias("sum_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_ppm",
+            F.expr("(2 * sum_ppm + n_bigrams) div (2 * n_bigrams)").alias(
+                "fluency_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_OUTLIER_TOPK = 3
+
+
+@query(
+    "emb_outliers",
+    f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+    u AS (SELECT vec_id, label,
+                 list_transform(v, x ->
+                   CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xu
+          FROM v),
+    e AS (SELECT label, i AS pos, xu[i] AS x
+          FROM u, UNNEST(generate_series(1, {_DIM})) AS g(i)),
+    c AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS su, COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+    cl AS (SELECT label, list(su ORDER BY pos) AS sums_u, MAX(n) AS n
+           FROM c GROUP BY label),
+    d AS (SELECT vec_id, v.label,
+                 sqrt({_duck_fold(
+                     '(v[i] - sums_u[i] / (1000000.0 * n))'
+                     ' * (v[i] - sums_u[i] / (1000000.0 * n))'
+                 )}) AS dist
+          FROM v JOIN cl ON v.label = cl.label),
+    r AS (SELECT label, vec_id,
+                 CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_u,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY floor(dist * 1000000.0 + 0.5) DESC, vec_id
+                 ) AS rk
+          FROM d)
+    SELECT label, vec_id, dist_u, rk FROM r WHERE rk <= {_OUTLIER_TOPK}
+    ORDER BY label, rk""",
+    doc="Per-label embedding outlier report (label-noise / mislabel "
+    "hygiene — confident-learning's distance-to-class-centroid "
+    "signal): the top-k vectors farthest from their OWN label's "
+    "centroid. Determinism discipline: centroid element sums are "
+    "snapped to integer micro-units BEFORE the group sum (float sums "
+    "across a group are order-dependent; integer sums are not), the "
+    "per-vector distance is one sequential fold with a single IEEE "
+    "division per element (identical in both engines), and ranking "
+    "keys on the integer-snapped distance with vec_id tie-break. "
+    "Plan: the centroid pass posexplodes n*d micro-unit elements but "
+    "combines map-side to |labels|*d partials, then collapses to ONE "
+    "|labels|-row array frame that broadcasts back onto the vectors; "
+    "one vector scan computes distances; top-k per label is a "
+    "WindowGroupLimit (per-partition heaps), so no global sort and "
+    "the vector payload never shuffles at 100 TB.",
+)
+def emb_outliers(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = fan_out(emb).select("vec_id", "label", v.alias("v"))
+    xu = F.transform(
+        "v", lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    cent = (
+        base.select("label", F.posexplode(xu).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("su"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "su"))),
+                lambda s: s["su"],
+            ).alias("sums_u"),
+            F.max("n").alias("n"),
+        )
+    )
+    joined = base.join(F.broadcast(cent), "label")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "sums_u",
+                lambda x, su: (
+                    x - su / (F.lit(1000000.0) * F.col("n"))
+                )
+                * (x - su / (F.lit(1000000.0) * F.col("n"))),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ranked = joined.select(
+        "label",
+        "vec_id",
+        F.floor(dist * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("dist_u"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(F.desc("dist_u"), "vec_id")
+        ),
+    )
+    return ranked.filter(F.col("rk") <= _OUTLIER_TOPK).orderBy("label", "rk")

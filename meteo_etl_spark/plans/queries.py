@@ -1819,6 +1819,8 @@ _DEFERRED: tuple[str, ...] = (
     "rollup_incremental_agg",  # incremental-rollup e2e certification: jdbc_roundtrip_agg cents-agg shape (never)
     "events_key_skew_report",  # heavy-key skew census: tpch_q11 share-of-total + top-k shapes (never)
     "events_scd2_pit_join",  # point-in-time dim join: events_scd2 intervals + equi-join residual-range shape (never)
+    "docs_bigram_fluency",  # bigram-LM fluency: docs_unigram_freq gram-join + integer-ppm shapes (never)
+    "emb_outliers",  # per-label centroid outliers: emb_quant_audit fold + docs_per_source_sample rank shapes (never)
 )
 
 
