@@ -4183,3 +4183,70 @@ def emb_outliers(spark, sf_dir):
         ),
     )
     return ranked.filter(F.col("rk") <= _OUTLIER_TOPK).orderBy("label", "rk")
+
+
+#: adjacent-pair census top-k for docs_bpe_pairs.
+_BPE_PAIR_TOPK = 20
+#: merge budget for the docs_bpe_merges training run.
+_BPE_N_MERGES = 8
+
+
+@query(
+    "docs_bpe_pairs",
+    f"""WITH w AS (SELECT UNNEST(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS word
+            FROM documents),
+    h AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    p AS (SELECT word[i] AS a, word[i + 1] AS b, freq
+          FROM h, UNNEST(generate_series(1, length(word) - 1)) AS g(i)),
+    c AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM p GROUP BY a, b)
+    SELECT a, b, cnt FROM c
+    ORDER BY cnt DESC, a, b LIMIT {_BPE_PAIR_TOPK}""",
+    doc="BPE training, first iteration: the adjacent character-pair "
+    "census over the word histogram — the exact pair table the first "
+    "merge decision of functions/bpe.bpe_train reads, exposed as an "
+    "oracle-checked query so the iterative trainer's per-step "
+    "aggregate has a hash-pinned twin. Plan: ONE corpus scan builds "
+    "the map-combined word histogram (Heaps' law: the vocab table is "
+    "orders of magnitude smaller than the corpus); pairing is a "
+    "narrow generate over an index sequence; the pair count combines "
+    "map-side; top-k is TakeOrderedAndProject. Total order (count "
+    "DESC, then (a, b)) makes the result partitioning-invariant.",
+)
+def docs_bpe_pairs(spark, sf_dir):
+    from meteo_etl_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe.word_histogram(fan_out(docs)).select(
+        bpe.chars("word").alias("syms"), "freq"
+    )
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(_BPE_PAIR_TOPK)
+    )
+
+
+@query(
+    "docs_bpe_merges",
+    None,  # iterative (driver-side argmax per step) — rows-only check;
+    # exact-match correctness is pinned by tests/test_bpe.py against a
+    # pure-Python reference trainer, incl. property-based corpora and a
+    # partitioning-invariance case.
+    doc="BPE tokenizer training end-to-end: 8 merges learned over the "
+    "documents corpus (Sennrich et al. 2016), returned as the ranked "
+    "merge table — the tokenizer-prep step of a training-data "
+    "pipeline run where the data lives. Architecture: one corpus scan "
+    "to the word histogram, then every iteration aggregates the "
+    "VOCAB TABLE only (map-combined pair count + ONE scalar driver "
+    "row for the argmax — the k-means-centroid discipline), applies "
+    "the merge with a pure built-in fold (no UDF), and truncates "
+    "lineage via localCheckpoint. At 100 TB the corpus is read "
+    "exactly once; iteration cost is bound by distinct words.",
+)
+def docs_bpe_merges(spark, sf_dir):
+    from meteo_etl_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(fan_out(docs), _BPE_N_MERGES)

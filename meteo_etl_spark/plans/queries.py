@@ -1821,6 +1821,8 @@ _DEFERRED: tuple[str, ...] = (
     "events_scd2_pit_join",  # point-in-time dim join: events_scd2 intervals + equi-join residual-range shape (never)
     "docs_bigram_fluency",  # bigram-LM fluency: docs_unigram_freq gram-join + integer-ppm shapes (never)
     "emb_outliers",  # per-label centroid outliers: emb_quant_audit fold + docs_per_source_sample rank shapes (never)
+    "docs_bpe_pairs",  # BPE first-iteration pair census: docs_unigram_freq histogram + bigram pairing shapes (never)
+    "docs_bpe_merges",  # iterative BPE training: rows-only by design (driver argmax loop); exact-pinned in tests/test_bpe.py (never)
 )
 
 

@@ -27,6 +27,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true", help="check every query, not just the window")
     ap.add_argument("--names", nargs="*", help="explicit query names to check")
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=8,
+        help="spark.sql.shuffle.partitions for the replay session — vary it "
+        "(e.g. 3 vs 8 vs 32) to certify every query's result is "
+        "partitioning-invariant, not just correct at one layout",
+    )
     args = ap.parse_args()
 
     from meteo_etl_spark.plans import queries as Q
@@ -42,7 +50,7 @@ def main() -> int:
         deferred = set(Q._DEFERRED)
         names = [n for n in all_q if n not in deferred][:50]
 
-    spark = get_spark("verify-window", shuffle_partitions=8)
+    spark = get_spark("verify-window", shuffle_partitions=args.shuffle_partitions)
     con = duckdb_connection(args.sf_dir)
     results: dict[str, str] = {}
     t0 = time.time()
