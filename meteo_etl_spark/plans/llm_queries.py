@@ -4250,3 +4250,124 @@ def docs_bpe_merges(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_train(fan_out(docs), _BPE_N_MERGES)
+
+
+#: top-k most-correlated dimension pairs reported by emb_dim_corr.
+_DIMCORR_TOPK = 20
+
+
+@query(
+    "emb_dim_corr",
+    f"""WITH u AS (SELECT list_transform(embedding::DOUBLE[], x ->
+                    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xu
+            FROM embeddings),
+    e AS (SELECT i, xu[i] AS x
+          FROM u, UNNEST(generate_series(1, {_DIM})) AS g(i)),
+    m AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+          FROM e GROUP BY i),
+    ps AS (SELECT i, j, CAST(SUM(xu[i] * xu[j]) AS BIGINT) AS sp
+           FROM u,
+                UNNEST(generate_series(1, {_DIM})) AS g(i),
+                UNNEST(generate_series(i, {_DIM})) AS h(j)
+           GROUP BY i, j),
+    c AS (SELECT p.i, p.j,
+                 (CAST(mi.n AS DOUBLE) * CAST(p.sp AS DOUBLE)
+                  - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE))
+                 / sqrt((CAST(mi.n AS DOUBLE) * CAST(di.sp AS DOUBLE)
+                         - CAST(mi.s AS DOUBLE) * CAST(mi.s AS DOUBLE))
+                        * (CAST(mi.n AS DOUBLE) * CAST(dj.sp AS DOUBLE)
+                           - CAST(mj.s AS DOUBLE) * CAST(mj.s AS DOUBLE)))
+                   AS corr
+          FROM ps p
+          JOIN m mi ON p.i = mi.i
+          JOIN m mj ON p.j = mj.i
+          JOIN ps di ON di.i = p.i AND di.j = p.i
+          JOIN ps dj ON dj.i = p.j AND dj.j = p.j
+          WHERE p.i < p.j)
+    SELECT CAST(i - 1 AS INTEGER) AS dim_i,
+           CAST(j - 1 AS INTEGER) AS dim_j,
+           CAST(floor(corr * 1000000.0 + 0.5) AS BIGINT) AS corr_ppm
+    FROM c
+    ORDER BY abs(floor(corr * 1000000.0 + 0.5)) DESC, dim_i, dim_j
+    LIMIT {_DIMCORR_TOPK}""",
+    doc="Embedding-dimension redundancy audit (the PCA/whitening "
+    "precursor): Pearson correlation between every dimension pair, "
+    "top-k by |corr| — highly correlated dimensions are the signal "
+    "that an index can drop/rotate dimensions before ANN serving. "
+    "Determinism discipline: all sufficient statistics (per-dim sums, "
+    "pairwise product sums) are INTEGER micro-unit sums — group-order "
+    "free — and the correlation is one fixed chain of double ops over "
+    "those integers, identical in both engines; ranking keys on the "
+    "ppm-snapped value. Plan: the upper-triangle product census is a "
+    "narrow generate (d(d+1)/2 terms per row) that combines map-side "
+    "to one row per dimension pair per partition, so the shuffle is "
+    "O(d^2), independent of corpus size; marginal stats are a d-row "
+    "frame broadcast onto the pair census; top-k is "
+    "TakeOrderedAndProject. Two vector scans (pair census + "
+    "marginals) — fuse by appending marginal terms to the census "
+    "array if the scan ever dominates.",
+)
+def emb_dim_corr(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    xu = F.transform(
+        F.transform("embedding", lambda x: x.cast("double")),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    base = fan_out(emb).select(xu.alias("xu"))
+    d = _DIM
+    pair_terms = F.expr(
+        f"flatten(transform(sequence(0, {d - 1}), i -> "
+        f"transform(sequence(i, {d - 1}), j -> "
+        f"struct(i AS i, j AS j, xu[i] * xu[j] AS p))))"
+    )
+    cens = (
+        base.select(F.explode(pair_terms).alias("pr"))
+        .select("pr.i", "pr.j", "pr.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("sp"))
+    )
+    marg = (
+        base.select(F.posexplode("xu").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    stats = marg.join(
+        cens.filter(F.col("i") == F.col("j")).select(
+            F.col("i").alias("pos"), F.col("sp").alias("ss")
+        ),
+        "pos",
+    )
+    si = F.broadcast(stats.select(
+        F.col("pos").alias("i"),
+        F.col("s").alias("s_i"),
+        F.col("n").alias("n"),
+        F.col("ss").alias("ss_i"),
+    ))
+    sj = F.broadcast(stats.select(
+        F.col("pos").alias("j"),
+        F.col("s").alias("s_j"),
+        F.col("ss").alias("ss_j"),
+    ))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (
+        dbl("n") * dbl("sp") - dbl("s_i") * dbl("s_j")
+    ) / F.sqrt(
+        (dbl("n") * dbl("ss_i") - dbl("s_i") * dbl("s_i"))
+        * (dbl("n") * dbl("ss_j") - dbl("s_j") * dbl("s_j"))
+    )
+    ppm = F.floor(corr * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        cens.filter(F.col("i") < F.col("j"))
+        .join(si, "i")
+        .join(sj, "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            ppm.alias("corr_ppm"),
+        )
+        .orderBy(F.abs(F.col("corr_ppm")).desc(), "dim_i", "dim_j")
+        .limit(_DIMCORR_TOPK)
+    )

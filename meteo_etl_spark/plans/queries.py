@@ -1823,6 +1823,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_outliers",  # per-label centroid outliers: emb_quant_audit fold + docs_per_source_sample rank shapes (never)
     "docs_bpe_pairs",  # BPE first-iteration pair census: docs_unigram_freq histogram + bigram pairing shapes (never)
     "docs_bpe_merges",  # iterative BPE training: rows-only by design (driver argmax loop); exact-pinned in tests/test_bpe.py (never)
+    "emb_dim_corr",  # dimension-pair correlation audit: emb_quant_audit micro-unit sums + skew-report broadcast shapes (never)
 )
 
 
