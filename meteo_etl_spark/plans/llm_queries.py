@@ -4371,3 +4371,46 @@ def emb_dim_corr(spark, sf_dir):
         .orderBy(F.abs(F.col("corr_ppm")).desc(), "dim_i", "dim_j")
         .limit(_DIMCORR_TOPK)
     )
+
+
+@query(
+    "emb_pca_variance",
+    None,  # eigendecomposition is not SQL-expressible — rows-only check;
+    # the distributed sufficient-statistics pass IS oracle-checked via
+    # its twin emb_dim_corr, and tests/test_pca.py pins the fit against
+    # numpy PCA (eigenvalues, subspace, sign policy, projections,
+    # partitioning invariance of the integer statistics).
+    doc="PCA spectrum of the embedding corpus: top-8 components' "
+    "eigenvalues and explained-variance ratios (ppm) plus each "
+    "component's dominant dimension — the whitening/rotation "
+    "go-or-no-go that SemDeDup-style pipelines run before clustering, "
+    "and the remedy emb_dim_corr's redundancy report calls for. "
+    "Architecture: ONE distributed pass collects integer micro-unit "
+    "sufficient statistics (O(d^2) shuffle, corpus-size independent); "
+    "the d x d eigendecomposition is a driver-side scalar-class step "
+    "(dimension-sized, the k-means-centroid discipline); nothing "
+    "corpus-sized ever reaches the driver.",
+)
+def emb_pca_variance(spark, sf_dir):
+    from meteo_etl_spark.functions import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca.pca_fit(fan_out(emb), "embedding", k=8)
+    ratios = model.explained_variance_ratio
+    rows = []
+    for i, (ev, r, comp) in enumerate(
+        zip(model.eigenvalues, ratios, model.components)
+    ):
+        import numpy as np
+
+        rows.append(
+            (
+                i,
+                int(ev * 1_000_000 + 0.5),
+                int(r * 1_000_000 + 0.5),
+                int(np.argmax(np.abs(np.array(comp)))),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "component INT, eigval_u BIGINT, var_ratio_ppm BIGINT, top_dim INT"
+    )
