@@ -4414,3 +4414,84 @@ def emb_pca_variance(spark, sf_dir):
     return spark.createDataFrame(
         rows, "component INT, eigval_u BIGINT, var_ratio_ppm BIGINT, top_dim INT"
     )
+
+
+@query(
+    "events_anomaly_mad",
+    """WITH v AS (SELECT event_type,
+                    CAST(ROUND(value * 100) AS BIGINT) AS v
+             FROM events),
+    r1 AS (SELECT event_type, v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM v),
+    med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+            FROM r1 GROUP BY event_type),
+    a AS (SELECT v.event_type, v.v, med.n, med.med,
+                 abs(v.v - med.med) AS adev
+          FROM v JOIN med ON v.event_type = med.event_type),
+    r2 AS (SELECT event_type, n, med, adev,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY adev) AS rn
+           FROM a),
+    mad AS (SELECT event_type, MIN(n) AS n, MIN(med) AS med,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+            FROM r2 GROUP BY event_type)
+    SELECT a.event_type, MIN(mad.n) AS n, MIN(mad.med) AS med,
+           MIN(mad.mad) AS mad,
+           CAST(COUNT(*) FILTER (WHERE a.adev > 3 * mad.mad) AS BIGINT)
+             AS n_outliers
+    FROM a JOIN mad ON a.event_type = mad.event_type
+    GROUP BY a.event_type ORDER BY a.event_type""",
+    doc="MAD anomaly census (the ROBUST complement of "
+    "events_anomaly_iqr's Tukey fences): per event type, the median, "
+    "the median absolute deviation, and the count of values with "
+    "|v - med| > 3 MAD — the modified-z-score filter that survives "
+    "50% contamination where mean/stddev break down at <1%. "
+    "All-integer: values in cents, nearest-rank (Type-1) medians via "
+    "(n+1) div 2, and an integer fence test — no FP on either engine. "
+    "Plan: TWO ranked window passes (values, then absolute "
+    "deviations), each collapsing to a |types|-row frame that "
+    "BROADCASTS back — the events table is scanned, never shuffled "
+    "against itself; per-type rank windows are the same "
+    "sort-within-type shape AQE handles at scale (salt the window by "
+    "range-partitioning on (type, v) if one type dominates).",
+)
+def events_anomaly_mad(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w1 = Window.partitionBy("event_type").orderBy("v")
+    wp = Window.partitionBy("event_type")
+    r1 = ev.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("v"))).alias("med"),
+    )
+    a = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev")
+    r2 = a.withColumn("rn", F.row_number().over(w2))
+    mad = r2.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("med").alias("med"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("adev"))).alias("mad"),
+    )
+    return (
+        a.drop("n", "med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )

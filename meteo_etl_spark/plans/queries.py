@@ -1825,6 +1825,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_bpe_merges",  # iterative BPE training: rows-only by design (driver argmax loop); exact-pinned in tests/test_bpe.py (never)
     "emb_dim_corr",  # dimension-pair correlation audit: emb_quant_audit micro-unit sums + skew-report broadcast shapes (never)
     "emb_pca_variance",  # PCA spectrum: rows-only by design (driver eigh); stats pass oracle-twinned by emb_dim_corr, fit pinned in tests/test_pca.py (never)
+    "events_anomaly_mad",  # robust MAD outlier census: events_anomaly_iqr ranked-window + broadcast-fence shapes (never)
 )
 
 
