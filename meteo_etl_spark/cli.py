@@ -147,6 +147,29 @@ def _build_parser() -> argparse.ArgumentParser:
         help="never-referenced generations younger than this are kept "
         "(possible concurrent-writer staging); 0 asserts writer quiescence",
     )
+
+    a = sub.add_parser(
+        "analyze",
+        help="one-pass table stats (rows, decoded widths, nulls, optional "
+        "NDV) persisted as _table_stats.json — feeds the broadcast advisor",
+    )
+    a.add_argument("--path", required=True, help="table path (plain or atomic)")
+    a.add_argument(
+        "--ndv-by", default=None, metavar="COL[,COL..]",
+        help="also estimate distinct counts (HLL++) for these columns",
+    )
+
+    tt = sub.add_parser(
+        "tokenizer-train",
+        help="train BPE merges over a parquet text column (one corpus "
+        "scan; iterations run on the word histogram) and write the "
+        "ranked merge table as JSON lines",
+    )
+    tt.add_argument("--path", required=True, help="parquet table with the text column")
+    tt.add_argument("--text-col", default="text")
+    tt.add_argument("--merges", type=int, default=256)
+    tt.add_argument("--min-pair-count", type=int, default=2)
+    tt.add_argument("--out", required=True, help="output path for merges.jsonl")
     return ap
 
 
@@ -273,6 +296,54 @@ def main(argv: Sequence[str] | None = None) -> int:
             min_orphan_age_seconds=args.min_orphan_age_seconds,
         )
         print(f"removed={len(removed)}")
+        return 0
+
+    if args.command == "analyze":
+        from meteo_etl_spark.operators.stats import analyze_table
+
+        ndv = (
+            [c.strip() for c in args.ndv_by.split(",") if c.strip()]
+            if args.ndv_by
+            else None
+        )
+        stats = analyze_table(spark, args.path, ndv_columns=ndv)
+        print(f"rows={stats.rows} decoded_bytes={stats.decoded_bytes}")
+        for name, col in sorted(stats.columns.items()):
+            ndv_part = f" ndv~{col['ndv']}" if "ndv" in col else ""
+            print(
+                f"column {name}: avg_width={col['width']:.1f} "
+                f"nulls={col['nulls']}{ndv_part}"
+            )
+        return 0
+
+    if args.command == "tokenizer-train":
+        import json as _json
+
+        from meteo_etl_spark.functions.bpe import bpe_train
+
+        df = spark.read.parquet(args.path)
+        merges = bpe_train(
+            df,
+            args.merges,
+            text_col=args.text_col,
+            min_pair_count=args.min_pair_count,
+        ).collect()
+        with open(args.out, "w", encoding="utf-8") as fh:
+            for r in merges:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "rank": r["rank"],
+                            "a": r["a"],
+                            "b": r["b"],
+                            "merged": r["merged"],
+                            "pair_count": r["pair_count"],
+                        },
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+        print(f"merges={len(merges)} out={args.out}")
         return 0
 
     if args.command == "dashboard":

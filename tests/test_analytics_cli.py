@@ -192,3 +192,41 @@ def test_cli_optimize_bloom_filter_flag(spark, tmp_path, capsys):
     files = [os.path.join(r, f) for r, _d, fs in os.walk(path)
              for f in fs if f.endswith(".parquet")]
     assert files and all(bloom_filter_offset(spark, f, "k") >= 0 for f in files)
+
+
+def test_cli_analyze_prints_stats(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "aa", None), (2, "bbbb", "x")], ["id", "s", "maybe"]
+    ).write.parquet(path)
+    rc = cli.main(["analyze", "--path", path, "--ndv-by", "id"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows=2" in out
+    assert "column maybe:" in out and "nulls=1" in out
+    assert "ndv~" in out
+    # persisted sidecar feeds the broadcast advisor
+    from meteo_etl_spark.operators.stats import load_stats
+
+    st = load_stats(path)
+    assert st is not None and st.rows == 2
+
+
+def test_cli_tokenizer_train_writes_merges(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [("low low low lower",), ("newest newest new",)], ["text"]
+    ).write.parquet(corpus)
+    out = str(tmp_path / "merges.jsonl")
+    rc = cli.main(
+        ["tokenizer-train", "--path", corpus, "--out", out,
+         "--merges", "4", "--min-pair-count", "2"]
+    )
+    assert rc == 0
+    import json as _json
+
+    lines = [_json.loads(l) for l in open(out, encoding="utf-8")]
+    assert lines and lines[0]["rank"] == 0
+    assert all(m["merged"] == m["a"] + m["b"] for m in lines)
+    assert all(m["pair_count"] >= 2 for m in lines)
+    assert f"merges={len(lines)}" in capsys.readouterr().out
