@@ -103,3 +103,20 @@ def test_project_plan_is_udf_free(spark, data):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_composes_with_kmeans_pipeline(spark, data):
+    """SemDeDup's actual recipe: PCA-reduce, then cluster in the
+    projected space — the composition must run end-to-end with the
+    projected column as a drop-in embedding."""
+    from meteo_etl_spark.functions import clustering as cl
+
+    df = _make_df(spark, data)
+    model = pca.pca_fit(df, k=3)
+    proj = pca.pca_project(df, model).select(
+        "id", F.col("pca").alias("embedding")
+    )
+    centroids, inertia = cl.kmeans_fit(proj, k=2, iters=3, id_col="id")
+    assert len(centroids) == 2
+    assert all(len(c) == 3 for c in centroids)  # centroids live in PCA space
+    assert inertia == sorted(inertia, reverse=True)  # Lloyd's monotone descent
