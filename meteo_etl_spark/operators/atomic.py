@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Callable
@@ -64,6 +65,8 @@ from meteo_etl_spark.operators import fsio
 
 MANIFEST_NAME = "_MANIFEST.json"
 VERSION_PREFIX = "_MANIFEST.v"
+TAG_PREFIX = "_TAG."
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -399,12 +402,83 @@ class AtomicParquetTable:
         version files exist; generations may be gone post-vacuum)."""
         return _version_files(self._io, self.path)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    # -- tags (named version refs, Iceberg-style) ------------------------
+
+    def tags(self) -> dict[str, int]:
+        """Existing tags: name -> version."""
+        out: dict[str, int] = {}
+        try:
+            names = self._io.listdir(self.path)
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith(TAG_PREFIX) and n.endswith(".json"):
+                try:
+                    body = fsio.read_json(self._io, os.path.join(self.path, n))
+                    out[body["name"]] = int(body["version"])
+                except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                    continue
+        return out
+
+    def tag(self, name: str, version: int | None = None, *, replace: bool = False) -> int:
+        """Pin a committed version under a stable name (default: the
+        live version). Tagged versions — and the generations they
+        reference — SURVIVE vacuum regardless of ``retain_versions``,
+        so a tag is the release mechanism: ``tag("train-v3")`` freezes
+        the exact snapshot a training run consumed while routine vacuum
+        keeps collecting untagged history around it.
+
+        Tags are immutable by default (atomic create-if-absent, same
+        arbiter as commits); ``replace=True`` moves an existing one.
+        Returns the pinned version."""
+        if not _TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r} (want [A-Za-z0-9][A-Za-z0-9._-]*)"
+            )
+        if version is None:
+            m = self._load_manifest()
+            if m is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            version = int(m["version"])
+        elif version not in self.versions():
+            raise FileNotFoundError(
+                f"no committed version {version} at {self.path} "
+                f"(available: {self.versions()})"
+            )
+        tpath = os.path.join(self.path, f"{TAG_PREFIX}{name}.json")
+        body = json.dumps({"name": name, "version": version}, sort_keys=True)
+        if replace:
+            self._io.replace(tpath, body)
+        elif not self._io.publish_exclusive(tpath, body):
+            raise FileExistsError(
+                f"tag {name!r} already exists at {self.path} "
+                "(pass replace=True to move it)"
+            )
+        self._io.fsync_dir(self.path)
+        return version
+
+    def delete_tag(self, name: str) -> None:
+        tpath = os.path.join(self.path, f"{TAG_PREFIX}{name}.json")
+        if not self._io.isfile(tpath):
+            raise FileNotFoundError(f"no tag {name!r} at {self.path}")
+        self._io.unlink(tpath)
+
+    def read(self, version: int | None = None, *, tag: str | None = None) -> DataFrame:
         """Current snapshot, or a past one with ``version=N`` (time
-        travel). A past version reads its retained manifest; it fails
-        with FILE_NOT_FOUND once vacuum has collected the generations
-        it references — retention is governed by vacuum cadence, the
+        travel) or ``tag="name"`` (named ref). A past version reads its
+        retained manifest; it fails with FILE_NOT_FOUND once vacuum has
+        collected the generations it references — retention is governed
+        by vacuum cadence (tagged versions are always retained), the
         same contract as Delta's VACUUM vs @v time travel."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            found = self.tags()
+            if tag not in found:
+                raise FileNotFoundError(
+                    f"no tag {tag!r} at {self.path} (available: {sorted(found)})"
+                )
+            version = found[tag]
         if version is not None:
             vp = os.path.join(self.path, f"{VERSION_PREFIX}{version}.json")
             try:
@@ -576,6 +650,9 @@ class AtomicParquetTable:
             all_versions = _version_files(self._io, self.path)
         keep_versions = set(all_versions[-retain_versions:])
         keep_versions.add(m["version"])  # the live version is never collected
+        # Tagged versions are named releases: their version files and
+        # generations survive vacuum regardless of retain_versions.
+        keep_versions |= {v for v in self.tags().values() if v in set(all_versions)}
         live: set[str] = set()
         referenced: set[str] = set()  # by ANY existing version file
         for v in all_versions:

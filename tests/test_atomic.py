@@ -709,3 +709,57 @@ def test_diff_versions_schema_change_rejected(spark, tmp_path):
     v2 = t.versions()[-1]
     with pytest.raises(ValueError, match="schema changed"):
         diff_versions(spark, path, v1, v2, ["k"])
+
+
+# -- tags (named version refs) ----------------------------------------------
+
+
+def test_tag_reads_pinned_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))       # v1
+    assert t.tag("train-v1") == 1                                  # live default
+    t.overwrite_partitions(_df(spark, [(1, "NEW", "x")]))          # v2
+    got = {(r.k, r.v, r.d) for r in t.read(tag="train-v1").collect()}
+    assert got == {(1, "a", "x"), (2, "b", "y")}
+    assert t.tags() == {"train-v1": 1}
+
+
+def test_tagged_version_survives_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path, partition_col="d")
+    t.overwrite(_df(spark, [(1, "a", "x")]))                       # v1 (tagged)
+    t.tag("release", 1)
+    t.overwrite(_df(spark, [(1, "b", "x")]))                       # v2 (untagged)
+    t.overwrite(_df(spark, [(1, "c", "x")]))                       # v3 (live)
+    t.vacuum(retain_versions=1, min_orphan_age_seconds=0)
+    # v2 collected, v1 protected by the tag, v3 live
+    assert t.versions() == [1, 3]
+    old = {(r.k, r.v, r.d) for r in t.read(tag="release").collect()}
+    assert old == {(1, "a", "x")}
+    # dropping the tag releases it to the next vacuum
+    t.delete_tag("release")
+    t.vacuum(retain_versions=1, min_orphan_age_seconds=0)
+    assert t.versions() == [3]
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        t.read(tag="release")
+
+
+def test_tag_validation_and_immutability(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a", "x")]))                       # v1
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("../escape")
+    with pytest.raises(FileNotFoundError, match="no committed version 9"):
+        t.tag("ghost", 9)
+    t.tag("rel", 1)
+    with pytest.raises(FileExistsError, match="already exists"):
+        t.tag("rel", 1)
+    t.overwrite(_df(spark, [(2, "b", "y")]))                       # v2
+    assert t.tag("rel", replace=True) == 2                         # moved to live
+    assert t.tags() == {"rel": 2}
+    with pytest.raises(ValueError, match="version OR tag"):
+        t.read(version=1, tag="rel")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        t.delete_tag("nope")
