@@ -148,6 +148,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "(possible concurrent-writer staging); 0 asserts writer quiescence",
     )
 
+    tg = sub.add_parser(
+        "tag",
+        help="named version refs on an atomic table: pin the live (or a "
+        "given) version under a stable name; tagged versions survive "
+        "vacuum — the dataset-release mechanism",
+    )
+    tg.add_argument("--path", required=True, help="atomic table path")
+    tg.add_argument("--name", help="tag name (omit with --list)")
+    tg.add_argument("--version", type=int, default=None, help="pin this version (default: live)")
+    tg.add_argument("--replace", action="store_true", help="move an existing tag")
+    tg.add_argument("--delete", action="store_true", help="delete the tag")
+    tg.add_argument("--list", action="store_true", help="list tags")
+
     a = sub.add_parser(
         "analyze",
         help="one-pass table stats (rows, decoded widths, nulls, optional "
@@ -296,6 +309,31 @@ def main(argv: Sequence[str] | None = None) -> int:
             min_orphan_age_seconds=args.min_orphan_age_seconds,
         )
         print(f"removed={len(removed)}")
+        return 0
+
+    if args.command == "tag":
+        from meteo_etl_spark.operators.atomic import (
+            AtomicParquetTable,
+            is_atomic_table,
+        )
+
+        if not is_atomic_table(args.path, spark):
+            print(f"not an atomic table: {args.path}")
+            return 1
+        t = AtomicParquetTable(spark, args.path, **wh.atomic_options)
+        if args.list:
+            for name, version in sorted(t.tags().items()):
+                print(f"{name}\tv{version}")
+            return 0
+        if not args.name:
+            print("tag: --name is required unless --list")
+            return 1
+        if args.delete:
+            t.delete_tag(args.name)
+            print(f"deleted {args.name}")
+            return 0
+        v = t.tag(args.name, args.version, replace=args.replace)
+        print(f"{args.name}\tv{v}")
         return 0
 
     if args.command == "analyze":

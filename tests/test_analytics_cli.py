@@ -230,3 +230,22 @@ def test_cli_tokenizer_train_writes_merges(spark, tmp_path, capsys):
     assert all(m["merged"] == m["a"] + m["b"] for m in lines)
     assert all(m["pair_count"] >= 2 for m in lines)
     assert f"merges={len(lines)}" in capsys.readouterr().out
+
+
+def test_cli_tag_lifecycle(spark, tmp_path, capsys):
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path)
+    t.overwrite(spark.createDataFrame([(1,)], ["k"]))            # v1
+    assert cli.main(["tag", "--path", path, "--name", "rel"]) == 0
+    t.overwrite(spark.createDataFrame([(2,)], ["k"]))            # v2
+    assert cli.main(["tag", "--path", path, "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "rel\tv1" in out
+    assert cli.main(
+        ["tag", "--path", path, "--name", "rel", "--replace"]
+    ) == 0
+    assert cli.main(["tag", "--path", path, "--name", "rel", "--delete"]) == 0
+    assert t.tags() == {}
+    assert cli.main(["tag", "--path", str(tmp_path / "nope"), "--name", "x"]) == 1
