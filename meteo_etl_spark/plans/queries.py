@@ -1787,11 +1787,15 @@ _DEFERRED: tuple[str, ...] = (
     # (large-k broadcast-join assignment) into the window:
     "sim_ann_lsh",  # hyperplane-LSH ANN: sim_ann_ivf + build_lsh_index stay (in-window r6, 6× green)
     # New in round 7, deferred at birth to keep the window stable —
-    # each pytest-oracle green AND hash-verified vs DuckDB at sf0.01
-    # in-session (full-registry replay: 120/120 green, see
-    # bench_evidence/R7_NEWOPS.md); the 10 "(never)" entries below are
-    # the round-8 rotation batch — swap them in against 10 in-window
-    # multi-round-green veterans with shape twins:
+    # each pytest-oracle green AND hash-verified vs DuckDB at sf0.001
+    # and sf0.01 in-session, under THREE shuffle-partition layouts
+    # (full-registry replays: 120/120, 135/135, 137/137 — see
+    # bench_evidence/R7_NEWOPS.md). Every "(never)" entry below is
+    # round-8 rotation backlog: swap batches of them in against
+    # in-window multi-round-green veterans with shape twins until all
+    # are driver-hash certified (oracle-less rows-only entries —
+    # docs_bpe_merges, emb_pca_variance — still get the driver's
+    # rows-only check when windowed):
     "docs_dsir_weights",  # DSIR importance scoring: tfidf explode+agg shapes (never)
     "docs_priority_sample",  # weighted top-k sampling: q1 TakeOrdered + hash_split md5 shapes (never)
     "events_grouping_sets",  # CUBE/Expand census: events_pivot conditional-agg + rollup shapes (never)
