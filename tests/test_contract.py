@@ -15,9 +15,16 @@ def test_entry_contract_shape(spark):
     oracles = e.oracle_sql()
     assert len(qs) >= 30
     # every oracle key is a declared query; rows-only set is the
-    # intentional approx twins only
+    # intentional non-SQL-expressible entries only: the approx twins,
+    # the iterative BPE trainer (driver-side argmax loop), and the PCA
+    # spectrum (driver-side eigendecomposition)
     assert set(oracles) <= set(qs)
-    assert set(qs) - set(oracles) == {"q3_approx_distinct", "q5_approx_summary"}
+    assert set(qs) - set(oracles) == {
+        "q3_approx_distinct",
+        "q5_approx_summary",
+        "docs_bpe_merges",
+        "emb_pca_variance",
+    }
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
 
