@@ -156,7 +156,13 @@ def bpe_train(
         records.append((rank, a, b, a + b, cnt))
         # Materialize the rewrite each step: bounded lineage, and the
         # next pair count runs over a flat cached vocab, not a
-        # rank-deep expression chain.
+        # rank-deep expression chain. Rebinding drops the Python ref to
+        # the superseded checkpoint; its blocks are released by the
+        # ContextCleaner once the JVM side is collected (the same
+        # retention behavior as the graph frontiers in operators/
+        # graph.py) — storage holds O(1) LIVE vocab copies plus
+        # whatever the cleaner hasn't gotten to yet, each vocab-sized,
+        # never corpus-sized.
         vocab = vocab.select(
             apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
         ).localCheckpoint()

@@ -46,19 +46,23 @@ _U = 1_000_000.0
 
 @dataclass(frozen=True)
 class PCAModel:
-    """Fitted PCA: feature means, components (k x d, row-major), and
-    eigenvalues (descending)."""
+    """Fitted PCA: feature means, components (k x d, row-major),
+    eigenvalues (descending), and the TOTAL variance (covariance
+    trace) so ratios stay honest when k < d."""
 
     mean: tuple[float, ...]
     components: tuple[tuple[float, ...], ...]
     eigenvalues: tuple[float, ...]
+    total_variance: float
 
     @property
     def explained_variance_ratio(self) -> tuple[float, ...]:
-        tot = sum(self.eigenvalues)
-        if tot <= 0:
+        """Each retained eigenvalue over the covariance TRACE (total
+        variance across all d dimensions) — with k < d the ratios sum
+        to the subspace's true coverage, not to a misleading 1.0."""
+        if self.total_variance <= 0:
             return tuple(0.0 for _ in self.eigenvalues)
-        return tuple(v / tot for v in self.eigenvalues)
+        return tuple(v / self.total_variance for v in self.eigenvalues)
 
 
 def _micro(col: Column) -> Column:
@@ -68,38 +72,61 @@ def _micro(col: Column) -> Column:
     )
 
 
+def moment_census(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The shared second-moment census: ONE corpus scan, ONE
+    map-combined aggregate, O(d^2) shuffle rows regardless of corpus
+    size. Output rows ``(i, j, sp)``:
+
+    - ``0 <= i <= j < dim``: sum of ``xu[i] * xu[j]`` (pair products);
+    - ``(i, -1)``: the marginal sum of ``xu[i]``;
+    - ``(-1, -1)``: the row count —
+
+    all riding the same exploded term array so the marginals cost no
+    extra scan. Sums aggregate as ``decimal(38, 0)``: per-term products
+    fit int64 comfortably (micro-unit values ~1e6 -> ~1e12 per term),
+    but an int64 SUM would wrap silently near 9.2e18 — under ten
+    million unit-scale vectors — whereas the decimal sum is exact to
+    1e38 and raises rather than wraps. The DuckDB oracle twin
+    (plans/llm_queries.emb_dim_corr) sums to HUGEINT, the same
+    128-bit-exact contract."""
+    base = df.select(_micro(F.col(vec_col)).alias("xu"))
+    terms = F.expr(
+        "concat("
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        "struct(i AS i, j AS j, xu[i] * xu[j] AS p)))), "
+        f"transform(sequence(0, {dim - 1}), i -> "
+        "struct(i AS i, -1 AS j, xu[i] AS p)), "
+        "array(struct(-1 AS i, -1 AS j, 1L AS p)))"
+    )
+    return (
+        base.select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"))
+    )
+
+
 def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
     """One distributed pass -> (n, sums[d], gram upper triangle dict).
 
-    Returns integer micro-unit statistics; the pair census aggregate
-    combines map-side so the shuffle is O(d^2) rows regardless of
-    corpus size."""
-    base = df.select(_micro(F.col(vec_col)).alias("xu"))
-    pair_terms = F.expr(
-        f"flatten(transform(sequence(0, {dim - 1}), i -> "
-        f"transform(sequence(i, {dim - 1}), j -> "
-        f"struct(i AS i, j AS j, xu[i] * xu[j] AS p))))"
-    )
-    cens = (
-        base.select(F.explode(pair_terms).alias("pr"))
-        .select("pr.i", "pr.j", "pr.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").cast("long").alias("sp"))
-        .collect()
-    )
-    marg = (
-        base.select(F.posexplode("xu").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    if not marg:
+    Collects the dimension-sized :func:`moment_census` (d(d+1)/2 + d + 1
+    rows — scalar-class, never corpus-sized) and splits it into exact
+    Python integers."""
+    rows = moment_census(df, vec_col, dim).collect()
+    if not rows:
         raise ValueError("pca: empty input")
-    n = int(marg[0]["n"])
+    n = 0
     sums = [0] * dim
-    for r in marg:
-        sums[int(r["pos"])] = int(r["s"])
-    gram = {(int(r["i"]), int(r["j"])): int(r["sp"]) for r in cens}
+    gram: dict[tuple[int, int], int] = {}
+    for r in rows:
+        i, j, sp = int(r["i"]), int(r["j"]), int(r["sp"])
+        if i == -1:
+            n = sp
+        elif j == -1:
+            sums[i] = sp
+        else:
+            gram[(i, j)] = sp
     return n, sums, gram
 
 
@@ -139,7 +166,12 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
         comps.append(tuple(float(x) for x in v))
         eigs.append(float(max(vals[idx], 0.0)))
     mean = tuple(float(x) for x in (s / n / _U))
-    return PCAModel(mean=mean, components=tuple(comps), eigenvalues=tuple(eigs))
+    return PCAModel(
+        mean=mean,
+        components=tuple(comps),
+        eigenvalues=tuple(eigs),
+        total_variance=float(max(np.trace(cov), 0.0)),
+    )
 
 
 def pca_project(

@@ -431,7 +431,9 @@ class AtomicParquetTable:
         Tags are immutable by default (atomic create-if-absent, same
         arbiter as commits); ``replace=True`` moves an existing one.
         Returns the pinned version."""
-        if not _TAG_NAME_RE.match(name):
+        # fullmatch, not match: `$` alone would admit a trailing newline
+        # and mint a filename with an embedded control character.
+        if not _TAG_NAME_RE.fullmatch(name):
             raise ValueError(
                 f"invalid tag name {name!r} (want [A-Za-z0-9][A-Za-z0-9._-]*)"
             )
@@ -440,7 +442,13 @@ class AtomicParquetTable:
             if m is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
             version = int(m["version"])
-        elif version not in self.versions():
+        # Both paths require the VERSION FILE, not just a live pointer:
+        # read(tag=) resolves through _MANIFEST.v<N>.json and vacuum
+        # protects only versions whose file exists, so tagging a
+        # pointer-only manifest would mint an unreadable, unprotected
+        # tag (possible on a legacy table or after a lock-mode crash
+        # before the version-file completion).
+        if version not in self.versions():
             raise FileNotFoundError(
                 f"no committed version {version} at {self.path} "
                 f"(available: {self.versions()})"

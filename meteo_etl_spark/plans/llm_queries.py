@@ -4263,9 +4263,9 @@ _DIMCORR_TOPK = 20
             FROM embeddings),
     e AS (SELECT i, xu[i] AS x
           FROM u, UNNEST(generate_series(1, {_DIM})) AS g(i)),
-    m AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+    m AS (SELECT i, SUM(x) AS s, COUNT(*) AS n
           FROM e GROUP BY i),
-    ps AS (SELECT i, j, CAST(SUM(xu[i] * xu[j]) AS BIGINT) AS sp
+    ps AS (SELECT i, j, SUM(xu[i] * xu[j]) AS sp
            FROM u,
                 UNNEST(generate_series(1, {_DIM})) AS g(i),
                 UNNEST(generate_series(i, {_DIM})) AS h(j)
@@ -4298,52 +4298,33 @@ _DIMCORR_TOPK = 20
     "pairwise product sums) are INTEGER micro-unit sums — group-order "
     "free — and the correlation is one fixed chain of double ops over "
     "those integers, identical in both engines; ranking keys on the "
-    "ppm-snapped value. Plan: the upper-triangle product census is a "
-    "narrow generate (d(d+1)/2 terms per row) that combines map-side "
-    "to one row per dimension pair per partition, so the shuffle is "
-    "O(d^2), independent of corpus size; marginal stats are a d-row "
-    "frame broadcast onto the pair census; top-k is "
-    "TakeOrderedAndProject. Two vector scans (pair census + "
-    "marginals) — fuse by appending marginal terms to the census "
-    "array if the scan ever dominates.",
+    "ppm-snapped value. Plan: pca.moment_census — the SAME census the "
+    "PCA fit collects — scans the vectors ONCE (pair products, "
+    "marginal sums, and the row count all ride one exploded term "
+    "array into one map-combined aggregate, O(d^2) shuffle rows "
+    "regardless of corpus size; sums are decimal(38,0) so they "
+    "cannot wrap where an int64 SUM would near 10M unit-scale "
+    "vectors — the oracle's HUGEINT mirrors this); the dimension-"
+    "sized marginal/diagonal slices broadcast back onto the pair "
+    "rows (identical census subtrees dedup via ReuseExchange); "
+    "top-k is TakeOrderedAndProject.",
 )
 def emb_dim_corr(spark, sf_dir):
+    from meteo_etl_spark.functions.pca import moment_census
+
     emb = load_table(spark, sf_dir, "embeddings")
-    xu = F.transform(
-        F.transform("embedding", lambda x: x.cast("double")),
-        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    cens = moment_census(fan_out(emb), "embedding", _DIM)
+    nrow = F.broadcast(
+        cens.filter(F.col("i") == -1).select(F.col("sp").alias("n"))
     )
-    base = fan_out(emb).select(xu.alias("xu"))
-    d = _DIM
-    pair_terms = F.expr(
-        f"flatten(transform(sequence(0, {d - 1}), i -> "
-        f"transform(sequence(i, {d - 1}), j -> "
-        f"struct(i AS i, j AS j, xu[i] * xu[j] AS p))))"
-    )
-    cens = (
-        base.select(F.explode(pair_terms).alias("pr"))
-        .select("pr.i", "pr.j", "pr.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").cast("long").alias("sp"))
-    )
-    marg = (
-        base.select(F.posexplode("xu").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(
-            F.sum("x").cast("long").alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    stats = marg.join(
-        cens.filter(F.col("i") == F.col("j")).select(
-            F.col("i").alias("pos"), F.col("sp").alias("ss")
-        ),
-        "pos",
+    marg = cens.filter((F.col("i") >= 0) & (F.col("j") == -1))
+    diag = cens.filter((F.col("i") >= 0) & (F.col("i") == F.col("j")))
+    stats = marg.select(F.col("i").alias("pos"), F.col("sp").alias("s")).join(
+        diag.select(F.col("i").alias("pos"), F.col("sp").alias("ss")), "pos"
     )
     si = F.broadcast(stats.select(
         F.col("pos").alias("i"),
         F.col("s").alias("s_i"),
-        F.col("n").alias("n"),
         F.col("ss").alias("ss_i"),
     ))
     sj = F.broadcast(stats.select(
@@ -4360,9 +4341,10 @@ def emb_dim_corr(spark, sf_dir):
     )
     ppm = F.floor(corr * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
-        cens.filter(F.col("i") < F.col("j"))
+        cens.filter((F.col("i") >= 0) & (F.col("i") < F.col("j")))
         .join(si, "i")
         .join(sj, "j")
+        .crossJoin(nrow)
         .select(
             F.col("i").cast("int").alias("dim_i"),
             F.col("j").cast("int").alias("dim_j"),
@@ -4396,21 +4378,12 @@ def emb_pca_variance(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca.pca_fit(fan_out(emb), "embedding", k=8)
-    ratios = model.explained_variance_ratio
     rows = []
     for i, (ev, r, comp) in enumerate(
-        zip(model.eigenvalues, ratios, model.components)
+        zip(model.eigenvalues, model.explained_variance_ratio, model.components)
     ):
-        import numpy as np
-
-        rows.append(
-            (
-                i,
-                int(ev * 1_000_000 + 0.5),
-                int(r * 1_000_000 + 0.5),
-                int(np.argmax(np.abs(np.array(comp)))),
-            )
-        )
+        top_dim = max(range(len(comp)), key=lambda d: abs(comp[d]))
+        rows.append((i, int(ev * 1_000_000 + 0.5), int(r * 1_000_000 + 0.5), top_dim))
     return spark.createDataFrame(
         rows, "component INT, eigval_u BIGINT, var_ratio_ppm BIGINT, top_dim INT"
     )

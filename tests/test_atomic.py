@@ -751,6 +751,8 @@ def test_tag_validation_and_immutability(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "a", "x")]))                       # v1
     with pytest.raises(ValueError, match="invalid tag name"):
         t.tag("../escape")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("rel\n")  # `$`-anchored match would admit the newline
     with pytest.raises(FileNotFoundError, match="no committed version 9"):
         t.tag("ghost", 9)
     t.tag("rel", 1)

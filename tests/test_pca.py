@@ -62,6 +62,18 @@ def test_explained_variance_ratio_descends(spark, data):
     assert abs(sum(r) - 1.0) < 1e-9  # k = d -> ratios sum to 1
 
 
+def test_explained_variance_ratio_honest_when_k_lt_d(spark, data):
+    """Ratios divide by the covariance TRACE (total variance), so with
+    k < d they sum to the subspace's true coverage — NOT 1.0."""
+    full = pca.pca_fit(_make_df(spark, data), k=6)
+    part = pca.pca_fit(_make_df(spark, data), k=2)
+    assert part.total_variance == pytest.approx(full.total_variance)
+    expect = sum(full.eigenvalues[:2]) / full.total_variance
+    got = sum(part.explained_variance_ratio)
+    assert got == pytest.approx(expect)
+    assert got < 0.999  # the fixture spreads variance over >2 directions
+
+
 def test_project_matches_model_math(spark, data):
     df = _make_df(spark, data)
     model = pca.pca_fit(df, k=3)

@@ -47,6 +47,7 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_multiprobe",  # the single query vector crossed in; Hamming probe is a residual condition
     "docs_drift_report",  # 1-row (t_ref, t_cur) snapshot totals crossed into the |sources|-row share table
     "events_key_skew_report",  # 1-row (tot, nkeys) census totals crossed into the per-key count frame
+    "emb_dim_corr",  # 1-row census count (the (-1,-1) moment row) crossed into the d(d-1)/2-row pair frame
 }
 
 
