@@ -172,3 +172,27 @@ def test_word_histogram_counts(spark):
         r["word"]: r["freq"] for r in bpe.word_histogram(df).collect()
     }
     assert got == {"a": 2, "b": 3}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=14), min_size=1, max_size=6
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_encode_property_vs_reference(spark, texts):
+    """Encoding with corpus-trained merges matches the reference
+    encoder on arbitrary corpora (incl. empty docs and odd spacing)."""
+    words = [w for t in texts for w in t.split(" ") if w]
+    merges = [(m[0], m[1]) for m in _ref_train(words, 4)]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r["text"], list(r["bpe_tokens"]))
+        for r in bpe.bpe_encode(df, merges).collect()
+    ]
+    for text, toks in got:
+        assert toks == _ref_encode(text, merges), (text, merges)
