@@ -4468,3 +4468,72 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+#: reference-vocabulary size for the OOV-rate census.
+_OOV_VOCAB_K = 256
+
+
+@query(
+    "docs_oov_rate",
+    f"""WITH t AS (SELECT doc_id, tok
+          FROM (SELECT doc_id,
+                       UNNEST(list_filter(string_split(text, ' '),
+                                          x -> length(x) > 0)) AS tok
+                FROM documents)),
+    v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+                           ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_K})),
+    j AS (SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM t LEFT JOIN v USING (tok))
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((2 * 1000000 * SUM(oov) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS oov_ppm
+    FROM j GROUP BY doc_id ORDER BY doc_id""",
+    doc="Vocabulary-coverage census: per document, the share of tokens "
+    "(ppm) outside the corpus's own top-k vocabulary — the OOV-rate "
+    "signal that sizes a tokenizer's vocab (every OOV token fragments "
+    "into subwords, so high-OOV docs inflate token budgets) and flags "
+    "vocabulary-mismatched sources before training. Deterministic "
+    "vocab cut: (count DESC, token) is a total order, so the top-k set "
+    "is identical on any partitioning and in both engines; the rate "
+    "rounds half-up in pure integer space. Plan: one map-combined "
+    "token count, a TakeOrderedAndProject top-k (per-partition heaps, "
+    "k rows to the driver side of the plan — never the census), the "
+    "k-row vocab BROADCAST left-joined onto the token stream, one "
+    "shuffle on doc_id for the per-doc aggregate.",
+)
+def docs_oov_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_v").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr(
+                "(2 * 1000000 * n_oov + n_tokens) div (2 * n_tokens)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1830,6 +1830,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_dim_corr",  # dimension-pair correlation audit: emb_quant_audit micro-unit sums + skew-report broadcast shapes (never)
     "emb_pca_variance",  # PCA spectrum: rows-only by design (driver eigh); stats pass oracle-twinned by emb_dim_corr, fit pinned in tests/test_pca.py (never)
     "events_anomaly_mad",  # robust MAD outlier census: events_anomaly_iqr ranked-window + broadcast-fence shapes (never)
+    "docs_oov_rate",  # vocabulary-coverage census: docs_vocab_topk cut + unigram-freq broadcast-join shapes (never)
 )
 
 
