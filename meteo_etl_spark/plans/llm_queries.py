@@ -926,7 +926,7 @@ SLIDE_STEP_US = 3_600_000_000
           FROM e, UNNEST(range(0, {SLIDE_SIZE_US // SLIDE_STEP_US})) AS u(i)
           WHERE ((us // {SLIDE_STEP_US}) - i) * {SLIDE_STEP_US} + {SLIDE_SIZE_US} > us)
     SELECT window_start, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n, SUM(qv) AS total
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS total
     FROM w GROUP BY window_start, event_type
     ORDER BY window_start, event_type""",
     doc="SLIDING event-time windows (2 h size, 1 h slide): each event "
@@ -1375,15 +1375,15 @@ WINDOW_RANGE_US = 3_600_000_000
                       CAST(floor(value * 100) AS BIGINT) AS qv
                FROM events)
     SELECT event_id, user_id,
-           SUM(qv) OVER (PARTITION BY user_id ORDER BY us, event_id
+           CAST(SUM(qv) OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS run_sum,
+             AS BIGINT) AS run_sum,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY us
                           RANGE BETWEEN {WINDOW_RANGE_US} PRECEDING
                                     AND CURRENT ROW) AS hr_n,
-           SUM(qv) OVER (PARTITION BY user_id ORDER BY us
+           CAST(SUM(qv) OVER (PARTITION BY user_id ORDER BY us
                          RANGE BETWEEN {WINDOW_RANGE_US} PRECEDING
-                                   AND CURRENT ROW) AS hr_sum
+                                   AND CURRENT ROW) AS BIGINT) AS hr_sum
     FROM e ORDER BY event_id""",
     doc="Per-user running + trailing-hour window analytics: cumulative "
     "sum (ROWS frame, event_id tie-break) and 1-hour moving count/sum "
@@ -2467,7 +2467,7 @@ def _duck_prototypes_sql() -> str:
     with_clause = ",\n    ".join(parts)
     return f"""WITH {with_clause}
     SELECT CAST(m.cluster AS BIGINT) AS cluster,
-           m.vec_id AS prototype_id, m.dist AS dist2,
+           m.vec_id AS prototype_id, CAST(m.dist AS BIGINT) AS dist2,
            s.n
     FROM med m JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
                      FROM best GROUP BY cluster) s USING (cluster)

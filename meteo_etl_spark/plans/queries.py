@@ -1786,51 +1786,49 @@ _DEFERRED: tuple[str, ...] = (
     # deferred to admit the round-7 newcomer dedup_semantic_bigk
     # (large-k broadcast-join assignment) into the window:
     "sim_ann_lsh",  # hyperplane-LSH ANN: sim_ann_ivf + build_lsh_index stay (in-window r6, 6× green)
-    # New in round 7, deferred at birth to keep the window stable —
-    # each pytest-oracle green AND hash-verified vs DuckDB at sf0.001
-    # and sf0.01 in-session, under THREE shuffle-partition layouts
-    # (full-registry replays: 120/120, 135/135, 137/137 — see
-    # bench_evidence/R7_NEWOPS.md). Every "(never)" entry below is
-    # round-8 rotation backlog: swap batches of them in against
-    # in-window multi-round-green veterans with shape twins until all
-    # are driver-hash certified (oracle-less rows-only entries —
-    # docs_bpe_merges, emb_pca_variance — still get the driver's
-    # rows-only check when windowed):
-    "docs_dsir_weights",  # DSIR importance scoring: tfidf explode+agg shapes (never)
-    "docs_priority_sample",  # weighted top-k sampling: q1 TakeOrdered + hash_split md5 shapes (never)
-    "events_grouping_sets",  # CUBE/Expand census: events_pivot conditional-agg + rollup shapes (never)
-    "docs_datasheet",  # corpus datasheet: percentile rank-pick + grouped-agg shapes (never)
-    "events_cdc_apply",  # I/U/D changelog apply: q15 LWW + q9 anti-join shapes (never)
-    "docs_epoch_shuffle",  # sharded epoch shuffle: docs_hash_split md5 + window shapes (never)
-    "dedup_canonical",  # keep-policy per dup cluster: dedup_components CC + window shapes (never)
-    "sim_ann_recall",  # ANN recall audit: sim_ann_lsh + sim_topk shapes (never)
-    "docs_contamination_report",  # per-source release gate: docs_decontaminate + grouped-agg shapes (never)
-    "dedup_lsh_recall",  # sketch-vs-exact recall audit: dedup_minhash_lsh + dedup_ngram_jaccard shapes (never)
-    "docs_packing_stats",  # packing efficiency report: docs_pack_sequences window + grouped-agg shapes (never)
-    "sim_ann_multiprobe",  # multi-probe LSH ANN: sim_ann_lsh shape + Hamming-probe widening (never)
-    "events_ewma",  # EWMA smoothing: events_window_agg ROWS-frame shape + dyadic fold (never)
-    "docs_chunk_dup_ratio",  # cross-doc repeated-chunk detector: docs_chunk_windows chunker + hash-keyed agg (never)
-    "docs_per_source_sample",  # exact-k per-group panel: docs_stratified_sample md5 + rank shapes (never)
-    "docs_adaptive_quality_gate",  # per-source quality calibration: text_quality score + percent_rank shapes (never)
-    # Round-7 second-half additions (corpus governance), deferred at
-    # birth; oracle-verified at sf0.001 AND sf0.01 in-session:
-    "docs_quality_rules",  # Gopher rule census: text_quality + grouped conditional-agg shapes (never)
-    "docs_token_budget_sample",  # distributed prefix-sum budget cut: docs_hash_split md5 + window shapes (never)
-    "docs_drift_report",  # chi-square mixture drift: docs_mixture_plan share + scalar-broadcast shapes (never)
-    "docs_chunk_dedup_rewrite",  # chunk dedup as transformation: docs_chunk_dup_ratio + collect_list rebuild (never)
-    "emb_quant_audit",  # int8 quantization error audit: emb sequential-fold + grouped-agg shapes (never)
-    "events_scd2",  # SCD-2 validity intervals: events_cdc_apply LWW + lead() window shapes (never)
-    "rollup_incremental_agg",  # incremental-rollup e2e certification: jdbc_roundtrip_agg cents-agg shape (never)
-    "events_key_skew_report",  # heavy-key skew census: tpch_q11 share-of-total + top-k shapes (never)
-    "events_scd2_pit_join",  # point-in-time dim join: events_scd2 intervals + equi-join residual-range shape (never)
-    "docs_bigram_fluency",  # bigram-LM fluency: docs_unigram_freq gram-join + integer-ppm shapes (never)
-    "emb_outliers",  # per-label centroid outliers: emb_quant_audit fold + docs_per_source_sample rank shapes (never)
-    "docs_bpe_pairs",  # BPE first-iteration pair census: docs_unigram_freq histogram + bigram pairing shapes (never)
-    "docs_bpe_merges",  # iterative BPE training: rows-only by design (driver argmax loop); exact-pinned in tests/test_bpe.py (never)
-    "emb_dim_corr",  # dimension-pair correlation audit: emb_quant_audit micro-unit sums + skew-report broadcast shapes (never)
-    "emb_pca_variance",  # PCA spectrum: rows-only by design (driver eigh); stats pass oracle-twinned by emb_dim_corr, fit pinned in tests/test_pca.py (never)
-    "events_anomaly_mad",  # robust MAD outlier census: events_anomaly_iqr ranked-window + broadcast-fence shapes (never)
-    "docs_oov_rate",  # vocabulary-coverage census: docs_vocab_topk cut + unigram-freq broadcast-join shapes (never)
+    # Round-8 rotation (r7 verdict order #2): ALL 33 remaining
+    # never-driver-checked entries (the round-7 newcomers, incl. the
+    # two rows-only-by-design ones, which get the driver's rows-only
+    # check when windowed) leave this tuple and enter the window in one
+    # batch — with them checked, EVERY query registered before round 8
+    # is driver-certified at least once. Rotated OUT to make room, each
+    # a driver-r7-green veteran with an in-window shape twin. The three
+    # r7 hash-red entries (events_sliding_window, events_window_agg,
+    # emb_cluster_prototypes — oracle HUGEINT typing, fixed this round)
+    # deliberately STAY in-window for their first green row:
+    "tpch_q1_pricing_summary",  # grouped conditional agg: events_profile + docs_quality_rules census shapes (in-window r7)
+    "tpch_q11_value_share",  # share-of-total w/ scalar subquery: events_key_skew_report incoming twin (in-window r7)
+    "tpch_q15_top_supplier",  # top-1-by-agg (max_by): dedup_canonical keep-policy rank incoming (in-window r7)
+    "tpch_q16_supplier_cnt",  # count-distinct census: docs_contamination_report grouped distinct incoming (in-window r7)
+    "tpch_q21_waiting_supplier",  # exists/not-exists semi+anti: events_cdc_apply anti shape incoming (in-window r7, 2× green)
+    "tpch_q6_forecast_revenue",  # pushdown range filter + agg: docs_token_budget_sample filtered-agg incoming (in-window r7)
+    "tpch_q9_product_profit",  # multi-way star join: events_scd2_pit_join equi+residual incoming (in-window r7, 2× green)
+    "tpch_q20_excess_supplier",  # correlated threshold semi: docs_adaptive_quality_gate per-group calibration incoming (in-window r7, 2× green)
+    "events_pivot_daily",  # pivot conditional agg: events_grouping_sets Expand census incoming (in-window r7)
+    "events_unpivot_daily",  # stack/unpivot: events_grouping_sets + docs_datasheet shapes incoming (in-window r7)
+    "events_funnel",  # staged conversion join: events_cdc_apply keyed LWW incoming (in-window r7)
+    "events_retention",  # cohort distribution: docs_drift_report share shapes incoming (in-window r7)
+    "docs_vocab_topp",  # cumulative-share cut: docs_token_budget_sample prefix-sum incoming (in-window r7)
+    "orders_rfm_segments",  # ntile segmentation: docs_adaptive_quality_gate percent_rank incoming (in-window r7)
+    "docs_constraint_audit",  # rule census: docs_quality_rules Gopher census incoming (in-window r7)
+    "basket_part_pairs",  # self-join pair mining: docs_chunk_dup_ratio hash-keyed pairs incoming (in-window r7)
+    "events_percent_rank",  # ranked-window quantile: docs_per_source_sample rank incoming (in-window r7)
+    "events_interval_join",  # band range join: events_scd2_pit_join interval probe incoming (in-window r7)
+    "events_anomaly_iqr",  # ranked-window outlier fence: events_anomaly_mad MAD twin incoming (in-window r7)
+    "events_ohlc",  # first/last-by-order agg: events_ewma ordered-fold incoming (in-window r7)
+    "events_hourly_full_outer",  # series align full outer: rollup_incremental_agg bucket agg incoming (in-window r7)
+    "docs_vocab_setops",  # intersect/except census: docs_oov_rate vocab-coverage incoming (in-window r7)
+    "events_user_paths",  # ordered path window: docs_epoch_shuffle shard-window incoming (in-window r7)
+    "events_value_deciles",  # exact deciles: docs_datasheet percentile rank-pick incoming (in-window r7)
+    "docs_mixture_plan",  # mixture share plan: docs_drift_report chi-square drift incoming (in-window r7)
+    "events_triangle_count",  # oriented wedge join: dedup_canonical CC closure incoming (in-window r7)
+    "events_user_pagerank",  # iterative graph agg: dedup_canonical components incoming (in-window r7)
+    "mm_decode_meta",  # mapInPandas Arrow decode: emb_quant_audit fold shapes incoming (in-window r7)
+    "sim_ann_ivf",  # IVF bucketed ANN: sim_ann_multiprobe + sim_ann_recall incoming (in-window r7)
+    "docs_decontaminate",  # exact benchmark anti-join: docs_contamination_report gate incoming (in-window r7)
+    "docs_fuzzy_decontaminate",  # banded fuzzy decontam: dedup_lsh_recall audit incoming (in-window r7)
+    "docs_vocab_topk",  # top-k vocab cut: docs_oov_rate + docs_bpe_pairs histogram incoming (in-window r7, 2× green)
+    "emb_kmeans",  # k-means assignment: emb_outliers centroid-fold incoming (in-window r7)
 )
 
 
