@@ -463,6 +463,22 @@ class AtomicParquetTable:
                 "(pass replace=True to move it)"
             )
         self._io.fsync_dir(self.path)
+        # The existence check above and the publish are not atomic: a
+        # vacuum that snapshotted tags() before this tag landed may
+        # have collected the version's files in between. Re-verify
+        # AFTER the tag is visible (vacuum protects any version a
+        # visible tag references, so a version that still exists here
+        # can no longer be collected); if it is gone, remove the
+        # dangling tag rather than leave a name that reads
+        # FILE_NOT_FOUND despite the "tagged versions survive vacuum"
+        # contract.
+        if version not in self.versions():
+            self._io.unlink(tpath)
+            raise FileNotFoundError(
+                f"version {version} was vacuumed while tag {name!r} was "
+                f"being published at {self.path}; tag removed — re-tag "
+                "a retained version"
+            )
         return version
 
     def delete_tag(self, name: str) -> None:
@@ -744,9 +760,13 @@ def diff_versions(
     100 TB the join shuffles key+hash pairs only (16-24 bytes/row),
     never the payload; identical-version diffs reduce to an empty
     result without reading data twice thanks to parquet column
-    pruning. NULL-safe on non-key content (hash treats NULL as a
-    value); keys must be non-NULL (the atomic table's merge contract
-    already requires that).
+    pruning. NULL-safe on non-key content: Spark's ``xxhash64`` SKIPS
+    NULL inputs entirely (so a bare ``xxhash64(*payload)`` would hash
+    ``(5, NULL)`` and ``(NULL, 5)`` identically), so each payload
+    column is encoded as ``coalesce(cast(c AS string), '\\x00')`` plus
+    an ``isNull`` flag — moving a value between columns or NULL-filling
+    one is detected as a change. Keys must be non-NULL (the atomic
+    table's merge contract already requires that).
     """
     table = AtomicParquetTable(spark, path)
     a, b = table.read(version=v_from), table.read(version=v_to)
@@ -762,9 +782,19 @@ def diff_versions(
     payload = sorted(c for c in a.columns if c not in key_cols)
 
     def keyed(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            *key_cols, F.xxhash64(*payload).alias(f"__h_{tag}")
-        )
+        # xxhash64 skips NULL inputs, collapsing (5, NULL)/(NULL, 5);
+        # feed it only non-NULL terms: a NULL-coalesced string encoding
+        # of each column plus its isNull flag (the flag disambiguates a
+        # genuine "\x00" string from an encoded NULL).
+        terms = [
+            t
+            for c in payload
+            for t in (
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+                F.col(c).isNull(),
+            )
+        ]
+        return df.select(*key_cols, F.xxhash64(*terms).alias(f"__h_{tag}"))
 
     j = keyed(a, "a").join(keyed(b, "b"), on=key_cols, how="full_outer")
     change = (

@@ -202,10 +202,12 @@ def scd2_history(
 
     Plan shape / 100 TB: ONE shuffle on the key for the lead() window
     — no joins, no self-join on time ranges; each reducer holds one
-    key's change rows. ``tie_cols`` breaks same-timestamp ordering
-    deterministically (defaults to the key itself, which suffices only
-    when timestamps are unique per key — pass a sequence/LSN column
-    for real CDC feeds).
+    key's change rows. ``tie_cols`` breaks same-timestamp ordering;
+    there is NO default tie-breaker (and ordering by the key inside
+    its own partition would be a no-op anyway), so when two changes to
+    one key can share a timestamp you MUST pass a sequence/LSN column
+    here or the interval chain is nondeterministic across
+    partitionings.
     """
     from pyspark.sql import Window
 

@@ -117,6 +117,8 @@ def incremental_rollup(
     removed = [k for k in old if k not in new]
     unchanged = len(new) - len(changed)
 
+    import shutil
+
     if changed:
         subset = (
             spark.read.option("basePath", fact_path)
@@ -128,6 +130,19 @@ def incremental_rollup(
                 f"build() must group by {partition_col!r}; its output"
                 f" lacks that column ({result.columns})"
             )
+        # Dynamic partition overwrite only rewrites partitions PRESENT
+        # in the result: a changed fact partition whose rebuild yields
+        # zero aggregate rows (e.g. rewritten to an empty/filtered
+        # file while the directory remains) would leave its stale
+        # rollup partition behind. Remove every changed rollup
+        # partition up front — present ones are rewritten by the
+        # overwrite below, emptied ones stay gone. Crash-safe: the
+        # manifest publishes last, so a crash here just means the next
+        # refresh recomputes the same changed keys.
+        for k in changed:
+            stale = os.path.join(data_path, k)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -136,8 +151,6 @@ def incremental_rollup(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
-    import shutil
 
     for k in removed:
         gone = os.path.join(data_path, k)

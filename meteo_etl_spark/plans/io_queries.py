@@ -359,10 +359,18 @@ def rollup_incremental_agg(spark, sf_dir):
     # must be partial (strictly fewer recomputes than a full rebuild)
     late_days = {r["day"] for r in late.select("day").distinct().collect()}
     pre_days = first.total
-    assert second.recomputed == len(late_days), (second, late_days)
+    # RuntimeError, not assert: these invariants ARE what this query
+    # certifies, and bare asserts vanish under `python -O`.
+    if second.recomputed != len(late_days):
+        raise RuntimeError(
+            f"incremental refresh was not partial: {second} vs {late_days}"
+        )
     # every pre-cutoff day the append did NOT touch stays byte-stable
     overlap = len(late_days) - (second.total - pre_days)
-    assert second.unchanged == pre_days - overlap, (first, second)
+    if second.unchanged != pre_days - overlap:
+        raise RuntimeError(
+            f"unchanged-partition count drifted: {first} vs {second}"
+        )
     return (
         read_rollup(spark, state)
         # hive partition inference types day as DATE on read-back

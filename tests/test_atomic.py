@@ -696,6 +696,28 @@ def test_diff_versions_add_remove_change(spark, tmp_path):
     assert diff_versions(spark, path, v2, v2, ["k"]).count() == 0
 
 
+def test_diff_versions_detects_value_moved_between_null_columns(spark, tmp_path):
+    """Regression (ADVICE r7): Spark's xxhash64 SKIPS NULL inputs, so a
+    bare xxhash64(*payload) hashed (a=5, b=NULL) and (a=NULL, b=5)
+    identically and the move was reported as unchanged. The hash now
+    encodes NULLs explicitly."""
+    from meteo_etl_spark.operators.atomic import diff_versions
+
+    path = str(tmp_path / "t")
+    t = AtomicParquetTable(spark, path)
+    schema = "k int, a int, b int"
+    t.overwrite(spark.createDataFrame([(1, 5, None), (2, 7, None)], schema))
+    v1 = t.versions()[-1]
+    # k=1: value MOVES a->b (NULL-filling a); k=2 untouched
+    t.overwrite(spark.createDataFrame([(1, None, 5), (2, 7, None)], schema))
+    v2 = t.versions()[-1]
+    got = {
+        r["k"]: r["change"]
+        for r in diff_versions(spark, path, v1, v2, ["k"]).collect()
+    }
+    assert got == {1: "changed"}
+
+
 def test_diff_versions_schema_change_rejected(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -119,3 +119,26 @@ def test_unpartitioned_fact_rejected(spark, tmp_path):
     spark.createDataFrame([("a", 1)], "k string, v int").write.parquet(fact)
     with pytest.raises(ValueError, match="hive-partitioned"):
         incremental_rollup(spark, fact, state, "d", _build)
+
+
+def test_changed_partition_emptied_in_place_drops_stale_rollup(spark, tmp_path):
+    """Regression (ADVICE r7): dynamic partition overwrite only rewrites
+    partitions PRESENT in build() output, so a changed fact partition
+    whose rebuild yields zero rows (directory remains, data emptied)
+    used to leave the stale rollup partition behind."""
+    fact, state = str(tmp_path / "fact"), str(tmp_path / "state")
+    _write_fact(spark, fact, [("d1", "a", 1), ("d1", "b", 2), ("d2", "a", 7)])
+    incremental_rollup(spark, fact, state, "d", _build)
+    assert set(_snapshot(spark, state)) == {("d1", "a"), ("d1", "b"), ("d2", "a")}
+    # empty d1 IN PLACE: the partition directory survives but now holds
+    # only a zero-row parquet file (a filter-rewrite, not a drop)
+    empty = spark.createDataFrame([], "k string, v int")
+    empty.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(fact, "d=d1")
+    )
+    stats = incremental_rollup(spark, fact, state, "d", _build)
+    assert stats.recomputed == 1 and stats.removed == 0
+    assert set(_snapshot(spark, state)) == {("d2", "a")}
+    # idempotent: a third refresh touches nothing
+    again = incremental_rollup(spark, fact, state, "d", _build)
+    assert again == RollupStats(recomputed=0, removed=0, unchanged=2)
