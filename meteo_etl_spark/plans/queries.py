@@ -1829,6 +1829,9 @@ _DEFERRED: tuple[str, ...] = (
     "docs_fuzzy_decontaminate",  # banded fuzzy decontam: dedup_lsh_recall audit incoming (in-window r7)
     "docs_vocab_topk",  # top-k vocab cut: docs_oov_rate + docs_bpe_pairs histogram incoming (in-window r7, 2× green)
     "emb_kmeans",  # k-means assignment: emb_outliers centroid-fold incoming (in-window r7)
+    # New in round 8, deferred at birth (oracle-verified at sf0.001 AND
+    # sf0.01 in-session; round-9 rotation backlog):
+    "sim_ann_recall_tuned",  # recall-tuned LSH audit: sim_ann_recall + sim_ann_multiprobe shapes (never)
 )
 
 
