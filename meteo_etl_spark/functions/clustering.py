@@ -61,6 +61,23 @@ KMEANS_ITERS = 3
 #: and SemDeDup-scale k is 10⁴-10⁵).
 ASSIGN_LITERAL_MAX = 64
 
+#: second crossover: above this k, assignment leaves the JVM
+#: expression interpreter for an Arrow-batched numpy kernel. Measured
+#: (bench_evidence/R8_NEWOPS.md): the packed-broadcast join path costs
+#: ~500 ns per row·centroid — higher-order-function lambdas are
+#: interpreted per element, not codegen'd — which at SemDeDup-scale k
+#: (10⁴-10⁵) is the difference between minutes and hours per corpus
+#: pass. The numpy path does the identical integer math as one BLAS
+#: matmul per Arrow batch (~1 ns per row·centroid, ~500× faster at
+#: k=10⁴) and is EXACT: with components bounded by ±2²⁰ (quantize()
+#: emits ±QUANT·|x|, orders of magnitude smaller) every intermediate
+#: is an integer below 2⁵³, where float64 arithmetic is lossless —
+#: both ends guard the bound and raise rather than round.
+ASSIGN_ARROW_MIN = 1024
+#: |component| bound under which the float64 kernel is integer-exact:
+#: (a-b)² ≤ 4·2⁴⁰, summed over dim 64 → < 2⁴⁸ < 2⁵³.
+_ARROW_ABS_BOUND = 1 << 20
+
 
 def quantize(vec: Column) -> Column:
     """array<long> quantized view of an array<float/double> embedding."""
@@ -89,9 +106,14 @@ def assign_clusters(
     """Add a 1-based ``cluster`` column (and, with ``with_dist``, the
     exact integer ``dist2`` to it): argmin squared distance, ties to
     the lowest cluster id (the oracle's ``ORDER BY dist, cluster``
-    mirror). Small k compiles the centroids in as literals; k >
-    ``ASSIGN_LITERAL_MAX`` routes to the 1-row-broadcast join path —
-    same semantics, same no-corpus-shuffle property, no literal cap."""
+    mirror). Three value-identical physical paths chosen on k (pinned
+    equal by tests; none shuffles the corpus): small k compiles the
+    centroids in as literals; ``ASSIGN_LITERAL_MAX`` < k <=
+    ``ASSIGN_ARROW_MIN`` routes to the 1-row-broadcast join; larger k
+    routes to the Arrow/numpy kernel (BLAS matmul per batch, ~500x
+    the interpreted join path at k=10^4 — see ASSIGN_ARROW_MIN)."""
+    if len(centroids) > ASSIGN_ARROW_MIN:
+        return _assign_clusters_arrow(quantized, centroids, with_dist=with_dist)
     if len(centroids) > ASSIGN_LITERAL_MAX:
         return _assign_clusters_join(quantized, centroids, with_dist=with_dist)
     dists = F.array(*[_sqdist(F.col("qv"), c) for c in centroids])
@@ -146,6 +168,91 @@ def _assign_clusters_join(
     if with_dist:
         out = out.withColumn("dist2", F.col("_best").getField("d"))
     return out.drop("_cents", "_best")
+
+
+def _assign_clusters_arrow(
+    quantized: DataFrame, centroids: list[list[int]], *, with_dist: bool
+) -> DataFrame:
+    """SemDeDup-scale assignment (k > ``ASSIGN_ARROW_MIN``): the
+    centroid matrix ships as ONE SparkContext broadcast (k·dim float64,
+    ~5 MB at k=10⁴·d=64, ~25 MB at k=5·10⁴ — the SemDeDup paper's k)
+    and each Arrow batch reduces with a numpy matmul:
+
+        dist²(i, j) = |qᵢ|² − 2·qᵢ·cⱼ + |cⱼ|²   (one BLAS GEMM)
+
+    argmin per row, first-minimum ties → lowest cluster id, exactly
+    the join/literal paths' ``array_min(struct(d, cluster))`` order.
+    The math is float64 but the RESULTS are exact integers: with every
+    component bounded by ±2²⁰ (checked — driver-side for centroids,
+    per batch for vectors; quantize() output is ±QUANT·|x|, far
+    below) all intermediates stay under 2⁵³ where float64 is lossless.
+    mapInPandas preserves partitioning — still a pure map, nothing
+    shuffles; per-row cost is the same inherent O(k·dim), executed at
+    BLAS speed instead of expression-interpreter speed (~500× at
+    k=10⁴, measured in bench_evidence/R8_NEWOPS.md)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError("centroids must be a k x dim matrix")
+    if np.abs(C).max() >= float(_ARROW_ABS_BOUND):
+        raise ValueError(
+            f"centroid component exceeds ±{_ARROW_ABS_BOUND}: the float64 "
+            "kernel would not be integer-exact — use _assign_clusters_join"
+        )
+    spark = quantized.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    bound = float(_ARROW_ABS_BOUND)
+    want_dist = with_dist
+
+    fields = list(quantized.schema.fields) + [
+        StructField("cluster", IntegerType(), False)
+    ]
+    if with_dist:
+        fields.append(StructField("dist2", LongType(), False))
+    out_schema = StructType(fields)
+
+    # GEMM chunk over centroids: caps the per-batch distance matrix at
+    # rows×4096 float64 (~100 MB at the 3-4k-row Arrow batches local
+    # mode produces) regardless of k, so k=10⁴-10⁵ cannot blow worker
+    # memory; the running argmin uses STRICT < while chunks scan
+    # ascending cluster ids, preserving first-minimum tie order.
+    chunk = 4096
+
+    def kernel(batches):
+        cm = bc.value
+        cn = (cm * cm).sum(axis=1)  # |c|² per centroid
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            if np.abs(q).max() >= bound:
+                raise ValueError(
+                    f"vector component exceeds ±{int(bound)}: float64 "
+                    "kernel would not be integer-exact for this input"
+                )
+            qn = (q * q).sum(axis=1)[:, None]
+            rows = np.arange(len(q))
+            best_d = None
+            best_j = None
+            for s in range(0, len(cm), chunk):
+                d2 = qn - 2.0 * (q @ cm[s : s + chunk].T) + cn[None, s : s + chunk]
+                j = d2.argmin(axis=1)
+                d = d2[rows, j]
+                if best_d is None:
+                    best_d, best_j = d, j + s
+                else:
+                    better = d < best_d
+                    best_d = np.where(better, d, best_d)
+                    best_j = np.where(better, j + s, best_j)
+            pdf = pdf.copy()
+            pdf["cluster"] = (best_j + 1).astype("int32")
+            if want_dist:
+                pdf["dist2"] = best_d.astype("int64")
+            yield pdf
+
+    return quantized.mapInPandas(kernel, out_schema)
 
 
 def seed_centroids(quantized: DataFrame, k: int, id_col: str = "vec_id") -> list[list[int]]:

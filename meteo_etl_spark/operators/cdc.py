@@ -173,6 +173,120 @@ def changelog_foreach_batch(
     return handle
 
 
+def scd2_foreach_batch(
+    spark,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    op_col: str = OP_COL,
+    delete_op: str = DELETE_OP,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    **merge_kwargs,
+):
+    """``foreachBatch`` body that maintains an SCD-2 history table
+    INCREMENTALLY from a streaming change feed — the streaming twin of
+    ``scd2_history`` (whose batch output over the full feed is the
+    correctness oracle, pinned by the e2e test and the ``events_scd2``
+    registered query).
+
+    Per micro-batch, per affected key: the currently-open interval is
+    merge-CLOSED at the batch's first change timestamp and one new
+    interval per non-delete change is INSERTED (a trailing delete just
+    leaves the key with no open row) — ``merge_parquet`` on
+    ``key + valid_from``, so only partitions holding an affected key
+    rewrite, and batch work is O(batch + affected keys' open rows),
+    never a history rescan.
+
+    At-least-once safety WITHOUT a batch-id ledger: each key's
+    **frontier** = max(coalesce(valid_to, valid_from)) over its
+    existing rows — the timestamp through which its history is already
+    final. Incoming changes at or before the frontier are dropped
+    before any write, so redelivery (same batch, overlapping batches,
+    or a full fresh-checkpoint replay) is a pure no-op, and a
+    crash between merge and checkpoint commit re-applies harmlessly.
+    The flip side is the standard streaming-SCD2 contract: the feed
+    must be per-key append-ordered (a keyed Kafka topic); genuinely
+    late out-of-order changes are dropped, not retro-spliced — replay
+    the batch builder (``scd2_history``) for backfills. Timestamps
+    must be unique per key (guarded — duplicate ``(key, ts)`` in one
+    batch raises; there is no tie-breaker streaming-side because
+    merge keys on ``valid_from``).
+    """
+
+    def handle(batch_df, batch_id: int) -> None:
+        from meteo_etl_spark.operators.upsert import merge_parquet, table_exists
+
+        if batch_df.isEmpty():
+            return
+        ch = batch_df
+        dup = (
+            ch.groupBy(*key_cols, ts_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        if not dup.isEmpty():
+            raise RuntimeError(
+                f"duplicate ({key_cols}, {ts_col}) in micro-batch "
+                f"{batch_id}: streaming SCD2 merges on valid_from and "
+                "needs unique per-key timestamps"
+            )
+        closed = None
+        if table_exists(spark, path):
+            hist = spark.read.parquet(path)
+            affected = ch.select(*key_cols).distinct()
+            eh = hist.join(affected, key_cols, "left_semi")
+            frontier = eh.groupBy(*key_cols).agg(
+                F.max(
+                    F.coalesce(F.col(valid_to_col), F.col(valid_from_col))
+                ).alias("_frontier")
+            )
+            ch = (
+                ch.join(frontier, key_cols, "left")
+                .filter(
+                    F.col("_frontier").isNull()
+                    | (F.col(ts_col) > F.col("_frontier"))
+                )
+                .drop("_frontier")
+            )
+            if ch.isEmpty():
+                return
+            first_ts = ch.groupBy(*key_cols).agg(
+                F.min(ts_col).alias("_close_at")
+            )
+            closed = (
+                eh.filter(F.col(current_col) == 1)
+                .join(first_ts, key_cols)
+                .withColumn(valid_to_col, F.col("_close_at"))
+                .withColumn(current_col, F.lit(0))
+                .drop("_close_at")
+            )
+        new_hist = scd2_history(
+            ch,
+            key_cols,
+            ts_col,
+            op_col=op_col,
+            delete_op=delete_op,
+            valid_from_col=valid_from_col,
+            valid_to_col=valid_to_col,
+            current_col=current_col,
+        )
+        upserts = (
+            new_hist if closed is None else new_hist.unionByName(closed)
+        )
+        merge_parquet(
+            spark,
+            path,
+            upserts,
+            [*key_cols, valid_from_col],
+            **merge_kwargs,
+        )
+
+    return handle
+
+
 def scd2_history(
     changes: DataFrame,
     key_cols: list[str],

@@ -412,3 +412,110 @@ def test_scd2_requires_columns(spark):
     df = spark.createDataFrame([(1, 2)], "k int, ts int")
     with pytest.raises(ValueError):
         scd2_history(df, ["k"], "ts")  # no op column
+
+
+def test_streaming_scd2_matches_batch_twin_and_redelivery(spark, tmp_path):
+    """Streaming SCD-2 maintenance e2e (r7 verdict order #6): a change
+    feed drained one file per micro-batch through scd2_foreach_batch
+    must build EXACTLY the table the batch builder (scd2_history — the
+    events_scd2-certified kernel) produces over the whole feed;
+    full redelivery from a fresh checkpoint is a no-op (the per-key
+    frontier drops already-final changes before any write); and an
+    incremental wave (including re-insert after delete) keeps the
+    batch-twin equality."""
+    import json
+    from datetime import datetime, timezone
+
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch, scd2_history
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    tgt = str(tmp_path / "hist")
+    schema = "k string, ts timestamp, v double, op string"
+
+    def emit(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"k": k, "ts": f"2024-01-01 {h:02d}:00:00", "v": v, "op": op})
+                for k, h, v, op in rows
+            )
+        )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_foreach_batch(spark, tgt, ["k"], "ts")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def twin(rows):
+        df = spark.createDataFrame(
+            [
+                (k, datetime(2024, 1, 1, h, tzinfo=timezone.utc), v, op)
+                for k, h, v, op in rows
+            ],
+            schema,
+        )
+        return scd2_history(df, ["k"], "ts")
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["v"], r["op"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.select(
+                "k", "v", "op", "valid_from", "valid_to", "is_current"
+            ).collect()
+        )
+
+    wave1 = [
+        ("a", 1, 10.0, "U"), ("b", 1, 5.0, "U"),   # file b0
+        ("a", 2, 11.0, "U"),                         # file b1
+        ("a", 3, 0.0, "D"), ("b", 4, 6.0, "U"),    # file b2
+    ]
+    # drain between emissions: the per-key append-order contract is the
+    # feed's job (a keyed Kafka topic gives it; file mtime ties don't)
+    emit("b0.json", wave1[:2])
+    run("ck1")
+    emit("b1.json", wave1[2:3])
+    run("ck1")
+    emit("b2.json", wave1[3:])
+    run("ck1")
+    assert snap(spark.read.parquet(tgt)) == snap(twin(wave1))
+    # key a is deleted (no open row); b open at hour 4
+    cur = {r["k"] for r in spark.read.parquet(tgt).filter(F.col("is_current") == 1).collect()}
+    assert cur == {"b"}
+
+    # full redelivery: fresh checkpoint replays every file — frontier
+    # filtering makes it a pure no-op
+    before = snap(spark.read.parquet(tgt))
+    run("ck2")
+    assert snap(spark.read.parquet(tgt)) == before
+
+    # incremental wave: re-insert after delete + a new delete
+    wave2 = [("a", 5, 12.0, "U"), ("b", 6, 0.0, "D")]
+    emit("b3.json", wave2)
+    run("ck1")
+    assert snap(spark.read.parquet(tgt)) == snap(twin(wave1 + wave2))
+    cur = {r["k"] for r in spark.read.parquet(tgt).filter(F.col("is_current") == 1).collect()}
+    assert cur == {"a"}
+
+
+def test_streaming_scd2_duplicate_key_ts_rejected(spark, tmp_path):
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0, "U"),
+         ("a", "2024-01-01 01:00:00", 2.0, "U")],
+        "k string, ts string, v double, op string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    handle = scd2_foreach_batch(spark, str(tmp_path / "h"), ["k"], "ts")
+    with pytest.raises(RuntimeError, match="duplicate"):
+        handle(df, 0)

@@ -223,3 +223,65 @@ def test_ivf_route_join_matches_literal_routing(spark, emb):
         ).count()
         == n
     )
+
+
+def test_arrow_assignment_matches_join_path_exactly(spark, emb):
+    """The Arrow/numpy kernel is value-identical (cluster AND dist2,
+    integer-exact) to the broadcast-join path on the same trained
+    centroids — the k > ASSIGN_ARROW_MIN crossover changes only the
+    physical execution of the O(k·dim) distance work."""
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    cents, _ = cl.kmeans_fit(emb, k=8, iters=2)
+    # pad with synthetic far-away centroids so ties/ordering get real
+    # coverage beyond the 8 trained ones
+    cents = cents + [[c + 7 * (j + 1) for c in cents[j % 8]] for j in range(92)]
+    jn = cl._assign_clusters_join(q, cents, with_dist=True).select(
+        "vec_id", "cluster", "dist2"
+    )
+    ar = cl._assign_clusters_arrow(q, cents, with_dist=True).select(
+        "vec_id", "cluster", "dist2"
+    )
+    assert jn.exceptAll(ar).count() == 0
+    assert ar.exceptAll(jn).count() == 0
+
+
+def test_semdedup_scale_k5000_routes_to_arrow_and_stays_mapside(spark, emb):
+    """k=5000 (real SemDeDup territory) must route through the Arrow
+    kernel: plan shows MapInPandas over the corpus scan with NO
+    exchange (assignment is a pure map — the corpus never shuffles)
+    and no BroadcastNestedLoopJoin (the packed-join shape it replaces
+    at this k), and it executes: every vector assigned a cluster in
+    range with a nonnegative exact distance."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    k = 5000
+    cents = [[int(x) for x in np.floor(rng.standard_normal(64) * 100)] for _ in range(k)]
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    assigned = cl.assign_clusters(q, cents, with_dist=True)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" not in plan
+    n = q.count()
+    ok = assigned.filter(
+        (F.col("cluster") >= 1)
+        & (F.col("cluster") <= k)
+        & (F.col("dist2") >= 0)
+    ).count()
+    assert ok == n
+
+
+def test_arrow_assignment_guards_exactness_bound(spark, emb):
+    """Components at/above ±2^20 would break float64 integer-exactness;
+    both ends must refuse rather than round."""
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    big = [[cl._ARROW_ABS_BOUND] * 64]
+    with pytest.raises(ValueError, match="integer-exact"):
+        cl._assign_clusters_arrow(q, big, with_dist=False)
