@@ -273,8 +273,14 @@ def scd2_foreach_batch(
             valid_to_col=valid_to_col,
             current_col=current_col,
         )
+        # closed rows read from the table may carry sink-layout columns
+        # (e.g. the merge partition column) the batch frame lacks —
+        # project onto the batch schema; merge_parquet re-derives
+        # layout columns via its partition_expr
         upserts = (
-            new_hist if closed is None else new_hist.unionByName(closed)
+            new_hist
+            if closed is None
+            else new_hist.unionByName(closed.select(*new_hist.columns))
         )
         merge_parquet(
             spark,

@@ -311,6 +311,135 @@ def events_scd2(spark, sf_dir):
 
 
 @query(
+    "events_scd2_stream",
+    """WITH ded AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN value < 25.0 THEN 'D' ELSE 'U' END AS op
+         FROM (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id) AS rn
+               FROM events) WHERE rn = 1),
+       w AS (
+         SELECT user_id, event_id, value, op,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         FROM ded)
+       SELECT user_id, event_id, valid_from, valid_to,
+              CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+              value
+       FROM w WHERE op <> 'D'
+       ORDER BY user_id, valid_from""",
+    doc="STREAMING SCD-2 maintenance certification "
+    "(operators/cdc.scd2_foreach_batch): the events change feed "
+    "(deduped to one change per (user, ts) — streaming SCD2's merge "
+    "keys on valid_from; low-value rows as delete tombstones) is "
+    "split into three time waves, each drained through a real "
+    "Structured-Streaming file source (availableNow) whose "
+    "foreachBatch merge-closes open intervals and inserts new ones "
+    "into a hash-bucket-partitioned history table (merge pruned to "
+    "buckets holding affected users). After the drain, a FULL "
+    "REDELIVERY from a fresh checkpoint is asserted to be a no-op "
+    "(the per-key frontier drops already-final changes) — then the "
+    "final table is returned. The oracle states the batch SCD-2 "
+    "(lead() over the whole feed) directly on parquet, so a hash "
+    "match certifies streaming maintenance == batch rebuild AND "
+    "redelivery idempotency in one driver row. 100 TB shape: "
+    "per-batch work is O(batch + affected keys' open rows); history "
+    "never rescans.",
+)
+def events_scd2_stream(spark, sf_dir):
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+    from meteo_etl_spark.operators.upsert import dedup_last_write_wins
+
+    ev = load_table(spark, sf_dir, "events")
+    ded = dedup_last_write_wins(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id", "ts"],
+        [F.col("event_id").asc()],
+    ).withColumn(
+        "op", F.when(F.col("value") < 25.0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    feed = _scratch("scd2_feed")
+    hist = _scratch("scd2_hist")
+    ckpt = _scratch("scd2_ckpt")
+    ckpt2 = _scratch("scd2_ckpt_redeliver")
+    schema = ded.schema
+    cuts = ["2024-01-11", "2024-01-21"]
+    waves = [
+        ded.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        ded.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        ded.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+
+    def drain(checkpoint):
+        handler = scd2_foreach_batch(
+            spark,
+            hist,
+            ["user_id"],
+            "ts",
+            partition_col="kb",
+            partition_expr=F.pmod(F.xxhash64(F.col("user_id")), F.lit(8)).cast(
+                "int"
+            ),
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(feed)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        for wave in waves:
+            wave.write.mode("append").parquet(feed)
+            drain(ckpt)
+        cols = [
+            "user_id", "event_id", "valid_from", "valid_to", "is_current", "value"
+        ]
+
+        def checksum():
+            # order-independent content fingerprint (1 row collected,
+            # never the data): xxhash64 over the JSON row encoding —
+            # to_json names present fields, so NULL placement changes
+            # the hash (plain xxhash64(*cols) would skip NULLs)
+            return (
+                spark.read.parquet(hist)
+                .select(*cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.xxhash64(F.to_json(F.struct(*cols))).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("h"),
+                )
+                .collect()[0]
+            )
+
+        before = checksum()
+        # redelivery certification: a fresh checkpoint replays EVERY
+        # file; the frontier must make it a pure no-op
+        drain(ckpt2)
+        if checksum() != before:
+            raise RuntimeError("streaming SCD2 redelivery was not idempotent")
+        return (
+            spark.read.parquet(hist)
+            .select(*cols)
+            .orderBy("user_id", "valid_from")
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)
+
+
+@query(
     "rollup_incremental_agg",
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
               COUNT(*) AS n,

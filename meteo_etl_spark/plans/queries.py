@@ -1832,6 +1832,7 @@ _DEFERRED: tuple[str, ...] = (
     # New in round 8, deferred at birth (oracle-verified at sf0.001 AND
     # sf0.01 in-session; round-9 rotation backlog):
     "sim_ann_recall_tuned",  # recall-tuned LSH audit: sim_ann_recall + sim_ann_multiprobe shapes (never)
+    "events_scd2_stream",  # streaming SCD2 maintenance e2e: events_scd2 batch kernel + ST2 redelivery shapes (never)
 )
 
 
