@@ -1,0 +1,137 @@
+"""Mergeable-sketch rollups: HLL distinct and KLL quantiles that
+compose across partitions/days WITHOUT rescanning the fact table.
+
+The 100 TB pattern: an exact COUNT(DISTINCT) or exact percentile over
+a month re-shuffles the whole fact every time the window moves. A
+sketch rollup stores one small binary per (day, key) — HLL registers
+for distinct, a KLL summary for quantiles — and any coarser window
+(month, quarter, all-time, ad-hoc day ranges) is answered by MERGING
+the stored sketches: O(days·sketch_size) work, zero fact I/O. This is
+the mechanism behind Druid/Pinot/BigQuery sketch columns, built here
+on Spark 4's native Apache DataSketches functions
+(``hll_sketch_agg``/``hll_union_agg``,
+``kll_sketch_agg_double``/``kll_sketch_merge_double`` — JVM-side,
+codegen'd, no UDFs).
+
+Sketches are APPROXIMATE, so the module pairs every estimator with a
+certifier that checks it against the exact answer and raises on
+tolerance breach — the registered ``events_sketch_rollup`` query runs
+that certification under the driver's correctness gate while its
+RETURNED rows stay exact (SQL-oracle-expressible). Error model: HLL
+relative error ≈ 1.04/√2^lgK (~1.6 % at the default lgK=12);
+KLL rank error ≤ ~1.7 % at k=200 with probability 0.99.
+
+Reference parity: the reference has no sketch surface; this extends
+the approximate twins (``q3_approx_distinct``/``q5_approx_summary``,
+single-shot approx aggregates) with the MERGEABLE form incremental
+rollup maintenance needs (SURVEY.md §2.4 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL lgConfigK: 2^12 registers → ~1.6 % standard relative error.
+HLL_LGK = 12
+#: KLL k: ~1.7 % worst-case rank error at 99 % confidence.
+KLL_K = 200
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: list[str | Column],
+    distinct_col: str,
+    value_col: str,
+    *,
+    lgk: int = HLL_LGK,
+    kll_k: int = KLL_K,
+) -> DataFrame:
+    """One pass over the fact → per-key sketch row: an HLL sketch of
+    ``distinct_col`` and a KLL doubles sketch of ``value_col`` (plus
+    the exact row count, which is free). This is the stored rollup;
+    everything coarser derives from it by merging."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("hll_sk"),
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(kll_k)).alias(
+            "kll_sk"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merged_distinct_estimate(rollup: DataFrame) -> int:
+    """Distinct estimate over the UNION of all rollup rows' HLL
+    sketches — O(rows·2^lgk) register maxes, no fact rescan."""
+    return int(
+        rollup.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll_sk", F.lit(True))).alias("est")
+        ).collect()[0]["est"]
+    )
+
+
+def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
+    """Quantile estimates at ``probs`` from the merge of all rollup
+    rows' KLL sketches (rank-error-bounded, mergeable without loss of
+    the guarantee). ``kll_sketch_merge_double`` is a BINARY scalar (no
+    union aggregate exists for KLL), so the rollup's sketches are
+    collect_list'ed into one row (rows·~KB — bounded by the rollup
+    cardinality, not the fact) and folded JVM-side with
+    ``F.aggregate``."""
+    packed = rollup.agg(F.collect_list("kll_sk").alias("l"))
+    merged = F.aggregate(
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.element_at(F.col("l"), 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+    row = packed.select(
+        F.kll_sketch_get_quantile_double(
+            merged, F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("qs")
+    ).collect()[0]["qs"]
+    return [float(x) for x in row]
+
+
+def certify_distinct(
+    est: int, exact: int, *, rel_tol: float, context: str
+) -> None:
+    """RuntimeError (not assert — survives ``python -O``) when a
+    distinct estimate leaves the tolerance band."""
+    if exact == 0:
+        if est != 0:
+            raise RuntimeError(f"{context}: est {est} for empty exact set")
+        return
+    err = abs(est - exact) / exact
+    if err > rel_tol:
+        raise RuntimeError(
+            f"{context}: HLL estimate {est} vs exact {exact} "
+            f"(rel err {err:.4f} > {rel_tol})"
+        )
+
+
+def certify_quantile_rank(
+    df: DataFrame,
+    value_col: str,
+    estimate: float,
+    target_rank: float,
+    *,
+    rank_tol: float,
+    context: str,
+) -> None:
+    """Certify a quantile ESTIMATE by its exact rank: the fraction of
+    rows ≤ estimate must sit within ``rank_tol`` of ``target_rank`` —
+    the KLL guarantee is on rank, not value, so this is the honest
+    check (value-space tolerance would be scale-dependent)."""
+    r = df.agg(
+        (
+            F.sum(
+                F.when(F.col(value_col).cast("double") <= estimate, 1).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("rank")
+    ).collect()[0]["rank"]
+    if abs(float(r) - target_rank) > rank_tol:
+        raise RuntimeError(
+            f"{context}: estimate {estimate} has exact rank {float(r):.4f}, "
+            f"target {target_rank} ± {rank_tol}"
+        )

@@ -923,6 +923,7 @@ def _ensure_registered() -> None:
     # it for a later rotation.
     from meteo_etl_spark.plans import llm_queries  # noqa: F401
     from meteo_etl_spark.plans import io_queries  # noqa: F401
+    from meteo_etl_spark.plans import sketch_queries  # noqa: F401
 
 
 @query(
@@ -1833,6 +1834,7 @@ _DEFERRED: tuple[str, ...] = (
     # sf0.01 in-session; round-9 rotation backlog):
     "sim_ann_recall_tuned",  # recall-tuned LSH audit: sim_ann_recall + sim_ann_multiprobe shapes (never)
     "events_scd2_stream",  # streaming SCD2 maintenance e2e: events_scd2 batch kernel + ST2 redelivery shapes (never)
+    "events_sketch_rollup",  # mergeable HLL/KLL sketch rollup certification: q3_approx_distinct twin, exact-valued output (never)
 )
 
 

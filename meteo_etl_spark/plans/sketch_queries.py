@@ -1,0 +1,90 @@
+"""Driver-checkable queries for the mergeable-sketch rollup surface
+(functions/sketches.py): the returned rows are EXACT (plain SQL
+oracle), while the sketch estimators are certified in-query against
+those exact answers — tolerance breach raises, so a green driver row
+certifies both the rollup plumbing and the error bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.plans.queries import query
+from meteo_etl_spark.sources.testdata import load_table
+
+
+@query(
+    "events_sketch_rollup",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1 ORDER BY 1""",
+    doc="Mergeable-sketch rollup certification (functions/sketches): "
+    "ONE pass builds a per-day rollup of HLL(user_id) + "
+    "KLL(value) sketches; the monthly distinct-user estimate then "
+    "comes from UNIONING the 30 daily HLL sketches and the monthly "
+    "p50/p90/p99 from MERGING the 30 daily KLL sketches — zero fact "
+    "rescans, the Druid/BigQuery sketch-column pattern that keeps "
+    "moving-window analytics O(days·KB) at 100 TB. In-query "
+    "certification (RuntimeError on breach): every per-day HLL "
+    "estimate and the merged estimate within 5% of exact distinct; "
+    "each merged KLL quantile's EXACT rank within ±2% of its target "
+    "(the KLL guarantee is on rank, not value). Returned rows are the "
+    "exact per-day counts, so the oracle is plain SQL and the driver "
+    "hash certifies the whole construction.",
+)
+def events_sketch_rollup(spark, sf_dir):
+    from meteo_etl_spark.functions import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    rollup = sk.sketch_rollup(ev, [day], "user_id", "value").persist()
+    try:
+        exact_daily = (
+            ev.groupBy(day)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .persist()
+        )
+        # per-day HLL certification: max relative error across days,
+        # one scalar collected
+        maxerr = (
+            rollup.join(exact_daily, "day")
+            .agg(
+                F.max(
+                    F.abs(
+                        F.hll_sketch_estimate("hll_sk")
+                        - F.col("n_users").cast("double")
+                    )
+                    / F.col("n_users")
+                ).alias("e")
+            )
+            .collect()[0]["e"]
+        )
+        if maxerr is None or maxerr > 0.05:
+            raise RuntimeError(f"per-day HLL estimate off by {maxerr}")
+        exact_total = int(
+            ev.agg(F.countDistinct("user_id").alias("d")).collect()[0]["d"]
+        )
+        sk.certify_distinct(
+            sk.merged_distinct_estimate(rollup),
+            exact_total,
+            rel_tol=0.05,
+            context="merged monthly distinct",
+        )
+        probs = [0.5, 0.9, 0.99]
+        for p, est in zip(probs, sk.merged_quantiles(rollup, probs)):
+            sk.certify_quantile_rank(
+                ev, "value", est, p, rank_tol=0.02, context=f"merged p{p}"
+            )
+        return (
+            exact_daily.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_events",
+                F.col("n_users").cast("long").alias("n_users"),
+            ).orderBy("day")
+        )
+    finally:
+        rollup.unpersist()
