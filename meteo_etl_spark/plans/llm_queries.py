@@ -3206,6 +3206,7 @@ _TUNED_CAND = " OR ".join(
            ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall
     FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
     GROUP BY t.qid ORDER BY query_id""",
+    bench=True,
     doc=f"Recall-TUNED ANN audit ({_TUNED_L} tables x {_TUNED_P} "
     f"planes, Hamming<={_TUNED_H} multi-probe — similarity.LSH_TUNED_*"
     "): same one-scored-frame harness as sim_ann_recall, but over the "

@@ -19,6 +19,7 @@ from meteo_etl_spark.sources.testdata import load_table
               CAST(COUNT(*) AS BIGINT) AS n_events,
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        FROM events GROUP BY 1 ORDER BY 1""",
+    bench=True,
     doc="Mergeable-sketch rollup certification (functions/sketches): "
     "ONE pass builds a per-day rollup of HLL(user_id) + "
     "KLL(value) sketches; the monthly distinct-user estimate then "

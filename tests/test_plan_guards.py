@@ -29,6 +29,7 @@ SIDE_EFFECTING = {
     "jdbc_upsert_agg",
     "q15_atomic_merge",
     "rollup_incremental_agg",
+    "events_scd2_stream",  # drives a real streaming drain + scratch merges
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
@@ -48,6 +49,7 @@ SCALAR_BROADCAST_OK = {
     "docs_drift_report",  # 1-row (t_ref, t_cur) snapshot totals crossed into the |sources|-row share table
     "events_key_skew_report",  # 1-row (tot, nkeys) census totals crossed into the per-key count frame
     "emb_dim_corr",  # 1-row census count (the (-1,-1) moment row) crossed into the d(d-1)/2-row pair frame
+    "sim_ann_recall_tuned",  # same 10-row audit panel as sim_ann_recall, tuned (8x6 h<=1) probe condition
 }
 
 
