@@ -888,3 +888,86 @@ def dedup_stream_foreach_batch(
             stats.append({"batch_id": batch_id, **s})
 
     return handle
+
+
+#: gram width for substring-level dedup (reference point: Lee et al.
+#: 2022, "Deduplicating Training Data Makes Language Models Better",
+#: which excises duplicated substrings of >= 50 tokens via a suffix
+#: array; the synthetic corpus here has ~54-token docs, so the
+#: certified width is 8 — the MECHANISM is width-independent).
+SUBSTR_W = 8
+
+
+def duplicate_span_cover(
+    docs: DataFrame,
+    *,
+    width: int = SUBSTR_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Substring-level duplicate detection: token positions covered by
+    NON-CANONICAL occurrences of any ``width``-token gram that appears
+    more than once in the corpus (across documents or within one).
+
+    The Spark-first re-expression of suffix-array substring dedup
+    (Lee et al. 2022): instead of one global suffix array (a single
+    O(corpus) sort no executor can hold), slide a width-token window
+    over every document (one Generate, no shuffle), key each gram by
+    ``md5`` (fixed 32-byte shuffle key regardless of gram length),
+    and aggregate per gram — count plus the canonical occurrence,
+    ``min(doc_id * 2^32 + pos)``, a single BIGINT min that is
+    partition-fold-order free. Every occurrence of a duplicated gram
+    EXCEPT its canonical one marks its ``width`` positions as
+    duplicated; overlapping marks from a run of duplicated grams
+    collapse via one distinct. The pair space is never materialized:
+    cost is O(total tokens) rows through two hash shuffles (gram key,
+    then (doc, pos)), the same class as tokenization itself — never
+    all-pairs, no sort of the full corpus.
+
+    Returns ``(base, covered)``: ``base`` = one row per doc with its
+    token array ``w`` and token count ``n_tok``; ``covered`` = the
+    distinct ``(id_col, p)`` duplicated positions.
+
+    At 100 TB: the gram aggregate combines map-side (counts and a
+    min), the md5 keys distribute uniformly (no skew salting needed),
+    and ``width`` trades recall for shuffle volume exactly as the
+    stride parameter does in chunk-level dedup. True 50-token-minimum
+    Lee-style spans come from running at width=50: any duplicated
+    substring of length >= 50 contains a duplicated 50-gram, so
+    coverage is identical on the shared positions.
+    """
+    w = F.split(F.col(text_col), " ")
+    base = fan_out(docs).select(
+        F.col(id_col), w.alias("w"), F.size(w).alias("n_tok")
+    )
+    pos_seq = F.when(
+        F.col("n_tok") >= width,
+        F.sequence(F.lit(0), (F.col("n_tok") - width).cast("int")),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    occ = (F.col(id_col) * F.lit(4294967296).cast("long")) + F.col("pos")
+    grams = (
+        base.select(id_col, "w", F.explode(pos_seq).alias("pos"))
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(
+                F.array_join(F.slice("w", F.col("pos") + 1, width), " ")
+            ).alias("hh"),
+        )
+        .withColumn("occ", occ)
+    )
+    per_gram = grams.groupBy("hh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("canon")
+    )
+    dup_occ = (
+        grams.join(per_gram, "hh")
+        .where((F.col("cnt") >= 2) & (F.col("occ") != F.col("canon")))
+        .select(id_col, "pos")
+    )
+    covered = dup_occ.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + width - 1)
+        ).alias("p"),
+    ).distinct()
+    return base, covered

@@ -3929,6 +3929,160 @@ def docs_chunk_dedup_rewrite(spark, sf_dir):
     )
 
 
+#: shared oracle CTE prefix for the substring-dedup pair — the exact
+#: DuckDB twin of functions/dedup.duplicate_span_cover (md5 gram keys,
+#: BIGINT-encoded canonical occurrence, distinct covered positions).
+_SUBSTR_COMMON = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             UNNEST(range(0, GREATEST(len(w) - {dd.SUBSTR_W} + 1, 0))) AS pos,
+             w
+      FROM t),
+gr AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              md5(array_to_string(w[pos+1 : pos+{dd.SUBSTR_W}], ' ')) AS hh
+       FROM g),
+k AS (SELECT hh, COUNT(*) AS cnt,
+             MIN(doc_id * 4294967296 + pos) AS canon
+      FROM gr GROUP BY hh),
+d AS (SELECT gr.doc_id, gr.pos
+      FROM gr JOIN k USING (hh)
+      WHERE k.cnt >= 2 AND gr.doc_id * 4294967296 + gr.pos <> k.canon),
+cov AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + {dd.SUBSTR_W})) AS p
+        FROM d)"""
+
+
+@query(
+    "docs_dup_spans",
+    _SUBSTR_COMMON
+    + """,
+isl AS (SELECT doc_id, p,
+               CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM cov),
+sp AS (SELECT doc_id, COUNT(*) AS covered,
+              CAST(SUM(brk) AS BIGINT) AS n_spans
+       FROM isl GROUP BY doc_id),
+base AS (SELECT doc_id, len(w) AS n_tok FROM t)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(floor(COALESCE(s.covered, 0) * 1000000.0 / b.n_tok + 0.5)
+            AS BIGINT) AS cov_ppm
+FROM base b LEFT JOIN sp s USING (doc_id) ORDER BY doc_id""",
+    doc="Substring-level duplicate-SPAN census (the detection half of "
+    "Lee et al. 2022 suffix-array dedup, Spark-first: see "
+    "functions/dedup.duplicate_span_cover): every position covered "
+    "by a non-canonical occurrence of a repeated "
+    f"{dd.SUBSTR_W}-token gram is duplicated; runs of overlapping "
+    "duplicated grams merge into SPANS via the gaps-and-islands "
+    "window (lag + running sum), and each doc reports its span "
+    "count and coverage ppm — the 'how much of my corpus is "
+    "copy-pasted' census that decides whether span excision is "
+    "worth a rewrite pass. Plan: O(total tokens) rows through two "
+    "hash shuffles (md5 gram key, then (doc,pos)); the gram "
+    "aggregate combines map-side; NEVER all-pairs and no global "
+    "sort — the suffix array's job done by groupBy.",
+)
+def docs_dup_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base, covered = dd.duplicate_span_cover(docs)
+    wspec = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(F.lag("p").over(wspec) == F.col("p") - 1, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    sp = (
+        covered.withColumn("brk", brk)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("covered"),
+            F.sum("brk").cast("long").alias("n_spans"),
+        )
+    )
+    cov_c = F.coalesce(F.col("covered"), F.lit(0)).cast("long")
+    return (
+        base.select("doc_id", "n_tok")
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            cov_c.alias("covered_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.floor(
+                cov_c * F.lit(1000000.0) / F.col("n_tok") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cov_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_substring_dedup_rewrite",
+    _SUBSTR_COMMON
+    + """,
+tokpos AS (SELECT doc_id, UNNEST(range(0, len(w))) AS p, w FROM t),
+tok AS (SELECT doc_id, CAST(p AS BIGINT) AS p, w[p+1] AS token FROM tokpos),
+keep AS (SELECT tok.doc_id, tok.p, tok.token
+         FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+base AS (SELECT doc_id, len(w) AS n_tok FROM t)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tokens,
+       CAST(b.n_tok - COUNT(k.token) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(k.token, ' ' ORDER BY k.p), '')) AS rebuilt_md5
+FROM base b LEFT JOIN keep k USING (doc_id)
+GROUP BY b.doc_id, b.n_tok ORDER BY doc_id""",
+    doc="Substring-level dedup REWRITE (the excision half of Lee et "
+    "al. 2022: remove every duplicated span, keep the canonical "
+    "occurrence): tokens at positions covered by non-canonical "
+    f"repeated-{dd.SUBSTR_W}-gram occurrences are excised via one "
+    "left_anti join on (doc, pos), and each document is reassembled "
+    "from its surviving tokens in order — hash-pinned by an md5 of "
+    "the rebuilt text, so the full transformation is certified, not "
+    "just counted. Unlike doc- or chunk-level dedup this strips the "
+    "copy-pasted passage and KEEPS the novel remainder at token "
+    "granularity. Plan: the anti join and the rebuild aggregate are "
+    "both (doc,pos)-keyed hash ops; per-doc state is bounded by doc "
+    "length (the collect_list is the doc's own surviving tokens); "
+    "no all-pairs, no global sort, scales like tokenization.",
+)
+def docs_substring_dedup_rewrite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base, covered = dd.duplicate_span_cover(docs)
+    tok = base.select(
+        "doc_id", F.posexplode("w").alias("p", "token")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), "token")
+    keep = tok.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "token"))),
+            lambda s: s["token"],
+        ),
+        " ",
+    )
+    kept = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), rebuilt.alias("rebuilt")
+    )
+    return (
+        base.select("doc_id", "n_tok")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.coalesce(F.col("rebuilt"), F.lit("")).cast("binary")
+            ).alias("rebuilt_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _duck_fold(terms: str) -> str:
     """Sequential left fold from 0.0 over per-index ``terms`` (use
     ``v[i]``-style element refs) — same order as Spark ``aggregate``."""

@@ -1835,6 +1835,8 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_recall_tuned",  # recall-tuned LSH audit: sim_ann_recall + sim_ann_multiprobe shapes (never)
     "events_scd2_stream",  # streaming SCD2 maintenance e2e: events_scd2 batch kernel + ST2 redelivery shapes (never)
     "events_sketch_rollup",  # mergeable HLL/KLL sketch rollup certification: q3_approx_distinct twin, exact-valued output (never)
+    "docs_dup_spans",  # substring-dup span census (Lee et al. detection half): docs_chunk_dup_ratio gram-keyed shapes (never)
+    "docs_substring_dedup_rewrite",  # substring-dup excision + hash-pinned rebuild: docs_chunk_dedup_rewrite twin (never)
 )
 
 
