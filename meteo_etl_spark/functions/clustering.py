@@ -182,10 +182,13 @@ def _assign_clusters_arrow(
 
     argmin per row, first-minimum ties → lowest cluster id, exactly
     the join/literal paths' ``array_min(struct(d, cluster))`` order.
-    The math is float64 but the RESULTS are exact integers: with every
-    component bounded by ±2²⁰ (checked — driver-side for centroids,
-    per batch for vectors; quantize() output is ±QUANT·|x|, far
-    below) all intermediates stay under 2⁵³ where float64 is lossless.
+    The math is float64 but the RESULTS are exact integers: with
+    4·dim·M² ≤ 2⁵³ for M = the largest |component| (checked —
+    driver-side for centroids, per batch against the actual vector
+    max; at quantize()'s ±2²⁰ component bound this admits dim ≤ 2048,
+    and the typical QUANT·|x| ≈ ±200 admits dim ≈ 10⁷) every
+    intermediate stays under 2⁵³ where float64 is lossless; both ends
+    raise past the bound rather than round.
     mapInPandas preserves partitioning — still a pure map, nothing
     shuffles; per-row cost is the same inherent O(k·dim), executed at
     BLAS speed instead of expression-interpreter speed (~500× at
@@ -200,6 +203,17 @@ def _assign_clusters_arrow(
         raise ValueError(
             f"centroid component exceeds ±{_ARROW_ABS_BOUND}: the float64 "
             "kernel would not be integer-exact — use _assign_clusters_join"
+        )
+    # the exactness bound is DIMENSION-dependent, not just per
+    # component: dist² ≤ dim·(max|q|+max|c|)² ≤ 4·dim·M², and every
+    # partial sum must stay under 2⁵³ for float64 to be lossless.
+    # Fail fast on the centroid side here; the kernel re-checks with
+    # the actual per-batch vector max (see _exactness_check).
+    if 4.0 * C.shape[1] * float(np.abs(C).max() ** 2) > float(1 << 53):
+        raise ValueError(
+            f"dim {C.shape[1]} x centroid magnitude "
+            f"{int(np.abs(C).max())} exceeds the float64 exactness "
+            "bound (4*dim*M^2 > 2^53) — use _assign_clusters_join"
         )
     spark = quantized.sparkSession
     bc = spark.sparkContext.broadcast(C)
@@ -231,6 +245,16 @@ def _assign_clusters_arrow(
                 raise ValueError(
                     f"vector component exceeds ±{int(bound)}: float64 "
                     "kernel would not be integer-exact for this input"
+                )
+            # _exactness_check: dist² ≤ 4·dim·max(|q|,|c|)² must stay
+            # under 2⁵³ — the per-component bound alone is not enough
+            # at high dim (e.g. dim 4096 near ±2²⁰ silently rounds)
+            m = max(np.abs(q).max(), np.abs(cm).max())
+            if 4.0 * q.shape[1] * float(m * m) > float(1 << 53):
+                raise ValueError(
+                    f"dim {q.shape[1]} x component magnitude {int(m)} "
+                    "exceeds the float64 exactness bound "
+                    "(4*dim*M^2 > 2^53) — use _assign_clusters_join"
                 )
             qn = (q * q).sum(axis=1)[:, None]
             rows = np.arange(len(q))

@@ -914,28 +914,40 @@ def duplicate_span_cover(
     O(corpus) sort no executor can hold), slide a width-token window
     over every document (one Generate, no shuffle), key each gram by
     ``md5`` (fixed 32-byte shuffle key regardless of gram length),
-    and aggregate per gram — count plus the canonical occurrence,
-    ``min(doc_id * 2^32 + pos)``, a single BIGINT min that is
-    partition-fold-order free. Every occurrence of a duplicated gram
-    EXCEPT its canonical one marks its ``width`` positions as
-    duplicated; overlapping marks from a run of duplicated grams
-    collapse via one distinct. The pair space is never materialized:
-    cost is O(total tokens) rows through two hash shuffles (gram key,
-    then (doc, pos)), the same class as tokenization itself — never
-    all-pairs, no sort of the full corpus.
+    and rank occurrences per gram with ONE ``row_number()`` window
+    ordered by ``(doc_id, pos)`` — rank 1 is the canonical
+    occurrence, every rank >= 2 is a duplicate (a rank-2 row existing
+    at all IS the duplication test, no count needed). Each duplicate
+    occurrence marks its ``width`` positions; overlapping marks from
+    a run of duplicated grams collapse via one distinct. The pair
+    space is never materialized: cost is O(total tokens) rows through
+    two hash shuffles (gram key, then (doc, pos)), the same class as
+    tokenization itself — never all-pairs, no sort of the full
+    corpus, the gram lineage evaluated exactly once (the window
+    subsumes what an aggregate+self-join would compute twice), and
+    ids stay ``(doc_id, pos)`` pairs end to end — no packed-BIGINT
+    encoding to overflow on 63-bit doc ids.
 
     Returns ``(base, covered)``: ``base`` = one row per doc with its
     token array ``w`` and token count ``n_tok``; ``covered`` = the
     distinct ``(id_col, p)`` duplicated positions.
 
-    At 100 TB: the gram aggregate combines map-side (counts and a
-    min), the md5 keys distribute uniformly (no skew salting needed),
-    and ``width`` trades recall for shuffle volume exactly as the
-    stride parameter does in chunk-level dedup. True 50-token-minimum
-    Lee-style spans come from running at width=50: any duplicated
-    substring of length >= 50 contains a duplicated 50-gram, so
-    coverage is identical on the shared positions.
+    At 100 TB: the md5 keys distribute uniformly, so the window's
+    per-gram groups are tiny EXCEPT for pathological grams repeated
+    across a large share of the corpus (boilerplate headers); those
+    hot grams concentrate on one task exactly as they would on the
+    probe side of the join formulation — cap them by pre-filtering
+    grams whose in-partition count exceeds a threshold (every
+    occurrence past rank 1 is excised anyway, so a "duplicated, stop
+    counting" cap loses nothing). ``width`` trades recall for shuffle
+    volume exactly as the stride parameter does in chunk-level dedup.
+    True 50-token-minimum Lee-style spans come from running at
+    width=50: any duplicated substring of length >= 50 contains a
+    duplicated 50-gram, so coverage is identical on the shared
+    positions.
     """
+    from pyspark.sql import Window
+
     w = F.split(F.col(text_col), " ")
     base = fan_out(docs).select(
         F.col(id_col), w.alias("w"), F.size(w).alias("n_tok")
@@ -944,25 +956,20 @@ def duplicate_span_cover(
         F.col("n_tok") >= width,
         F.sequence(F.lit(0), (F.col("n_tok") - width).cast("int")),
     ).otherwise(F.expr("cast(array() as array<int>)"))
-    occ = (F.col(id_col) * F.lit(4294967296).cast("long")) + F.col("pos")
-    grams = (
-        base.select(id_col, "w", F.explode(pos_seq).alias("pos"))
-        .select(
-            id_col,
-            F.col("pos").cast("long").alias("pos"),
-            F.md5(
-                F.array_join(F.slice("w", F.col("pos") + 1, width), " ")
-            ).alias("hh"),
-        )
-        .withColumn("occ", occ)
+    grams = base.select(
+        id_col, "w", F.explode(pos_seq).alias("pos")
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(
+            F.array_join(F.slice("w", F.col("pos") + 1, width), " ")
+        ).alias("hh"),
     )
-    per_gram = grams.groupBy("hh").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("canon")
+    rn = F.row_number().over(
+        Window.partitionBy("hh").orderBy(id_col, "pos")
     )
     dup_occ = (
-        grams.join(per_gram, "hh")
-        .where((F.col("cnt") >= 2) & (F.col("occ") != F.col("canon")))
-        .select(id_col, "pos")
+        grams.withColumn("rn", rn).where(F.col("rn") >= 2).select(id_col, "pos")
     )
     covered = dup_occ.select(
         id_col,

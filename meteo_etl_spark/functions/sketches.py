@@ -62,12 +62,17 @@ def sketch_rollup(
 
 def merged_distinct_estimate(rollup: DataFrame) -> int:
     """Distinct estimate over the UNION of all rollup rows' HLL
-    sketches — O(rows·2^lgk) register maxes, no fact rescan."""
-    return int(
-        rollup.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("hll_sk", F.lit(True))).alias("est")
-        ).collect()[0]["est"]
-    )
+    sketches — O(rows·2^lgk) register maxes, no fact rescan.
+
+    An empty rollup (an ad-hoc window that matched no rollup rows)
+    returns 0: ``hll_union_agg`` over zero rows is the empty sketch,
+    whose estimate is the honest "no data seen" answer."""
+    est = rollup.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sk", F.lit(True))).alias("est")
+    ).collect()[0]["est"]
+    if est is None:  # defensive: no engine version observed returns NULL
+        raise ValueError("merged_distinct_estimate: empty rollup (no sketches)")
+    return int(est)
 
 
 def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
@@ -79,9 +84,11 @@ def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
     cardinality, not the fact) and folded JVM-side with
     ``F.aggregate``."""
     packed = rollup.agg(F.collect_list("kll_sk").alias("l"))
+    # try_element_at: an EMPTY rollup must reach the ValueError below,
+    # not die in ANSI element_at's INVALID_ARRAY_INDEX
     merged = F.aggregate(
         F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
-        F.element_at(F.col("l"), 1),
+        F.try_element_at(F.col("l"), F.lit(1)),
         lambda acc, s: F.kll_sketch_merge_double(acc, s),
     )
     row = packed.select(
@@ -89,6 +96,8 @@ def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
             merged, F.array(*[F.lit(float(p)) for p in probs])
         ).alias("qs")
     ).collect()[0]["qs"]
+    if row is None:
+        raise ValueError("merged_quantiles: empty rollup (no sketches)")
     return [float(x) for x in row]
 
 

@@ -58,7 +58,7 @@ import time
 import uuid
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.operators import fsio
@@ -455,7 +455,15 @@ class AtomicParquetTable:
             )
         tpath = os.path.join(self.path, f"{TAG_PREFIX}{name}.json")
         body = json.dumps({"name": name, "version": version}, sort_keys=True)
+        prev_body: str | None = None
         if replace:
+            # remember the previous mapping: a failed replace must
+            # RESTORE it, not delete the name (the old target's vacuum
+            # protection would silently vanish with the tag)
+            try:
+                prev_body = self._io.read_text(tpath)
+            except FileNotFoundError:
+                prev_body = None
             self._io.replace(tpath, body)
         elif not self._io.publish_exclusive(tpath, body):
             raise FileExistsError(
@@ -463,21 +471,28 @@ class AtomicParquetTable:
                 "(pass replace=True to move it)"
             )
         self._io.fsync_dir(self.path)
-        # The existence check above and the publish are not atomic: a
-        # vacuum that snapshotted tags() before this tag landed may
-        # have collected the version's files in between. Re-verify
-        # AFTER the tag is visible (vacuum protects any version a
-        # visible tag references, so a version that still exists here
-        # can no longer be collected); if it is gone, remove the
-        # dangling tag rather than leave a name that reads
-        # FILE_NOT_FOUND despite the "tagged versions survive vacuum"
-        # contract.
+        # The existence check above and the publish are not atomic.
+        # Re-verify AFTER the tag is visible: this catches a vacuum
+        # that COMPLETED in the window (its deletions are durable, so
+        # the version file is gone here) and rolls the tag back
+        # instead of leaving a name that reads FILE_NOT_FOUND. It
+        # does NOT close the race against a vacuum still mid-flight —
+        # one that snapshotted tags() before the publish and deletes
+        # the version file after this check passes. Vacuum already
+        # requires a single maintenance writer (no concurrent
+        # vacuums); tag() shares that discipline: do not tag while a
+        # vacuum is running. read(tag=) failing FILE_NOT_FOUND is the
+        # detector if the discipline is broken.
         if version not in self.versions():
-            self._io.unlink(tpath)
+            if prev_body is not None:
+                self._io.replace(tpath, prev_body)  # restore old mapping
+            else:
+                self._io.unlink(tpath)
             raise FileNotFoundError(
                 f"version {version} was vacuumed while tag {name!r} was "
-                f"being published at {self.path}; tag removed — re-tag "
-                "a retained version"
+                f"being published at {self.path}; tag "
+                + ("restored to its previous target" if prev_body else "removed")
+                + " — re-tag a retained version"
             )
         return version
 
@@ -763,10 +778,18 @@ def diff_versions(
     pruning. NULL-safe on non-key content: Spark's ``xxhash64`` SKIPS
     NULL inputs entirely (so a bare ``xxhash64(*payload)`` would hash
     ``(5, NULL)`` and ``(NULL, 5)`` identically), so each payload
-    column is encoded as ``coalesce(cast(c AS string), '\\x00')`` plus
-    an ``isNull`` flag — moving a value between columns or NULL-filling
-    one is detected as a change. Keys must be non-NULL (the atomic
-    table's merge contract already requires that).
+    column is encoded NULL-coalesced plus an ``isNull`` flag — moving
+    a value between columns or NULL-filling one is detected as a
+    change. The per-column encoding is type-aware because a bare
+    string cast is LOSSY for complex types (``['a','b']`` and
+    ``['a, b']`` both render ``[a, b]``): arrays/maps/structs encode
+    via ``to_json`` with ``ignoreNullFields=false`` (delimiting and
+    null fields preserved), binary via ``base64``, atomic types via
+    the exact string cast. Map column caveat: ``to_json`` preserves
+    entry order, so two maps equal as sets but ordered differently
+    read as changed — a false "changed" (re-emits a row), never a
+    false "unchanged" (missed delta). Keys must be non-NULL (the
+    atomic table's merge contract already requires that).
     """
     table = AtomicParquetTable(spark, path)
     a, b = table.read(version=v_from), table.read(version=v_to)
@@ -781,16 +804,29 @@ def diff_versions(
             raise ValueError(f"key column {k!r} not in table columns")
     payload = sorted(c for c in a.columns if c not in key_cols)
 
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    types = {f.name: f.dataType for f in a.schema.fields}
+
+    def encode(c: str) -> Column:
+        # type-aware lossless rendering: plain cast collapses
+        # ['a','b'] / ['a, b'] and mangles binary
+        if isinstance(types[c], (ArrayType, MapType, StructType)):
+            return F.to_json(F.col(c), {"ignoreNullFields": "false"})
+        if isinstance(types[c], BinaryType):
+            return F.base64(F.col(c))
+        return F.col(c).cast("string")
+
     def keyed(df: DataFrame, tag: str) -> DataFrame:
         # xxhash64 skips NULL inputs, collapsing (5, NULL)/(NULL, 5);
-        # feed it only non-NULL terms: a NULL-coalesced string encoding
-        # of each column plus its isNull flag (the flag disambiguates a
+        # feed it only non-NULL terms: a NULL-coalesced encoding of
+        # each column plus its isNull flag (the flag disambiguates a
         # genuine "\x00" string from an encoded NULL).
         terms = [
             t
             for c in payload
             for t in (
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+                F.coalesce(encode(c), F.lit("\x00")),
                 F.col(c).isNull(),
             )
         ]

@@ -197,8 +197,12 @@ def scd2_foreach_batch(
     interval per non-delete change is INSERTED (a trailing delete just
     leaves the key with no open row) — ``merge_parquet`` on
     ``key + valid_from``, so only partitions holding an affected key
-    rewrite, and batch work is O(batch + affected keys' open rows),
-    never a history rescan.
+    rewrite. With a key-derived partition layout (``partition_col`` +
+    ``partition_expr``, e.g. a kb-hash bucket) the frontier read is
+    also pruned to the batch's own partition values, making batch
+    work O(batch + affected partitions); WITHOUT a partition layout
+    the frontier pass column-prunes to key+timestamps but scans every
+    history file — lay out the sink on a key bucket for streaming use.
 
     At-least-once safety WITHOUT a batch-id ledger: each key's
     **frontier** = max(coalesce(valid_to, valid_from)) over its
@@ -236,6 +240,24 @@ def scd2_foreach_batch(
         closed = None
         if table_exists(spark, path):
             hist = spark.read.parquet(path)
+            # partition-prune the history read: the left_semi join
+            # below cannot prune files by itself (affected keys are a
+            # DataFrame, not literals), so when the sink is laid out
+            # on a key-derived partition column, push the batch's
+            # OWN partition values — a bounded set (kb-hash layouts
+            # have a fixed bucket count) — as a scan filter. Without
+            # a partition layout the frontier pass column-prunes to
+            # key+timestamps but does read every history file.
+            pcol = merge_kwargs.get("partition_col")
+            pexpr = merge_kwargs.get("partition_expr")
+            if pcol is not None:
+                src = (
+                    ch.select(F.col(pcol))
+                    if pcol in ch.columns
+                    else ch.select(pexpr.alias(pcol))
+                )
+                pvals = [r[0] for r in src.distinct().collect()]
+                hist = hist.where(F.col(pcol).isin(pvals))
             affected = ch.select(*key_cols).distinct()
             eh = hist.join(affected, key_cols, "left_semi")
             frontier = eh.groupBy(*key_cols).agg(

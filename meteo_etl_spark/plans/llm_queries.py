@@ -56,14 +56,17 @@ def _duck_bucket(v: str, table: int, planes: int | None = None) -> str:
     return f"concat({bits})"
 
 
-def _duck_hamming(a: str, b: str, bits: int) -> str:
+def _duck_hamming(a: str, b: str, bits: int = sim.LSH_PLANES) -> str:
     """Positional Hamming distance between two bit strings — mirrors
-    similarity._hamming (P substring compares)."""
-    return " + ".join(
-        f"CASE WHEN substr({a}, {p + 1}, 1) <> substr({b}, {p + 1}, 1) "
-        "THEN 1 ELSE 0 END"
+    similarity._hamming (``bits`` substring compares; defaults to the
+    base LSH route's plane count). The ONLY definition — callers for
+    the tuned route pass their own ``bits``."""
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {p + 1}, 1) <> substr({b}, {p + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
         for p in range(bits)
     )
+    return f"({terms})"
 
 
 _K = dd.SHINGLE_K
@@ -3388,15 +3391,6 @@ def docs_packing_stats(spark, sf_dir):
     )
 
 
-def _duck_hamming(a: str, b: str) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN substr({a}, {p + 1}, 1) <> substr({b}, {p + 1}, 1) "
-        "THEN 1 ELSE 0 END)"
-        for p in range(sim.LSH_PLANES)
-    )
-    return f"({terms})"
-
-
 @query(
     "sim_ann_multiprobe",
     f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3941,12 +3935,10 @@ g AS (SELECT doc_id,
 gr AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
               md5(array_to_string(w[pos+1 : pos+{dd.SUBSTR_W}], ' ')) AS hh
        FROM g),
-k AS (SELECT hh, COUNT(*) AS cnt,
-             MIN(doc_id * 4294967296 + pos) AS canon
-      FROM gr GROUP BY hh),
-d AS (SELECT gr.doc_id, gr.pos
-      FROM gr JOIN k USING (hh)
-      WHERE k.cnt >= 2 AND gr.doc_id * 4294967296 + gr.pos <> k.canon),
+rk AS (SELECT doc_id, pos,
+              ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+       FROM gr),
+d AS (SELECT doc_id, pos FROM rk WHERE rn >= 2),
 cov AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + {dd.SUBSTR_W})) AS p
         FROM d)"""
 

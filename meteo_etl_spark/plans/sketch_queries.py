@@ -40,15 +40,15 @@ def events_sketch_rollup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     rollup = sk.sketch_rollup(ev, [day], "user_id", "value").persist()
-    try:
-        exact_daily = (
-            ev.groupBy(day)
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.countDistinct("user_id").alias("n_users"),
-            )
-            .persist()
+    exact_daily = (
+        ev.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
         )
+        .persist()
+    )
+    try:
         # per-day HLL certification: max relative error across days,
         # one scalar collected
         maxerr = (
@@ -88,4 +88,7 @@ def events_sketch_rollup(spark, sf_dir):
             ).orderBy("day")
         )
     finally:
+        # the returned frame rebuilds from source lazily after the
+        # unpersist; both caches live only for the certification scans
         rollup.unpersist()
+        exact_daily.unpersist()

@@ -787,3 +787,80 @@ def test_tag_validation_and_immutability(spark, tmp_path):
         t.read(version=1, tag="rel")
     with pytest.raises(FileNotFoundError, match="no tag"):
         t.delete_tag("nope")
+
+
+def test_diff_versions_distinguishes_complex_typed_payloads(spark, tmp_path):
+    """Regression: a bare string cast renders ['a','b'] and ['a, b']
+    identically ('[a, b]'), so array/struct/binary payloads must be
+    encoded losslessly (to_json / base64) or real changes read as
+    unchanged."""
+    from meteo_etl_spark.operators.atomic import diff_versions
+
+    path = str(tmp_path / "tc")
+    t = AtomicParquetTable(spark, path)
+    df1 = spark.createDataFrame(
+        [(1, ["a", "b"], None), (2, ["x"], bytearray(b"\x01\x02"))],
+        "k long, tags array<string>, blob binary",
+    )
+    t.overwrite(df1)
+    v1 = t.versions()[-1]
+    # k=1: ['a','b'] -> ['a, b'] (same naive rendering); k=2: blob
+    # bytes change but decode to the same lossy UTF-8 replacement
+    df2 = spark.createDataFrame(
+        [(1, ["a, b"], None), (2, ["x"], bytearray(b"\x01\x03"))],
+        "k long, tags array<string>, blob binary",
+    )
+    t.overwrite(df2)
+    v2 = t.versions()[-1]
+    got = {
+        r["k"]: r["change"]
+        for r in diff_versions(spark, path, v1, v2, ["k"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+    # [NULL] element vs the string 'null' must also differ
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, [None], None)], "k long, tags array<string>, blob binary"
+        )
+    )
+    v3 = t.versions()[-1]
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, ["null"], None)], "k long, tags array<string>, blob binary"
+        )
+    )
+    v4 = t.versions()[-1]
+    assert {
+        r["k"]: r["change"]
+        for r in diff_versions(spark, path, v3, v4, ["k"]).collect()
+    } == {1: "changed"}
+
+
+def test_tag_replace_restores_previous_mapping_on_vacuum_race(spark, tmp_path):
+    """A replace=True that loses the tag/vacuum race must RESTORE the
+    previous mapping, not delete the name: the old target's vacuum
+    protection has to survive the failed move."""
+    path = str(tmp_path / "tr")
+    t = AtomicParquetTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a", "x")]))  # v1
+    v1 = t.versions()[-1]
+    t.tag("prod", v1)
+    t.overwrite(_df(spark, [(2, "b", "y")]))  # v2
+    v2 = t.versions()[-1]
+    # simulate a vacuum completing between publish and re-verify: the
+    # second versions() call no longer sees v2
+    calls = {"n": 0}
+    orig = t.versions
+
+    def racing():
+        calls["n"] += 1
+        vs = orig()
+        return [v for v in vs if v != v2] if calls["n"] >= 2 else vs
+
+    t.versions = racing
+    try:
+        with pytest.raises(FileNotFoundError, match="restored"):
+            t.tag("prod", v2, replace=True)
+    finally:
+        t.versions = orig
+    assert t.tags() == {"prod": v1}  # old mapping intact

@@ -285,3 +285,19 @@ def test_arrow_assignment_guards_exactness_bound(spark, emb):
     big = [[cl._ARROW_ABS_BOUND] * 64]
     with pytest.raises(ValueError, match="integer-exact"):
         cl._assign_clusters_arrow(q, big, with_dist=False)
+
+
+def test_arrow_assignment_guards_dim_dependent_bound(spark, emb):
+    """The exactness bound is 4*dim*M^2 <= 2^53, not per-component
+    alone: dim 4096 at components just UNDER the +-2^20 cap must be
+    refused driver-side (it would silently round), while the same dim
+    at small components is fine."""
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    near_cap = cl._ARROW_ABS_BOUND - 1
+    with pytest.raises(ValueError, match="exactness bound"):
+        cl._assign_clusters_arrow(q, [[near_cap] * 4096], with_dist=False)
+    # dim 64 at the same magnitude passes the dim check (4*64*2^40 << 2^53)
+    df = cl._assign_clusters_arrow(q, [[near_cap] * 64], with_dist=False)
+    assert "cluster" in df.columns

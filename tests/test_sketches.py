@@ -73,3 +73,19 @@ def test_certifiers_raise_on_breach(spark, ev):
         sk.certify_quantile_rank(
             ev, "value", lo - 1.0, 0.5, rank_tol=0.02, context="t"
         )
+
+
+def test_empty_rollup_raises_cleanly(spark, ev):
+    from meteo_etl_spark.functions import sketches as sk
+
+    empty = sk.sketch_rollup(
+        ev.where("user_id IS NULL AND user_id IS NOT NULL"),
+        ["user_id"],
+        "user_id",
+        "value",
+    )
+    # the empty HLL union is a real (empty) sketch: estimate 0
+    assert sk.merged_distinct_estimate(empty) == 0
+    # but there is no KLL sketch to fold, so quantiles must refuse
+    with pytest.raises(ValueError, match="empty rollup"):
+        sk.merged_quantiles(empty, [0.5])
