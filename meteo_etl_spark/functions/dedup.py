@@ -897,6 +897,62 @@ def dedup_stream_foreach_batch(
 #: certified width is 8 — the MECHANISM is width-independent).
 SUBSTR_W = 8
 
+#: a gram whose corpus-wide occurrence count reaches this takes the
+#: broadcast (hot) path in duplicate_span_cover instead of the hashed
+#: probe join — the skew cap for boilerplate grams. Below it, a key's
+#: probe group fits any reducer (4096 rows x ~50 B ≈ 200 KB); the
+#: number of distinct grams that can EXCEED it is bounded by
+#: total_grams / HOT_GRAM_MIN (pigeonhole), so the hot side stays a
+#: small broadcast even adversarially.
+HOT_GRAM_MIN = 4096
+
+
+def gram_occurrences(
+    base: DataFrame,
+    *,
+    width: int = SUBSTR_W,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, hh) for every ``width``-token gram occurrence: one
+    Generate over the tokenized docs (no shuffle), gram keyed by
+    ``md5`` — a fixed 32-byte shuffle key regardless of gram length.
+    ``base`` is the tokenized frame from :func:`duplicate_span_cover`
+    (columns ``id_col, w, n_tok``)."""
+    pos_seq = F.when(
+        F.col("n_tok") >= width,
+        F.sequence(F.lit(0), (F.col("n_tok") - width).cast("int")),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    return base.select(
+        id_col, "w", F.explode(pos_seq).alias("pos")
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(
+            F.array_join(F.slice("w", F.col("pos") + 1, width), " ")
+        ).alias("hh"),
+    )
+
+
+def duplicated_gram_stats(
+    grams: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per DUPLICATED gram (count >= 2): ``(hh, cnt, canon)`` where
+    ``canon`` is the canonical occurrence — the (id, pos)-least one.
+    One ``groupBy`` whose ``count``/``min(struct)`` both combine
+    map-side, so a boilerplate gram repeated across a large corpus
+    share reaches the reduce task as at most one partial row per map
+    task — this aggregate is where the hot-gram cap lives, replacing
+    the unsplittable per-gram ``row_number()`` window the r7/r8
+    formulation used."""
+    return (
+        grams.groupBy("hh")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("canon"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+
 
 def duplicate_span_cover(
     docs: DataFrame,
@@ -904,6 +960,7 @@ def duplicate_span_cover(
     width: int = SUBSTR_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_min_count: int = HOT_GRAM_MIN,
 ) -> tuple[DataFrame, DataFrame]:
     """Substring-level duplicate detection: token positions covered by
     NON-CANONICAL occurrences of any ``width``-token gram that appears
@@ -914,62 +971,66 @@ def duplicate_span_cover(
     O(corpus) sort no executor can hold), slide a width-token window
     over every document (one Generate, no shuffle), key each gram by
     ``md5`` (fixed 32-byte shuffle key regardless of gram length),
-    and rank occurrences per gram with ONE ``row_number()`` window
-    ordered by ``(doc_id, pos)`` — rank 1 is the canonical
-    occurrence, every rank >= 2 is a duplicate (a rank-2 row existing
-    at all IS the duplication test, no count needed). Each duplicate
-    occurrence marks its ``width`` positions; overlapping marks from
-    a run of duplicated grams collapse via one distinct. The pair
-    space is never materialized: cost is O(total tokens) rows through
-    two hash shuffles (gram key, then (doc, pos)), the same class as
-    tokenization itself — never all-pairs, no sort of the full
-    corpus, the gram lineage evaluated exactly once (the window
-    subsumes what an aggregate+self-join would compute twice), and
-    ids stay ``(doc_id, pos)`` pairs end to end — no packed-BIGINT
-    encoding to overflow on 63-bit doc ids.
+    then reduce each gram to ``(cnt, canonical occurrence)`` with ONE
+    map-side-combinable aggregate (:func:`duplicated_gram_stats`) —
+    the (id, pos)-least occurrence is canonical, every other
+    occurrence of a duplicated gram is a duplicate ("duplicated, stop
+    counting": rank beyond 1 is irrelevant since every non-canonical
+    occurrence is excised anyway). Each duplicate occurrence marks its
+    ``width`` positions; overlapping marks from a run of duplicated
+    grams collapse via one distinct. The pair space is never
+    materialized: cost is O(total tokens) rows through hash shuffles
+    only — never all-pairs, no sort of the full corpus, and ids stay
+    ``(doc_id, pos)`` pairs end to end — no packed-BIGINT encoding to
+    overflow on 63-bit doc ids.
+
+    Skew (the 100 TB hazard this formulation exists for): a
+    boilerplate gram repeated across a large corpus share is harmless
+    in the aggregate (partial ``count``/``min`` collapse it map-side
+    to one row per map task) but would still flood one reducer on the
+    occurrence→canonical PROBE join — so the duplicated-gram table is
+    split at ``hot_min_count``: grams below it probe through the
+    hashed join (per-key group bounded by the cap), grams at or above
+    it join by BROADCAST (their stats rows number at most
+    total_grams / hot_min_count by pigeonhole, a few KB of (md5,
+    canon) rows for any real corpus), so no reduce task ever receives
+    a hot gram's occurrence fan-in. The earlier window formulation
+    (``row_number()`` per gram) had no such split point — a window
+    partition cannot be divided. Cost of the split: the gram lineage
+    (tokenize + md5, a narrow map) is re-evaluated per branch instead
+    of once — the standard recompute-over-cache trade at corpus
+    scale.
 
     Returns ``(base, covered)``: ``base`` = one row per doc with its
     token array ``w`` and token count ``n_tok``; ``covered`` = the
     distinct ``(id_col, p)`` duplicated positions.
 
-    At 100 TB: the md5 keys distribute uniformly, so the window's
-    per-gram groups are tiny EXCEPT for pathological grams repeated
-    across a large share of the corpus (boilerplate headers); those
-    hot grams concentrate on one task exactly as they would on the
-    probe side of the join formulation — cap them by pre-filtering
-    grams whose in-partition count exceeds a threshold (every
-    occurrence past rank 1 is excised anyway, so a "duplicated, stop
-    counting" cap loses nothing). ``width`` trades recall for shuffle
-    volume exactly as the stride parameter does in chunk-level dedup.
-    True 50-token-minimum Lee-style spans come from running at
-    width=50: any duplicated substring of length >= 50 contains a
-    duplicated 50-gram, so coverage is identical on the shared
-    positions.
+    ``width`` trades recall for shuffle volume exactly as the stride
+    parameter does in chunk-level dedup. True 50-token-minimum
+    Lee-style spans come from running at width=50: any duplicated
+    substring of length >= 50 contains a duplicated 50-gram, so
+    coverage is identical on the shared positions.
     """
-    from pyspark.sql import Window
-
     w = F.split(F.col(text_col), " ")
     base = fan_out(docs).select(
         F.col(id_col), w.alias("w"), F.size(w).alias("n_tok")
     )
-    pos_seq = F.when(
-        F.col("n_tok") >= width,
-        F.sequence(F.lit(0), (F.col("n_tok") - width).cast("int")),
-    ).otherwise(F.expr("cast(array() as array<int>)"))
-    grams = base.select(
-        id_col, "w", F.explode(pos_seq).alias("pos")
-    ).select(
-        id_col,
-        F.col("pos").cast("long").alias("pos"),
-        F.md5(
-            F.array_join(F.slice("w", F.col("pos") + 1, width), " ")
-        ).alias("hh"),
+    grams = gram_occurrences(base, width=width, id_col=id_col)
+    stats = duplicated_gram_stats(grams, id_col=id_col)
+    not_canon = (F.col(id_col) != F.col("canon")[id_col]) | (
+        F.col("pos") != F.col("canon")["pos"]
     )
-    rn = F.row_number().over(
-        Window.partitionBy("hh").orderBy(id_col, "pos")
-    )
+    cold = stats.where(F.col("cnt") < hot_min_count).select("hh", "canon")
+    hot = stats.where(F.col("cnt") >= hot_min_count).select("hh", "canon")
     dup_occ = (
-        grams.withColumn("rn", rn).where(F.col("rn") >= 2).select(id_col, "pos")
+        grams.join(cold, "hh")
+        .where(not_canon)
+        .select(id_col, "pos")
+        .unionByName(
+            grams.join(F.broadcast(hot), "hh")
+            .where(not_canon)
+            .select(id_col, "pos")
+        )
     )
     covered = dup_occ.select(
         id_col,

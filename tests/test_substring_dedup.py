@@ -87,6 +87,77 @@ def test_cover_is_partitioning_invariant(spark):
     assert one == {(i, p) for i in range(1, 20) for p in range(2, 8)}
 
 
+def _boilerplate_corpus():
+    # the 100 TB hazard fixture: ONE 4-gram ("hot0 hot1 hot2 hot3")
+    # repeated across 30% of the corpus (12 of 40 docs, positions
+    # 2..5), every other token unique per doc so no other gram
+    # duplicates.
+    rows = []
+    for i in range(40):
+        mid = "hot0 hot1 hot2 hot3" if i % 10 < 3 else f"m{i}a m{i}b m{i}c m{i}d"
+        rows.append((i, f"u{i}a u{i}b {mid} u{i}c u{i}d"))
+    hot_ids = [i for i in range(40) if i % 10 < 3]
+    return rows, hot_ids
+
+
+def test_hot_gram_cap_splits_boilerplate_to_broadcast_path(spark):
+    # r8 verdict order #2: a boilerplate gram must NOT funnel every
+    # occurrence into one task. The cap splits duplicated grams at
+    # hot_min_count: hot grams join by broadcast, cold grams by hashed
+    # probe whose per-key group is bounded by the cap.
+    rows, hot_ids = _boilerplate_corpus()
+    docs = _docs(spark, rows)
+
+    # (a) the boilerplate gram is classified hot, and the cold side's
+    # per-key fan-in is bounded by the cap (structural skew bound)
+    grams = dd.gram_occurrences(
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n_tok", F.size("w")),
+        width=W,
+    )
+    stats = dd.duplicated_gram_stats(grams)
+    hot = stats.where(F.col("cnt") >= 10).collect()
+    assert len(hot) == 1 and hot[0].cnt == len(hot_ids)
+    assert stats.where(F.col("cnt") < 10).count() == 0
+
+    # (b) semantics are split-invariant: capped result == all-cold
+    # result == the handcrafted expectation (canonical = min doc_id)
+    _, cov_capped = dd.duplicate_span_cover(docs, width=W, hot_min_count=10)
+    got = {(r.doc_id, r.p) for r in cov_capped.collect()}
+    _, cov_uncapped = dd.duplicate_span_cover(
+        docs, width=W, hot_min_count=10**9
+    )
+    assert got == {(r.doc_id, r.p) for r in cov_uncapped.collect()}
+    assert got == {(i, p) for i in hot_ids[1:] for p in range(2, 6)}
+
+    # (c) plan: the hot branch is a BroadcastHashJoin and the
+    # unsplittable per-gram row_number window is GONE
+    plan = cov_capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_gram_stats_aggregate_combines_map_side(spark):
+    # the cap's other half: the per-gram stats reach the reduce task
+    # pre-combined (partial count/min per map task), never as raw
+    # occurrence fan-in — assert the partial HashAggregate sits below
+    # the gram-key exchange.
+    rows, _ = _boilerplate_corpus()
+    grams = dd.gram_occurrences(
+        _docs(spark, rows)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n_tok", F.size("w")),
+        width=W,
+    )
+    plan = (
+        dd.duplicated_gram_stats(grams)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan and "partial_min" in plan
+
+
 @pytest.mark.parametrize("name", ["docs_dup_spans", "docs_substring_dedup_rewrite"])
 def test_query_totals_are_consistent(spark, name):
     import __spark_entry__ as e
