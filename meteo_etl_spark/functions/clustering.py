@@ -78,6 +78,27 @@ ASSIGN_ARROW_MIN = 1024
 #: (a-b)² ≤ 4·2⁴⁰, summed over dim 64 → < 2⁴⁸ < 2⁵³.
 _ARROW_ABS_BOUND = 1 << 20
 
+#: live centroid-matrix broadcasts from _assign_clusters_arrow, oldest
+#: first; beyond MAX_LIVE_ASSIGN_BROADCASTS the oldest is unpersisted
+#: (executor copies dropped; the driver copy remains, so lazy frames
+#: can still re-fetch). Call release_assignment_broadcasts() to drop
+#: all executor copies eagerly.
+from collections import deque as _deque
+
+_LIVE_ASSIGN_BROADCASTS: "_deque" = _deque()
+MAX_LIVE_ASSIGN_BROADCASTS = 2
+
+
+def release_assignment_broadcasts() -> int:
+    """Unpersist every live Arrow-assignment centroid broadcast
+    (executor copies only — in-flight frames re-fetch from the
+    driver). Returns the number released."""
+    n = 0
+    while _LIVE_ASSIGN_BROADCASTS:
+        _LIVE_ASSIGN_BROADCASTS.popleft().unpersist(False)
+        n += 1
+    return n
+
 
 def quantize(vec: Column) -> Column:
     """array<long> quantized view of an array<float/double> embedding."""
@@ -217,6 +238,15 @@ def _assign_clusters_arrow(
         )
     spark = quantized.sparkSession
     bc = spark.sparkContext.broadcast(C)
+    # cap live centroid broadcasts (~25 MB each at k=5e4): repeated
+    # assignment passes in one session (k-means loops, audits) would
+    # otherwise accumulate executor+driver copies without bound.
+    # unpersist(False) only drops executor copies — a still-lazy frame
+    # that needs an evicted broadcast re-fetches it from the driver,
+    # so eviction is a memory bound, never a correctness hazard.
+    _LIVE_ASSIGN_BROADCASTS.append(bc)
+    while len(_LIVE_ASSIGN_BROADCASTS) > MAX_LIVE_ASSIGN_BROADCASTS:
+        _LIVE_ASSIGN_BROADCASTS.popleft().unpersist(False)
     bound = float(_ARROW_ABS_BOUND)
     want_dist = with_dist
 

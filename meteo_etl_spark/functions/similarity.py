@@ -564,3 +564,213 @@ def ann_multiprobe_topk(
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- serving-route selection ------------------------------------------------
+
+#: decision thresholds for choose_ann_route, as INTEGER percents so
+#: both engines compare exact integers (no float threshold ==).
+#: recall >= 90% of exact top-k AND candidate fraction <= 20% of the
+#: corpus — a route that misses either is not fit to serve.
+ANN_ROUTE_RECALL_MIN_PCT = 90
+ANN_ROUTE_FRAC_MAX_PCT = 20
+
+#: the serving routes the audit adjudicates. IVF doubles as the
+#: FALLBACK when nothing qualifies: its probe cost is structurally
+#: bounded (nprobe / nlists of the corpus per query — and at real
+#: scale nlists is 10^4-10^5 trained centroids, not the 8 demo
+#: literals here), so an unstructured corpus where no sign-LSH shape
+#: is both accurate and selective serves via centroid routing rather
+#: than defaulting to a 0.6-candidate-fraction LSH scan.
+ANN_ROUTES = ("ivf", "lsh_deep", "lsh_tuned")
+
+
+def ann_route_audit(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Audit EVERY serving route on one corpus: per route, exact
+    integer counters ``n_hit`` (truth top-k members the route's
+    candidate-restricted top-k recovers, summed over the query
+    panel), ``cand`` (candidate pairs admitted) and ``pairs`` (all
+    scored pairs) — the recall-vs-selectivity evidence
+    ``choose_ann_route`` adjudicates.
+
+    One scored frame serves all three routes (corpus x broadcast
+    query panel, cosine once per pair, every route's candidate
+    predicate as a column), so routes can never diverge on scoring;
+    per-route ranking reuses the same (qid)-keyed window. Driver
+    traffic is three 1-row aggregates. Offline audit cost —
+    n_queries exact scans — NOT a serving path."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        *[
+            _bucket(v, t, LSH_TUNED_PLANES).alias(f"bt{t}")
+            for t in range(LSH_TUNED_TABLES)
+        ],
+        *[
+            _bucket(v, t, LSH_DEEP_PLANES).alias(f"bd{t}")
+            for t in range(LSH_DEEP_TABLES)
+        ],
+        ivf_list_of(v).alias("lst"),
+    )
+    dots = _centroid_dots(F.col("v"))
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(IVF_LISTS)),
+        lambda i: F.when(i == F.col("p1"), F.lit(-1e18)).otherwise(
+            F.element_at(dots, i)
+        ),
+    )
+    q = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .withColumnRenamed("lst", "p1")
+        .withColumn("m", masked)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            *[F.col(f"bt{t}").alias(f"qbt{t}") for t in range(LSH_TUNED_TABLES)],
+            *[F.col(f"bd{t}").alias(f"qbd{t}") for t in range(LSH_DEEP_TABLES)],
+            "p1",
+            F.array_position(F.col("m"), F.array_max("m")).alias("p2"),
+        )
+    )
+
+    def any_match(prefix: str, n_tables: int, planes: int, h: int):
+        out = None
+        for t in range(n_tables):
+            m = _hamming(F.col(f"{prefix}{t}"), F.col(f"q{prefix}{t}"), planes) <= h
+            out = m if out is None else out | m
+        return out
+
+    scored = corpus.join(
+        F.broadcast(q), on=F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        cosine(F.col("v"), F.col("qv")).alias("sim_raw"),
+        any_match(
+            "bt", LSH_TUNED_TABLES, LSH_TUNED_PLANES, LSH_TUNED_HAMMING
+        ).alias("cand_lsh_tuned"),
+        any_match(
+            "bd", LSH_DEEP_TABLES, LSH_DEEP_PLANES, LSH_DEEP_HAMMING
+        ).alias("cand_lsh_deep"),
+        ((F.col("lst") == F.col("p1")) | (F.col("lst") == F.col("p2"))).alias(
+            "cand_ivf"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    out: list[dict] = []
+    for route in ANN_ROUTES:
+        cand_col = f"cand_{route}"
+        appr = (
+            scored.filter(F.col(cand_col))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id", F.lit(1).alias("hit"))
+        )
+        hit_row = (
+            truth.join(appr, ["qid", "vec_id"], "left")
+            .agg(F.count("hit").alias("n_hit"))
+            .collect()[0]
+        )
+        cand_row = scored.agg(
+            F.sum(F.col(cand_col).cast("long")).alias("cand"),
+            F.count(F.lit(1)).alias("pairs"),
+        ).collect()[0]
+        out.append(
+            {
+                "route": route,
+                "n_hit": int(hit_row["n_hit"]),
+                "cand": int(cand_row["cand"]),
+                "pairs": int(cand_row["pairs"]),
+                "k": k,
+                "n_queries": n_queries,
+            }
+        )
+    return out
+
+
+def _route_qualifies(r: dict, recall_min_pct: int, frac_max_pct: int) -> bool:
+    total = r["k"] * r["n_queries"]
+    return (
+        r["n_hit"] * 100 >= recall_min_pct * total
+        and r["cand"] * 100 <= frac_max_pct * r["pairs"]
+    )
+
+
+def choose_ann_route(
+    audit: list[dict],
+    *,
+    recall_min_pct: int = ANN_ROUTE_RECALL_MIN_PCT,
+    frac_max_pct: int = ANN_ROUTE_FRAC_MAX_PCT,
+) -> str:
+    """Pick the serving route from :func:`ann_route_audit` evidence:
+    among routes meeting BOTH thresholds (exact integer
+    cross-multiplied comparisons — no float threshold equality),
+    the most selective wins (lowest candidate fraction, ties to
+    higher recall then route name); if NO route is both accurate and
+    selective, serve via ``ivf`` — the bounded-probe fallback — so
+    100 TB serving never silently defaults to an unselective LSH
+    scan on an unstructured corpus."""
+    qualifying = [
+        r for r in audit if _route_qualifies(r, recall_min_pct, frac_max_pct)
+    ]
+    if not qualifying:
+        return "ivf"
+    return min(
+        qualifying,
+        key=lambda r: (r["cand"] / r["pairs"], -r["n_hit"], r["route"]),
+    )["route"]
+
+
+def ann_route_decision_table(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    recall_min_pct: int = ANN_ROUTE_RECALL_MIN_PCT,
+    frac_max_pct: int = ANN_ROUTE_FRAC_MAX_PCT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The audit + decision as one certifiable table: one row per
+    route with its measured recall, candidate fraction, qualification
+    under the integer thresholds, and the single chosen row. This is
+    the artifact a deployment reviews before trusting a route at
+    scale (and the registered ``sim_route_choice`` query hash-checks
+    against the DuckDB oracle)."""
+    audit = ann_route_audit(
+        emb, n_queries=n_queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    chosen = choose_ann_route(
+        audit, recall_min_pct=recall_min_pct, frac_max_pct=frac_max_pct
+    )
+    spark = emb.sparkSession
+    rows = [
+        (
+            r["route"],
+            round(r["n_hit"] / (r["k"] * r["n_queries"]), 4),
+            round(r["cand"] / r["pairs"], 4),
+            _route_qualifies(r, recall_min_pct, frac_max_pct),
+            r["route"] == chosen,
+        )
+        for r in sorted(audit, key=lambda x: x["route"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "route string, recall double, cand_frac double, "
+        "qualifies boolean, chosen boolean",
+    )

@@ -173,6 +173,16 @@ def changelog_foreach_batch(
     return handle
 
 
+#: default hash-bucket layout for streaming SCD2 history tables: the
+#: key's xxhash64 modulo this many buckets. 64 keeps any one bucket's
+#: frontier scan at ~1.6% of the history while staying far below the
+#: small-files cliff for daily micro-batches.
+SCD2_BUCKETS = 64
+
+#: default partition column name for the auto hash-bucket layout.
+SCD2_BUCKET_COL = "kb"
+
+
 def scd2_foreach_batch(
     spark,
     path: str,
@@ -184,6 +194,8 @@ def scd2_foreach_batch(
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
     current_col: str = "is_current",
+    prune_partitions: bool | None = None,
+    frontier_plan_log: list | None = None,
     **merge_kwargs,
 ):
     """``foreachBatch`` body that maintains an SCD-2 history table
@@ -197,12 +209,38 @@ def scd2_foreach_batch(
     interval per non-delete change is INSERTED (a trailing delete just
     leaves the key with no open row) — ``merge_parquet`` on
     ``key + valid_from``, so only partitions holding an affected key
-    rewrite. With a key-derived partition layout (``partition_col`` +
-    ``partition_expr``, e.g. a kb-hash bucket) the frontier read is
-    also pruned to the batch's own partition values, making batch
-    work O(batch + affected partitions); WITHOUT a partition layout
-    the frontier pass column-prunes to key+timestamps but scans every
-    history file — lay out the sink on a key bucket for streaming use.
+    rewrite.
+
+    **Layout (key-derived by default).** When the caller passes no
+    ``partition_col``/``partition_expr``, the history table is laid
+    out on ``kb = pmod(xxhash64(*key_cols), SCD2_BUCKETS)`` — a
+    key-derived hash bucket — so the per-micro-batch frontier read is
+    pruned to the batch's own buckets (PartitionFilters in-plan,
+    asserted by the e2e test) and batch work is O(batch + affected
+    buckets), never O(history). Opt OUT of partitioning by passing
+    ``partition_col=None`` explicitly (correct, but every micro-batch
+    frontier pass then scans all history files — fine for small
+    dimensions only). Existing tables keep whatever layout they were
+    created with: pass it (or ``None``) explicitly.
+
+    **Pruning is gated on PROVABLE key-derivation** because pruning by
+    a non-key-derived layout (e.g. a date or ingest-time partition) is
+    silently WRONG: a key's older rows live in partitions the batch
+    doesn't mention, the frontier misses them, and redelivered changes
+    re-apply, leaving multiple open intervals. ``prune_partitions``:
+
+    - ``None`` (default): prune iff ``partition_expr`` analyzes
+      against a key-columns-only projection of the batch (or
+      ``partition_col`` is itself a key column); otherwise fall back
+      to the unpruned-but-correct full frontier scan.
+    - ``True``: require pruning — raise ``ValueError`` if
+      key-derivation cannot be proven, instead of degrading.
+    - ``False``: never prune (e.g. a layout known to be key-derived
+      in a way the analyzer cannot see, where the caller prefers the
+      full scan to a wrong prune).
+
+    Pass a list as ``frontier_plan_log`` to capture the pruned
+    frontier scan's physical plan per batch (the e2e assertion hook).
 
     At-least-once safety WITHOUT a batch-id ledger: each key's
     **frontier** = max(coalesce(valid_to, valid_from)) over its
@@ -220,12 +258,72 @@ def scd2_foreach_batch(
     merge keys on ``valid_from``).
     """
 
+    if "partition_col" not in merge_kwargs and "partition_expr" not in merge_kwargs:
+        merge_kwargs["partition_col"] = SCD2_BUCKET_COL
+        merge_kwargs["partition_expr"] = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(SCD2_BUCKETS)
+        ).cast("int")
+    pcol = merge_kwargs.get("partition_col")
+    pexpr = merge_kwargs.get("partition_expr")
+    if pcol is None and prune_partitions is True:
+        raise ValueError(
+            "prune_partitions=True needs a partition layout "
+            "(partition_col/partition_expr)"
+        )
+
+    def _can_prune(ch) -> bool:
+        """True iff the layout is PROVABLY key-derived for this batch
+        schema — partition_expr analyzes against a key-columns-only
+        projection (so it cannot read non-key attributes), or the
+        partition column IS a key column."""
+        if pcol is None or prune_partitions is False:
+            return False
+        if pexpr is None:
+            if pcol in key_cols:
+                return True
+            if pcol not in ch.columns:
+                raise ValueError(
+                    f"partition_col {pcol!r} has no partition_expr and is "
+                    "absent from the batch frame — the layout value cannot "
+                    "be derived; pass partition_expr (over the key columns) "
+                    "or include the column in the feed"
+                )
+            if prune_partitions is True:
+                raise ValueError(
+                    f"partition_col {pcol!r} is a plain data column; "
+                    "key-derivation cannot be proven without a "
+                    "partition_expr over the key columns, so pruning the "
+                    "frontier read on it may silently miss a key's rows "
+                    "in other partitions"
+                )
+            return False
+        try:
+            ch.select(*key_cols).select(pexpr.alias(pcol)).schema
+            return True
+        except Exception:
+            if prune_partitions is True:
+                raise ValueError(
+                    "partition_expr references non-key columns — pruning "
+                    "the frontier read on it may silently miss a key's "
+                    "rows in other partitions (prune_partitions=True "
+                    "requires a key-derived layout)"
+                )
+            return False
+
+    _prune_cache: list[bool | None] = [None]
+
     def handle(batch_df, batch_id: int) -> None:
         from meteo_etl_spark.operators.upsert import merge_parquet, table_exists
 
         if batch_df.isEmpty():
             return
         ch = batch_df
+        # decide (and validate) pruning on the FIRST non-empty batch —
+        # schema-dependent, so it cannot happen at wrap time; a
+        # prune_partitions=True contract violation must fail the
+        # stream before the first merge, not after the table exists
+        if _prune_cache[0] is None:
+            _prune_cache[0] = _can_prune(ch)
         dup = (
             ch.groupBy(*key_cols, ts_col)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -243,21 +341,23 @@ def scd2_foreach_batch(
             # partition-prune the history read: the left_semi join
             # below cannot prune files by itself (affected keys are a
             # DataFrame, not literals), so when the sink is laid out
-            # on a key-derived partition column, push the batch's
-            # OWN partition values — a bounded set (kb-hash layouts
-            # have a fixed bucket count) — as a scan filter. Without
-            # a partition layout the frontier pass column-prunes to
+            # on a PROVABLY key-derived partition column (_can_prune),
+            # push the batch's OWN partition values — a bounded set
+            # (kb-hash layouts have a fixed bucket count) — as a scan
+            # filter. Otherwise the frontier pass column-prunes to
             # key+timestamps but does read every history file.
-            pcol = merge_kwargs.get("partition_col")
-            pexpr = merge_kwargs.get("partition_expr")
-            if pcol is not None:
+            if _prune_cache[0]:
                 src = (
-                    ch.select(F.col(pcol))
-                    if pcol in ch.columns
-                    else ch.select(pexpr.alias(pcol))
+                    ch.select(pexpr.alias(pcol))
+                    if pexpr is not None
+                    else ch.select(F.col(pcol))
                 )
                 pvals = [r[0] for r in src.distinct().collect()]
                 hist = hist.where(F.col(pcol).isin(pvals))
+            if frontier_plan_log is not None:
+                frontier_plan_log.append(
+                    hist._jdf.queryExecution().executedPlan().toString()
+                )
             affected = ch.select(*key_cols).distinct()
             eh = hist.join(affected, key_cols, "left_semi")
             frontier = eh.groupBy(*key_cols).agg(

@@ -437,6 +437,12 @@ def events_scd2_stream(spark, sf_dir):
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ckpt2, ignore_errors=True)
+        # the returned frame reads `hist` lazily, so it cannot be
+        # removed here — defer to interpreter exit so repeated bench
+        # invocations don't accumulate scratch history tables
+        import atexit
+
+        atexit.register(shutil.rmtree, hist, ignore_errors=True)
 
 
 @query(

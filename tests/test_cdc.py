@@ -441,6 +441,8 @@ def test_streaming_scd2_matches_batch_twin_and_redelivery(spark, tmp_path):
             )
         )
 
+    plans: list[str] = []
+
     def run(ckpt):
         stream = (
             spark.readStream.schema(schema)
@@ -449,7 +451,9 @@ def test_streaming_scd2_matches_batch_twin_and_redelivery(spark, tmp_path):
         )
         q = (
             stream.writeStream.foreachBatch(
-                scd2_foreach_batch(spark, tgt, ["k"], "ts")
+                scd2_foreach_batch(
+                    spark, tgt, ["k"], "ts", frontier_plan_log=plans
+                )
             )
             .option("checkpointLocation", str(tmp_path / ckpt))
             .trigger(availableNow=True)
@@ -506,6 +510,98 @@ def test_streaming_scd2_matches_batch_twin_and_redelivery(spark, tmp_path):
     assert snap(spark.read.parquet(tgt)) == snap(twin(wave1 + wave2))
     cur = {r["k"] for r in spark.read.parquet(tgt).filter(F.col("is_current") == 1).collect()}
     assert cur == {"a"}
+
+    # r8 verdict order #4: with NO layout passed, the history defaults
+    # to the key-derived kb hash bucket and the per-batch frontier
+    # read is partition-PRUNED in-plan (never an O(history) scan)
+    import os
+
+    assert any(d.startswith("kb=") for d in os.listdir(tgt))
+    assert plans, "frontier plan log never captured a history read"
+    for p in plans:
+        seg = p.split("PartitionFilters: [", 1)
+        assert len(seg) == 2, f"frontier scan carries no PartitionFilters:\n{p}"
+        assert seg[1].lstrip()[0] != "]", (
+            f"frontier scan's PartitionFilters are EMPTY:\n{p}"
+        )
+        assert "kb" in seg[1][:200]
+
+
+def test_streaming_scd2_prune_guard_rejects_non_key_expr(spark, tmp_path):
+    """A partition layout derived from NON-key columns must not prune
+    the frontier read (a key's rows in other partitions would be
+    missed, silently re-applying changes): prune_partitions=True
+    raises; the default (None) degrades to the unpruned full scan and
+    stays correct."""
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch, scd2_history
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0, "U"),
+         ("a", "2024-01-02 01:00:00", 2.0, "U")],
+        "k string, ts string, v double, op string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # non-key-derived layout (the classic date partition) + required
+    # pruning -> refused before any write
+    strict = scd2_foreach_batch(
+        spark,
+        str(tmp_path / "h1"),
+        ["k"],
+        "ts",
+        prune_partitions=True,
+        partition_col="day",
+        partition_expr=F.date_format("ts", "yyyy-MM-dd"),
+    )
+    with pytest.raises(ValueError, match="non-key columns"):
+        strict(df, 0)
+
+    # default (auto): same layout is accepted but NOT pruned — one
+    # key's intervals span day partitions and redelivery stays a no-op
+    tgt = str(tmp_path / "h2")
+    plans: list[str] = []
+    auto = scd2_foreach_batch(
+        spark,
+        tgt,
+        ["k"],
+        "ts",
+        partition_col="day",
+        partition_expr=F.date_format("ts", "yyyy-MM-dd"),
+        frontier_plan_log=plans,
+    )
+    auto(df.filter("v = 1.0"), 0)
+    auto(df.filter("v = 2.0"), 1)
+    auto(df.filter("v = 2.0"), 1)  # redelivery: frontier must drop it
+    expect = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], "ts").collect()
+    )
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(tgt)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert got == expect
+    # and the frontier scans were genuinely unpruned
+    for p in plans:
+        if "PartitionFilters: [" in p:
+            assert p.split("PartitionFilters: [", 1)[1].lstrip()[0] == "]"
+
+
+def test_streaming_scd2_partition_col_without_expr_or_column_raises(spark, tmp_path):
+    """partition_col with no partition_expr and no such batch column:
+    a clear ValueError, not an AttributeError on a None expr."""
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0, "U")],
+        "k string, ts string, v double, op string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    handle = scd2_foreach_batch(
+        spark, str(tmp_path / "h"), ["k"], "ts", partition_col="zone"
+    )
+    with pytest.raises(ValueError, match="absent from the batch frame"):
+        handle(df, 0)
 
 
 def test_streaming_scd2_duplicate_key_ts_rejected(spark, tmp_path):

@@ -247,6 +247,29 @@ def test_arrow_assignment_matches_join_path_exactly(spark, emb):
     assert ar.exceptAll(jn).count() == 0
 
 
+def test_arrow_assignment_broadcasts_are_bounded(spark, emb):
+    """Repeated Arrow-assignment passes must not accumulate centroid
+    broadcasts without bound (each is ~25 MB at k=5e4): the live set
+    is capped, the oldest unpersisted on overflow, and a frame whose
+    broadcast was EVICTED still computes (unpersist drops executor
+    copies only; the driver re-serves them on demand)."""
+    cl.release_assignment_broadcasts()
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    cents = [[(i + j) % 7 for j in range(64)] for i in range(4)]
+    frames = [
+        cl._assign_clusters_arrow(q, cents, with_dist=False)
+        for _ in range(2 * cl.MAX_LIVE_ASSIGN_BROADCASTS)
+    ]
+    assert len(cl._LIVE_ASSIGN_BROADCASTS) == cl.MAX_LIVE_ASSIGN_BROADCASTS
+    # frames[0]'s broadcast was evicted — it must still execute
+    counts = {f.count() for f in frames}
+    assert counts == {q.count()}
+    assert cl.release_assignment_broadcasts() == cl.MAX_LIVE_ASSIGN_BROADCASTS
+    assert not cl._LIVE_ASSIGN_BROADCASTS
+
+
 def test_semdedup_scale_k5000_routes_to_arrow_and_stays_mapside(spark, emb):
     """k=5000 (real SemDeDup territory) must route through the Arrow
     kernel: plan shows MapInPandas over the corpus scan with NO
