@@ -95,38 +95,24 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-8 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-10 rotation
     must_be_in_window = {
-        # round-8 rotation: ALL 33 remaining never-driver-checked
-        # entries (round-7 newcomers) take their first driver check in
-        # one batch — completes at-least-once certification of every
-        # pre-round-8 query...
-        "docs_dsir_weights", "docs_priority_sample",
-        "events_grouping_sets", "docs_datasheet", "events_cdc_apply",
-        "docs_epoch_shuffle", "dedup_canonical", "sim_ann_recall",
-        "docs_contamination_report", "dedup_lsh_recall",
-        "docs_packing_stats", "sim_ann_multiprobe", "events_ewma",
-        "docs_chunk_dup_ratio", "docs_per_source_sample",
-        "docs_adaptive_quality_gate", "docs_quality_rules",
-        "docs_token_budget_sample", "docs_drift_report",
-        "docs_chunk_dedup_rewrite", "emb_quant_audit", "events_scd2",
-        "rollup_incremental_agg", "events_key_skew_report",
-        "events_scd2_pit_join", "docs_bigram_fluency", "emb_outliers",
-        "docs_bpe_pairs", "docs_bpe_merges", "emb_dim_corr",
-        "emb_pca_variance", "events_anomaly_mad", "docs_oov_rate",
-        # ...plus the three r7 hash-red entries (oracle HUGEINT typing,
-        # cast-fixed this round) kept in-window for their first green
-        "events_sliding_window", "events_window_agg",
-        "emb_cluster_prototypes",
+        # round-10 rotation: the six never-driver-certified entries
+        # take their first driver check — once green in
+        # CORRECTNESS_r10, every query in the registry has carried a
+        # green driver row at least once.
+        "sim_ann_recall_tuned", "events_scd2_stream",
+        "events_sketch_rollup", "docs_dup_spans",
+        "docs_substring_dedup_rewrite", "q5_approx_summary",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
     assert len(window) == len(set(window)) == 50
     # every window entry must be oracle-checkable (hash-grade) EXCEPT
-    # the two rows-only-by-design entries deliberately windowed this
+    # the rows-only-by-design entries deliberately windowed this
     # round for the driver's weaker rows-only record
     oracles = e.oracle_sql()
     no_oracle = [n for n in window if n not in oracles]
-    assert set(no_oracle) == {"docs_bpe_merges", "emb_pca_variance"}, (
-        f"unexpected window entries without oracle SQL: {no_oracle}"
-    )
+    assert set(no_oracle) == {
+        "docs_bpe_merges", "emb_pca_variance", "q5_approx_summary",
+    }, f"unexpected window entries without oracle SQL: {no_oracle}"
