@@ -603,9 +603,12 @@ def ann_route_audit(
     One scored frame serves all three routes (corpus x broadcast
     query panel, cosine once per pair, every route's candidate
     predicate as a column), so routes can never diverge on scoring;
-    per-route ranking reuses the same (qid)-keyed window. Driver
-    traffic is three 1-row aggregates. Offline audit cost —
-    n_queries exact scans — NOT a serving path."""
+    every route's truth-hit, candidate and pair counters fold into
+    ONE aggregate row over that frame — a single action, a single
+    (qid)-keyed shuffle, no per-route rescans. The query panel is
+    the n_queries LOWEST ids (order-by-id, any id type — dense
+    integers are not assumed). Offline audit cost — n_queries exact
+    scans — NOT a serving path."""
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
@@ -630,7 +633,8 @@ def ann_route_audit(
         ),
     )
     q = (
-        corpus.filter(F.col("vec_id") < n_queries)
+        corpus.orderBy("vec_id")
+        .limit(n_queries)
         .withColumnRenamed("lst", "p1")
         .withColumn("m", masked)
         .select(
@@ -666,47 +670,60 @@ def ann_route_audit(
             "cand_ivf"
         ),
     )
+    # One (qid)-keyed window ranks ALL pairs; a route's
+    # candidate-restricted rank is the running count of its candidate
+    # flag under the same total order (for a candidate row, the
+    # cumulative sum IS its rank among candidates). Truth membership
+    # (global rank <= k) and per-route approx membership (candidate
+    # AND candidate-rank <= k) then reduce in one aggregate row —
+    # ONE collect for the whole audit.
     wq = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "vec_id")
-    truth = (
-        scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
+    cum = wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wq).alias("rn_all"),
+        *[
+            F.sum(F.col(f"cand_{r}").cast("long")).over(cum).alias(f"crn_{r}")
+            for r in ANN_ROUTES
+        ],
     )
-    out: list[dict] = []
-    for route in ANN_ROUTES:
-        cand_col = f"cand_{route}"
-        appr = (
-            scored.filter(F.col(cand_col))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= k)
-            .select("qid", "vec_id", F.lit(1).alias("hit"))
-        )
-        hit_row = (
-            truth.join(appr, ["qid", "vec_id"], "left")
-            .agg(F.count("hit").alias("n_hit"))
-            .collect()[0]
-        )
-        cand_row = scored.agg(
-            F.sum(F.col(cand_col).cast("long")).alias("cand"),
-            F.count(F.lit(1)).alias("pairs"),
-        ).collect()[0]
-        out.append(
-            {
-                "route": route,
-                "n_hit": int(hit_row["n_hit"]),
-                "cand": int(cand_row["cand"]),
-                "pairs": int(cand_row["pairs"]),
-                "k": k,
-                "n_queries": n_queries,
-            }
-        )
-    return out
+    row = ranked.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        *[
+            F.sum(F.col(f"cand_{r}").cast("long")).alias(f"cand_{r}")
+            for r in ANN_ROUTES
+        ],
+        *[
+            F.sum(
+                (
+                    (F.col("rn_all") <= k)
+                    & F.col(f"cand_{r}")
+                    & (F.col(f"crn_{r}") <= k)
+                ).cast("long")
+            ).alias(f"hit_{r}")
+            for r in ANN_ROUTES
+        ],
+    ).collect()[0]
+    # an empty corpus (or 1-row corpus: panel joins away every pair)
+    # yields NULL sums — report honest zeros, never raise.
+    return [
+        {
+            "route": route,
+            "n_hit": int(row[f"hit_{route}"] or 0),
+            "cand": int(row[f"cand_{route}"] or 0),
+            "pairs": int(row["pairs"] or 0),
+            "k": k,
+            "n_queries": n_queries,
+        }
+        for route in ANN_ROUTES
+    ]
 
 
 def _route_qualifies(r: dict, recall_min_pct: int, frac_max_pct: int) -> bool:
     total = r["k"] * r["n_queries"]
     return (
-        r["n_hit"] * 100 >= recall_min_pct * total
+        r["pairs"] > 0  # a route cannot qualify on zero evidence
+        and r["n_hit"] * 100 >= recall_min_pct * total
         and r["cand"] * 100 <= frac_max_pct * r["pairs"]
     )
 
@@ -747,11 +764,15 @@ def ann_route_decision_table(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The audit + decision as one certifiable table: one row per
-    route with its measured recall, candidate fraction, qualification
-    under the integer thresholds, and the single chosen row. This is
-    the artifact a deployment reviews before trusting a route at
-    scale (and the registered ``sim_route_choice`` query hash-checks
-    against the DuckDB oracle)."""
+    route with its exact integer evidence (n_hit, cand, pairs), the
+    derived recall / candidate fraction, qualification under the
+    integer thresholds, and the single chosen row. This is the
+    artifact a deployment reviews before trusting a route at scale;
+    the registered ``sim_route_choice`` query (plans/llm_queries.py)
+    hash-checks this table against a DuckDB replay of the full
+    audit + decision. Ratio columns round ENGINE-side (``F.round``,
+    HALF_UP — same scheme as the oracle's ``ROUND``); a zero-pair
+    audit reports cand_frac 0.0 rather than dividing."""
     audit = ann_route_audit(
         emb, n_queries=n_queries, k=k, id_col=id_col, vec_col=vec_col
     )
@@ -762,15 +783,33 @@ def ann_route_decision_table(
     rows = [
         (
             r["route"],
-            round(r["n_hit"] / (r["k"] * r["n_queries"]), 4),
-            round(r["cand"] / r["pairs"], 4),
+            r["n_hit"],
+            r["cand"],
+            r["pairs"],
             _route_qualifies(r, recall_min_pct, frac_max_pct),
             r["route"] == chosen,
         )
         for r in sorted(audit, key=lambda x: x["route"])
     ]
-    return spark.createDataFrame(
-        rows,
-        "route string, recall double, cand_frac double, "
-        "qualifies boolean, chosen boolean",
+    return (
+        spark.createDataFrame(
+            rows,
+            "route string, n_hit long, cand long, pairs long, "
+            "qualifies boolean, chosen boolean",
+        )
+        .select(
+            "route",
+            "n_hit",
+            "cand",
+            "pairs",
+            F.round(F.col("n_hit") / F.lit(k * n_queries), 4).alias("recall"),
+            F.when(
+                F.col("pairs") > 0, F.round(F.col("cand") / F.col("pairs"), 4)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cand_frac"),
+            "qualifies",
+            "chosen",
+        )
+        .orderBy("route")
     )

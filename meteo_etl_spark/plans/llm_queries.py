@@ -3237,6 +3237,127 @@ def sim_ann_recall_tuned(spark, sf_dir):
     )
 
 
+# Serving-route decision table (round 10): all three ANN routes
+# audited from ONE scored frame, adjudicated by the integer
+# thresholds in similarity.ANN_ROUTE_*. Constants shared with
+# functions/similarity so the oracle regenerates if any route
+# configuration or threshold moves.
+_DEEP_L = sim.LSH_DEEP_TABLES
+_DEEP_P = sim.LSH_DEEP_PLANES
+_DEEP_H = sim.LSH_DEEP_HAMMING
+_RC_K = 5
+_RC_NQ = 10
+_RC_TOTAL = _RC_K * _RC_NQ
+_RC_BUCKETS = ",\n                 ".join(
+    [f"{_duck_bucket('v', t, _TUNED_P)} AS bt{t}" for t in range(_TUNED_L)]
+    + [f"{_duck_bucket('v', t, _DEEP_P)} AS bd{t}" for t in range(_DEEP_L)]
+)
+_RC_QB = ", ".join(
+    [f"bt{t} AS qbt{t}" for t in range(_TUNED_L)]
+    + [f"bd{t} AS qbd{t}" for t in range(_DEEP_L)]
+)
+_RC_CAND_TUNED = " OR ".join(
+    f"(({_duck_hamming(f'c2.bt{t}', f'q.qbt{t}', _TUNED_P)}) <= {_TUNED_H})"
+    for t in range(_TUNED_L)
+)
+_RC_CAND_DEEP = " OR ".join(
+    f"(({_duck_hamming(f'c2.bd{t}', f'q.qbd{t}', _DEEP_P)}) <= {_DEEP_H})"
+    for t in range(_DEEP_L)
+)
+_RC_MASKED = (
+    f"list_transform(range(1, {sim.IVF_LISTS + 1}), "
+    "i -> CASE WHEN i = lst THEN -1e18 ELSE d[i] END)"
+)
+_RC_ROUTE_AGGS = ",\n               ".join(
+    f"SUM(CASE WHEN cand_{r} THEN 1 ELSE 0 END) AS cand_{r}_n,\n"
+    f"               SUM(CASE WHEN rn_all <= {_RC_K} AND cand_{r} "
+    f"AND crn_{r} <= {_RC_K} THEN 1 ELSE 0 END) AS hit_{r}"
+    for r in sim.ANN_ROUTES
+)
+
+
+@query(
+    "sim_route_choice",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_RC_BUCKETS},
+                 {_duck_ivf_dots('v')} AS d FROM v),
+    c2 AS (SELECT *, list_position(d, list_max(d)) AS lst FROM c),
+    q AS (SELECT vec_id AS qid, v AS qv, {_RC_QB}, lst AS p1,
+                 list_position({_RC_MASKED}, list_max({_RC_MASKED})) AS p2
+          FROM c2 ORDER BY vec_id LIMIT {_RC_NQ}),
+    s AS (SELECT q.qid, c2.vec_id,
+                 {_duck_dot('c2.v', 'q.qv')}
+                   / (sqrt({_duck_dot('c2.v', 'c2.v')})
+                      * sqrt({_duck_dot('q.qv', 'q.qv')})) AS sim_raw,
+                 (c2.lst = q.p1 OR c2.lst = q.p2) AS cand_ivf,
+                 ({_RC_CAND_DEEP}) AS cand_lsh_deep,
+                 ({_RC_CAND_TUNED}) AS cand_lsh_tuned
+          FROM c2, q WHERE c2.vec_id <> q.qid),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim_raw DESC, vec_id) AS rn_all,
+                 {', '.join(
+                     f"SUM(CASE WHEN cand_{rt} THEN 1 ELSE 0 END) OVER ("
+                     "PARTITION BY qid ORDER BY sim_raw DESC, vec_id "
+                     f"ROWS UNBOUNDED PRECEDING) AS crn_{rt}"
+                     for rt in sim.ANN_ROUTES
+                 )}
+          FROM s),
+    agg AS (SELECT COUNT(*) AS pairs,
+               {_RC_ROUTE_AGGS}
+            FROM r),
+    routes AS (
+        SELECT 'ivf' AS route, hit_ivf AS n_hit, cand_ivf_n AS cand,
+               pairs FROM agg
+        UNION ALL
+        SELECT 'lsh_deep', hit_lsh_deep, cand_lsh_deep_n, pairs FROM agg
+        UNION ALL
+        SELECT 'lsh_tuned', hit_lsh_tuned, cand_lsh_tuned_n, pairs FROM agg),
+    qual AS (SELECT route, n_hit, cand, pairs,
+                    (pairs > 0
+                     AND n_hit * 100 >= {sim.ANN_ROUTE_RECALL_MIN_PCT} * {_RC_TOTAL}
+                     AND cand * 100 <= {sim.ANN_ROUTE_FRAC_MAX_PCT} * pairs)
+                      AS qualifies
+             FROM routes)
+    SELECT route,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(cand AS BIGINT) AS cand,
+           CAST(pairs AS BIGINT) AS pairs,
+           ROUND(n_hit / {_RC_TOTAL}.0, 4) AS recall,
+           CASE WHEN pairs > 0 THEN ROUND(cand * 1.0 / pairs, 4)
+                ELSE 0.0 END AS cand_frac,
+           qualifies,
+           CASE WHEN SUM(CASE WHEN qualifies THEN 1 ELSE 0 END) OVER () = 0
+                THEN route = 'ivf'
+                ELSE qualifies AND row_number() OVER (
+                       ORDER BY CASE WHEN qualifies THEN 0 ELSE 1 END,
+                                cand * 1.0 / pairs, n_hit DESC, route) = 1
+           END AS chosen
+    FROM qual ORDER BY route""",
+    doc="ANN serving-route decision table "
+    "(functions/similarity.ann_route_decision_table): every route — "
+    f"ivf ({sim.IVF_LISTS} lists, nprobe {sim.IVF_NPROBE}), lsh_deep "
+    f"({_DEEP_L}x{_DEEP_P} h<={_DEEP_H}), lsh_tuned ({_TUNED_L}x"
+    f"{_TUNED_P} h<={_TUNED_H}) — audited from ONE corpus x "
+    "broadcast-panel scored frame (cosine once per pair, all three "
+    "candidate predicates as columns, all counters folded into a "
+    "single aggregate row = one action). A route qualifies iff "
+    f"recall >= {sim.ANN_ROUTE_RECALL_MIN_PCT}% of exact top-{_RC_K} "
+    f"AND candidate fraction <= {sim.ANN_ROUTE_FRAC_MAX_PCT}% "
+    "(integer cross-multiplied — no float threshold equality); most "
+    "selective qualifier wins, and when nothing qualifies the "
+    "bounded-probe ivf fallback serves. On THIS near-random corpus "
+    "no route qualifies (>=0.9 recall costs ~60% candidates under "
+    "any sign-LSH shape — R8_NEWOPS.md grid), so the table certifies "
+    "the fallback fires; the clustered-fixture pytest pins the "
+    "opposite outcome (lsh_deep qualifies and wins). The decision an "
+    "operator must see BEFORE trusting a route at 100 TB.",
+)
+def sim_route_choice(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_route_decision_table(emb, n_queries=_RC_NQ, k=_RC_K)
+
+
 @query(
     "docs_contamination_report",
     f"""WITH {_DUCK_SHINGLES},

@@ -1840,6 +1840,9 @@ _DEFERRED: tuple[str, ...] = (
     "docs_fuzzy_decontaminate",  # banded fuzzy decontam: dedup_lsh_recall audit incoming (in-window r7)
     "docs_vocab_topk",  # top-k vocab cut: docs_oov_rate + docs_bpe_pairs histogram incoming (in-window r7, 2× green)
     "emb_kmeans",  # k-means assignment: emb_outliers centroid-fold incoming (in-window r7)
+    # New in round 10, deferred at birth (oracle-verified at sf0.001
+    # AND sf0.01 in-session; round-11 rotation backlog):
+    "sim_route_choice",  # ANN route decision table: sim_ann_recall_tuned + sim_ann_ivf audit shapes (never)
     # Round-10 rotation: the six never-driver-certified entries
     # (sim_ann_recall_tuned, events_scd2_stream, events_sketch_rollup,
     # docs_dup_spans, docs_substring_dedup_rewrite, q5_approx_summary)

@@ -624,3 +624,87 @@ def test_deep_lsh_recall_and_selectivity_on_clustered_corpus(spark):
         n_planes=sim.LSH_TUNED_PLANES,
     ).collect()
     assert sum(r["recall"] for r in rec2) / len(rec2) >= 0.95, rec2
+
+
+def _clustered_embeddings(spark, *, str_ids=False):
+    """Real-encoder-like corpus (24 tight clusters) — the fixture the
+    deep-bucket selectivity test above measures. ``str_ids`` remaps
+    ids to non-dense strings to pin that the audit panel never
+    assumes dense integers from 0."""
+    import numpy as np
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 24, 25, sim.EMBEDDING_DIM
+    centers = rng.standard_normal((n_clusters, dim))
+    pts = np.repeat(centers, per, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    if str_ids:
+        rows = [(f"v{i * 7 + 3:05d}", [float(x) for x in pts[i]]) for i in range(len(pts))]
+        return spark.createDataFrame(
+            rows, "vec_id string, embedding array<float>"
+        )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_route_choice_falls_back_to_ivf_on_unstructured_corpus(spark):
+    """On the near-random testdata embeddings no sign-LSH shape is
+    both accurate and selective (>=0.9 recall costs ~60% candidates —
+    R8_NEWOPS.md grid) and IVF's 2/8-list probe admits ~25% > the 20%
+    gate: NOTHING qualifies, so the decision table must certify the
+    bounded-probe ivf FALLBACK as chosen."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = {r["route"]: r for r in sim.ann_route_decision_table(emb).collect()}
+    assert set(rows) == set(sim.ANN_ROUTES)
+    assert not any(r["qualifies"] for r in rows.values()), rows
+    assert rows["ivf"]["chosen"] and not rows["lsh_deep"]["chosen"], rows
+    assert not rows["lsh_tuned"]["chosen"], rows
+    # evidence columns reconcile: recall/cand_frac derive from the
+    # integer counters, pairs is corpus-wide and route-invariant
+    pairs = {r["pairs"] for r in rows.values()}
+    assert len(pairs) == 1 and pairs.pop() > 0
+
+
+def test_route_choice_picks_deep_lsh_on_clustered_corpus(spark):
+    """On a corpus WITH neighbor structure the deep-bucket shape
+    delivers recall AND selectivity together (see the deep-LSH test
+    above: recall ~0.998 at ~6% candidates), qualifies, and must WIN
+    the decision — the audit's whole point: route choice is a
+    per-corpus measurement, not a default."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = _clustered_embeddings(spark)
+    rows = {r["route"]: r for r in sim.ann_route_decision_table(emb).collect()}
+    deep = rows["lsh_deep"]
+    assert deep["qualifies"] and deep["chosen"], rows
+    assert sum(1 for r in rows.values() if r["chosen"]) == 1
+    assert deep["recall"] >= 0.9 and deep["cand_frac"] <= 0.2, rows
+
+
+def test_route_audit_handles_string_ids_and_tiny_corpora(spark):
+    """ADVICE r9: the audit panel must not assume dense integer ids.
+    String-keyed corpus → same decision as the integer-keyed twin;
+    1-row corpus (every pair joined away) → honest zero counters and
+    the ivf fallback, never a TypeError/ZeroDivision."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    rows_str = {
+        r["route"]: r
+        for r in sim.ann_route_decision_table(
+            _clustered_embeddings(spark, str_ids=True)
+        ).collect()
+    }
+    assert rows_str["lsh_deep"]["chosen"], rows_str
+    one = _clustered_embeddings(spark).limit(1)
+    audit = sim.ann_route_audit(one)
+    assert all(r["pairs"] == 0 and r["n_hit"] == 0 for r in audit)
+    assert sim.choose_ann_route(audit) == "ivf"
+    tiny = {r["route"]: r for r in sim.ann_route_decision_table(one).collect()}
+    assert tiny["ivf"]["chosen"] and tiny["ivf"]["cand_frac"] == 0.0

@@ -50,6 +50,7 @@ SCALAR_BROADCAST_OK = {
     "events_key_skew_report",  # 1-row (tot, nkeys) census totals crossed into the per-key count frame
     "emb_dim_corr",  # 1-row census count (the (-1,-1) moment row) crossed into the d(d-1)/2-row pair frame
     "sim_ann_recall_tuned",  # same 10-row audit panel as sim_ann_recall, tuned (8x6 h<=1) probe condition
+    "sim_route_choice",  # same 10-row audit panel crossed in once; all three routes' counters fold into one aggregate
 }
 
 
