@@ -428,21 +428,22 @@ def events_scd2_stream(spark, sf_dir):
         drain(ckpt2)
         if checksum() != before:
             raise RuntimeError("streaming SCD2 redelivery was not idempotent")
+        # materialize the final table off the scratch path
+        # (localCheckpoint severs the parquet lineage) so EVERY
+        # scratch dir — history included — is removed before
+        # returning: repeated bench invocations in one process leave
+        # nothing behind and no interpreter-exit hook is needed
         return (
             spark.read.parquet(hist)
             .select(*cols)
             .orderBy("user_id", "valid_from")
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ckpt2, ignore_errors=True)
-        # the returned frame reads `hist` lazily, so it cannot be
-        # removed here — defer to interpreter exit so repeated bench
-        # invocations don't accumulate scratch history tables
-        import atexit
-
-        atexit.register(shutil.rmtree, hist, ignore_errors=True)
+        shutil.rmtree(hist, ignore_errors=True)
 
 
 @query(

@@ -615,3 +615,23 @@ def test_streaming_scd2_duplicate_key_ts_rejected(spark, tmp_path):
     handle = scd2_foreach_batch(spark, str(tmp_path / "h"), ["k"], "ts")
     with pytest.raises(RuntimeError, match="duplicate"):
         handle(df, 0)
+
+
+def test_scd2_stream_query_leaves_no_scratch_and_no_atexit(spark):
+    """Round-10 order: the registered events_scd2_stream query must
+    clean ALL its scratch dirs (history included — the returned frame
+    is localCheckpoint-materialized off the parquet path) and must
+    not install interpreter-exit hooks. Two invocations in one
+    process: second still correct, zero /tmp/meteo_scd2_* growth."""
+    import glob
+    import inspect
+
+    from meteo_etl_spark.plans import queries as Q
+
+    spec = Q.get("events_scd2_stream")
+    assert "atexit" not in inspect.getsource(spec.fn)
+    before = set(glob.glob("/tmp/meteo_scd2_*"))
+    n0 = spec.fn(spark, "/root/testdata/sf0.001").count()
+    n1 = spec.fn(spark, "/root/testdata/sf0.001").count()
+    assert n0 == n1 > 0
+    assert set(glob.glob("/tmp/meteo_scd2_*")) == before
