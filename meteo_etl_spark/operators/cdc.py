@@ -221,7 +221,13 @@ def scd2_foreach_batch(
     ``partition_col=None`` explicitly (correct, but every micro-batch
     frontier pass then scans all history files — fine for small
     dimensions only). Existing tables keep whatever layout they were
-    created with: pass it (or ``None``) explicitly.
+    created with: pass it (or ``None``) explicitly. A pre-existing
+    history table that predates the auto layout (no ``kb`` column) is
+    DETECTED on the first batch and served through the legacy
+    unpartitioned path with a ``UserWarning`` — the default upgrade
+    never breaks a deployed table (r9 advice: the injected layout
+    would otherwise fail the frontier read and the merge prune with
+    AnalysisException on a table that has no ``kb``).
 
     **Pruning is gated on PROVABLE key-derivation** because pruning by
     a non-key-derived layout (e.g. a date or ingest-time partition) is
@@ -258,7 +264,11 @@ def scd2_foreach_batch(
     merge keys on ``valid_from``).
     """
 
-    if "partition_col" not in merge_kwargs and "partition_expr" not in merge_kwargs:
+    auto_layout = (
+        "partition_col" not in merge_kwargs
+        and "partition_expr" not in merge_kwargs
+    )
+    if auto_layout:
         merge_kwargs["partition_col"] = SCD2_BUCKET_COL
         merge_kwargs["partition_expr"] = F.pmod(
             F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(SCD2_BUCKETS)
@@ -323,6 +333,34 @@ def scd2_foreach_batch(
         # prune_partitions=True contract violation must fail the
         # stream before the first merge, not after the table exists
         if _prune_cache[0] is None:
+            nonlocal pcol, pexpr
+            if (
+                auto_layout
+                and table_exists(spark, path)
+                and SCD2_BUCKET_COL
+                not in spark.read.parquet(path).columns
+            ):
+                # the table predates the auto hash-bucket default:
+                # honoring the injected layout would fail both the
+                # pruned frontier read and the merge's partition
+                # prune (no `kb` column/dirs). Serve it through the
+                # legacy unpartitioned path instead of breaking a
+                # deployed table on upgrade.
+                import warnings
+
+                warnings.warn(
+                    f"SCD2 history at {path!r} has no "
+                    f"{SCD2_BUCKET_COL!r} partition column — created "
+                    "before the key-bucket default. Continuing "
+                    "UNPARTITIONED (full frontier scans per batch). "
+                    "Rebuild the table (scd2_history + one "
+                    "partitioned write) to adopt the pruned layout.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                merge_kwargs.pop("partition_col", None)
+                merge_kwargs.pop("partition_expr", None)
+                pcol = pexpr = None
             _prune_cache[0] = _can_prune(ch)
         dup = (
             ch.groupBy(*key_cols, ts_col)

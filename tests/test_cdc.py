@@ -635,3 +635,51 @@ def test_scd2_stream_query_leaves_no_scratch_and_no_atexit(spark):
     n1 = spec.fn(spark, "/root/testdata/sf0.001").count()
     assert n0 == n1 > 0
     assert set(glob.glob("/tmp/meteo_scd2_*")) == before
+
+
+def test_streaming_scd2_legacy_unpartitioned_table_detected(spark, tmp_path):
+    """ADVICE r9: a history table created BEFORE the auto kb-bucket
+    default (unpartitioned) must keep working when a new deployment
+    runs with defaults — first batch detects the missing kb column,
+    warns, and serves the legacy unpartitioned path instead of
+    failing both the frontier read and the merge prune."""
+    import warnings as w
+
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+
+    tgt = str(tmp_path / "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double, op string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # legacy table: explicitly unpartitioned (the pre-r9 default)
+    legacy = scd2_foreach_batch(spark, tgt, ["k"], "ts", partition_col=None)
+    legacy(batch([("a", "2024-01-01 01:00:00", 1.0, "U")]), 0)
+    assert "kb" not in spark.read.parquet(tgt).columns
+
+    # new deployment, default (auto kb) layout, same table
+    handle = scd2_foreach_batch(spark, tgt, ["k"], "ts")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        handle(batch([("a", "2024-01-01 02:00:00", 2.0, "U"),
+                      ("b", "2024-01-01 02:00:00", 9.0, "U")]), 1)
+    assert any("UNPARTITIONED" in str(c.message) for c in caught), [
+        str(c.message) for c in caught
+    ]
+    out = spark.read.parquet(tgt)
+    assert "kb" not in out.columns
+    rows = {(r["k"], r["is_current"]): r for r in out.collect()}
+    assert rows[("a", 1)]["v"] == 2.0 and rows[("a", 0)]["v"] == 1.0
+    assert rows[("b", 1)]["v"] == 9.0
+    # redelivery through the SAME handler stays a no-op (frontier
+    # works on the legacy path too)
+    handle(batch([("a", "2024-01-01 02:00:00", 2.0, "U")]), 2)
+    assert spark.read.parquet(tgt).count() == 3
+    # a FRESH table under the same defaults still gets the kb layout
+    tgt2 = str(tmp_path / "hist2")
+    scd2_foreach_batch(spark, tgt2, ["k"], "ts")(
+        batch([("a", "2024-01-01 01:00:00", 1.0, "U")]), 0
+    )
+    assert "kb" in spark.read.parquet(tgt2).columns
