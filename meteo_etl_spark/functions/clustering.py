@@ -89,14 +89,28 @@ _LIVE_ASSIGN_BROADCASTS: "_deque" = _deque()
 MAX_LIVE_ASSIGN_BROADCASTS = 2
 
 
+def _unpersist_quiet(bc) -> bool:
+    """Unpersist a broadcast, tolerating one whose SparkContext has
+    since stopped (the deque is process-global, not session-scoped —
+    an entry can outlive the session that made it; eviction and
+    release must not abort midway on such a corpse). Returns True iff
+    the broadcast was actually unpersisted."""
+    try:
+        bc.unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def release_assignment_broadcasts() -> int:
     """Unpersist every live Arrow-assignment centroid broadcast
     (executor copies only — in-flight frames re-fetch from the
-    driver). Returns the number released."""
+    driver). Entries from already-stopped sessions are dropped
+    silently. Returns the number actually released."""
     n = 0
     while _LIVE_ASSIGN_BROADCASTS:
-        _LIVE_ASSIGN_BROADCASTS.popleft().unpersist(False)
-        n += 1
+        if _unpersist_quiet(_LIVE_ASSIGN_BROADCASTS.popleft()):
+            n += 1
     return n
 
 
@@ -246,7 +260,7 @@ def _assign_clusters_arrow(
     # so eviction is a memory bound, never a correctness hazard.
     _LIVE_ASSIGN_BROADCASTS.append(bc)
     while len(_LIVE_ASSIGN_BROADCASTS) > MAX_LIVE_ASSIGN_BROADCASTS:
-        _LIVE_ASSIGN_BROADCASTS.popleft().unpersist(False)
+        _unpersist_quiet(_LIVE_ASSIGN_BROADCASTS.popleft())
     bound = float(_ARROW_ABS_BOUND)
     want_dist = with_dist
 

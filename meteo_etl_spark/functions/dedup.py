@@ -900,11 +900,22 @@ SUBSTR_W = 8
 #: a gram whose corpus-wide occurrence count reaches this takes the
 #: broadcast (hot) path in duplicate_span_cover instead of the hashed
 #: probe join — the skew cap for boilerplate grams. Below it, a key's
-#: probe group fits any reducer (4096 rows x ~50 B ≈ 200 KB); the
+#: probe group fits any reducer (4096 rows x ~50 B ≈ 200 KB). The
 #: number of distinct grams that can EXCEED it is bounded by
-#: total_grams / HOT_GRAM_MIN (pigeonhole), so the hot side stays a
-#: small broadcast even adversarially.
+#: total_gram_occurrences / HOT_GRAM_MIN (pigeonhole) — which is NOT
+#: intrinsically broadcast-small: at 10^13 occurrences an adversarial
+#: corpus packed with distinct just-over-threshold grams pigeonholes
+#: to billions of hot rows. duplicate_span_cover therefore ESCALATES
+#: the effective threshold to ceil(total_occurrences/MAX_HOT_GRAMS)
+#: whenever the static cap cannot prove the broadcast bound, trading
+#: a larger (but still capped) hashed-probe fan-in for a provably
+#: bounded hot side.
 HOT_GRAM_MIN = 4096
+
+#: hard row ceiling for the hot-gram broadcast (~2M rows x ~60 B ≈
+#: 128 MB — comfortably under driver/executor broadcast limits). The
+#: escalation above guarantees the hot side never exceeds it.
+MAX_HOT_GRAMS = 1 << 21
 
 
 def gram_occurrences(
@@ -961,6 +972,7 @@ def duplicate_span_cover(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_min_count: int = HOT_GRAM_MIN,
+    max_hot_grams: int = MAX_HOT_GRAMS,
 ) -> tuple[DataFrame, DataFrame]:
     """Substring-level duplicate detection: token positions covered by
     NON-CANONICAL occurrences of any ``width``-token gram that appears
@@ -989,12 +1001,21 @@ def duplicate_span_cover(
     in the aggregate (partial ``count``/``min`` collapse it map-side
     to one row per map task) but would still flood one reducer on the
     occurrence→canonical PROBE join — so the duplicated-gram table is
-    split at ``hot_min_count``: grams below it probe through the
-    hashed join (per-key group bounded by the cap), grams at or above
-    it join by BROADCAST (their stats rows number at most
-    total_grams / hot_min_count by pigeonhole, a few KB of (md5,
-    canon) rows for any real corpus), so no reduce task ever receives
-    a hot gram's occurrence fan-in. The earlier window formulation
+    split at an EFFECTIVE threshold: grams below it probe through the
+    hashed join (per-key group bounded by the threshold), grams at or
+    above it join by BROADCAST. The hot side's row count is bounded by
+    total_gram_occurrences / threshold (pigeonhole) — a bound that the
+    static ``hot_min_count`` alone cannot keep broadcast-safe on an
+    adversarial corpus (billions of distinct just-over-threshold
+    grams at 10^13 occurrences), so the effective threshold is
+    ``max(hot_min_count, ceil(total_occurrences / max_hot_grams))``:
+    the broadcast provably never exceeds ``max_hot_grams`` rows
+    (~128 MB at the default), and when escalation fires the cost
+    surfaces honestly as a larger (still capped) hashed-probe fan-in
+    plus a ``UserWarning``. The guard's price is one narrow
+    count-only pass over the tokenized docs (a 1-row aggregate) —
+    never a second run of the gram aggregate. No reduce task ever
+    receives a hot gram's occurrence fan-in. The earlier window formulation
     (``row_number()`` per gram) had no such split point — a window
     partition cannot be divided. Cost of the split: the gram lineage
     (tokenize + md5, a narrow map) is re-evaluated per branch instead
@@ -1015,13 +1036,40 @@ def duplicate_span_cover(
     base = fan_out(docs).select(
         F.col(id_col), w.alias("w"), F.size(w).alias("n_tok")
     )
+    # broadcast-safety guard: the hot side holds at most
+    # total_occurrences / threshold rows (pigeonhole), so raise the
+    # threshold until that bound fits max_hot_grams. One narrow 1-row
+    # aggregate over the tokenized docs — cheap next to the gram
+    # aggregate this function runs anyway.
+    total_occ = int(
+        base.agg(
+            F.sum(
+                F.greatest(F.col("n_tok") - width + 1, F.lit(0)).cast("long")
+            )
+        ).collect()[0][0]
+        or 0
+    )
+    effective_min = max(hot_min_count, -(-total_occ // max_hot_grams))
+    if effective_min > hot_min_count:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_span_cover: {total_occ} gram occurrences "
+            f"cannot prove a <= {max_hot_grams}-row hot broadcast at "
+            f"hot_min_count={hot_min_count}; escalating the hot "
+            f"threshold to {effective_min} (hashed-probe fan-in cap "
+            "rises accordingly). Raise max_hot_grams if the driver "
+            "can take a larger broadcast.",
+            UserWarning,
+            stacklevel=2,
+        )
     grams = gram_occurrences(base, width=width, id_col=id_col)
     stats = duplicated_gram_stats(grams, id_col=id_col)
     not_canon = (F.col(id_col) != F.col("canon")[id_col]) | (
         F.col("pos") != F.col("canon")["pos"]
     )
-    cold = stats.where(F.col("cnt") < hot_min_count).select("hh", "canon")
-    hot = stats.where(F.col("cnt") >= hot_min_count).select("hh", "canon")
+    cold = stats.where(F.col("cnt") < effective_min).select("hh", "canon")
+    hot = stats.where(F.col("cnt") >= effective_min).select("hh", "canon")
     dup_occ = (
         grams.join(cold, "hh")
         .where(not_canon)

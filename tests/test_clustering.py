@@ -324,3 +324,36 @@ def test_arrow_assignment_guards_dim_dependent_bound(spark, emb):
     # dim 64 at the same magnitude passes the dim check (4*64*2^40 << 2^53)
     df = cl._assign_clusters_arrow(q, [[near_cap] * 64], with_dist=False)
     assert "cluster" in df.columns
+
+
+def test_broadcast_cache_tolerates_dead_session_entries(spark, emb):
+    """ADVICE r9: the live-broadcast deque is process-global, so an
+    entry can outlive the SparkContext that made it. Eviction and
+    release must skip such corpses (unpersist raising) instead of
+    aborting the loop midway and stranding the remaining entries."""
+
+    class _Dead:
+        def unpersist(self, blocking):
+            raise RuntimeError("SparkContext was shut down")
+
+    cl.release_assignment_broadcasts()
+    cl._LIVE_ASSIGN_BROADCASTS.append(_Dead())
+    cl._LIVE_ASSIGN_BROADCASTS.append(_Dead())
+    q = emb.select(
+        F.col("vec_id"), cl.quantize(F.col("embedding")).alias("qv")
+    )
+    cents = [[(i + j) % 7 for j in range(64)] for i in range(4)]
+    # eviction path: appending past the cap unpersists the dead
+    # oldest entries without raising
+    frames = [
+        cl._assign_clusters_arrow(q, cents, with_dist=False)
+        for _ in range(cl.MAX_LIVE_ASSIGN_BROADCASTS)
+    ]
+    assert len(cl._LIVE_ASSIGN_BROADCASTS) == cl.MAX_LIVE_ASSIGN_BROADCASTS
+    assert frames[-1].count() == q.count()
+    # release path: a fresh dead entry among live ones — the loop
+    # drains everything, counting only real releases
+    cl._LIVE_ASSIGN_BROADCASTS.appendleft(_Dead())
+    released = cl.release_assignment_broadcasts()
+    assert released == cl.MAX_LIVE_ASSIGN_BROADCASTS
+    assert not cl._LIVE_ASSIGN_BROADCASTS

@@ -174,3 +174,41 @@ def test_query_totals_are_consistent(spark, name):
     else:
         for r in df:
             assert 0 <= r.n_removed <= r.n_tokens
+
+
+def test_hot_broadcast_guard_escalates_threshold_not_results(spark):
+    """ADVICE r9: the pigeonhole bound alone does not keep the hot
+    side broadcast-small on adversarial corpora, so the split point
+    escalates to ceil(total_occurrences / max_hot_grams) when the
+    static cap can't prove the bound. The cover set is invariant to
+    WHERE the split lands — only the join strategy moves — and the
+    escalation announces itself."""
+    import warnings as w
+
+    rows = [
+        (0, "a b c d e f x y"),
+        (1, "p q a b c d e f"),
+        (2, "a b c d z z z z"),
+    ]
+    baseline = _covered(spark, rows)
+    # total_occ = 3 docs x 5 grams = 15; max_hot_grams=1 forces
+    # effective_min = 15 >= any cnt -> everything stays on the hashed
+    # path; max_hot_grams huge with hot_min_count=2 pushes every
+    # duplicated gram to the broadcast path. Same answer both ways.
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        _, cov_esc = dd.duplicate_span_cover(
+            _docs(spark, rows), width=W, hot_min_count=2, max_hot_grams=1
+        )
+        assert {(r.doc_id, r.p) for r in cov_esc.collect()} == baseline
+    assert any("escalating the hot threshold" in str(c.message) for c in caught)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        _, cov_bc = dd.duplicate_span_cover(
+            _docs(spark, rows), width=W, hot_min_count=2
+        )
+        assert {(r.doc_id, r.p) for r in cov_bc.collect()} == baseline
+    # 15 occurrences prove the bound: no escalation warning
+    assert not any(
+        "escalating the hot threshold" in str(c.message) for c in caught
+    )
