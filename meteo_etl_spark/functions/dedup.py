@@ -1087,3 +1087,60 @@ def duplicate_span_cover(
         ).alias("p"),
     ).distinct()
     return base, covered
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    *,
+    width: int = SUBSTR_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_min_count: int = HOT_GRAM_MIN,
+    max_hot_grams: int = MAX_HOT_GRAMS,
+) -> DataFrame:
+    """Excision half of Lee et al. substring dedup: remove every
+    token position :func:`duplicate_span_cover` marks and reassemble
+    each document's SURVIVING tokens in original order. One row per
+    input doc: ``(id_col, text_col [rewritten, '' when fully
+    excised], n_tokens [original], n_removed)``.
+
+    Shared kernel of the ``docs_substring_dedup_rewrite`` registered
+    query and the optional ``substring_dedup`` curation stage
+    (pipeline/curate.py). Plan shape: the cover's hashed/broadcast
+    probe joins, one posexplode, one anti join on (id, position), one
+    per-doc ``collect_list`` re-assembly — order restored by
+    ``array_sort`` on the position key, never a global sort."""
+    base, covered = duplicate_span_cover(
+        docs,
+        width=width,
+        id_col=id_col,
+        text_col=text_col,
+        hot_min_count=hot_min_count,
+        max_hot_grams=max_hot_grams,
+    )
+    tok = base.select(
+        id_col, F.posexplode("w").alias("p", "token")
+    ).select(id_col, F.col("p").cast("long").alias("p"), "token")
+    keep = tok.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "token"))),
+            lambda s: s["token"],
+        ),
+        " ",
+    )
+    kept = keep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"), rebuilt.alias("rebuilt")
+    )
+    return (
+        base.select(id_col, "n_tok")
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rebuilt"), F.lit("")).alias(text_col),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -3,9 +3,15 @@ composed into the workflow a training-data release actually runs:
 
     1. exact dedup        (content digest, keep lowest id)
     2. near-dup removal   (MinHash-LSH candidates + exact Jaccard)
-    3. quality gate       (native expression score >= threshold)
+    2b. substring excision (OPTIONAL, ``substring_dedup=True``: Lee
+                           et al. duplicated-span removal — REWRITES
+                           surviving docs; a doc excised to nothing
+                           drops with its own ledger reason)
+    3. quality gate       (native expression score >= threshold,
+                           scored on the rewritten text when 2b ran)
     4. decontamination    (exact shingle overlap AND fuzzy near-dup
-                           against the held-out eval corpus)
+                           against the held-out eval corpus, likewise
+                           on the rewritten text)
     5. split assignment   (deterministic hash buckets)
     6. sequence packing   (greedy token packing within each split)
     7. delivery           (WebDataset tar shards of the train split)
@@ -47,26 +53,43 @@ class CurateStats:
     splits: dict[str, int]  # kept docs per train/val/test split
     n_packs: int  # token packs over the kept train split
     shards: list[tuple[int, int, int]]  # webdataset (shard, n, bytes)
+    n_tokens_excised: int = 0  # substring_dedup stage: tokens removed
 
 
-def drop_ledger(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
+def drop_ledger(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    rewritten: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, reason) for every training doc; reason is the FIRST
-    failing stage ('exact_dup' | 'near_dup' | 'low_quality' |
-    'contaminated' | 'kept'). The flag sets are id-sized (never carry
-    text) but still O(corpus) rows — near-dup ids alone can be a large
-    fraction of all docs — so they are NOT broadcast: the tagged ids
-    union into one stage-priority aggregate and reach the corpus
-    through a single shuffled join on doc_id (AQE still broadcasts the
-    flag side when it is genuinely small).
+    failing stage ('exact_dup' | 'near_dup' | 'substring_dup' |
+    'low_quality' | 'contaminated' | 'kept'). The flag sets are
+    id-sized (never carry text) but still O(corpus) rows — near-dup
+    ids alone can be a large fraction of all docs — so they are NOT
+    broadcast: the tagged ids union into one stage-priority aggregate
+    and reach the corpus through a single shuffled join on doc_id
+    (AQE still broadcasts the flag side when it is genuinely small).
+
+    ``rewritten`` is the substring-excision output
+    (``dedup.excise_duplicate_spans``: doc_id, text, n_removed) when
+    that stage is enabled: docs excised to nothing drop as
+    'substring_dup', and the quality + contamination stages evaluate
+    the REWRITTEN text (a doc is judged as it would ship).
 
     Does NOT cache: each stage re-scans the input (fine for ad-hoc
     use). ``curate_corpus`` caches the corpus around this call and
     unpersists when its actions complete — cache lifetime belongs to
     the caller that knows when the last action ran."""
-    return _drop_ledger_on(fan_out(docs), eval_docs)
+    return _drop_ledger_on(fan_out(docs), eval_docs, rewritten=rewritten)
 
 
-def _drop_ledger_on(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
+def _drop_ledger_on(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    rewritten: DataFrame | None = None,
+) -> DataFrame:
 
     exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_dups = (
@@ -77,41 +100,55 @@ def _drop_ledger_on(docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
     # No .distinct() on the flag sets: the min(pri) aggregate below
     # dedups all of them in its single shuffle.
     near_dups = dd.minhash_lsh_pairs(docs).select(F.col("doc_b").alias("near_id"))
+    # downstream stages judge the text that would SHIP: the rewritten
+    # form when substring excision ran, the original otherwise
+    judged = docs if rewritten is None else rewritten
     exact_con = (
-        dd.decontaminate(docs, eval_docs)
+        dd.decontaminate(judged, eval_docs)
         .filter(F.col("n_overlap") > 0)
         .select(F.col("id").alias("flag_id"))
     )
     fuzzy_con = (
-        dd.fuzzy_decontaminate(docs, eval_docs)
+        dd.fuzzy_decontaminate(judged, eval_docs)
         .filter("contaminated")
         .select(F.col("id").alias("flag_id"))
     )
 
     # Stage priority encodes "first failing stage": 1 exact_dup,
-    # 2 near_dup, 4 contaminated (3 is the quality gate, computed from
-    # the score, not a flag set). min(pri) over the union replaces the
-    # three per-set distincts AND the three corpus joins with one
-    # aggregate + ONE shuffled join — no O(corpus) broadcast anywhere.
+    # 2 near_dup, 3 substring_dup (excised to nothing), 5 contaminated
+    # (4 is the quality gate, computed from the score, not a flag
+    # set). min(pri) over the union replaces the per-set distincts AND
+    # the per-set corpus joins with one aggregate + ONE shuffled join
+    # — no O(corpus) broadcast anywhere.
     def tagged(ids: DataFrame, pri: int) -> DataFrame:
         return ids.toDF("doc_id").select("doc_id", F.lit(pri).alias("pri"))
 
     flags = (
         tagged(exact_dups, 1)
         .unionByName(tagged(near_dups, 2))
-        .unionByName(tagged(exact_con, 4))
-        .unionByName(tagged(fuzzy_con, 4))
+        .unionByName(tagged(exact_con, 5))
+        .unionByName(tagged(fuzzy_con, 5))
         .groupBy("doc_id")
         .agg(F.min("pri").alias("pri"))
     )
+    if rewritten is not None:
+        empty = rewritten.filter(F.col("text") == "").select("doc_id")
+        flags = (
+            flags.unionByName(tagged(empty, 3))
+            .groupBy("doc_id")
+            .agg(F.min("pri").alias("pri"))
+        )
 
-    scored = docs.select("doc_id", tx.quality_score(F.col("text")).alias("score"))
+    scored = judged.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("score")
+    )
     return scored.join(flags, "doc_id", "left").select(
         "doc_id",
         F.when(F.col("pri") == 1, "exact_dup")
         .when(F.col("pri") == 2, "near_dup")
+        .when(F.col("pri") == 3, "substring_dup")
         .when(F.col("score") < QUALITY_MIN, "low_quality")
-        .when(F.col("pri") == 4, "contaminated")
+        .when(F.col("pri") == 5, "contaminated")
         .otherwise("kept")
         .alias("reason"),
     )
@@ -124,16 +161,33 @@ def curate_corpus(
     *,
     pack_budget: int = PACK_BUDGET,
     num_shards: int = CURATE_SHARDS,
+    substring_dedup: bool = False,
 ) -> CurateStats:
     """Run the full curation pipeline; writes the train split as
     WebDataset shards under ``out_dir`` and returns the audit stats.
 
-    The corpus is cached for the pipeline's multiple scans and
-    unpersisted before returning — every output is an action inside
-    this function, so nothing lazy outlives the cache."""
+    ``substring_dedup=True`` enables stage 2b (Lee et al. span
+    excision, ``dedup.excise_duplicate_spans``): surviving documents
+    are REWRITTEN — quality, decontamination, packing token counts
+    and the shipped shards all see the excised text; docs excised to
+    nothing drop with ledger reason 'substring_dup'; the total token
+    count removed is reported as ``n_tokens_excised``.
+
+    The corpus (and, when 2b runs, the rewritten corpus — its
+    excision joins would otherwise re-run per downstream stage) is
+    cached for the pipeline's multiple scans and unpersisted before
+    returning — every output is an action inside this function, so
+    nothing lazy outlives the caches."""
     cached = fan_out(docs).cache()
+    rewritten = None
     try:
-        ledger = _drop_ledger_on(cached, eval_docs)
+        n_tokens_excised = 0
+        if substring_dedup:
+            rewritten = dd.excise_duplicate_spans(cached).cache()
+            n_tokens_excised = int(
+                rewritten.agg(F.sum("n_removed")).collect()[0][0] or 0
+            )
+        ledger = _drop_ledger_on(cached, eval_docs, rewritten=rewritten)
         reasons = {
             r.reason: r.n
             for r in ledger.groupBy("reason")
@@ -145,7 +199,14 @@ def curate_corpus(
         # (most docs survive), so forcing a broadcast would ship
         # O(corpus) ids to every executor; a semi join shuffles on
         # doc_id and AQE may still broadcast when genuinely small.
-        kept = cached.join(
+        # Ship the text the ledger JUDGED: the rewritten corpus when
+        # substring excision ran.
+        ship = (
+            cached
+            if rewritten is None
+            else rewritten.select("doc_id", "text")
+        )
+        kept = ship.join(
             ledger.filter(F.col("reason") == "kept").select("doc_id"),
             "doc_id",
             "left_semi",
@@ -178,7 +239,13 @@ def curate_corpus(
             num_shards=num_shards,
         )
         return CurateStats(
-            reasons=reasons, splits=splits, n_packs=n_packs, shards=shards
+            reasons=reasons,
+            splits=splits,
+            n_packs=n_packs,
+            shards=shards,
+            n_tokens_excised=n_tokens_excised,
         )
     finally:
         cached.unpersist()
+        if rewritten is not None:
+            rewritten.unpersist()

@@ -4162,38 +4162,13 @@ GROUP BY b.doc_id, b.n_tok ORDER BY doc_id""",
 )
 def docs_substring_dedup_rewrite(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    base, covered = dd.duplicate_span_cover(docs)
-    tok = base.select(
-        "doc_id", F.posexplode("w").alias("p", "token")
-    ).select("doc_id", F.col("p").cast("long").alias("p"), "token")
-    keep = tok.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "token"))),
-            lambda s: s["token"],
-        ),
-        " ",
-    )
-    kept = keep.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"), rebuilt.alias("rebuilt")
-    )
-    return (
-        base.select("doc_id", "n_tok")
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tok").cast("long").alias("n_tokens"),
-            (
-                F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_removed"),
-            F.md5(
-                F.coalesce(F.col("rebuilt"), F.lit("")).cast("binary")
-            ).alias("rebuilt_md5"),
-        )
-        .orderBy("doc_id")
-    )
+    out = dd.excise_duplicate_spans(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text").cast("binary")).alias("rebuilt_md5"),
+    ).orderBy("doc_id")
 
 
 def _duck_fold(terms: str) -> str:

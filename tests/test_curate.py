@@ -63,3 +63,92 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # no contaminated / duplicate doc ships
     ledger = {r.doc_id: r.reason for r in drop_ledger(train, eval_docs).collect()}
     assert all(ledger[d] == "kept" for d in shipped)
+
+
+def test_curate_corpus_with_substring_stage(spark, tmp_path):
+    """r8/r10 order: substring excision as an optional curation stage.
+    A corpus with a known cross-doc boilerplate run: the stage rewrites
+    survivors (shipped shards carry EXCISED text), fully-duplicated
+    docs drop with their own ledger reason, n_tokens_excised
+    reconciles with the standalone operator, and the default-off path
+    is byte-identical to the pre-stage pipeline."""
+    import tarfile as tf
+
+    from meteo_etl_spark.functions import dedup as dd
+
+    # doc 0 owns the canonical boilerplate; doc 1 repeats it VERBATIM
+    # (drops at the earlier exact/near stage or excises to nothing);
+    # doc 2 embeds it inside novel text (survives, rewritten); doc 3
+    # is pure novel text; doc 4 is eval-side.
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (0, boiler),
+        (2, "alpha beta " + boiler + " gamma delta epsilon zeta"),
+        (3, " ".join(f"n{i}" for i in range(24))),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(24)))],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "rel")
+    stats = curate_corpus(
+        train, eval_docs, out, num_shards=1, substring_dedup=True
+    )
+    assert sum(stats.reasons.values()) == 3
+    # the operator's own answer is the reconciliation oracle
+    op = {
+        r["doc_id"]: r
+        for r in dd.excise_duplicate_spans(train).collect()
+    }
+    assert stats.n_tokens_excised == sum(r["n_removed"] for r in op.values())
+    assert stats.n_tokens_excised > 0
+    # doc 2 ships WITHOUT the boilerplate tokens; doc 0 (canonical)
+    # ships intact — read the tar back
+    shipped = {}
+    for f in glob.glob(os.path.join(out, "shard-*.tar")):
+        with tf.open(f) as tar:
+            for m in tar.getmembers():
+                shipped[int(m.name.split(".")[0])] = (
+                    tar.extractfile(m).read().decode()
+                )
+    for d, text in shipped.items():
+        assert text == op[d]["text"], (d, text)
+    if 2 in shipped:
+        assert "b0" not in shipped[2] and "alpha" in shipped[2]
+    if 0 in shipped:
+        assert shipped[0] == boiler
+    # default-off path: unchanged contract (no substring_dup reason)
+    stats_off = curate_corpus(train, eval_docs, str(tmp_path / "off"), num_shards=1)
+    assert "substring_dup" not in stats_off.reasons
+    assert stats_off.n_tokens_excised == 0
+
+
+def test_fully_excised_doc_drops_with_substring_reason(spark, tmp_path):
+    """A doc whose every token sits in duplicated grams (but which is
+    NOT an exact/near dup — different doc lengths defeat both) must
+    drop as 'substring_dup', not ship as an empty string."""
+    from meteo_etl_spark.pipeline.curate import drop_ledger
+    from meteo_etl_spark.functions import dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        # doc 0: boilerplate + long novel tail (canonical occurrences)
+        (0, boiler + " " + " ".join(f"n{i}" for i in range(40))),
+        # doc 1: ONLY the boilerplate -> every position covered
+        (1, boiler),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(24)))],
+        "doc_id long, text string",
+    )
+    rewritten = dd.excise_duplicate_spans(train)
+    led = {
+        r.doc_id: r.reason
+        for r in drop_ledger(train, eval_docs, rewritten=rewritten).collect()
+    }
+    assert led[1] == "substring_dup", led
+    # doc 0 keeps its canonical occurrences: whatever the quality
+    # heuristic says about the synthetic tokens, it is NOT excised
+    assert led[0] != "substring_dup", led
