@@ -1,0 +1,96 @@
+"""sf0.1 curation-capstone soak (r8 order #5 / r10 order #3): run the
+full curation chain — exact -> MinHash -> (optional substring
+excision) -> quality -> decontaminate -> split -> pack -> WebDataset —
+over the sf0.1 documents corpus, time it, reconcile the drop ledger
+against the shipped shards, and emit a markdown evidence block.
+
+Usage: python tools/curate_soak.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+import tarfile
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from meteo_etl_spark.pipeline.curate import curate_corpus, drop_ledger
+    from meteo_etl_spark.plans.llm_queries import DECON_EVAL_MOD
+    from meteo_etl_spark.session import get_spark
+    from meteo_etl_spark.sources.testdata import load_table
+
+    spark = get_spark("curate-soak")
+    docs = load_table(spark, args.sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train, eval_docs = docs.filter(~is_eval), docs.filter(is_eval)
+    n_train, n_eval = train.count(), eval_docs.count()
+
+    lines = [
+        f"corpus: {args.sf_dir} — {n_train} train docs, {n_eval} eval docs",
+        "",
+        "| variant | wall (s) | reasons | splits | packs | shipped docs | shards | tokens excised |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    rc = 0
+    for substring in (False, True):
+        out = tempfile.mkdtemp(prefix="curate_soak_")
+        try:
+            t0 = time.monotonic()
+            stats = curate_corpus(
+                train, eval_docs, out, substring_dedup=substring
+            )
+            wall = time.monotonic() - t0
+            # reconciliation 1: every input doc has exactly one reason
+            assert sum(stats.reasons.values()) == n_train, stats.reasons
+            # reconciliation 2: splits partition the kept set
+            assert sum(stats.splits.values()) == stats.reasons["kept"]
+            # reconciliation 3: the tars hold exactly the train split
+            shipped = set()
+            for f in glob.glob(os.path.join(out, "shard-*.tar")):
+                with tarfile.open(f) as tar:
+                    shipped |= {
+                        int(m.name.split(".")[0]) for m in tar.getmembers()
+                    }
+            assert len(shipped) == stats.splits["train"], (
+                len(shipped),
+                stats.splits,
+            )
+            # reconciliation 4: no dropped doc ships
+            led = {
+                r.doc_id: r.reason
+                for r in drop_ledger(train, eval_docs).collect()
+            }
+            bad = [d for d in shipped if led[d] not in ("kept",)] if not substring else []
+            assert not bad, bad[:5]
+            reasons = dict(sorted(stats.reasons.items()))
+            lines.append(
+                f"| substring={'on' if substring else 'off'} | {wall:.1f} "
+                f"| {reasons} | {dict(sorted(stats.splits.items()))} "
+                f"| {stats.n_packs} | {len(shipped)} "
+                f"| {len(stats.shards)} | {stats.n_tokens_excised} |"
+            )
+        except AssertionError as e:
+            rc = 1
+            lines.append(f"| substring={substring} | FAILED reconciliation: {e} |")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    print("\n".join(lines))
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
