@@ -606,9 +606,14 @@ def ann_route_audit(
     every route's truth-hit, candidate and pair counters fold into
     ONE aggregate row over that frame — a single action, a single
     (qid)-keyed shuffle, no per-route rescans. The query panel is
-    the n_queries LOWEST ids (order-by-id, any id type — dense
-    integers are not assumed). Offline audit cost — n_queries exact
-    scans — NOT a serving path."""
+    the n_queries LOWEST ids (any id type — dense integers are not
+    assumed), selected by a cheap id-only top-k scan first so the
+    ~100-dot bucket projection runs over the full corpus exactly
+    ONCE (the panel side computes it for n_queries rows via an
+    isin-literal filter pushed below the projection — an
+    order-by-limit on the projected frame would evaluate every
+    bucket for every row a second time). Offline audit cost —
+    n_queries exact scans — NOT a serving path."""
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
@@ -632,9 +637,18 @@ def ann_route_audit(
             F.element_at(dots, i)
         ),
     )
-    q = (
-        corpus.orderBy("vec_id")
+    panel_ids = [
+        r[0]
+        for r in fan_out(emb)
+        .select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
         .limit(n_queries)
+        .collect()
+    ]
+    q = (
+        corpus.where(
+            F.col("vec_id").isin(panel_ids) if panel_ids else F.lit(False)
+        )
         .withColumnRenamed("lst", "p1")
         .withColumn("m", masked)
         .select(
