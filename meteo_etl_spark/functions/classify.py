@@ -1,0 +1,147 @@
+"""Model-based document classification: a nearest-class-centroid
+token classifier, trained and applied entirely inside the engine.
+
+The FineWeb/CCNet-style curation pipelines gate documents through a
+LEARNED filter (fastText quality classifier, domain classifier) — a
+model trained on labeled examples, then applied to the whole corpus.
+This module provides that stage Spark-first: the model is a DataFrame
+(one row per (class, token) with an integer ppm frequency), training
+is one aggregation pass over the labeled split, and scoring is a
+vocabulary-sized join plus one aggregation — no driver-side learning
+loop, no Python UDFs, no model file.
+
+Determinism discipline (same as docs_tfidf_topk / docs_unigram_freq):
+everything is exact BIGINT arithmetic. The trained weight is
+``freq_ppm = cnt * 1_000_000 div total`` (integral division — the ppm
+quantization IS part of the model definition, like any quantized
+classifier), a document's class score is ``sum(tf * freq_ppm)``, and
+argmax resolves ties by lexicographically-smallest class via a
+``row_number`` window — so Spark and the DuckDB oracle agree
+bit-for-bit with no libm anywhere.
+
+Scale notes (100 TB): training is a (class, tok) partial agg that
+combines map-side; class totals are a classes-sized frame; the
+scoring join is vocabulary-vs-tokens on ``tok`` (AQE broadcasts the
+model at small scale; bucket both legs by tok via operators/bucketing
+when the vocabulary itself is large); the per-(doc, class) agg and
+the argmax window each shuffle once on doc_id. Scores stay in BIGINT:
+a 1M-token document caps at 1e6 * 1e6 ppm = 1e12 per class. Documents
+sharing no token with the training vocabulary are labeled ``(oov)``
+explicitly (anti-join) rather than silently dropped.
+
+Reference parity: no reference counterpart (the reference has no
+model surface); mandated by BASELINE.json's training-data scope —
+the classifier-filter stage every large corpus-curation pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions.sampling import hash_split
+
+#: ppm quantization of the trained per-class token frequencies —
+#: integral, so both engines compute identical weights.
+WEIGHT_PPM = 1_000_000
+
+#: the predicted label for documents with zero training-vocabulary
+#: overlap (no score is defined for them; they must not vanish).
+OOV_LABEL = "(oov)"
+
+
+def train_token_centroids(
+    train: DataFrame, *, class_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Train the classifier: one row per (class, token) with the
+    integer ppm frequency of that token within the class's corpus.
+
+    ``freq_ppm = cnt * WEIGHT_PPM div total_class_tokens`` — exact
+    integral division; rare tokens in huge classes quantize to 0 and
+    are kept (the row set is the class vocabulary, not the support).
+    One (cls, tok) aggregation (combines map-side) plus a
+    classes-sized totals join.
+    """
+    toks = train.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("cls").agg(F.sum("cnt").alias("total"))
+    return cnt.join(tot, "cls").select(
+        "cls",
+        "tok",
+        F.expr(f"cnt * CAST({WEIGHT_PPM} AS BIGINT) div total").alias("freq_ppm"),
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained model: (id, pred_cls, score) for every input
+    document. score = sum(tf * freq_ppm) over the document's tokens
+    (exact BIGINT); argmax breaks ties on the lexicographically
+    smallest class. Documents with no vocabulary overlap get
+    ``OOV_LABEL`` with score 0 via an anti-join — never dropped.
+    """
+    tf = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    num = (
+        tf.join(model, "tok")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        num.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, F.col("cls").alias("pred_cls"), "score")
+    )
+    oov = (
+        docs.select(id_col)
+        .join(pred.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(OOV_LABEL).alias("pred_cls"),
+            F.lit(0).cast("long").alias("score"),
+        )
+    )
+    return pred.unionByName(oov)
+
+
+def classifier_confusion(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """End-to-end train/evaluate: hash-split the labeled corpus
+    (reproducible, coordination-free — functions/sampling), train on
+    the train split, score the held-out split, and return the
+    confusion matrix (true_cls, pred_cls, n_docs) — integer-only.
+    """
+    test_frac = round(1.0 - train_frac, 9)
+    split = hash_split(docs, id_col, {"train": train_frac, "test": test_frac})
+    train = split.where(F.col("split") == "train")
+    test = split.where(F.col("split") == "test")
+    model = train_token_centroids(train, class_col=class_col, text_col=text_col)
+    scored = score_documents(test, model, id_col=id_col, text_col=text_col)
+    return (
+        test.select(id_col, F.col(class_col).alias("true_cls"))
+        .join(scored, id_col)
+        .groupBy("true_cls", "pred_cls")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

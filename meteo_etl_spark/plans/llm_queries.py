@@ -4858,3 +4858,63 @@ def docs_oov_rate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based classification (functions/classify): the learned-filter stage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_classifier_confusion",
+    """WITH s AS (SELECT doc_id, text, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000 AS b
+           FROM documents),
+    tr AS (SELECT lang AS cls, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b < 800),
+    cnt AS (SELECT cls, tok, COUNT(*) AS cnt FROM tr GROUP BY cls, tok),
+    tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM cnt GROUP BY cls),
+    model AS (SELECT cls, tok, cnt * 1000000 // total AS freq_ppm
+              FROM cnt JOIN tot USING (cls)),
+    te AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b >= 800),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM te GROUP BY doc_id, tok),
+    num AS (SELECT doc_id, cls, CAST(SUM(tf * freq_ppm) AS BIGINT) AS score
+            FROM tf JOIN model USING (tok) GROUP BY doc_id, cls),
+    pred AS (SELECT doc_id, cls AS pred_cls FROM
+               (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, cls) AS rk
+                FROM num)
+             WHERE rk = 1),
+    labeled AS (SELECT s.doc_id, s.lang AS true_cls,
+                       coalesce(p.pred_cls, '(oov)') AS pred_cls
+                FROM s LEFT JOIN pred p USING (doc_id) WHERE s.b >= 800)
+    SELECT true_cls, pred_cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY true_cls, pred_cls
+    ORDER BY true_cls, pred_cls""",
+    doc="The learned-filter curation stage (FineWeb-Edu/CCNet style) "
+    "run entirely inside the engine: hash-split the labeled corpus "
+    "80/20, train a nearest-class-centroid token classifier on the "
+    "train split (the model IS a DataFrame — one (class, token) row "
+    "with an integer ppm weight, cnt*1e6 div total), score every "
+    "held-out document as sum(tf * freq_ppm), argmax with a "
+    "deterministic lexicographic tiebreak, and report the confusion "
+    "matrix. Zero-overlap documents surface as '(oov)', never drop. "
+    "Integer-exact end to end — ppm quantization is part of the model "
+    "definition, so no libm and both engines agree bit-for-bit (same "
+    "determinism discipline as docs_tfidf_topk). Plan: training is a "
+    "map-combined (cls, tok) agg + classes-sized totals join; scoring "
+    "joins vocabulary-vs-tokens on tok (AQE broadcasts the model at "
+    "small scale; bucket both legs by tok at 100 TB); one shuffle on "
+    "doc_id for the per-doc agg and one for the argmax window.",
+    bench=True,
+)
+def docs_classifier_confusion(spark, sf_dir):
+    from meteo_etl_spark.functions.classify import classifier_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_confusion(fan_out(docs), class_col="lang").orderBy(
+        "true_cls", "pred_cls"
+    )

@@ -1,0 +1,100 @@
+"""Nearest-class-centroid token classifier (functions/classify): the
+learned-filter curation stage. Proves the operator actually LEARNS on
+a separable corpus (the synthetic testdata shares one vocabulary
+across classes, so the registered oracle query certifies determinism,
+not skill — this file covers skill, ties, OOV, and weight exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.functions.classify import (
+    OOV_LABEL,
+    WEIGHT_PPM,
+    classifier_confusion,
+    score_documents,
+    train_token_centroids,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_learns_separable_vocabularies(spark):
+    # Two classes with disjoint vocabularies: every held-out doc must
+    # classify perfectly regardless of which split it lands in.
+    rows = []
+    for i in range(40):
+        rows.append((i, "aa bb cc aa bb", "en"))
+        rows.append((100 + i, "xx yy zz xx yy", "fr"))
+    docs = _docs(spark, rows)
+    conf = classifier_confusion(docs, class_col="lang").collect()
+    assert conf, "held-out split must be non-empty"
+    assert all(r["true_cls"] == r["pred_cls"] for r in conf), conf
+
+
+def test_weights_are_exact_ppm_quantization(spark):
+    # One class, 3 'a' + 1 'b' => a: 3e6 div 4, b: 1e6 div 4.
+    train = _docs(spark, [(1, "a a a b", "en")])
+    m = {
+        (r["cls"], r["tok"]): r["freq_ppm"]
+        for r in train_token_centroids(train).collect()
+    }
+    assert m == {
+        ("en", "a"): 3 * WEIGHT_PPM // 4,
+        ("en", "b"): WEIGHT_PPM // 4,
+    }
+
+
+def test_oov_documents_are_labeled_not_dropped(spark):
+    train = _docs(spark, [(1, "aa bb", "en"), (2, "xx yy", "fr")])
+    model = train_token_centroids(train)
+    test = _docs(spark, [(10, "qq ww", "de"), (11, "aa aa", "de")])
+    got = {
+        r["doc_id"]: (r["pred_cls"], r["score"])
+        for r in score_documents(test, model).collect()
+    }
+    assert got[10] == (OOV_LABEL, 0)
+    assert got[11][0] == "en" and got[11][1] > 0
+    assert len(got) == 2
+
+
+def test_tiebreak_is_lexicographically_smallest_class(spark):
+    # Both classes assign identical weight to the shared token.
+    train = _docs(spark, [(1, "t t", "zz"), (2, "t t", "aa")])
+    model = train_token_centroids(train)
+    test = _docs(spark, [(10, "t", "en")])
+    [r] = score_documents(test, model).collect()
+    assert r["pred_cls"] == "aa"
+
+
+def test_scores_are_exact_bigint_sums(spark):
+    # score = sum(tf * freq_ppm) with tf counted per test doc.
+    train = _docs(spark, [(1, "a a a b", "en")])
+    model = train_token_centroids(train)
+    test = _docs(spark, [(10, "a b b", "en")])
+    [r] = score_documents(test, model).collect()
+    a, b = 3 * WEIGHT_PPM // 4, WEIGHT_PPM // 4
+    assert r["score"] == 1 * a + 2 * b
+
+
+def test_confusion_counts_cover_the_whole_heldout_split(spark):
+    rows = [(i, "w1 w2 w3", ["en", "fr"][i % 2]) for i in range(200)]
+    docs = _docs(spark, rows)
+    split_n = (
+        docs.count()
+        - classifier_confusion(docs, class_col="lang")
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    # every doc is either train or counted once in the matrix
+    from meteo_etl_spark.functions.sampling import hash_split
+
+    n_train = (
+        hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2})
+        .where(F.col("split") == "train")
+        .count()
+    )
+    assert split_n == n_train
