@@ -120,6 +120,61 @@ def score_documents(
     return pred.unionByName(oov)
 
 
+def classifier_report(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Per-class precision/recall over the held-out split, derived
+    from the confusion matrix (the minimal sufficient statistic —
+    k² rows, so the three derivations below are driver-cheap and the
+    identical confusion subplan is shared via Spark's exchange reuse).
+
+    Row domain = classes that OCCUR as true labels in the held-out
+    split; predicted-only labels (e.g. ``OOV_LABEL``) contribute to
+    the precision denominators but get no row. Ratios use the repo's
+    half-up integer ppm idiom; precision is NULL when the class was
+    never predicted (0/0 — both engines emit NULL, hash-stable).
+    """
+    conf = classifier_confusion(
+        docs,
+        class_col=class_col,
+        id_col=id_col,
+        text_col=text_col,
+        train_frac=train_frac,
+    )
+    support = conf.groupBy(F.col("true_cls").alias("cls")).agg(
+        F.sum("n_docs").alias("support")
+    )
+    pred_n = conf.groupBy(F.col("pred_cls").alias("cls")).agg(
+        F.sum("n_docs").alias("pred_n")
+    )
+    tp = conf.where(F.col("true_cls") == F.col("pred_cls")).select(
+        F.col("true_cls").alias("cls"), F.col("n_docs").alias("tp")
+    )
+    return (
+        support.join(tp, "cls", "left")
+        .join(pred_n, "cls", "left")
+        .select(
+            "cls",
+            "support",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.expr(
+                "CASE WHEN coalesce(pred_n, 0) = 0 THEN NULL ELSE "
+                "(2 * 1000000 * coalesce(tp, 0) + pred_n) div (2 * pred_n) "
+                "END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "(2 * 1000000 * coalesce(tp, 0) + support) div (2 * support)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def classifier_confusion(
     docs: DataFrame,
     *,

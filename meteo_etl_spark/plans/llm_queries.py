@@ -4918,3 +4918,66 @@ def docs_classifier_confusion(spark, sf_dir):
     return classifier_confusion(fan_out(docs), class_col="lang").orderBy(
         "true_cls", "pred_cls"
     )
+
+
+@query(
+    "docs_classifier_report",
+    """WITH s AS (SELECT doc_id, text, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000 AS b
+           FROM documents),
+    tr AS (SELECT lang AS cls, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b < 800),
+    cnt AS (SELECT cls, tok, COUNT(*) AS cnt FROM tr GROUP BY cls, tok),
+    tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM cnt GROUP BY cls),
+    model AS (SELECT cls, tok, cnt * 1000000 // total AS freq_ppm
+              FROM cnt JOIN tot USING (cls)),
+    te AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b >= 800),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM te GROUP BY doc_id, tok),
+    num AS (SELECT doc_id, cls, CAST(SUM(tf * freq_ppm) AS BIGINT) AS score
+            FROM tf JOIN model USING (tok) GROUP BY doc_id, cls),
+    pred AS (SELECT doc_id, cls AS pred_cls FROM
+               (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, cls) AS rk
+                FROM num)
+             WHERE rk = 1),
+    conf AS (SELECT s.lang AS true_cls,
+                    coalesce(p.pred_cls, '(oov)') AS pred_cls,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM s LEFT JOIN pred p USING (doc_id) WHERE s.b >= 800
+             GROUP BY 1, 2),
+    sup AS (SELECT true_cls AS cls, CAST(SUM(n_docs) AS BIGINT) AS support
+            FROM conf GROUP BY 1),
+    pn AS (SELECT pred_cls AS cls, CAST(SUM(n_docs) AS BIGINT) AS pred_n
+           FROM conf GROUP BY 1),
+    tp AS (SELECT true_cls AS cls, n_docs AS tp FROM conf
+           WHERE true_cls = pred_cls)
+    SELECT sup.cls, support,
+           CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+           CAST(coalesce(pred_n, 0) AS BIGINT) AS pred_n,
+           CASE WHEN coalesce(pred_n, 0) = 0 THEN NULL
+                ELSE (2 * 1000000 * coalesce(tp, 0) + pred_n)
+                       // (2 * pred_n) END AS precision_ppm,
+           (2 * 1000000 * coalesce(tp, 0) + support)
+             // (2 * support) AS recall_ppm
+    FROM sup LEFT JOIN tp USING (cls) LEFT JOIN pn USING (cls)
+    ORDER BY cls""",
+    doc="Per-class precision/recall (half-up integer ppm) for the "
+    "in-engine token classifier, derived from the confusion matrix — "
+    "the k²-row minimal sufficient statistic, so the three "
+    "derivations (support by true class, prediction counts by "
+    "predicted class, true positives on the diagonal) are tiny aggs "
+    "whose identical upstream subplan Spark shares via exchange "
+    "reuse. Row domain = classes occurring as true labels in the "
+    "held-out split; '(oov)' predictions inflate no class's "
+    "precision denominator but its own (no row). Precision is NULL "
+    "for never-predicted classes (0/0) — both engines agree. Same "
+    "integer-exact discipline as docs_classifier_confusion.",
+)
+def docs_classifier_report(spark, sf_dir):
+    from meteo_etl_spark.functions.classify import classifier_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_report(fan_out(docs), class_col="lang").orderBy("cls")

@@ -1844,6 +1844,7 @@ _DEFERRED: tuple[str, ...] = (
     # AND sf0.01 in-session; round-11 rotation backlog):
     "sim_route_choice",  # ANN route decision table: sim_ann_recall_tuned + sim_ann_ivf audit shapes (never)
     "docs_classifier_confusion",  # learned-filter train/score/confusion: docs_tfidf_topk join + docs_hash_split shapes (never)
+    "docs_classifier_report",  # per-class precision/recall ppm over the confusion statistic (never)
     # Round-10 rotation: the six never-driver-certified entries
     # (sim_ann_recall_tuned, events_scd2_stream, events_sketch_rollup,
     # docs_dup_spans, docs_substring_dedup_rewrite, q5_approx_summary)

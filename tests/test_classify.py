@@ -98,3 +98,59 @@ def test_confusion_counts_cover_the_whole_heldout_split(spark):
         .count()
     )
     assert split_n == n_train
+
+
+def test_report_exact_ppm_and_null_precision(spark):
+    from meteo_etl_spark.functions.classify import classifier_report
+
+    # Engineer a class that is NEVER predicted: on 'zz' docs
+    # ("aa bb cc dd") the scores tie at 1e6 ppm between 'en'
+    # (aa=750000, bb=250000) and 'zz' (each token 250000), and the
+    # lexicographic tiebreak picks 'en'; on 'en' docs 'en' wins
+    # outright — so pred_n('zz') == 0 whatever the split.
+    rows = []
+    for i in range(60):
+        rows.append((i, "aa aa aa bb", "en"))
+    for i in range(60):
+        rows.append((1000 + i, "aa bb cc dd", "zz"))
+    docs = _docs(spark, rows)
+    rep = {r["cls"]: r for r in classifier_report(docs, class_col="lang").collect()}
+
+    for cls, r in rep.items():
+        assert r["support"] > 0
+        half_up = (2 * 1_000_000 * r["tp"] + r["support"]) // (2 * r["support"])
+        assert r["recall_ppm"] == half_up
+    assert "zz" in rep, "held-out split lost the zz class entirely"
+    assert rep["zz"]["pred_n"] == 0
+    assert rep["zz"]["precision_ppm"] is None
+    assert rep["zz"]["recall_ppm"] == 0
+    en = rep["en"]
+    assert en["precision_ppm"] == (2 * 1_000_000 * en["tp"] + en["pred_n"]) // (
+        2 * en["pred_n"]
+    )
+
+
+def test_report_rows_match_confusion_marginals(spark):
+    from meteo_etl_spark.functions.classify import (
+        classifier_confusion,
+        classifier_report,
+    )
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{i % 3}", ["en", "fr", "de"][i % 3])
+            for i in range(120)]
+    docs = _docs(spark, rows)
+    conf = classifier_confusion(docs, class_col="lang").collect()
+    rep = {r["cls"]: r for r in classifier_report(docs, class_col="lang").collect()}
+    support = {}
+    pred_n = {}
+    tp = {}
+    for r in conf:
+        support[r["true_cls"]] = support.get(r["true_cls"], 0) + r["n_docs"]
+        pred_n[r["pred_cls"]] = pred_n.get(r["pred_cls"], 0) + r["n_docs"]
+        if r["true_cls"] == r["pred_cls"]:
+            tp[r["true_cls"]] = r["n_docs"]
+    assert set(rep) == set(support)
+    for cls, r in rep.items():
+        assert r["support"] == support[cls]
+        assert r["pred_n"] == pred_n.get(cls, 0)
+        assert r["tp"] == tp.get(cls, 0)
