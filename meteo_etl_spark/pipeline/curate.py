@@ -9,6 +9,12 @@ composed into the workflow a training-data release actually runs:
                            drops with its own ledger reason)
     3. quality gate       (native expression score >= threshold,
                            scored on the rewritten text when 2b ran)
+    3b. classifier filter (OPTIONAL, ``classifier_model=``: apply a
+                           trained nearest-class-centroid model —
+                           functions/classify — and drop documents
+                           whose predicted class is not in
+                           ``classifier_keep``; the FineWeb-style
+                           learned-filter stage)
     4. decontamination    (exact shingle overlap AND fuzzy near-dup
                            against the held-out eval corpus, likewise
                            on the rewritten text)
@@ -61,10 +67,13 @@ def drop_ledger(
     eval_docs: DataFrame,
     *,
     rewritten: DataFrame | None = None,
+    classifier_model: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, reason) for every training doc; reason is the FIRST
     failing stage ('exact_dup' | 'near_dup' | 'substring_dup' |
-    'low_quality' | 'contaminated' | 'kept'). The flag sets are
+    'low_quality' | 'classifier_reject' | 'contaminated' | 'kept').
+    The flag sets are
     id-sized (never carry text) but still O(corpus) rows — near-dup
     ids alone can be a large fraction of all docs — so they are NOT
     broadcast: the tagged ids union into one stage-priority aggregate
@@ -77,11 +86,24 @@ def drop_ledger(
     'substring_dup', and the quality + contamination stages evaluate
     the REWRITTEN text (a doc is judged as it would ship).
 
+    ``classifier_model`` (a ``functions/classify`` model frame:
+    (cls, tok, freq_ppm)) enables the learned-filter stage: documents
+    whose predicted class (on the shipped text form) is not in
+    ``classifier_keep`` drop as 'classifier_reject' — after the
+    quality gate, before decontamination. OOV predictions reject
+    unless ``classify.OOV_LABEL`` is explicitly kept.
+
     Does NOT cache: each stage re-scans the input (fine for ad-hoc
     use). ``curate_corpus`` caches the corpus around this call and
     unpersists when its actions complete — cache lifetime belongs to
     the caller that knows when the last action ran."""
-    return _drop_ledger_on(fan_out(docs), eval_docs, rewritten=rewritten)
+    return _drop_ledger_on(
+        fan_out(docs),
+        eval_docs,
+        rewritten=rewritten,
+        classifier_model=classifier_model,
+        classifier_keep=classifier_keep,
+    )
 
 
 def _drop_ledger_on(
@@ -89,7 +111,11 @@ def _drop_ledger_on(
     eval_docs: DataFrame,
     *,
     rewritten: DataFrame | None = None,
+    classifier_model: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] = (),
 ) -> DataFrame:
+    if classifier_model is not None and not classifier_keep:
+        raise ValueError("classifier_model requires a non-empty classifier_keep")
 
     exact_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_dups = (
@@ -115,22 +141,34 @@ def _drop_ledger_on(
     )
 
     # Stage priority encodes "first failing stage": 1 exact_dup,
-    # 2 near_dup, 3 substring_dup (excised to nothing), 5 contaminated
-    # (4 is the quality gate, computed from the score, not a flag
-    # set). min(pri) over the union replaces the per-set distincts AND
-    # the per-set corpus joins with one aggregate + ONE shuffled join
-    # — no O(corpus) broadcast anywhere.
+    # 2 near_dup, 3 substring_dup (excised to nothing),
+    # 4 classifier_reject, 5 contaminated (the quality gate is
+    # computed from the score, not a flag set, and the when-chain
+    # places it between 3 and 4). min(pri) over the union replaces
+    # the per-set distincts AND the per-set corpus joins with one
+    # aggregate + ONE shuffled join — no O(corpus) broadcast anywhere.
     def tagged(ids: DataFrame, pri: int) -> DataFrame:
         return ids.toDF("doc_id").select("doc_id", F.lit(pri).alias("pri"))
 
-    flags = (
-        tagged(exact_dups, 1)
-        .unionByName(tagged(near_dups, 2))
-        .unionByName(tagged(exact_con, 5))
-        .unionByName(tagged(fuzzy_con, 5))
-        .groupBy("doc_id")
-        .agg(F.min("pri").alias("pri"))
-    )
+    flag_sets = [
+        tagged(exact_dups, 1),
+        tagged(near_dups, 2),
+        tagged(exact_con, 5),
+        tagged(fuzzy_con, 5),
+    ]
+    if classifier_model is not None:
+        from meteo_etl_spark.functions.classify import score_documents
+
+        rejected = (
+            score_documents(judged, classifier_model)
+            .where(~F.col("pred_cls").isin(list(classifier_keep)))
+            .select("doc_id")
+        )
+        flag_sets.append(tagged(rejected, 4))
+    flags = flag_sets[0]
+    for fs in flag_sets[1:]:
+        flags = flags.unionByName(fs)
+    flags = flags.groupBy("doc_id").agg(F.min("pri").alias("pri"))
     if rewritten is not None:
         empty = rewritten.filter(F.col("text") == "").select("doc_id")
         flags = (
@@ -148,6 +186,7 @@ def _drop_ledger_on(
         .when(F.col("pri") == 2, "near_dup")
         .when(F.col("pri") == 3, "substring_dup")
         .when(F.col("score") < QUALITY_MIN, "low_quality")
+        .when(F.col("pri") == 4, "classifier_reject")
         .when(F.col("pri") == 5, "contaminated")
         .otherwise("kept")
         .alias("reason"),
@@ -162,6 +201,8 @@ def curate_corpus(
     pack_budget: int = PACK_BUDGET,
     num_shards: int = CURATE_SHARDS,
     substring_dedup: bool = False,
+    classifier_model: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] = (),
 ) -> CurateStats:
     """Run the full curation pipeline; writes the train split as
     WebDataset shards under ``out_dir`` and returns the audit stats.
@@ -172,6 +213,14 @@ def curate_corpus(
     and the shipped shards all see the excised text; docs excised to
     nothing drop with ledger reason 'substring_dup'; the total token
     count removed is reported as ``n_tokens_excised``.
+
+    ``classifier_model`` + ``classifier_keep`` enable stage 3b (the
+    learned filter, functions/classify): documents whose predicted
+    class on the shipped text form is not in ``classifier_keep`` drop
+    as 'classifier_reject'. Train the model once with
+    ``classify.train_token_centroids`` (and persist it — it is a
+    DataFrame) and reuse it across curation runs; scoring adds one
+    vocabulary join plus a per-document argmax shuffle, opt-in.
 
     The corpus (and, when 2b runs, the rewritten corpus — its
     excision joins would otherwise re-run per downstream stage) is
@@ -187,7 +236,13 @@ def curate_corpus(
             n_tokens_excised = int(
                 rewritten.agg(F.sum("n_removed")).collect()[0][0] or 0
             )
-        ledger = _drop_ledger_on(cached, eval_docs, rewritten=rewritten)
+        ledger = _drop_ledger_on(
+            cached,
+            eval_docs,
+            rewritten=rewritten,
+            classifier_model=classifier_model,
+            classifier_keep=classifier_keep,
+        )
         reasons = {
             r.reason: r.n
             for r in ledger.groupBy("reason")

@@ -152,3 +152,116 @@ def test_fully_excised_doc_drops_with_substring_reason(spark, tmp_path):
     # doc 0 keeps its canonical occurrences: whatever the quality
     # heuristic says about the synthetic tokens, it is NOT excised
     assert led[0] != "substring_dup", led
+
+
+def test_curate_corpus_with_classifier_filter(spark, tmp_path):
+    """Stage 3b: a model trained on separable vocabularies rejects the
+    out-of-keep class; rejected docs never ship; priority ordering
+    holds (low_quality fires before classifier_reject)."""
+    from meteo_etl_spark.functions.classify import train_token_centroids
+    from meteo_etl_spark.pipeline.curate import QUALITY_MIN
+    from meteo_etl_spark.functions import text as tx
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "alphaword betaword gammaword deltaword", "en"),
+            (2, "unolargo doslargos treslargos cuatrolargo", "es"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    model = train_token_centroids(labeled, class_col="lang")
+
+    # tokens are >= 8 chars so the mean-token-length term alone clears
+    # the quality gate; per-doc suffix tokens kill near-dup shingles
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, f"alphaword betaword gammaword deltaword epsilonword{i} zetaword{i} etaword{i}")
+        )
+    for i in range(30, 40):
+        rows.append(
+            (i, f"unolargo doslargos treslargos cuatrolargo cincolargo{i} seislargo{i} sietelargo{i}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    eval_docs = spark.createDataFrame(
+        [(9999, "unrelated holdout corpus text")], "doc_id bigint, text string"
+    )
+
+    # sanity: the fixture clears the quality gate, so classifier_reject
+    # is the first failing stage for the 'es' docs
+    scores = docs.select(tx.quality_score(F.col("text")).alias("s")).collect()
+    assert all(r.s >= QUALITY_MIN for r in scores)
+
+    out = str(tmp_path / "release")
+    stats = curate_corpus(
+        docs, eval_docs, out, classifier_model=model, classifier_keep=("en",)
+    )
+    assert stats.reasons.get("classifier_reject", 0) == 10
+    assert sum(stats.reasons.values()) == 40
+
+    shipped = set()
+    for f in glob.glob(os.path.join(out, "shard-*.tar")):
+        with tarfile.open(f) as tar:
+            shipped |= {int(m.name.split(".")[0]) for m in tar.getmembers()}
+    assert shipped and all(d < 30 for d in shipped)
+
+
+def test_classifier_filter_requires_keep_and_respects_priority(spark):
+    """Empty keep-set with a model is a hard error; a doc that is both
+    low-quality and classifier-rejected drops as low_quality (first
+    failing stage), and one both rejected and contaminated drops as
+    classifier_reject."""
+    import pytest
+
+    from meteo_etl_spark.functions.classify import train_token_centroids
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "goodword nicetext cleartext finetext", "en"),
+            (
+                2,
+                "mal malisimo textogrande aquimismo claroverdad verdadero "
+                "amigomio bienbueno grandioso",
+                "es",
+            ),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    model = train_token_centroids(labeled, class_col="lang")
+    docs = spark.createDataFrame(
+        [
+            # 'es'-vocab doc that ALSO fails the quality gate (short
+            # repeated token => low mean-length and stopword terms)
+            (1, "mal mal mal mal mal mal mal mal"),
+            # 'es'-vocab doc that clears quality (long tokens) and is
+            # ALSO contaminated (verbatim in eval)
+            (
+                2,
+                "malisimo textogrande aquimismo claroverdad verdadero "
+                "amigomio bienbueno grandioso",
+            ),
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            (
+                9999,
+                "malisimo textogrande aquimismo claroverdad verdadero "
+                "amigomio bienbueno grandioso",
+            )
+        ],
+        "doc_id bigint, text string",
+    )
+
+    with pytest.raises(ValueError, match="classifier_keep"):
+        drop_ledger(docs, eval_docs, classifier_model=model).collect()
+
+    ledger = {
+        r.doc_id: r.reason
+        for r in drop_ledger(
+            docs, eval_docs, classifier_model=model, classifier_keep=("en",)
+        ).collect()
+    }
+    assert ledger[1] == "low_quality"
+    assert ledger[2] == "classifier_reject"
