@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 from meteo_etl_spark.operators.parallelism import fan_out
 
+try:  # the Arrow projection kernel is optional — expression fallback
+    import numpy as _np  # noqa: F401
+
+    _HAVE_NUMPY = True
+except Exception:  # pragma: no cover
+    _HAVE_NUMPY = False
+
 # Shared with the oracle generators in plans/llm_queries.py.
 EMBEDDING_DIM = 64
 LSH_TABLES = 2
@@ -91,12 +98,157 @@ def hyperplane(table: int, plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
 
 def _bucket(v: Column, table: int, planes: int = LSH_PLANES) -> Column:
     """P-bit sign-pattern bucket id of vector ``v`` in hash table
-    ``table`` ('1' iff the projection is strictly positive)."""
-    bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(w) for w in hyperplane(table, p)])
-        bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    ``table`` ('1' iff the projection is strictly positive).
+
+    One ``transform`` over a single list-of-lists plane literal, NOT
+    P inlined dot expressions: Catalyst constant-folds the literal to
+    one node, so the expression tree (and the task binary, and the
+    driver's analysis/codegen time) stays O(1) in P and dim — the
+    r9-audited route queries carried ~27k literal nodes and ~1 MiB
+    task binaries in the inlined form, a pure driver-side fixed cost
+    at any data scale. Per-row arithmetic and bit order are identical
+    (sequential fold per plane, in plane order), so every persisted
+    index layout and oracle hash is unchanged."""
+    planes_lit = F.lit([hyperplane(table, p) for p in range(planes)])
+    return F.array_join(
+        F.transform(
+            planes_lit,
+            lambda pl: F.when(dot(v, pl) > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+#: use the Arrow projection kernel when a corpus-side projection
+#: computes at least this many plane/centroid dots per row — below
+#: it, the pure-expression path is simpler and the interpreter
+#: overhead is negligible (the serving-index builds at L·P = 8 dots
+#: stay pure JVM; the tuned/deep audits at 48-104 dots vectorize).
+BUCKET_ARROW_MIN_DOTS = 32
+
+
+def _project_ann_arrow(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bucket_specs: list[tuple[str, int, int]],
+    with_ivf: str | None,
+) -> DataFrame:
+    """Arrow/numpy twin of the expression-path ANN projection: from
+    (id, vec) rows, produce (vec_id, v, <bucket cols...>[, ivf list])
+    with BIT-IDENTICAL results to ``_bucket`` / ``ivf_list_of``.
+
+    Exactness is by construction, not tolerance: the kernel folds the
+    dot products in the SAME sequential element order as the Spark
+    ``aggregate`` (one vectorized ``acc = acc + v[:, d] * W[d, :]``
+    step per dimension, from 0.0 — each row/plane cell performs the
+    identical IEEE-754 add/mul sequence, so even sign decisions at
+    the last ulp agree), the bucket bit is the same strict ``> 0``,
+    and the IVF argmax is first-maximum (``np.argmax``) exactly like
+    ``array_position(d, array_max(d))``. Parity is pinned by test
+    against the expression path.
+
+    Why it exists: per-row bucket projection over L·P planes runs at
+    expression-interpreter speed JVM-side (higher-order functions are
+    not codegen'd) — the tuned/deep audit's ~100 dots per row
+    dominate its wall clock; one numpy pass per Arrow batch does the
+    same flops at BLAS-adjacent speed. mapInPandas preserves
+    partitioning — still a pure map, nothing shuffles. Trade-off the
+    caller must respect: filters do NOT push below a Python map, so
+    ONLY project the big corpus side here; tiny filtered sides (query
+    panels) should stay on the expression path above their scans."""
+    import numpy as np
+
+    planes_np = {
+        name: np.asarray(
+            [hyperplane(t, p) for p in range(n_planes)], dtype=np.float64
+        ).T  # (dim, P)
+        for name, t, n_planes in bucket_specs
+    }
+    cents_np = (
+        np.asarray(
+            [ivf_centroid(j) for j in range(IVF_LISTS)], dtype=np.float64
+        ).T
+        if with_ivf
+        else None
+    )
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[id_col]
+    out_schema = f"vec_id {id_type}, v array<double>"
+    for name, _, _ in bucket_specs:
+        out_schema += f", {name} string"
+    if with_ivf:
+        out_schema += f", {with_ivf} bigint"
+
+    def _seq_dots(V: "np.ndarray", W: "np.ndarray") -> "np.ndarray":
+        # sequential left fold from 0.0, one dim at a time — the
+        # exact order of functions.similarity.dot on both engines
+        acc = np.zeros((V.shape[0], W.shape[1]), dtype=np.float64)
+        for d in range(W.shape[0]):
+            acc = acc + V[:, d, None] * W[None, d, :]
+        return acc
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            out = {
+                "vec_id": pdf[id_col],
+                "v": list(V),
+            }
+            for name, _, _ in bucket_specs:
+                signs = _seq_dots(V, planes_np[name]) > 0.0
+                bits = np.where(signs, "1", "0")
+                out[name] = ["".join(row) for row in bits]
+            if with_ivf:
+                dots = _seq_dots(V, cents_np)
+                out[with_ivf] = (np.argmax(dots, axis=1) + 1).astype("int64")
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(project, schema=out_schema)
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`dot`: sequential left fold from 0.0
+    in element order — Python floats ARE IEEE-754 doubles, so every
+    intermediate is bit-identical to the engine fold."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def _bucket_py(vec: list[float], table: int, planes: int = LSH_PLANES) -> str:
+    """Driver-side twin of :func:`_bucket` (same planes, same fold,
+    same strict ``> 0``). For QUERY-PANEL sides: a panel is a handful
+    of rows, and building the L·P·dim bucket expression tree for it
+    costs seconds of per-call driver analysis/codegen — computing the
+    few bucket strings in Python is exact and free."""
+    return "".join(
+        "1" if _dot_py(vec, hyperplane(table, p)) > 0 else "0"
+        for p in range(planes)
+    )
+
+
+def _ivf_probes_py(vec: list[float]) -> tuple[int, int]:
+    """Driver-side twin of the (p1, p2) IVF probe pair: p1 = 1-based
+    first-max centroid dot (``array_position(d, array_max(d))``),
+    p2 = first-max after masking p1 with -1e18 — identical tie order
+    to the engine path."""
+    dots = [_dot_py(vec, ivf_centroid(j)) for j in range(IVF_LISTS)]
+    p1 = dots.index(max(dots)) + 1
+    masked = [(-1e18 if j + 1 == p1 else d) for j, d in enumerate(dots)]
+    p2 = masked.index(max(masked)) + 1
+    return p1, p2
 
 
 def brute_force_topk(
@@ -305,13 +457,11 @@ def ivf_centroid(k: int, dim: int = EMBEDDING_DIM) -> list[float]:
 
 def _centroid_dots(v: Column) -> Column:
     """array<double> of dot(v, centroid_k) for all IVF_LISTS centroids
-    (sequential folds — deterministic, oracle-mirrored)."""
-    return F.array(
-        *[
-            dot(v, F.array(*[F.lit(w) for w in ivf_centroid(k)]))
-            for k in range(IVF_LISTS)
-        ]
-    )
+    (sequential folds — deterministic, oracle-mirrored). One
+    ``transform`` over a single constant-folded centroid literal —
+    same O(1)-expression-size rationale as ``_bucket``."""
+    cents_lit = F.lit([ivf_centroid(k) for k in range(IVF_LISTS)])
+    return F.transform(cents_lit, lambda c: dot(v, c))
 
 
 def ivf_list_of(v: Column) -> Column:
@@ -445,15 +595,51 @@ def ann_recall(
     anything — buckets are recomputed from the deterministic
     hyperplanes."""
     v = F.col(vec_col).cast("array<double>")
-    corpus = fan_out(emb).select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        *[_bucket(v, t, n_planes).alias(f"b{t}") for t in range(n_tables)],
+    specs = [(f"b{t}", t, n_planes) for t in range(n_tables)]
+    if n_tables * n_planes >= BUCKET_ARROW_MIN_DOTS and _HAVE_NUMPY:
+        # heavy audit shapes (e.g. the tuned 8x6 config) project at
+        # Arrow speed; the bit-exact twin of the expression below
+        corpus = _project_ann_arrow(
+            fan_out(emb),
+            id_col=id_col,
+            vec_col=vec_col,
+            bucket_specs=specs,
+            with_ivf=None,
+        )
+    else:
+        corpus = fan_out(emb).select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            *[_bucket(v, t, n_planes).alias(f"b{t}") for t in range(n_tables)],
+        )
+    # the panel is n_queries rows: collect its vectors and compute
+    # the buckets driver-side (bit-identical Python twins) — building
+    # the L·P·dim expression tree for a 10-row side costs seconds of
+    # per-call driver analysis/codegen for zero data-side benefit
+    panel_rows = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .collect()
     )
-    q = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[id_col]
+    q_schema = f"qid {id_type}, qv array<double>, " + ", ".join(
+        f"qb{t} string" for t in range(n_tables)
+    )
+    q = emb.sparkSession.createDataFrame(
+        [
+            (
+                r["vec_id"],
+                list(r["v"]),
+                *[
+                    _bucket_py(list(r["v"]), t, n_planes)
+                    for t in range(n_tables)
+                ],
+            )
+            for r in panel_rows
+        ],
+        q_schema,
     )
     match_any = None
     for t in range(n_tables):
@@ -617,49 +803,64 @@ def ann_route_audit(
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
-    corpus = fan_out(emb).select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        *[
-            _bucket(v, t, LSH_TUNED_PLANES).alias(f"bt{t}")
-            for t in range(LSH_TUNED_TABLES)
-        ],
-        *[
-            _bucket(v, t, LSH_DEEP_PLANES).alias(f"bd{t}")
-            for t in range(LSH_DEEP_TABLES)
-        ],
-        ivf_list_of(v).alias("lst"),
-    )
-    dots = _centroid_dots(F.col("v"))
-    masked = F.transform(
-        F.sequence(F.lit(1), F.lit(IVF_LISTS)),
-        lambda i: F.when(i == F.col("p1"), F.lit(-1e18)).otherwise(
-            F.element_at(dots, i)
-        ),
-    )
-    panel_ids = [
-        r[0]
-        for r in fan_out(emb)
-        .select(F.col(id_col).alias("vec_id"))
+    specs = [
+        (f"bt{t}", t, LSH_TUNED_PLANES) for t in range(LSH_TUNED_TABLES)
+    ] + [(f"bd{t}", t, LSH_DEEP_PLANES) for t in range(LSH_DEEP_TABLES)]
+    n_dots = sum(p for _, _, p in specs) + IVF_LISTS
+    if n_dots >= BUCKET_ARROW_MIN_DOTS and _HAVE_NUMPY:
+        # ~104 dots per corpus row: Arrow kernel (bit-exact twin)
+        corpus = _project_ann_arrow(
+            fan_out(emb),
+            id_col=id_col,
+            vec_col=vec_col,
+            bucket_specs=specs,
+            with_ivf="lst",
+        )
+    else:  # pragma: no cover — numpy is baked into this environment
+        corpus = fan_out(emb).select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            *[_bucket(v, t, p).alias(name) for name, t, p in specs],
+            ivf_list_of(v).alias("lst"),
+        )
+    # The panel is n_queries rows — its buckets/probes are computed
+    # DRIVER-SIDE from the collected vectors (bit-identical Python
+    # twins of the engine folds). Building the ~100-dot expression
+    # tree for a 10-row side costs seconds of per-call driver
+    # analysis/codegen and nothing at all in data terms; collecting
+    # n_queries (id, vec) rows is one tiny job.
+    panel_rows = (
+        fan_out(emb)
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
         .orderBy("vec_id")
         .limit(n_queries)
         .collect()
-    ]
-    q = (
-        corpus.where(
-            F.col("vec_id").isin(panel_ids) if panel_ids else F.lit(False)
-        )
-        .withColumnRenamed("lst", "p1")
-        .withColumn("m", masked)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("qv"),
-            *[F.col(f"bt{t}").alias(f"qbt{t}") for t in range(LSH_TUNED_TABLES)],
-            *[F.col(f"bd{t}").alias(f"qbd{t}") for t in range(LSH_DEEP_TABLES)],
-            "p1",
-            F.array_position(F.col("m"), F.array_max("m")).alias("p2"),
-        )
     )
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[id_col]
+    q_schema = (
+        f"qid {id_type}, qv array<double>, "
+        + ", ".join(f"qbt{t} string" for t in range(LSH_TUNED_TABLES))
+        + ", "
+        + ", ".join(f"qbd{t} string" for t in range(LSH_DEEP_TABLES))
+        + ", p1 bigint, p2 bigint"
+    )
+    q_data = []
+    for r in panel_rows:
+        vec = list(r["v"])
+        p1, p2 = _ivf_probes_py(vec)
+        q_data.append(
+            (
+                r["vec_id"],
+                vec,
+                *[_bucket_py(vec, t, LSH_TUNED_PLANES) for t in range(LSH_TUNED_TABLES)],
+                *[_bucket_py(vec, t, LSH_DEEP_PLANES) for t in range(LSH_DEEP_TABLES)],
+                p1,
+                p2,
+            )
+        )
+    q = emb.sparkSession.createDataFrame(q_data, q_schema)
 
     def any_match(prefix: str, n_tables: int, planes: int, h: int):
         out = None

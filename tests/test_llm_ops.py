@@ -708,3 +708,64 @@ def test_route_audit_handles_string_ids_and_tiny_corpora(spark):
     assert sim.choose_ann_route(audit) == "ivf"
     tiny = {r["route"]: r for r in sim.ann_route_decision_table(one).collect()}
     assert tiny["ivf"]["chosen"] and tiny["ivf"]["cand_frac"] == 0.0
+
+
+def test_bucket_paths_are_bit_identical(spark):
+    """The three bucket/probe implementations — engine expression
+    (_bucket / ivf_list_of), Arrow kernel (_project_ann_arrow), and
+    driver-side Python twins (_bucket_py / _ivf_probes_py) — must
+    agree bit-for-bit on every vector, including sign decisions at
+    exactly 0.0 (strict > 0 => '0' everywhere)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        [float(x) for x in rng.normal(size=sim.EMBEDDING_DIM)] for _ in range(50)
+    ]
+    # adversarial: the all-zero vector makes every projection exactly
+    # 0.0 — strict '> 0' must yield all-'0' buckets on every path
+    vecs.append([0.0] * sim.EMBEDDING_DIM)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<double>"
+    )
+    specs = [(f"bt{t}", t, sim.LSH_TUNED_PLANES) for t in range(sim.LSH_TUNED_TABLES)]
+
+    v = F.col("embedding").cast("array<double>")
+    expr = {
+        r["vec_id"]: (
+            [r[f"bt{t}"] for t in range(sim.LSH_TUNED_TABLES)],
+            r["lst"],
+        )
+        for r in emb.select(
+            "vec_id",
+            *[sim._bucket(v, t, sim.LSH_TUNED_PLANES).alias(f"bt{t}")
+              for t in range(sim.LSH_TUNED_TABLES)],
+            sim.ivf_list_of(v).alias("lst"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: (
+            [r[f"bt{t}"] for t in range(sim.LSH_TUNED_TABLES)],
+            r["lst"],
+        )
+        for r in sim._project_ann_arrow(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            bucket_specs=specs,
+            with_ivf="lst",
+        ).collect()
+    }
+    assert expr == arrow
+    for i, vec in enumerate(vecs):
+        py_buckets = [
+            sim._bucket_py(vec, t, sim.LSH_TUNED_PLANES)
+            for t in range(sim.LSH_TUNED_TABLES)
+        ]
+        p1, _ = sim._ivf_probes_py(vec)
+        assert (py_buckets, p1) == expr[i], f"vec {i}"
+    zero = expr[len(vecs) - 1][0]
+    assert all(set(b) == {"0"} for b in zero)
