@@ -59,20 +59,25 @@ def train_token_centroids(
     ``freq_ppm = cnt * WEIGHT_PPM div total_class_tokens`` — exact
     integral division; rare tokens in huge classes quantize to 0 and
     are kept (the row set is the class vocabulary, not the support).
-    One (cls, tok) aggregation (combines map-side) plus a
-    classes-sized totals join.
+    ONE scan of the training tokens: a (cls, tok) aggregation
+    (combines map-side), then the class totals as a cls-partitioned
+    window sum over the vocabulary-sized counts — a separate totals
+    aggregate would re-run the tokenize+count lineage a second time
+    (Catalyst shares no common subplans across a self-join), doubling
+    training cost at scale.
     """
     toks = train.select(
         F.col(class_col).alias("cls"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     cnt = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = cnt.groupBy("cls").agg(F.sum("cnt").alias("total"))
-    return cnt.join(tot, "cls").select(
+    total = F.sum("cnt").over(Window.partitionBy("cls"))
+    return cnt.select(
         "cls",
         "tok",
-        F.expr(f"cnt * CAST({WEIGHT_PPM} AS BIGINT) div total").alias("freq_ppm"),
-    )
+        F.expr(f"cnt * CAST({WEIGHT_PPM} AS BIGINT)").alias("_num"),
+        total.alias("_total"),
+    ).select("cls", "tok", F.expr("_num div _total").alias("freq_ppm"))
 
 
 def score_documents(
