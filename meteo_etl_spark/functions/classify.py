@@ -80,6 +80,42 @@ def train_token_centroids(
     ).select("cls", "tok", F.expr("_num div _total").alias("freq_ppm"))
 
 
+def save_model(model: DataFrame, path: str, *, tag: str = "latest") -> int:
+    """Publish a trained model as a new version of an atomic parquet
+    table and move ``tag`` to it (operators/atomic: all-or-nothing
+    commit, time travel, tags). Returns the committed version.
+
+    The model IS data — (cls, tok, freq_ppm) rows — so it gets the
+    same lineage discipline as any other table: retraining publishes
+    a NEW version and re-points the tag; a serving job pinned to
+    ``tag="prod"`` flips atomically, and any historical filter run is
+    reproducible by version number. Known caveat (documented on
+    ``AtomicParquetTable.tag``): re-pointing a tag races an in-flight
+    vacuum under the single-maintenance-writer discipline."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable
+
+    t = AtomicParquetTable(model.sparkSession, path)
+    t.overwrite(model)
+    v = t.versions()[-1]
+    t.tag(tag, v, replace=True)
+    return v
+
+
+def load_model(
+    spark,
+    path: str,
+    *,
+    tag: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Load a published model by tag or pinned version; with neither,
+    the newest committed version — the read side of
+    :func:`save_model`."""
+    from meteo_etl_spark.operators.atomic import AtomicParquetTable
+
+    return AtomicParquetTable(spark, path).read(version=version, tag=tag)
+
+
 def score_documents(
     docs: DataFrame,
     model: DataFrame,

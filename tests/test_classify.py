@@ -154,3 +154,40 @@ def test_report_rows_match_confusion_marginals(spark):
         assert r["support"] == support[cls]
         assert r["pred_n"] == pred_n.get(cls, 0)
         assert r["tp"] == tp.get(cls, 0)
+
+
+def test_model_save_load_roundtrip_with_versions_and_tags(spark, tmp_path):
+    """Train -> publish v1 (tag prod) -> retrain -> publish v2 (prod
+    re-pointed): load-by-tag serves v2, load-by-version reproduces v1,
+    and a loaded model scores identically to the in-memory one."""
+    from meteo_etl_spark.functions.classify import (
+        load_model,
+        save_model,
+        score_documents,
+        train_token_centroids,
+    )
+
+    path = str(tmp_path / "model")
+    m1 = train_token_centroids(
+        _docs(spark, [(1, "aa bb aa", "en"), (2, "xx yy", "fr")])
+    )
+    v1 = save_model(m1, path, tag="prod")
+    m2 = train_token_centroids(
+        _docs(spark, [(1, "aa bb aa", "en"), (2, "xx yy xx xx", "fr")])
+    )
+    v2 = save_model(m2, path, tag="prod")
+    assert v2 > v1
+
+    def weights(df):
+        return {(r["cls"], r["tok"]): r["freq_ppm"] for r in df.collect()}
+
+    assert weights(load_model(spark, path, tag="prod")) == weights(m2)
+    assert weights(load_model(spark, path, version=v1)) == weights(m1)
+    assert weights(load_model(spark, path)) == weights(m2)  # latest
+
+    test = _docs(spark, [(10, "aa xx", "de")])
+    got_mem = {r["doc_id"]: (r["pred_cls"], r["score"])
+               for r in score_documents(test, m2).collect()}
+    got_loaded = {r["doc_id"]: (r["pred_cls"], r["score"])
+                  for r in score_documents(test, load_model(spark, path, tag="prod")).collect()}
+    assert got_mem == got_loaded
