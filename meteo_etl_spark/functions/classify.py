@@ -216,6 +216,76 @@ def classifier_report(
     )
 
 
+def classifier_stream_foreach_batch(
+    spark,
+    model_path: str,
+    out_path: str,
+    *,
+    keep: tuple[str, ...],
+    tag: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: list | None = None,
+):
+    """``foreachBatch`` body applying the PUBLISHED classifier to a
+    document stream — the online form of the curation stage 3b filter
+    (twin of ``dedup.dedup_stream_foreach_batch``).
+
+    The model is re-read from the atomic table at every micro-batch
+    (a manifest read — cheap): a retrain that re-points ``tag`` rolls
+    into the stream between micro-batches with no restart, and the
+    flip is atomic. Kept documents (predicted class in ``keep``) land
+    under ``out_path/batch=<id>`` with per-batch dynamic OVERWRITE,
+    so a foreachBatch redelivery rewrites the same partition instead
+    of appending duplicates — idempotent by layout, the same
+    at-least-once→exactly-once argument as the warehouse sinks. Pass
+    a list as ``stats`` for per-batch accounting."""
+    if not keep:
+        raise ValueError("classifier_stream_foreach_batch requires a keep set")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        if n_in == 0:
+            if stats is not None:
+                stats.append(
+                    {"batch_id": batch_id, "n_in": 0, "n_kept": 0, "n_rejected": 0}
+                )
+            return
+        model = load_model(spark, model_path, tag=tag)
+        scored = score_documents(
+            batch_df, model, id_col=id_col, text_col=text_col
+        )
+        kept = (
+            batch_df.join(
+                scored.where(F.col("pred_cls").isin(list(keep))).select(
+                    id_col, "pred_cls", "score"
+                ),
+                id_col,
+            )
+            .withColumn("batch", F.lit(int(batch_id)))
+            .cache()  # scored once: the write and the count share it
+        )
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        n_kept = kept.count()
+        kept.unpersist()
+        if stats is not None:
+            stats.append(
+                {
+                    "batch_id": batch_id,
+                    "n_in": n_in,
+                    "n_kept": n_kept,
+                    "n_rejected": n_in - n_kept,
+                }
+            )
+
+    return handle
+
+
 def classifier_confusion(
     docs: DataFrame,
     *,

@@ -191,3 +191,75 @@ def test_model_save_load_roundtrip_with_versions_and_tags(spark, tmp_path):
     got_loaded = {r["doc_id"]: (r["pred_cls"], r["score"])
                   for r in score_documents(test, load_model(spark, path, tag="prod")).collect()}
     assert got_mem == got_loaded
+
+
+def test_streaming_classifier_filter_with_midstream_model_flip(spark, tmp_path):
+    """Online stage-3b e2e: batch 0 filters with model v1 (keeps only
+    'en'-vocab docs); the model is retrained and the tag re-pointed
+    BETWEEN micro-batches; batch 1 applies v2 with no stream restart.
+    Redelivering a batch id overwrites its partition (idempotent)."""
+    import json
+
+    from meteo_etl_spark.functions.classify import (
+        classifier_stream_foreach_batch,
+        save_model,
+        train_token_centroids,
+    )
+
+    model_path = str(tmp_path / "model")
+    out = str(tmp_path / "kept")
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # v1: 'aa' is en-vocab, 'xx' is fr-vocab
+    v1 = train_token_centroids(
+        _docs(spark, [(1, "aa bb", "en"), (2, "xx yy", "fr")])
+    )
+    save_model(v1, model_path, tag="prod")
+
+    stats: list = []
+    handler = classifier_stream_foreach_batch(
+        spark, model_path, out, keep=("en",), tag="prod", stats=stats
+    )
+
+    def emit(fname, rows):
+        (src / fname).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit("b0.json", [(10, "aa aa"), (11, "xx xx"), (12, "aa xx aa")])
+    run()
+    assert stats[-1] == {"batch_id": 0, "n_in": 3, "n_kept": 2, "n_rejected": 1}
+    kept0 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept0 == {10, 12}
+
+    # retrain: 'zz' joins the en vocabulary; tag flips atomically
+    v2 = train_token_centroids(
+        _docs(spark, [(1, "aa bb zz", "en"), (2, "xx yy", "fr")])
+    )
+    save_model(v2, model_path, tag="prod")
+
+    emit("b1.json", [(20, "zz zz"), (21, "xx")])
+    run()
+    assert stats[-1] == {"batch_id": 1, "n_in": 2, "n_kept": 1, "n_rejected": 1}
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {10, 12, 20}
+
+    # redelivery of batch 1 rewrites batch=1, never duplicates
+    redelivered = spark.createDataFrame(
+        [(20, "zz zz"), (21, "xx")], "doc_id long, text string"
+    )
+    handler(redelivered, 1)
+    kept_again = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(kept_again) == [10, 12, 20]
