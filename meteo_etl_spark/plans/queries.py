@@ -1840,8 +1840,9 @@ _DEFERRED: tuple[str, ...] = (
     "docs_fuzzy_decontaminate",  # banded fuzzy decontam: dedup_lsh_recall audit incoming (in-window r7)
     "docs_vocab_topk",  # top-k vocab cut: docs_oov_rate + docs_bpe_pairs histogram incoming (in-window r7, 2× green)
     "emb_kmeans",  # k-means assignment: emb_outliers centroid-fold incoming (in-window r7)
-    # New in round 10, deferred at birth (oracle-verified at sf0.001
-    # AND sf0.01 in-session; round-11 rotation backlog):
+    # New in round 10, deferred at birth (each oracle-verified at
+    # sf0.001 AND sf0.01 in-session). ROUND-11 ROTATION BACKLOG —
+    # window these three first:
     "sim_route_choice",  # ANN route decision table: sim_ann_recall_tuned + sim_ann_ivf audit shapes (never)
     "docs_classifier_confusion",  # learned-filter train/score/confusion: docs_tfidf_topk join + docs_hash_split shapes (never)
     "docs_classifier_report",  # per-class precision/recall ppm over the confusion statistic (never)
