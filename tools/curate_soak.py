@@ -45,13 +45,25 @@ def main() -> int:
         "| variant | wall (s) | reasons | splits | packs | shipped docs | shards | tokens excised |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    from meteo_etl_spark.functions.classify import (
+        score_documents,
+        train_token_centroids,
+    )
+
+    model = train_token_centroids(train, class_col="lang")
+
     rc = 0
-    for substring in (False, True):
+    for substring, classifier in ((False, False), (True, False), (False, True)):
         out = tempfile.mkdtemp(prefix="curate_soak_")
         try:
             t0 = time.monotonic()
             stats = curate_corpus(
-                train, eval_docs, out, substring_dedup=substring
+                train,
+                eval_docs,
+                out,
+                substring_dedup=substring,
+                classifier_model=model if classifier else None,
+                classifier_keep=("en",) if classifier else (),
             )
             wall = time.monotonic() - t0
             # reconciliation 1: every input doc has exactly one reason
@@ -69,23 +81,45 @@ def main() -> int:
                 len(shipped),
                 stats.splits,
             )
-            # reconciliation 4: no dropped doc ships
-            led = {
-                r.doc_id: r.reason
-                for r in drop_ledger(train, eval_docs).collect()
-            }
-            bad = [d for d in shipped if led[d] not in ("kept",)] if not substring else []
-            assert not bad, bad[:5]
+            # reconciliation 4: no dropped doc ships (base variant —
+            # the substring/classifier variants change the judged text
+            # or flag set, so the base ledger is not comparable)
+            if not substring and not classifier:
+                led = {
+                    r.doc_id: r.reason
+                    for r in drop_ledger(train, eval_docs).collect()
+                }
+                bad = [d for d in shipped if led[d] not in ("kept",)]
+                assert not bad, bad[:5]
+            # reconciliation 5 (classifier variant): every shipped doc
+            # is predicted 'en' by the same published model
+            if classifier and shipped:
+                preds = {
+                    r["doc_id"]: r["pred_cls"]
+                    for r in score_documents(
+                        train.where(F.col("doc_id").isin(list(shipped))),
+                        model,
+                    ).collect()
+                }
+                bad = [d for d in shipped if preds.get(d) != "en"]
+                assert not bad, bad[:5]
+            variant = (
+                f"substring={'on' if substring else 'off'}"
+                f", classifier={'en' if classifier else 'off'}"
+            )
             reasons = dict(sorted(stats.reasons.items()))
             lines.append(
-                f"| substring={'on' if substring else 'off'} | {wall:.1f} "
+                f"| {variant} | {wall:.1f} "
                 f"| {reasons} | {dict(sorted(stats.splits.items()))} "
                 f"| {stats.n_packs} | {len(shipped)} "
                 f"| {len(stats.shards)} | {stats.n_tokens_excised} |"
             )
         except AssertionError as e:
             rc = 1
-            lines.append(f"| substring={substring} | FAILED reconciliation: {e} |")
+            lines.append(
+                f"| substring={substring}, classifier={classifier} "
+                f"| FAILED reconciliation: {e} |"
+            )
         finally:
             shutil.rmtree(out, ignore_errors=True)
     print("\n".join(lines))
