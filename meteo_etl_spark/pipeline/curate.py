@@ -20,7 +20,11 @@ composed into the workflow a training-data release actually runs:
                            on the rewritten text)
     5. split assignment   (deterministic hash buckets)
     6. sequence packing   (greedy token packing within each split)
-    7. delivery           (WebDataset tar shards of the train split)
+    7. delivery           (WebDataset tar shards of the train split
+                           + DATACARD.json: the release's audit
+                           record — config, per-reason drop counts,
+                           splits, packing and shard stats — so a
+                           shipped directory is self-describing)
 
 Every stage is one of the independently oracle-checked operators from
 ``functions/*``; this module only wires them, tags each document with
@@ -193,6 +197,35 @@ def _drop_ledger_on(
     )
 
 
+def _write_data_card(out_dir: str, stats: CurateStats, *, config: dict) -> None:
+    """Write ``DATACARD.json`` next to the shards: the release's audit
+    record (config used, per-reason drop counts, splits, packing and
+    shard stats). Deliberately timestamp-free — the card, like the
+    tars (zeroed mtimes), is byte-reproducible from the same inputs,
+    so a resumed or re-run export regenerates an identical release.
+    Sorted keys; plain JSON a loader or auditor reads without Spark."""
+    import json
+    import os
+
+    card = {
+        "format": "meteo-etl-spark/datacard-v1",
+        "config": config,
+        "n_docs_in": int(sum(stats.reasons.values())),
+        "reasons": {k: int(v) for k, v in sorted(stats.reasons.items())},
+        "splits": {k: int(v) for k, v in sorted(stats.splits.items())},
+        "n_packs": int(stats.n_packs),
+        "n_tokens_excised": int(stats.n_tokens_excised),
+        "shards": [
+            {"shard": int(s), "n_samples": int(n), "n_bytes": int(b)}
+            for s, n, b in stats.shards
+        ],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "DATACARD.json"), "w") as f:
+        json.dump(card, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
 def curate_corpus(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -293,13 +326,27 @@ def curate_corpus(
             content_cols=["text"],
             num_shards=num_shards,
         )
-        return CurateStats(
+        stats_out = CurateStats(
             reasons=reasons,
             splits=splits,
             n_packs=n_packs,
             shards=shards,
             n_tokens_excised=n_tokens_excised,
         )
+        _write_data_card(
+            out_dir,
+            stats_out,
+            config={
+                "pack_budget": pack_budget,
+                "num_shards": num_shards,
+                "substring_dedup": substring_dedup,
+                "classifier_filter": classifier_model is not None,
+                "classifier_keep": sorted(classifier_keep),
+                "quality_min": QUALITY_MIN,
+                "split_fractions": {"train": 0.9, "val": 0.05, "test": 0.05},
+            },
+        )
+        return stats_out
     finally:
         cached.unpersist()
         if rewritten is not None:

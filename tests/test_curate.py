@@ -265,3 +265,32 @@ def test_classifier_filter_requires_keep_and_respects_priority(spark):
     }
     assert ledger[1] == "low_quality"
     assert ledger[2] == "classifier_reject"
+
+
+def test_data_card_matches_stats_and_is_reproducible(spark, tmp_path):
+    """DATACARD.json ships with every release: counts mirror
+    CurateStats exactly, the config echoes what ran, and re-running
+    the same curation regenerates byte-identical bytes."""
+    import json
+
+    train, eval_docs = _split(spark)
+    out = str(tmp_path / "release")
+    stats = curate_corpus(train, eval_docs, out)
+    card_path = os.path.join(out, "DATACARD.json")
+    card = json.loads(open(card_path).read())
+
+    assert card["format"] == "meteo-etl-spark/datacard-v1"
+    assert card["reasons"] == stats.reasons
+    assert card["splits"] == stats.splits
+    assert card["n_packs"] == stats.n_packs
+    assert card["n_docs_in"] == sum(stats.reasons.values())
+    assert card["shards"] == [
+        {"shard": s, "n_samples": n, "n_bytes": b} for s, n, b in stats.shards
+    ]
+    assert card["config"]["classifier_filter"] is False
+    assert card["config"]["substring_dedup"] is False
+
+    first = open(card_path, "rb").read()
+    out2 = str(tmp_path / "release2")
+    curate_corpus(train, eval_docs, out2)
+    assert open(os.path.join(out2, "DATACARD.json"), "rb").read() == first
