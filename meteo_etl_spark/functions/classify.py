@@ -235,17 +235,26 @@ def classifier_stream_foreach_batch(
     (a manifest read — cheap): a retrain that re-points ``tag`` rolls
     into the stream between micro-batches with no restart, and the
     flip is atomic. Kept documents (predicted class in ``keep``) land
-    under ``out_path/batch=<id>`` with per-batch dynamic OVERWRITE,
-    so a foreachBatch redelivery rewrites the same partition instead
-    of appending duplicates — idempotent by layout, the same
-    at-least-once→exactly-once argument as the warehouse sinks. Pass
-    a list as ``stats`` for per-batch accounting."""
+    under ``out_path/batch=<id>``; the batch's partition directory is
+    REMOVED up front on every (re)delivery, so a redelivery converges
+    to exactly the current model's answer even when that answer is
+    EMPTY (a dynamic-overwrite alone writes nothing for an empty
+    frame and would leave the stale rows of the first attempt) —
+    idempotent by layout, the same at-least-once→exactly-once
+    argument as the warehouse sinks. Pass a list as ``stats`` for
+    per-batch accounting (the extra count jobs run only when asked)."""
     if not keep:
         raise ValueError("classifier_stream_foreach_batch requires a keep set")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        n_in = batch_df.count()
-        if n_in == 0:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(out_path, f"batch={int(batch_id)}"),
+            ignore_errors=True,
+        )
+        if batch_df.isEmpty():
             if stats is not None:
                 stats.append(
                     {"batch_id": batch_id, "n_in": 0, "n_kept": 0, "n_rejected": 0}
@@ -255,25 +264,30 @@ def classifier_stream_foreach_batch(
         scored = score_documents(
             batch_df, model, id_col=id_col, text_col=text_col
         )
-        kept = (
-            batch_df.join(
-                scored.where(F.col("pred_cls").isin(list(keep))).select(
-                    id_col, "pred_cls", "score"
-                ),
-                id_col,
+        kept = batch_df.join(
+            scored.where(F.col("pred_cls").isin(list(keep))).select(
+                id_col, "pred_cls", "score"
+            ),
+            id_col,
+        ).withColumn("batch", F.lit(int(batch_id)))
+        if stats is None:
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(out_path)
             )
-            .withColumn("batch", F.lit(int(batch_id)))
-            .cache()  # scored once: the write and the count share it
-        )
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(out_path)
-        )
-        n_kept = kept.count()
-        kept.unpersist()
-        if stats is not None:
+            return
+        kept = kept.cache()  # scored once: the write and counts share it
+        try:
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(out_path)
+            )
+            n_in = batch_df.count()
+            n_kept = kept.count()
             stats.append(
                 {
                     "batch_id": batch_id,
@@ -282,6 +296,8 @@ def classifier_stream_foreach_batch(
                     "n_rejected": n_in - n_kept,
                 }
             )
+        finally:
+            kept.unpersist()
 
     return handle
 

@@ -1032,6 +1032,19 @@ def duplicate_span_cover(
     substring of length >= 50 contains a duplicated 50-gram, so
     coverage is identical on the shared positions.
     """
+    if max_hot_grams < 1:
+        raise ValueError(
+            f"max_hot_grams must be >= 1, got {max_hot_grams} — it is "
+            "the broadcast row bound the escalation divides by (there "
+            "is no 'disable the hot side' value; set hot_min_count "
+            "high to keep grams on the hashed-probe path)"
+        )
+    if hot_min_count < 2:
+        raise ValueError(
+            f"hot_min_count must be >= 2, got {hot_min_count} — a gram "
+            "seen once is never a duplicate, so a lower threshold "
+            "would route unique grams into the hot broadcast"
+        )
     w = F.split(F.col(text_col), " ")
     base = fan_out(docs).select(
         F.col(id_col), w.alias("w"), F.size(w).alias("n_tok")

@@ -793,13 +793,13 @@ def ann_route_audit(
     ONE aggregate row over that frame — a single action, a single
     (qid)-keyed shuffle, no per-route rescans. The query panel is
     the n_queries LOWEST ids (any id type — dense integers are not
-    assumed), selected by a cheap id-only top-k scan first so the
-    ~100-dot bucket projection runs over the full corpus exactly
-    ONCE (the panel side computes it for n_queries rows via an
-    isin-literal filter pushed below the projection — an
-    order-by-limit on the projected frame would evaluate every
-    bucket for every row a second time). Offline audit cost —
-    n_queries exact scans — NOT a serving path."""
+    assumed): its (id, vec) rows are COLLECTED (one tiny top-k job)
+    and its buckets/probes computed driver-side via the bit-exact
+    Python twins (``_bucket_py`` / ``_ivf_probes_py``), so the
+    ~100-dot corpus projection runs exactly once (Arrow kernel) and
+    no n-thousand-node panel expression tree ever reaches the
+    analyzer. Offline audit cost — n_queries exact scans — NOT a
+    serving path."""
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")

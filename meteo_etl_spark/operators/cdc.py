@@ -345,7 +345,19 @@ def scd2_foreach_batch(
                 # pruned frontier read and the merge's partition
                 # prune (no `kb` column/dirs). Serve it through the
                 # legacy unpartitioned path instead of breaking a
-                # deployed table on upgrade.
+                # deployed table on upgrade — unless the caller
+                # DEMANDED pruning, in which case degrading silently
+                # would violate the documented contract: raise.
+                if prune_partitions is True:
+                    raise ValueError(
+                        f"prune_partitions=True but the SCD2 history at "
+                        f"{path!r} has no {SCD2_BUCKET_COL!r} partition "
+                        "column (created before the key-bucket default) "
+                        "— the frontier read cannot be pruned. Rebuild "
+                        "the table under the partitioned layout, or "
+                        "drop prune_partitions=True to continue "
+                        "unpartitioned."
+                    )
                 import warnings
 
                 warnings.warn(

@@ -55,6 +55,9 @@ from meteo_etl_spark.sources.export import export_webdataset
 
 QUALITY_MIN = 0.3
 CURATE_SHARDS = 4
+#: one definition — the hash_split call AND the shipped DATACARD.json
+#: config echo both read this, so the audit record cannot drift
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
 @dataclass(frozen=True)
@@ -169,17 +172,20 @@ def _drop_ledger_on(
             .select("doc_id")
         )
         flag_sets.append(tagged(rejected, 4))
+    if rewritten is not None:
+        # excised-to-NOTHING means tokens were actually removed: an
+        # originally-empty document rebuilds to "" with n_removed == 0
+        # and must NOT claim the substring_dup reason
+        empty = rewritten.filter(
+            (F.col("text") == "") & (F.col("n_removed") > 0)
+        ).select("doc_id")
+        flag_sets.append(tagged(empty, 3))
     flags = flag_sets[0]
     for fs in flag_sets[1:]:
         flags = flags.unionByName(fs)
+    # ONE min(pri) aggregate covers every flag set (min is associative
+    # — no second shuffle for the substring/classifier sets)
     flags = flags.groupBy("doc_id").agg(F.min("pri").alias("pri"))
-    if rewritten is not None:
-        empty = rewritten.filter(F.col("text") == "").select("doc_id")
-        flags = (
-            flags.unionByName(tagged(empty, 3))
-            .groupBy("doc_id")
-            .agg(F.min("pri").alias("pri"))
-        )
 
     scored = judged.select(
         "doc_id", tx.quality_score(F.col("text")).alias("score")
@@ -300,7 +306,7 @@ def curate_corpus(
             "left_semi",
         )
         split = hash_split(
-            kept.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+            kept.select("doc_id"), "doc_id", dict(SPLIT_FRACTIONS)
         ).select("doc_id", "split")
         splits = {
             r.split: r.n
@@ -343,7 +349,7 @@ def curate_corpus(
                 "classifier_filter": classifier_model is not None,
                 "classifier_keep": sorted(classifier_keep),
                 "quality_min": QUALITY_MIN,
-                "split_fractions": {"train": 0.9, "val": 0.05, "test": 0.05},
+                "split_fractions": dict(SPLIT_FRACTIONS),
             },
         )
         return stats_out

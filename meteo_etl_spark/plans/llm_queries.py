@@ -3268,10 +3268,13 @@ _RC_MASKED = (
     f"list_transform(range(1, {sim.IVF_LISTS + 1}), "
     "i -> CASE WHEN i = lst THEN -1e18 ELSE d[i] END)"
 )
+# COALESCE mirrors the Spark side's honest-zeros contract: over an
+# empty scored frame (empty/1-row corpus) SUM is NULL in SQL while
+# ann_route_audit reports integer 0 — both engines must emit 0.
 _RC_ROUTE_AGGS = ",\n               ".join(
-    f"SUM(CASE WHEN cand_{r} THEN 1 ELSE 0 END) AS cand_{r}_n,\n"
-    f"               SUM(CASE WHEN rn_all <= {_RC_K} AND cand_{r} "
-    f"AND crn_{r} <= {_RC_K} THEN 1 ELSE 0 END) AS hit_{r}"
+    f"COALESCE(SUM(CASE WHEN cand_{r} THEN 1 ELSE 0 END), 0) AS cand_{r}_n,\n"
+    f"               COALESCE(SUM(CASE WHEN rn_all <= {_RC_K} AND cand_{r} "
+    f"AND crn_{r} <= {_RC_K} THEN 1 ELSE 0 END), 0) AS hit_{r}"
     for r in sim.ANN_ROUTES
 )
 

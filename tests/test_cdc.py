@@ -683,3 +683,30 @@ def test_streaming_scd2_legacy_unpartitioned_table_detected(spark, tmp_path):
         batch([("a", "2024-01-01 01:00:00", 1.0, "U")]), 0
     )
     assert "kb" in spark.read.parquet(tgt2).columns
+
+
+def test_streaming_scd2_legacy_table_with_demanded_pruning_raises(spark, tmp_path):
+    """prune_partitions=True is a contract, not a hint: against a
+    pre-kb legacy table the handler must raise on the first batch
+    instead of silently serving full-history frontier scans."""
+    import pytest
+
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+
+    tgt = str(tmp_path / "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double, op string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    legacy = scd2_foreach_batch(spark, tgt, ["k"], "ts", partition_col=None)
+    legacy(batch([("a", "2024-01-01 01:00:00", 1.0, "U")]), 0)
+
+    demanded = scd2_foreach_batch(
+        spark, tgt, ["k"], "ts", prune_partitions=True
+    )
+    with pytest.raises(ValueError, match="cannot be pruned"):
+        demanded(batch([("a", "2024-01-01 02:00:00", 2.0, "U")]), 1)
+    # the failed batch must not have touched the table
+    assert spark.read.parquet(tgt).count() == 1

@@ -7,6 +7,8 @@ not skill — this file covers skill, ties, OOV, and weight exactness).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.functions.classify import (
@@ -263,3 +265,39 @@ def test_streaming_classifier_filter_with_midstream_model_flip(spark, tmp_path):
     handler(redelivered, 1)
     kept_again = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert sorted(kept_again) == [10, 12, 20]
+
+
+def test_streaming_redelivery_with_flipped_model_clears_stale_partition(spark, tmp_path):
+    """A redelivered batch whose NEW kept set is empty must leave an
+    empty batch partition — the stale rows of the first attempt (kept
+    under the old model) may not survive the replay."""
+    from meteo_etl_spark.functions.classify import (
+        classifier_stream_foreach_batch,
+        save_model,
+        train_token_centroids,
+    )
+
+    model_path = str(tmp_path / "model")
+    out = str(tmp_path / "kept")
+    v1 = train_token_centroids(
+        _docs(spark, [(1, "aa bb", "en"), (2, "xx yy", "fr")])
+    )
+    save_model(v1, model_path, tag="prod")
+    handler = classifier_stream_foreach_batch(
+        spark, model_path, out, keep=("en",), tag="prod"
+    )
+    b = spark.createDataFrame([(10, "aa aa")], "doc_id long, text string")
+    handler(b, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10}
+
+    # the retrained model moves 'aa' to fr: batch 0's doc is now
+    # rejected — redelivery must clear the partition, not keep v1 rows
+    v2 = train_token_centroids(
+        _docs(spark, [(1, "zz ww", "en"), (2, "aa xx", "fr")])
+    )
+    save_model(v2, model_path, tag="prod")
+    handler(b, 0)
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(out, "batch=0", "*.parquet"))
+    assert not files, files

@@ -294,3 +294,31 @@ def test_data_card_matches_stats_and_is_reproducible(spark, tmp_path):
     out2 = str(tmp_path / "release2")
     curate_corpus(train, eval_docs, out2)
     assert open(os.path.join(out2, "DATACARD.json"), "rb").read() == first
+
+
+def test_originally_empty_doc_is_not_blamed_on_substring_stage(spark):
+    """A doc whose ORIGINAL text is empty rebuilds to "" with
+    n_removed == 0 — it must fall through to the quality gate
+    ('low_quality'), not claim 'substring_dup'."""
+    from meteo_etl_spark.functions import dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [
+            (0, boiler + " " + " ".join(f"n{i}" for i in range(40))),
+            (1, boiler),  # genuinely excised to nothing
+            (2, ""),  # empty from the start
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(24)))],
+        "doc_id long, text string",
+    )
+    rewritten = dd.excise_duplicate_spans(train)
+    led = {
+        r.doc_id: r.reason
+        for r in drop_ledger(train, eval_docs, rewritten=rewritten).collect()
+    }
+    assert led[1] == "substring_dup", led
+    assert led[2] == "low_quality", led

@@ -212,3 +212,17 @@ def test_hot_broadcast_guard_escalates_threshold_not_results(spark):
     assert not any(
         "escalating the hot threshold" in str(c.message) for c in caught
     )
+
+
+def test_hot_gram_parameter_validation(spark):
+    """max_hot_grams < 1 and hot_min_count < 2 are contract errors,
+    not ZeroDivisionError / silent no-bound configurations."""
+    import pytest
+
+    from meteo_etl_spark.functions.dedup import duplicate_span_cover
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hot_grams"):
+        duplicate_span_cover(docs, max_hot_grams=0)
+    with pytest.raises(ValueError, match="hot_min_count"):
+        duplicate_span_cover(docs, hot_min_count=1)
