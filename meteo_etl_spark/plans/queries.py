@@ -1840,18 +1840,22 @@ _DEFERRED: tuple[str, ...] = (
     "docs_fuzzy_decontaminate",  # banded fuzzy decontam: dedup_lsh_recall audit incoming (in-window r7)
     "docs_vocab_topk",  # top-k vocab cut: docs_oov_rate + docs_bpe_pairs histogram incoming (in-window r7, 2× green)
     "emb_kmeans",  # k-means assignment: emb_outliers centroid-fold incoming (in-window r7)
-    # New in round 10, deferred at birth (each oracle-verified at
-    # sf0.001 AND sf0.01 in-session). ROUND-11 ROTATION BACKLOG —
-    # window these three first:
-    "sim_route_choice",  # ANN route decision table: sim_ann_recall_tuned + sim_ann_ivf audit shapes (never)
-    "docs_classifier_confusion",  # learned-filter train/score/confusion: docs_tfidf_topk join + docs_hash_split shapes (never)
-    "docs_classifier_report",  # per-class precision/recall ppm over the confusion statistic (never)
     # Round-10 rotation: the six never-driver-certified entries
     # (sim_ann_recall_tuned, events_scd2_stream, events_sketch_rollup,
     # docs_dup_spans, docs_substring_dedup_rewrite, q5_approx_summary)
-    # left this ledger and entered the checked window — completing
-    # at-least-once driver certification of the whole registry once
-    # CORRECTNESS_r10 lands green.
+    # left this ledger and entered the checked window — all six landed
+    # green in CORRECTNESS_r10.
+    # Round-11 rotation: the three r10 newborns (sim_route_choice,
+    # docs_classifier_confusion, docs_classifier_report — each
+    # oracle-verified at sf0.001 AND sf0.01 at birth and green in the
+    # judge's independent 149/149 replay) leave this ledger and enter
+    # the window for their first driver rows — once green in
+    # CORRECTNESS_r11, every query registered before round 11 has
+    # carried a driver row at least once. Rotated OUT to make room,
+    # each a 2×-driver-green (r9+r10) veteran with an in-window twin:
+    "dedup_semantic",  # SemDeDup blocked cosine: dedup_semantic_bigk stays in-window (in-window r9, r10)
+    "events_cdc_apply",  # CDC I/U/D apply: events_scd2_stream + q15_atomic_merge keyed-LWW stay (in-window r9, r10)
+    "events_scd2",  # SCD2 batch history: events_scd2_stream (bit-identical stream twin) stays (in-window r9, r10)
 )
 
 

@@ -95,15 +95,14 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-10 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-11 rotation
     must_be_in_window = {
-        # round-10 rotation: the six never-driver-certified entries
-        # take their first driver check — once green in
-        # CORRECTNESS_r10, every query in the registry has carried a
-        # green driver row at least once.
-        "sim_ann_recall_tuned", "events_scd2_stream",
-        "events_sketch_rollup", "docs_dup_spans",
-        "docs_substring_dedup_rewrite", "q5_approx_summary",
+        # round-11 rotation: the three r10 newborns take their first
+        # driver check — once green in CORRECTNESS_r11, every query
+        # registered before round 11 has carried a green driver row at
+        # least once.
+        "sim_route_choice", "docs_classifier_confusion",
+        "docs_classifier_report",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
