@@ -60,24 +60,32 @@ def train_token_centroids(
     integral division; rare tokens in huge classes quantize to 0 and
     are kept (the row set is the class vocabulary, not the support).
     ONE scan of the training tokens: a (cls, tok) aggregation
-    (combines map-side), then the class totals as a cls-partitioned
-    window sum over the vocabulary-sized counts — a separate totals
-    aggregate would re-run the tokenize+count lineage a second time
-    (Catalyst shares no common subplans across a self-join), doubling
-    training cost at scale.
+    (combines map-side), then class totals as a second aggregate OVER
+    THE COUNTS joined back broadcast. The totals aggregate consumes
+    the (cls, tok) aggregate's shuffle output, and ReuseExchange
+    shares that exchange between the two join legs — `.explain` shows
+    ONE tokenize+count lineage feeding both — so training still scans
+    the corpus once. A cls-partitioned window sum would instead force
+    each class's ENTIRE vocabulary through a single task (a window
+    partition is unsplittable): with a handful of classes the whole
+    model build serializes onto ~k straggler tasks at 100 TB.
     """
     toks = train.select(
         F.col(class_col).alias("cls"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     cnt = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy("cls"))
-    return cnt.select(
-        "cls",
-        "tok",
-        F.expr(f"cnt * CAST({WEIGHT_PPM} AS BIGINT)").alias("_num"),
-        total.alias("_total"),
-    ).select("cls", "tok", F.expr("_num div _total").alias("freq_ppm"))
+    totals = cnt.groupBy("cls").agg(F.sum("cnt").alias("_total"))
+    return (
+        cnt.join(F.broadcast(totals), "cls")
+        .select(
+            "cls",
+            "tok",
+            F.expr(f"(cnt * CAST({WEIGHT_PPM} AS BIGINT)) div _total").alias(
+                "freq_ppm"
+            ),
+        )
+    )
 
 
 def save_model(model: DataFrame, path: str, *, tag: str = "latest") -> int:
@@ -241,18 +249,20 @@ def classifier_stream_foreach_batch(
     EMPTY (a dynamic-overwrite alone writes nothing for an empty
     frame and would leave the stale rows of the first attempt) —
     idempotent by layout, the same at-least-once→exactly-once
-    argument as the warehouse sinks. Pass a list as ``stats`` for
-    per-batch accounting (the extra count jobs run only when asked)."""
+    argument as the warehouse sinks. The delete goes through
+    ``operators/fsio.io_for`` (Hadoop FileSystem API for URI paths),
+    NOT ``shutil`` — the idempotency argument depends on the delete
+    actually happening on hdfs://-style stores, where a local rmtree
+    would silently no-op. Pass a list as ``stats`` for per-batch
+    accounting (the extra count jobs run only when asked)."""
     if not keep:
         raise ValueError("classifier_stream_foreach_batch requires a keep set")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
+        from meteo_etl_spark.operators.fsio import io_for
 
-        shutil.rmtree(
-            os.path.join(out_path, f"batch={int(batch_id)}"),
-            ignore_errors=True,
+        io_for(out_path, spark).rmtree(
+            f"{out_path.rstrip('/')}/batch={int(batch_id)}"
         )
         if batch_df.isEmpty():
             if stats is not None:

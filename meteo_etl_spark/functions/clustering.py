@@ -94,11 +94,35 @@ def _unpersist_quiet(bc) -> bool:
     since stopped (the deque is process-global, not session-scoped —
     an entry can outlive the session that made it; eviction and
     release must not abort midway on such a corpse). Returns True iff
-    the broadcast was actually unpersisted."""
+    the broadcast was actually unpersisted.
+
+    Only the stopped-context corpse is silent: any OTHER failure (a
+    transient RPC error on a live context, say) means executor copies
+    may genuinely leak, so it is surfaced as a warning instead of
+    being misclassified as a corpse."""
     try:
         bc.unpersist(False)
         return True
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — classified below
+        msg = f"{type(exc).__name__}: {exc}"
+        dead_signatures = (
+            "SparkContext was shut down",
+            "stopped SparkContext",
+            "Cannot call methods on a stopped",
+            "JVM view is gone",
+            "Java gateway process",
+            "Answer from Java side is empty",
+            "Connection refused",
+        )
+        if not any(s in msg for s in dead_signatures):
+            import warnings
+
+            warnings.warn(
+                "broadcast unpersist failed on what looks like a LIVE "
+                f"SparkContext — executor copies may leak: {msg}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return False
 
 

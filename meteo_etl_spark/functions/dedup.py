@@ -973,6 +973,7 @@ def duplicate_span_cover(
     text_col: str = "text",
     hot_min_count: int = HOT_GRAM_MIN,
     max_hot_grams: int = MAX_HOT_GRAMS,
+    total_occurrences: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Substring-level duplicate detection: token positions covered by
     NON-CANONICAL occurrences of any ``width``-token gram that appears
@@ -1053,15 +1054,26 @@ def duplicate_span_cover(
     # total_occurrences / threshold rows (pigeonhole), so raise the
     # threshold until that bound fits max_hot_grams. One narrow 1-row
     # aggregate over the tokenized docs — cheap next to the gram
-    # aggregate this function runs anyway.
-    total_occ = int(
-        base.agg(
-            F.sum(
-                F.greatest(F.col("n_tok") - width + 1, F.lit(0)).cast("long")
-            )
-        ).collect()[0][0]
-        or 0
-    )
+    # aggregate this function runs anyway. NOTE this makes the call
+    # EAGER (a Spark job runs here, not at the downstream action) —
+    # the bench harness times fn()+collect() together so the guard
+    # job is attributed to the query's wall; callers that already
+    # know the corpus's gram-occurrence total (a curation driver
+    # re-running stages over one profiled corpus) pass it as
+    # ``total_occurrences`` and the call stays fully lazy.
+    if total_occurrences is not None:
+        total_occ = int(total_occurrences)
+    else:
+        total_occ = int(
+            base.agg(
+                F.sum(
+                    F.greatest(
+                        F.col("n_tok") - width + 1, F.lit(0)
+                    ).cast("long")
+                )
+            ).collect()[0][0]
+            or 0
+        )
     effective_min = max(hot_min_count, -(-total_occ // max_hot_grams))
     if effective_min > hot_min_count:
         import warnings
@@ -1110,6 +1122,7 @@ def excise_duplicate_spans(
     text_col: str = "text",
     hot_min_count: int = HOT_GRAM_MIN,
     max_hot_grams: int = MAX_HOT_GRAMS,
+    total_occurrences: int | None = None,
 ) -> DataFrame:
     """Excision half of Lee et al. substring dedup: remove every
     token position :func:`duplicate_span_cover` marks and reassemble
@@ -1130,6 +1143,7 @@ def excise_duplicate_spans(
         text_col=text_col,
         hot_min_count=hot_min_count,
         max_hot_grams=max_hot_grams,
+        total_occurrences=total_occurrences,
     )
     tok = base.select(
         id_col, F.posexplode("w").alias("p", "token")

@@ -183,6 +183,32 @@ SCD2_BUCKETS = 64
 SCD2_BUCKET_COL = "kb"
 
 
+def _partition_dirs_other_than(spark, path: str, expected: str) -> set[str]:
+    """Partition-column names discovered from ``name=value`` child
+    directories of ``path``, excluding ``expected`` — empty for a
+    truly unpartitioned table. This is PHYSICAL-layout truth (the
+    directory names), not schema truth: Spark's partition discovery
+    folds a discovered partition column into the DataFrame schema
+    where it is indistinguishable from a data column, so "no kb
+    column" alone cannot distinguish unpartitioned from
+    partitioned-on-something-else."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+    cols: set[str] = set()
+    try:
+        entries = io.listdir(path)
+    except Exception:
+        return cols
+    for name in entries:
+        if "=" not in name or name.startswith(("_", ".")):
+            continue
+        col = name.split("=", 1)[0]
+        if col and col != expected and io.isdir(f"{path.rstrip('/')}/{name}"):
+            cols.add(col)
+    return cols
+
+
 def scd2_foreach_batch(
     spark,
     path: str,
@@ -348,6 +374,28 @@ def scd2_foreach_batch(
                 # deployed table on upgrade — unless the caller
                 # DEMANDED pruning, in which case degrading silently
                 # would violate the documented contract: raise.
+                # "No kb column" does NOT mean "unpartitioned": an
+                # older deployment may have laid the history out on a
+                # DIFFERENT explicit partition column. Merging that
+                # table with partition kwargs stripped would silently
+                # rewrite/mix its physical layout — the one case the
+                # pre-auto-layout behavior failed loudly on. Detect
+                # foreign partition directories and keep failing
+                # loudly.
+                foreign = _partition_dirs_other_than(
+                    spark, path, SCD2_BUCKET_COL
+                )
+                if foreign:
+                    raise ValueError(
+                        f"SCD2 history at {path!r} is partitioned on "
+                        f"{sorted(foreign)!r}, not the auto layout's "
+                        f"{SCD2_BUCKET_COL!r}. Refusing to merge with "
+                        "the partition kwargs stripped — that would "
+                        "silently change the table's physical layout. "
+                        "Pass the table's own partition_col/"
+                        "partition_expr explicitly, or rebuild it "
+                        "under the key-bucket layout."
+                    )
                 if prune_partitions is True:
                     raise ValueError(
                         f"prune_partitions=True but the SCD2 history at "

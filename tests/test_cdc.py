@@ -710,3 +710,46 @@ def test_streaming_scd2_legacy_table_with_demanded_pruning_raises(spark, tmp_pat
         demanded(batch([("a", "2024-01-01 02:00:00", 2.0, "U")]), 1)
     # the failed batch must not have touched the table
     assert spark.read.parquet(tgt).count() == 1
+
+
+def test_streaming_scd2_foreign_partition_layout_raises_not_mixes(spark, tmp_path):
+    """r10 ADVICE: 'no kb column' must not be read as 'unpartitioned'.
+    A history table an older deployment laid out on a DIFFERENT
+    explicit partition column, later driven with the auto-layout
+    default, must fail loudly — merging with partition kwargs
+    stripped would silently rewrite/mix the table's physical layout."""
+    import pytest
+
+    from meteo_etl_spark.operators.cdc import scd2_foreach_batch
+
+    tgt = str(tmp_path / "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double, op string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # older deployment: explicit partition layout on a day column
+    old = scd2_foreach_batch(
+        spark,
+        tgt,
+        ["k"],
+        "ts",
+        partition_col="day",
+        partition_expr=F.to_date(F.col("ts")).cast("string"),
+        prune_partitions=False,
+    )
+    old(batch([("a", "2024-01-01 01:00:00", 1.0, "U")]), 0)
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "hist" / "day=*")), "fixture must be partitioned"
+
+    # new deployment with auto-layout defaults: must raise, not degrade
+    handle = scd2_foreach_batch(spark, tgt, ["k"], "ts")
+    with pytest.raises(ValueError, match="partitioned on \\['day'\\]"):
+        handle(batch([("a", "2024-01-01 02:00:00", 2.0, "U")]), 1)
+    # the failed batch must not have touched the table
+    assert spark.read.parquet(tgt).count() == 1
+    # the explicit old layout keeps working
+    old(batch([("a", "2024-01-02 01:00:00", 3.0, "U")]), 1)
+    assert spark.read.parquet(tgt).count() == 2

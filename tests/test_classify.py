@@ -301,3 +301,60 @@ def test_streaming_redelivery_with_flipped_model_clears_stale_partition(spark, t
 
     files = _glob.glob(os.path.join(out, "batch=0", "*.parquet"))
     assert not files, files
+
+
+def test_training_plan_shares_one_tokenize_lineage_no_window(spark):
+    # r10 ADVICE (medium): class totals must NOT be a cls-partitioned
+    # window sum — a window partition is unsplittable, so each class's
+    # entire vocabulary would flow through ONE task at scale. The fix
+    # (groupBy totals joined back broadcast) must still scan the
+    # training corpus once: the totals aggregate consumes the
+    # (cls, tok) aggregate's shuffle and ReuseExchange shares it.
+    train = _docs(
+        spark, [(i, "aa bb cc", "en") for i in range(20)]
+        + [(100 + i, "xx yy", "fr") for i in range(20)]
+    )
+    m = train_token_centroids(train)
+    m.collect()  # materialize so AQE's final plan is available
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+    # values unchanged by the rewrite: en has 60 tokens, aa=20 of them
+    got = {(r["cls"], r["tok"]): r["freq_ppm"] for r in m.collect()}
+    assert got[("en", "aa")] == 20 * WEIGHT_PPM // 60
+    assert got[("fr", "xx")] == 20 * WEIGHT_PPM // 40
+
+
+def test_stream_filter_redelivery_delete_works_on_uri_paths(spark, tmp_path):
+    # r10 ADVICE: the redelivery partition-clear must go through the
+    # Hadoop FileSystem API so URI out_paths (hdfs://, s3a://...) are
+    # actually cleared. Exercise the HadoopIO route via file:// — the
+    # same code path a cluster store takes.
+    from meteo_etl_spark.functions.classify import (
+        classifier_stream_foreach_batch,
+        save_model,
+    )
+
+    model_path = str(tmp_path / "model")
+    out = "file://" + str(tmp_path / "out")
+    v1 = train_token_centroids(
+        _docs(spark, [(1, "aa bb", "en"), (2, "xx yy", "fr")])
+    )
+    save_model(v1, model_path, tag="prod")
+    handler = classifier_stream_foreach_batch(
+        spark, model_path, out, keep=("en",), tag="prod"
+    )
+    b = spark.createDataFrame([(10, "aa aa")], "doc_id long, text string")
+    handler(b, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10}
+    # flip to a model that rejects the doc; redelivery must clear the
+    # batch=0 partition through the FileSystem API
+    v2 = train_token_centroids(
+        _docs(spark, [(1, "zz ww", "en"), (2, "aa xx", "fr")])
+    )
+    save_model(v2, model_path, tag="prod")
+    handler(b, 0)
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "out" / "batch=0" / "*.parquet"))
+    assert not files, files

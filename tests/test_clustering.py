@@ -357,3 +357,31 @@ def test_broadcast_cache_tolerates_dead_session_entries(spark, emb):
     released = cl.release_assignment_broadcasts()
     assert released == cl.MAX_LIVE_ASSIGN_BROADCASTS
     assert not cl._LIVE_ASSIGN_BROADCASTS
+
+
+def test_unpersist_quiet_warns_on_live_context_failure_only():
+    """r10 ADVICE: only the stopped-context corpse is silent; any
+    other unpersist failure means executor copies may leak and must
+    surface as a warning."""
+    import warnings as w
+
+    from meteo_etl_spark.functions.clustering import _unpersist_quiet
+
+    class _Raises:
+        def __init__(self, msg):
+            self._msg = msg
+
+        def unpersist(self, blocking):
+            raise RuntimeError(self._msg)
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert _unpersist_quiet(_Raises("SparkContext was shut down")) is False
+    assert not caught, [str(c.message) for c in caught]
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert _unpersist_quiet(_Raises("RPC timeout talking to executor")) is False
+    assert len(caught) == 1 and "may leak" in str(caught[0].message), [
+        str(c.message) for c in caught
+    ]

@@ -226,3 +226,36 @@ def test_hot_gram_parameter_validation(spark):
         duplicate_span_cover(docs, max_hot_grams=0)
     with pytest.raises(ValueError, match="hot_min_count"):
         duplicate_span_cover(docs, hot_min_count=1)
+
+
+def test_precomputed_total_occurrences_keeps_call_lazy_and_exact(spark):
+    """r10 ADVICE: duplicate_span_cover's broadcast-safety guard runs
+    an eager 1-row aggregate at call time; callers that already know
+    the corpus's gram-occurrence total pass it and the call stays
+    fully lazy. Results must be identical either way."""
+    from meteo_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "z y a b c d e f g h i x"),
+            (3, "q r s t u v w q2 r2 s2 t2 u2"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # exact total: sum over docs of max(n_tok - width + 1, 0)
+    total = sum(max(len(t.split()) - dd.SUBSTR_W + 1, 0) for _, t in [
+        (1, "a b c d e f g h i j k l"),
+        (2, "z y a b c d e f g h i x"),
+        (3, "q r s t u v w q2 r2 s2 t2 u2"),
+    ])
+
+    jobs_before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    base, covered = dd.duplicate_span_cover(docs, total_occurrences=total)
+    jobs_after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(jobs_after) == len(jobs_before), "call must not run a job"
+
+    _, covered_eager = dd.duplicate_span_cover(docs)
+    got = sorted((r["doc_id"], r["p"]) for r in covered.collect())
+    want = sorted((r["doc_id"], r["p"]) for r in covered_eager.collect())
+    assert got == want and got, got
