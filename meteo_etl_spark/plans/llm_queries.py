@@ -4099,6 +4099,7 @@ FROM base b LEFT JOIN sp s USING (doc_id) ORDER BY doc_id""",
     "hash shuffles (md5 gram key, then (doc,pos)); the gram "
     "aggregate combines map-side; NEVER all-pairs and no global "
     "sort — the suffix array's job done by groupBy.",
+    bench=True,
 )
 def docs_dup_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -4162,6 +4163,7 @@ GROUP BY b.doc_id, b.n_tok ORDER BY doc_id""",
     "both (doc,pos)-keyed hash ops; per-doc state is bounded by doc "
     "length (the collect_list is the doc's own surviving tokens); "
     "no all-pairs, no global sort, scales like tokenization.",
+    bench=True,
 )
 def docs_substring_dedup_rewrite(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
