@@ -50,6 +50,72 @@ WEIGHT_PPM = 1_000_000
 OOV_LABEL = "(oov)"
 
 
+#: default 1-in-N token-position marking rate for
+#: :func:`inject_class_signal` (den=4 → 25% of positions carry
+#: class-specific morphology, 75% stay shared vocabulary).
+SIGNAL_DEN = 4
+
+
+def inject_class_signal(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signal_den: int = SIGNAL_DEN,
+) -> DataFrame:
+    """Deterministic separable-corpus builder for classifier SKILL
+    demonstrations: rewrite 1/``signal_den`` of each document's token
+    positions to a class-marked morphological form
+    (``tok`` → ``tok_<class>``), leaving the rest as shared
+    vocabulary.
+
+    Why this exists: the synthetic testdata's ``lang`` label is
+    statistically INDEPENDENT of its text (verified per-token: every
+    class draws from one shared distribution), so no classifier — and
+    no feature engineering — can separate it; accuracy at chance is a
+    property of the corpus, not the model (R10_CURATE.md documents
+    this honestly). Real language ID separates because classes have
+    class-conditional token forms (morphology, script, function
+    words). This builder injects exactly that structure,
+    deterministically, so the skill demonstration is reproducible and
+    ORACLE-CHECKABLE: the marking decision is the repo's md5 idiom
+    (32 md5 bits of ``doc_id:pos:token`` mod ``signal_den``), identical
+    in Spark and DuckDB, no RNG.
+
+    Plan: pure per-row map (split → transform → array_join) — no
+    shuffle, scales like tokenization.
+    """
+    if signal_den < 1:
+        raise ValueError(f"signal_den must be >= 1, got {signal_den}")
+    w = F.split(F.col(text_col), " ")
+    marked = F.transform(
+        w,
+        lambda t, i: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(id_col).cast("string"),
+                            i.cast("string"),
+                            t,
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % signal_den
+            == 0,
+            F.concat(t, F.lit("_"), F.col(class_col)),
+        ).otherwise(t),
+    )
+    return docs.withColumn(text_col, F.array_join(marked, " "))
+
+
 def train_token_centroids(
     train: DataFrame, *, class_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
@@ -70,11 +136,38 @@ def train_token_centroids(
     partition is unsplittable): with a handful of classes the whole
     model build serializes onto ~k straggler tasks at 100 TB.
     """
+    return model_from_counts(
+        train_token_counts(train, class_col=class_col, text_col=text_col)
+    )
+
+
+def train_token_counts(
+    train: DataFrame, *, class_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """The classifier's sufficient statistic: one (cls, tok, cnt) row
+    per class-token pair. Counts are ASSOCIATIVE — summing the counts
+    of any partition of the corpus equals counting the union — which
+    is what makes incremental retraining exact
+    (:func:`classifier_retrain_foreach_batch`). One map-combined
+    aggregation pass."""
     toks = train.select(
         F.col(class_col).alias("cls"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    cnt = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def model_from_counts(counts: DataFrame) -> DataFrame:
+    """Derive the (cls, tok, freq_ppm) model from (cls, tok, cnt)
+    rows — re-aggregating first, so count fragments from multiple
+    training increments fold exactly before the ppm quantization
+    (quantize-after-sum: ppm is taken once, over the true totals).
+    The summed counts' exchange is shared with the totals aggregate
+    via ReuseExchange (see :func:`train_token_centroids`)."""
+    cnt = (
+        counts.groupBy("cls", "tok")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
     totals = cnt.groupBy("cls").agg(F.sum("cnt").alias("_total"))
     return (
         cnt.join(F.broadcast(totals), "cls")
@@ -308,6 +401,74 @@ def classifier_stream_foreach_batch(
             )
         finally:
             kept.unpersist()
+
+    return handle
+
+
+def classifier_retrain_foreach_batch(
+    spark,
+    counts_path: str,
+    model_path: str,
+    *,
+    class_col: str = "lang",
+    text_col: str = "text",
+    tag: str = "latest",
+    stats: list | None = None,
+):
+    """``foreachBatch`` body maintaining the classifier INCREMENTALLY
+    from a labeled document stream (r10 verdict order #4): each
+    micro-batch lands its (cls, tok, cnt) count deltas, and the
+    published model is re-derived from the accumulated counts — BIT-
+    IDENTICAL to a full retrain on the union corpus, because counts
+    are associative integers and the ppm quantization happens once,
+    after the sum (:func:`model_from_counts`), never per increment.
+
+    Idempotency: deltas land under ``counts_path/batch=<id>`` with an
+    up-front FileSystem delete + dynamic partition overwrite — the
+    same by-layout exactly-once argument as the streaming filter, so
+    an at-least-once redelivery replaces its own partition instead of
+    double-counting (a keyed read-modify-write ``old+delta`` upsert
+    would NOT be redelivery-safe: the second delivery would add the
+    delta twice). The model publish is an atomic versioned tag flip
+    (:func:`save_model`): scoring jobs pinned to ``tag`` pick up each
+    refresh between their own batches with no restart.
+
+    Scale: the delta aggregate combines map-side within the batch;
+    deriving the model reads only (cls, tok, cnt) rows — vocabulary-
+    sized, not corpus-sized. Batch-partition counts can be compacted
+    offline (sum and rewrite — associativity again) when batch count
+    grows; the derive cost is bounded by vocabulary × batches either
+    way."""
+    from meteo_etl_spark.operators.fsio import io_for
+    from meteo_etl_spark.operators.upsert import table_exists
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        io_for(counts_path, spark).rmtree(
+            f"{counts_path.rstrip('/')}/batch={int(batch_id)}"
+        )
+        if not batch_df.isEmpty():
+            deltas = train_token_counts(
+                batch_df, class_col=class_col, text_col=text_col
+            ).withColumn("batch", F.lit(int(batch_id)))
+            (
+                deltas.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(counts_path)
+            )
+        # republish even when THIS batch was empty: a redelivered
+        # now-empty batch just removed its stale partition above, so
+        # the published model must converge to the remaining counts
+        if not table_exists(spark, counts_path):
+            if stats is not None:
+                stats.append({"batch_id": batch_id, "version": None})
+            return
+        model = model_from_counts(
+            spark.read.parquet(counts_path).select("cls", "tok", "cnt")
+        )
+        v = save_model(model, model_path, tag=tag)
+        if stats is not None:
+            stats.append({"batch_id": batch_id, "version": v})
 
     return handle
 

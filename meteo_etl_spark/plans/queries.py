@@ -1856,6 +1856,10 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_semantic",  # SemDeDup blocked cosine: dedup_semantic_bigk stays in-window (in-window r9, r10)
     "events_cdc_apply",  # CDC I/U/D apply: events_scd2_stream + q15_atomic_merge keyed-LWW stay (in-window r9, r10)
     "events_scd2",  # SCD2 batch history: events_scd2_stream (bit-identical stream twin) stays (in-window r9, r10)
+    # New in round 11, deferred at birth (each oracle-verified at
+    # sf0.001 AND sf0.01 in-session). ROUND-12 ROTATION BACKLOG —
+    # window these first:
+    "docs_classifier_skill",  # classifier skill on the separable injected corpus: docs_classifier_report shapes (never)
 )
 
 

@@ -358,3 +358,44 @@ def test_stream_filter_redelivery_delete_works_on_uri_paths(spark, tmp_path):
 
     files = _glob.glob(str(tmp_path / "out" / "batch=0" / "*.parquet"))
     assert not files, files
+
+
+def test_inject_class_signal_deterministic_marking_rate_and_skill(spark):
+    """r10 verdict order #2: the classifier must demonstrably SEPARATE
+    when separation exists. inject_class_signal builds that corpus
+    deterministically (md5 idiom, no RNG): identical across calls,
+    ~1/SIGNAL_DEN of positions marked with class morphology, and the
+    trained filter scores far above chance on it — with the same
+    model that is honestly near-chance on label-independent text."""
+    from meteo_etl_spark.functions.classify import (
+        SIGNAL_DEN,
+        inject_class_signal,
+    )
+
+    base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    rows = [(i, base, "en") for i in range(40)] + [
+        (100 + i, base, "fr") for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    sep = inject_class_signal(docs)
+
+    # deterministic: two invocations produce identical text
+    a = sorted(r["text"] for r in sep.collect())
+    assert a == sorted(r["text"] for r in inject_class_signal(docs).collect())
+
+    # marking rate ~ 1/SIGNAL_DEN and marks carry the row's own class
+    toks = [
+        (r["lang"], t) for r in sep.collect() for t in r["text"].split(" ")
+    ]
+    marked = [(lang, t) for lang, t in toks if "_" in t]
+    rate = len(marked) / len(toks)
+    assert 0.5 / SIGNAL_DEN < rate < 2.0 / SIGNAL_DEN, rate
+    assert all(t.endswith("_" + lang) for lang, t in marked)
+
+    # skill: the same identical-text corpus is unseparable raw (every
+    # class shares one distribution), but the injected corpus
+    # classifies far above the 50% two-class chance floor
+    conf = classifier_confusion(sep, class_col="lang").collect()
+    n = sum(r["n_docs"] for r in conf)
+    acc = sum(r["n_docs"] for r in conf if r["true_cls"] == r["pred_cls"]) / n
+    assert acc >= 0.9, (acc, conf)

@@ -46,23 +46,42 @@ def main() -> int:
         "|---|---|---|---|---|---|---|---|",
     ]
     from meteo_etl_spark.functions.classify import (
+        inject_class_signal,
         score_documents,
         train_token_centroids,
     )
 
     model = train_token_centroids(train, class_col="lang")
 
+    # r11 (verdict order #2): the skill variant runs the classifier
+    # stage over the SEPARABLE injected corpus (deterministic
+    # class-conditional morphology, classify.inject_class_signal) —
+    # the testdata's raw lang label is independent of its text, so the
+    # raw-classifier variant certifies plumbing/accounting while this
+    # one certifies that the stage actually SEPARATES at sf0.1.
+    train_sep = inject_class_signal(train, class_col="lang")
+    eval_sep = inject_class_signal(eval_docs, class_col="lang")
+    model_sep = train_token_centroids(train_sep, class_col="lang")
+
     rc = 0
-    for substring, classifier in ((False, False), (True, False), (False, True)):
+    for substring, classifier, injected in (
+        (False, False, False),
+        (True, False, False),
+        (False, True, False),
+        (False, True, True),
+    ):
         out = tempfile.mkdtemp(prefix="curate_soak_")
+        use_train = train_sep if injected else train
+        use_eval = eval_sep if injected else eval_docs
+        use_model = model_sep if injected else model
         try:
             t0 = time.monotonic()
             stats = curate_corpus(
-                train,
-                eval_docs,
+                use_train,
+                use_eval,
                 out,
                 substring_dedup=substring,
-                classifier_model=model if classifier else None,
+                classifier_model=use_model if classifier else None,
                 classifier_keep=("en",) if classifier else (),
             )
             wall = time.monotonic() - t0
@@ -97,15 +116,40 @@ def main() -> int:
                 preds = {
                     r["doc_id"]: r["pred_cls"]
                     for r in score_documents(
-                        train.where(F.col("doc_id").isin(list(shipped))),
-                        model,
+                        use_train.where(F.col("doc_id").isin(list(shipped))),
+                        use_model,
                     ).collect()
                 }
                 bad = [d for d in shipped if preds.get(d) != "en"]
                 assert not bad, bad[:5]
+            # reconciliation 6 (skill variant): on the separable
+            # corpus the stage must actually separate — corpus-wide
+            # prediction/label agreement well above the 5-class 20%
+            # chance floor, and the shipped set's TRUE label is 'en'.
+            skill_note = ""
+            if injected:
+                scored = score_documents(use_train, use_model).join(
+                    use_train.select("doc_id", "lang"), "doc_id"
+                )
+                agree = scored.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(F.col("pred_cls") == F.col("lang"), 1)
+                    ).alias("ok"),
+                ).collect()[0]
+                acc = agree["ok"] / agree["n"]
+                assert acc > 0.9, f"skill variant failed to separate: {acc}"
+                skill_note = f" acc={acc:.4f}"
+                truth = {
+                    r["doc_id"]: r["lang"]
+                    for r in use_train.select("doc_id", "lang").collect()
+                }
+                wrong = [d for d in shipped if truth[d] != "en"]
+                assert not wrong, wrong[:5]
             variant = (
                 f"substring={'on' if substring else 'off'}"
                 f", classifier={'en' if classifier else 'off'}"
+                f"{', corpus=injected' if injected else ''}{skill_note}"
             )
             reasons = dict(sorted(stats.reasons.items()))
             lines.append(
@@ -117,7 +161,8 @@ def main() -> int:
         except AssertionError as e:
             rc = 1
             lines.append(
-                f"| substring={substring}, classifier={classifier} "
+                f"| substring={substring}, classifier={classifier}, "
+                f"injected={injected} "
                 f"| FAILED reconciliation: {e} |"
             )
         finally:
