@@ -1860,6 +1860,7 @@ _DEFERRED: tuple[str, ...] = (
     # sf0.001 AND sf0.01 in-session). ROUND-12 ROTATION BACKLOG —
     # window these first:
     "docs_classifier_skill",  # classifier skill on the separable injected corpus: docs_classifier_report shapes (never)
+    "docs_classifier_incremental",  # incremental retrain == full retrain, bit-exact; side-effecting like events_scd2_stream (never)
 )
 
 

@@ -30,6 +30,7 @@ SIDE_EFFECTING = {
     "q15_atomic_merge",
     "rollup_incremental_agg",
     "events_scd2_stream",  # drives a real streaming drain + scratch merges
+    "docs_classifier_incremental",  # lands scratch count partitions + an atomic model table per wave
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
