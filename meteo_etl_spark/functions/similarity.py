@@ -278,6 +278,8 @@ def build_lsh_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
 ) -> None:
     """Persist the corpus bucket-partitioned (IVF-style inverted file).
 
@@ -286,15 +288,21 @@ def build_lsh_index(
     that turns ANN from a full-corpus scan into a partition-pruned read
     of a handful of buckets (the partition filter is visible in the
     query plan; see ``query_lsh_index``). Rebuild cost is one narrow
-    pass over the corpus per table.
+    pass over the corpus per table. ``n_tables``/``n_planes`` pick the
+    LSH shape — the audited ``lsh_tuned``/``lsh_deep`` routes persist
+    with their own parameters (``build_ann_index``); queries must use
+    the SAME shape (``query_lsh_index`` reads no shape metadata).
     """
     v = F.col(vec_col).cast("array<double>")
     corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
     tables = [
         corpus.select(
-            "vec_id", "v", F.lit(t).alias("table"), _bucket(F.col("v"), t).alias("bucket")
+            "vec_id",
+            "v",
+            F.lit(t).alias("table"),
+            _bucket(F.col("v"), t, n_planes).alias("bucket"),
         )
-        for t in range(LSH_TABLES)
+        for t in range(n_tables)
     ]
     df = tables[0]
     for t in tables[1:]:
@@ -308,6 +316,8 @@ def append_lsh_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
 ) -> None:
     """Incremental growth of the persisted LSH index: bucket ONLY the
     new vectors and append them under their (table, bucket) partitions.
@@ -324,9 +334,12 @@ def append_lsh_index(
     corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
     tables = [
         corpus.select(
-            "vec_id", "v", F.lit(t).alias("table"), _bucket(F.col("v"), t).alias("bucket")
+            "vec_id",
+            "v",
+            F.lit(t).alias("table"),
+            _bucket(F.col("v"), t, n_planes).alias("bucket"),
         )
-        for t in range(LSH_TABLES)
+        for t in range(n_tables)
     ]
     df = tables[0]
     for t in tables[1:]:
@@ -342,6 +355,8 @@ def query_lsh_index(
     k: int = 5,
     exclude_id: int | None = None,
     max_hamming: int = 0,
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
 ) -> DataFrame:
     """Top-k over the persisted IVF index: compute the query's bucket
     per table driver-side (P·dim flops on a constant), then scan ONLY
@@ -358,7 +373,7 @@ def query_lsh_index(
 
     def bucket_of(table: int) -> str:
         bits = []
-        for p in range(LSH_PLANES):
+        for p in range(n_planes):
             plane = hyperplane(table, p)
             s = 0.0
             for a, b in zip(qv, plane):
@@ -373,7 +388,7 @@ def query_lsh_index(
         for _ in range(max_hamming):
             nxt = set()
             for b in frontier:
-                for p in range(LSH_PLANES):
+                for p in range(n_planes):
                     nxt.add(b[:p] + ("0" if b[p] == "1" else "1") + b[p + 1:])
             out |= nxt
             frontier = nxt
@@ -381,7 +396,7 @@ def query_lsh_index(
 
     df = spark.read.parquet(path)
     match_any = None
-    for t in range(LSH_TABLES):
+    for t in range(n_tables):
         m = (F.col("table") == t) & (F.col("bucket").isin(probes_of(t)))
         match_any = m if match_any is None else match_any | m
     cand = df.filter(match_any)
@@ -564,6 +579,152 @@ def ann_ivf_topk(
         .orderBy(F.desc("sim_raw"), "vec_id")
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF inverted file: one pass routes
+    every vector to its argmax-dot centroid list (``ivf_list_of``)
+    and lands it under ``lst=<k>`` — the partition layout that makes
+    an nprobe query a pruned read of nprobe directories instead of a
+    corpus scan (the serving half of the ``ivf`` route
+    ``choose_ann_route`` falls back to). Twin of ``build_lsh_index``;
+    each vector is written ONCE (lists partition the corpus, unlike
+    LSH tables which replicate it n_tables times)."""
+    v = F.col(vec_col).cast("array<double>")
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        ivf_list_of(v).alias("lst"),
+    )
+    corpus.write.mode("overwrite").partitionBy("lst").parquet(path)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over the persisted IVF index: the query's best ``nprobe``
+    centroid lists are computed DRIVER-side (IVF_LISTS·dim flops on a
+    constant — same tie order as ``_ivf_probes_py``: descending dot,
+    first-max wins), then ONLY those ``lst=`` partitions are scanned —
+    the ``lst IN (...)`` literal becomes PartitionFilters in the plan,
+    so I/O is proportional to the probed lists, not the corpus.
+    Candidates re-rank by exact cosine."""
+    qv = [float(x) for x in query_vec]
+    dots = [_dot_py(qv, ivf_centroid(j)) for j in range(IVF_LISTS)]
+    order = sorted(range(IVF_LISTS), key=lambda j: (-dots[j], j))
+    probes = [j + 1 for j in order[:nprobe]]
+
+    cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    return (
+        cand.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+#: the audited serving routes and their persisted-index parameters —
+#: what `build_ann_index`/`query_ann_index` dispatch on. The brute
+#: route needs no index (it IS the exact scan).
+ANN_ROUTE_PARAMS = {
+    "ivf": {},
+    "lsh_tuned": {
+        "n_tables": LSH_TUNED_TABLES,
+        "n_planes": LSH_TUNED_PLANES,
+        "max_hamming": LSH_TUNED_HAMMING,
+    },
+    "lsh_deep": {
+        "n_tables": LSH_DEEP_TABLES,
+        "n_planes": LSH_DEEP_PLANES,
+        "max_hamming": LSH_DEEP_HAMMING,
+    },
+}
+
+
+def build_ann_index(
+    route: str,
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the persisted index FOR a chosen route — the missing arc
+    that closes the audit loop (r10 verdict order #3):
+    ``ann_route_audit`` measures, ``choose_ann_route`` decides, THIS
+    materializes the decision, and ``query_ann_index`` serves from
+    it. The route string is exactly what ``choose_ann_route``
+    returns; each route's index parameters are pinned in
+    ``ANN_ROUTE_PARAMS`` so build and query can never disagree on
+    shape."""
+    if route not in ANN_ROUTE_PARAMS:
+        raise ValueError(
+            f"unknown ANN route {route!r}; expected one of "
+            f"{sorted(ANN_ROUTE_PARAMS)}"
+        )
+    if route == "ivf":
+        build_ivf_index(emb, path, id_col=id_col, vec_col=vec_col)
+    else:
+        p = ANN_ROUTE_PARAMS[route]
+        build_lsh_index(
+            emb,
+            path,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_tables=p["n_tables"],
+            n_planes=p["n_planes"],
+        )
+
+
+def query_ann_index(
+    route: str,
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve top-k from the persisted index built by
+    :func:`build_ann_index` for the same route: partition-pruned scan
+    of the probed lists/buckets, exact-cosine re-rank — the plan
+    carries PartitionFilters either way (asserted by the serving
+    e2e tests)."""
+    if route not in ANN_ROUTE_PARAMS:
+        raise ValueError(
+            f"unknown ANN route {route!r}; expected one of "
+            f"{sorted(ANN_ROUTE_PARAMS)}"
+        )
+    if route == "ivf":
+        return query_ivf_index(
+            spark, path, query_vec, k=k, exclude_id=exclude_id
+        )
+    p = ANN_ROUTE_PARAMS[route]
+    return query_lsh_index(
+        spark,
+        path,
+        query_vec,
+        k=k,
+        exclude_id=exclude_id,
+        max_hamming=p["max_hamming"],
+        n_tables=p["n_tables"],
+        n_planes=p["n_planes"],
     )
 
 

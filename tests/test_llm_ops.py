@@ -769,3 +769,65 @@ def test_bucket_paths_are_bit_identical(spark):
         assert (py_buckets, p1) == expr[i], f"vec {i}"
     zero = expr[len(vecs) - 1][0]
     assert all(set(b) == {"0"} for b in zero)
+
+
+def test_route_choice_drives_persisted_serving_end_to_end(spark, tmp_path):
+    """r10 verdict order #3: close the ANN loop. audit -> choose ->
+    build the CHOSEN persisted index -> serve top-k from it with the
+    scan partition-pruned (PartitionFilters asserted in-plan), on both
+    pinned fixtures: the near-random corpus (ivf fallback, served from
+    the lst-partitioned inverted file) and the clustered corpus
+    (lsh_deep, served from the deep-shape bucket index)."""
+    import re
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    def serve(emb, expected_route, tag):
+        route = sim.choose_ann_route(sim.ann_route_audit(emb))
+        assert route == expected_route, route
+        idx = str(tmp_path / f"idx_{tag}")
+        sim.build_ann_index(route, emb, idx)
+        row0 = emb.orderBy("vec_id").limit(1).collect()[0]
+        qv = [float(x) for x in row0.embedding]
+        got = sim.query_ann_index(
+            route, spark, idx, qv, k=5, exclude_id=row0.vec_id
+        )
+        rows = got.collect()
+        assert len(rows) == 5
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), (
+            f"{route} serve is not partition-pruned:\n{plan}"
+        )
+        return rows
+
+    # near-random corpus: nothing qualifies -> bounded-probe ivf; the
+    # persisted serve must equal the in-memory ivf twin exactly
+    emb_r = load_table(spark, SF_SMALL, "embeddings")
+    rows_r = serve(emb_r, "ivf", "ivf")
+    exp = sim.ann_ivf_topk(emb_r, query_id=0, k=5)
+    assert [r.asDict() for r in rows_r] == [
+        r.asDict() for r in exp.collect()
+    ]
+
+    # clustered corpus: deep LSH qualifies and wins; the deep-index
+    # serve must recover the exact top-5 at high recall
+    emb_c = _clustered_embeddings(spark)
+    rows_c = serve(emb_c, "lsh_deep", "deep")
+    truth = {
+        r.vec_id
+        for r in sim.brute_force_topk(emb_c, query_id=0, k=5).collect()
+    }
+    assert len({r.vec_id for r in rows_c} & truth) >= 4, (rows_c, truth)
+
+
+def test_build_and_query_ann_index_reject_unknown_routes(spark, tmp_path):
+    import pytest
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="unknown ANN route"):
+        sim.build_ann_index("brute", emb, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="unknown ANN route"):
+        sim.query_ann_index("nope", spark, str(tmp_path / "x"), [0.0] * 8)
