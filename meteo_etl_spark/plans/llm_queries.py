@@ -4274,6 +4274,187 @@ def emb_quant_audit(spark, sf_dir):
     )
 
 
+#: product-quantization shape: 64-dim vectors -> PQ_M subspaces of
+#: PQ_SUB dims, PQ_K codes per subspace (sampled codebook: the chunks
+#: of the PQ_K lowest-id vectors). Code storage = PQ_M bytes/vector vs
+#: 256 B fp32 (32x) or 64 B int8 (8x) — the memory lever beyond
+#: emb_quant_audit's int8.
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 32
+PQ_PANEL = 10
+PQ_TOPK = 5
+PQ_CAND = 100
+
+
+@query(
+    "emb_pq_audit",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {PQ_K})),
+    ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    cbm AS (SELECT m, cid, cv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS cv
+            FROM cb, ms),
+    vm AS (SELECT vec_id, m, v[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS ch
+           FROM v, ms),
+    dist AS (SELECT vm.vec_id, vm.m, cbm.cid,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, {PQ_SUB + 1}),
+                        i -> (ch[i] - cv[i]) * (ch[i] - cv[i]))),
+                      (acc, x) -> acc + x) AS d
+             FROM vm JOIN cbm USING (m)),
+    enc AS (SELECT vec_id, m, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d, cid) AS rk
+              FROM dist) WHERE rk = 1),
+    rec AS (SELECT e.vec_id, flatten(list(c.cv ORDER BY e.m)) AS r
+            FROM enc e JOIN cbm c USING (m, cid) GROUP BY e.vec_id),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v ORDER BY vec_id
+          LIMIT {PQ_PANEL}),
+    pairs AS (SELECT q.qid, v.vec_id,
+                     {_duck_fold('v[i] * qv[i]')}
+                       / (sqrt({_duck_fold('v[i] * v[i]')})
+                          * sqrt({_duck_fold('qv[i] * qv[i]')})) AS s_exact,
+                     {_duck_fold('r[i] * qv[i]')}
+                       / (sqrt({_duck_fold('r[i] * r[i]')})
+                          * sqrt({_duck_fold('qv[i] * qv[i]')})) AS s_adc
+              FROM q, v JOIN rec USING (vec_id)
+              WHERE v.vec_id <> q.qid),
+    rk AS (SELECT qid, vec_id, s_exact,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s_exact DESC, vec_id) AS rk_e,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s_adc DESC, vec_id) AS rk_a
+           FROM pairs),
+    rr AS (SELECT qid, vec_id, rk_e,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s_exact DESC, vec_id) AS rk_rr
+           FROM rk WHERE rk_a <= {PQ_CAND})
+    SELECT q.qid,
+           CAST({PQ_TOPK} AS BIGINT) AS k,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_hit_adc,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n_hit_rerank
+    FROM q
+    LEFT JOIN (SELECT qid, COUNT(*) AS n FROM rk
+               WHERE rk_e <= {PQ_TOPK} AND rk_a <= {PQ_TOPK}
+               GROUP BY qid) a USING (qid)
+    LEFT JOIN (SELECT qid, COUNT(*) AS n FROM rr
+               WHERE rk_e <= {PQ_TOPK} AND rk_rr <= {PQ_TOPK}
+               GROUP BY qid) b ON q.qid = b.qid
+    ORDER BY qid""",
+    doc="Product-quantization recall audit (r10 verdict order #6, "
+    f"extending emb_quant_audit's int8): {PQ_M}x{PQ_SUB}-dim "
+    f"subspaces, {PQ_K} codes each from a deterministic sampled "
+    "codebook (the chunks of the lowest-id vectors; ties in the "
+    "argmin encode break to the lowest code id in both engines) — "
+    f"{PQ_M} bytes per vector, a 32x memory cut vs fp32 and the "
+    "4-16x-beyond-int8 lever an ANN index needs at 100 TB. Per "
+    "audit-panel query: n_hit_adc = truth top-k recovered by the raw "
+    "ADC (asymmetric-distance, cosine against the PQ reconstruction) "
+    f"ranking, and n_hit_rerank = truth recovered after the top-"
+    f"{PQ_CAND} ADC candidates are RE-RANKED by exact cosine — the "
+    "candidate-scan + exact-re-rank serving shape, certifying how "
+    "much the re-rank recovers of what quantization loses. FP "
+    "discipline: every score is one chain of sequential folds "
+    "(IEEE-exact, both engines), rankings break ties on vec_id, and "
+    "only integer counters aggregate. Plan: encode is a pure map "
+    "over one broadcast codebook literal; the panel is 10 collected "
+    "rows crossed in once (offline audit, not a serving path — the "
+    "serving twin is query_ann_index's partition-pruned scan).",
+    bench=True,
+)
+def emb_pq_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def cos(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: x * y)) / (
+            F.sqrt(fold(F.zip_with(a, a, lambda x, y: x * y)))
+            * F.sqrt(fold(F.zip_with(b, b, lambda x, y: x * y)))
+        )
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = fan_out(emb).select("vec_id", v.alias("v"))
+
+    # codebook + panel: two tiny ordered-limit collects (the route
+    # audit's documented driver-side panel idiom)
+    cb_rows = base.orderBy("vec_id").limit(PQ_K).collect()
+    codes = [
+        [[float(x) for x in r["v"][m * PQ_SUB : (m + 1) * PQ_SUB]] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    panel_rows = base.orderBy("vec_id").limit(PQ_PANEL).collect()
+    panel = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["v"]]) for r in panel_rows],
+        "qid long, qv array<double>",
+    )
+
+    def l2(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+    rec_parts = []
+    for m in range(PQ_M):
+        lit = F.lit(codes[m])  # PQ_K x PQ_SUB constant
+        ch = F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.transform(
+                lit,
+                lambda c, i: F.struct(l2(ch, c).alias("d"), i.alias("i")),
+            )
+        )
+        rec_parts.append(F.element_at(lit, best.getField("i") + 1))
+    enc = base.select("vec_id", "v", F.concat(*rec_parts).alias("r"))
+
+    pairs = (
+        enc.join(F.broadcast(panel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cos(F.col("v"), F.col("qv")).alias("s_exact"),
+            cos(F.col("r"), F.col("qv")).alias("s_adc"),
+        )
+    )
+    w_e = Window.partitionBy("qid").orderBy(F.desc("s_exact"), "vec_id")
+    w_a = Window.partitionBy("qid").orderBy(F.desc("s_adc"), "vec_id")
+    rk = pairs.select(
+        "qid",
+        "vec_id",
+        "s_exact",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_a).alias("rk_a"),
+    )
+    rr = rk.where(F.col("rk_a") <= PQ_CAND).select(
+        "qid",
+        "rk_e",
+        F.row_number().over(w_e).alias("rk_rr"),
+    )
+    hits_adc = (
+        rk.where((F.col("rk_e") <= PQ_TOPK) & (F.col("rk_a") <= PQ_TOPK))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    hits_rr = (
+        rr.where((F.col("rk_e") <= PQ_TOPK) & (F.col("rk_rr") <= PQ_TOPK))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    return (
+        panel.select("qid")
+        .join(hits_adc, "qid", "left")
+        .join(hits_rr, "qid", "left")
+        .select(
+            "qid",
+            F.lit(PQ_TOPK).cast("long").alias("k"),
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_hit_adc"),
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_hit_rerank"),
+        )
+        .orderBy("qid")
+    )
+
+
 @query(
     "events_key_skew_report",
     """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

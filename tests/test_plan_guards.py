@@ -52,6 +52,7 @@ SCALAR_BROADCAST_OK = {
     "emb_dim_corr",  # 1-row census count (the (-1,-1) moment row) crossed into the d(d-1)/2-row pair frame
     "sim_ann_recall_tuned",  # same 10-row audit panel as sim_ann_recall, tuned (8x6 h<=1) probe condition
     "sim_route_choice",  # same 10-row audit panel crossed in once; all three routes' counters fold into one aggregate
+    "emb_pq_audit",  # same 10-row audit panel crossed into the PQ-encoded corpus once
 }
 
 
