@@ -2041,6 +2041,65 @@ def sim_ann_ivf(spark, sf_dir):
     return sim.ann_ivf_topk(emb, query_id=0, k=5)
 
 
+@query(
+    "sim_ann_serve_ivf",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    asn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d FROM c),
+    q0 AS (SELECT v AS qv, lst AS p1, d AS qd FROM asn WHERE vec_id = 0),
+    q AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM q0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM asn, q WHERE vec_id <> 0 AND (lst = p1 OR lst = p2))
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc="PERSISTED-index ANN serving certification (r10 verdict order "
+    "#3, the driver-checked twin of the audit->choose->build->serve "
+    "pytest e2e): build_ann_index('ivf') lands the corpus as an "
+    "lst=<k> inverted file in scratch, query_ann_index computes the "
+    "query's nprobe probe lists DRIVER-side and serves top-5 from a "
+    "scan of only those partitions — the query RAISES unless the "
+    "executed plan carries non-empty PartitionFilters, so the pruning "
+    "itself is inside the certified contract, not just the result. "
+    "The oracle replays the whole route in SQL (same centroid "
+    "literals, probe arithmetic and exact-cosine re-rank as "
+    "sim_ann_ivf): a hash match proves persisted serving == in-memory "
+    "routing. Side-effecting (scratch index, removed in-query).",
+)
+def sim_ann_serve_ivf(spark, sf_dir):
+    import re
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="annserve_")
+    try:
+        sim.build_ann_index("ivf", emb, f"{scratch}/idx")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        got = sim.query_ann_index(
+            "ivf", spark, f"{scratch}/idx", qv, k=5, exclude_id=0
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if not (m and m.group(1).strip()):
+            raise RuntimeError(
+                "persisted IVF serve is not partition-pruned:\n" + plan
+            )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination + vocabulary statistics
 # ---------------------------------------------------------------------------

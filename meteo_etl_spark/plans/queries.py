@@ -1862,6 +1862,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_classifier_skill",  # classifier skill on the separable injected corpus: docs_classifier_report shapes (never)
     "docs_classifier_incremental",  # incremental retrain == full retrain, bit-exact; side-effecting like events_scd2_stream (never)
     "emb_pq_audit",  # product-quantization ADC + exact-rerank recall audit: emb_quant_audit + sim_ann_recall shapes (never)
+    "sim_ann_serve_ivf",  # persisted-index serving == in-memory IVF, pruning asserted in-query; side-effecting (never)
 )
 
 
