@@ -86,29 +86,26 @@ def inject_class_signal(
     Plan: pure per-row map (split → transform → array_join) — no
     shuffle, scales like tokenization.
     """
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
     if signal_den < 1:
         raise ValueError(f"signal_den must be >= 1, got {signal_den}")
     w = F.split(F.col(text_col), " ")
     marked = F.transform(
         w,
         lambda t, i: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col(id_col).cast("string"),
-                            i.cast("string"),
-                            t,
-                        )
-                    ),
-                    1,
-                    8,
+            # the shared 32-bit md5 bucket idiom (sampling.hash_bucket)
+            # over doc_id:pos:token — one scheme repo-wide, one oracle
+            # translation
+            hash_bucket(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    i.cast("string"),
+                    t,
                 ),
-                16,
-                10,
-            ).cast("long")
-            % signal_den
+                signal_den,
+            )
             == 0,
             F.concat(t, F.lit("_"), F.col(class_col)),
         ).otherwise(t),
@@ -440,12 +437,19 @@ def classifier_retrain_foreach_batch(
     grows; the derive cost is bounded by vocabulary × batches either
     way."""
     from meteo_etl_spark.operators.fsio import io_for
-    from meteo_etl_spark.operators.upsert import table_exists
+
+    io = io_for(counts_path, spark)
+
+    def _has_counts() -> bool:
+        # URI-safe existence check (os.path-based upsert.table_exists
+        # is always False on hdfs://-style paths): any batch=<id>
+        # partition directory means there are counts to derive from.
+        if not io.isdir(counts_path):
+            return False
+        return any(n.startswith("batch=") for n in io.listdir(counts_path))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        io_for(counts_path, spark).rmtree(
-            f"{counts_path.rstrip('/')}/batch={int(batch_id)}"
-        )
+        io.rmtree(f"{counts_path.rstrip('/')}/batch={int(batch_id)}")
         if not batch_df.isEmpty():
             deltas = train_token_counts(
                 batch_df, class_col=class_col, text_col=text_col
@@ -459,7 +463,7 @@ def classifier_retrain_foreach_batch(
         # republish even when THIS batch was empty: a redelivered
         # now-empty batch just removed its stale partition above, so
         # the published model must converge to the remaining counts
-        if not table_exists(spark, counts_path):
+        if not _has_counts():
             if stats is not None:
                 stats.append({"batch_id": batch_id, "version": None})
             return

@@ -1062,6 +1062,14 @@ def duplicate_span_cover(
     # re-running stages over one profiled corpus) pass it as
     # ``total_occurrences`` and the call stays fully lazy.
     if total_occurrences is not None:
+        if int(total_occurrences) <= 0:
+            raise ValueError(
+                f"total_occurrences must be >= 1, got {total_occurrences} "
+                "— a zero/negative total disables the max_hot_grams "
+                "broadcast bound entirely (a stale or wrong-corpus "
+                "value is the likely cause; omit the parameter to have "
+                "it measured)"
+            )
         total_occ = int(total_occurrences)
     else:
         total_occ = int(

@@ -196,10 +196,12 @@ def _partition_dirs_other_than(spark, path: str, expected: str) -> set[str]:
 
     io = io_for(path, spark)
     cols: set[str] = set()
-    try:
-        entries = io.listdir(path)
-    except Exception:
-        return cols
+    # no try/except: callers verify the table exists first, so a
+    # listdir failure here is a race or an I/O fault during a SAFETY
+    # check — it must fail the batch loudly, not read as "verified
+    # unpartitioned" (an empty set green-lights the kwarg-stripped
+    # merge this guard exists to block).
+    entries = io.listdir(path)
     for name in entries:
         if "=" not in name or name.startswith(("_", ".")):
             continue

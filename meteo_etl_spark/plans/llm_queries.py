@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.functions.epoch import epoch_ms, epoch_us
+from meteo_etl_spark.functions.classify import SIGNAL_DEN as _CLS_SIGNAL_DEN
 from meteo_etl_spark.functions import clustering as cl
 from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
@@ -4437,14 +4438,17 @@ def emb_pq_audit(spark, sf_dir):
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = fan_out(emb).select("vec_id", v.alias("v"))
 
-    # codebook + panel: two tiny ordered-limit collects (the route
-    # audit's documented driver-side panel idiom)
+    # codebook + panel in ONE tiny ordered-limit collect (the route
+    # audit's documented driver-side panel idiom): the panel is a
+    # prefix of the codebook rows, so a second top-k job over the
+    # corpus would be pure waste on a bench-flagged query
+    assert PQ_PANEL <= PQ_K, "panel must be a prefix of the codebook"
     cb_rows = base.orderBy("vec_id").limit(PQ_K).collect()
     codes = [
         [[float(x) for x in r["v"][m * PQ_SUB : (m + 1) * PQ_SUB]] for r in cb_rows]
         for m in range(PQ_M)
     ]
-    panel_rows = base.orderBy("vec_id").limit(PQ_PANEL).collect()
+    panel_rows = cb_rows[:PQ_PANEL]
     panel = spark.createDataFrame(
         [(r["vec_id"], [float(x) for x in r["v"]]) for r in panel_rows],
         "qid long, qv array<double>",
@@ -5230,7 +5234,7 @@ def docs_classifier_report(spark, sf_dir):
 
 @query(
     "docs_classifier_skill",
-    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+    f"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w
                 FROM documents),
     tk AS (SELECT doc_id, lang, CAST(p AS BIGINT) AS p, w[p+1] AS token
            FROM (SELECT doc_id, lang, UNNEST(range(0, len(w))) AS p, w
@@ -5238,7 +5242,7 @@ def docs_classifier_report(spark, sf_dir):
     mk AS (SELECT doc_id, lang, p,
                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
                                  p::VARCHAR || ':' || token), 1, 8))::BIGINT
-                            % 4 = 0
+                            % {_CLS_SIGNAL_DEN} = 0
                        THEN token || '_' || lang ELSE token END AS token
            FROM tk),
     docs2 AS (SELECT doc_id, lang,
@@ -5294,7 +5298,8 @@ def docs_classifier_report(spark, sf_dir):
     "of the corpus, not the model; this query first injects "
     "class-conditional token morphology deterministically "
     "(classify.inject_class_signal: 32 md5 bits of doc_id:pos:token "
-    "mod 4 pick 25% of positions, tok -> tok_<class> — the structure "
+    f"mod SIGNAL_DEN={_CLS_SIGNAL_DEN} pick 1/{_CLS_SIGNAL_DEN} of "
+    "positions, tok -> tok_<class> — the structure "
     "real language ID exploits), then trains on the 80% hash split "
     "and reports per-class precision/recall ppm on the held-out 20%. "
     "Measured macro recall ~0.97 at sf0.01 and sf0.1 (chance = 0.2 "

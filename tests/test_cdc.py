@@ -753,3 +753,21 @@ def test_streaming_scd2_foreign_partition_layout_raises_not_mixes(spark, tmp_pat
     # the explicit old layout keeps working
     old(batch([("a", "2024-01-02 01:00:00", 3.0, "U")]), 1)
     assert spark.read.parquet(tgt).count() == 2
+
+
+def test_foreign_layout_check_propagates_listdir_failures(monkeypatch):
+    """Self-review r11: an I/O fault during the foreign-layout SAFETY
+    check must fail loudly — returning an empty set would read as
+    'verified unpartitioned' and green-light the kwarg-stripped merge
+    the guard exists to block."""
+    import pytest
+
+    from meteo_etl_spark.operators import fsio
+    from meteo_etl_spark.operators.cdc import _partition_dirs_other_than
+
+    def boom(self, path):
+        raise OSError("transient listdir fault")
+
+    monkeypatch.setattr(fsio.LocalIO, "listdir", boom)
+    with pytest.raises(OSError, match="transient listdir fault"):
+        _partition_dirs_other_than(None, "/tmp/nonexistent-scd2", "kb")

@@ -457,3 +457,33 @@ def test_incremental_retrain_is_bit_identical_to_full_retrain(spark, tmp_path):
     assert weights(load_model(spark, model_path, tag="prod")) == weights(
         train_token_centroids(waves[0].unionByName(waves[1]))
     )
+
+
+def test_incremental_retrain_publishes_on_uri_counts_path(spark, tmp_path):
+    """Self-review r11: the counts-exist check must be io_for-based —
+    an os.path check is always False on URI paths, so the handler
+    would land deltas forever and never publish a model."""
+    from meteo_etl_spark.functions.classify import (
+        classifier_retrain_foreach_batch,
+        load_model,
+        train_token_centroids,
+    )
+
+    counts = "file://" + str(tmp_path / "counts")
+    model_path = str(tmp_path / "model")
+    stats: list = []
+    handler = classifier_retrain_foreach_batch(
+        spark, counts, model_path, tag="prod", stats=stats
+    )
+    w = _docs(spark, [(1, "aa bb aa", "en"), (2, "xx yy", "fr")])
+    handler(w, 0)
+    assert stats[-1]["version"] is not None, stats
+    got = {
+        (r["cls"], r["tok"]): r["freq_ppm"]
+        for r in load_model(spark, model_path, tag="prod").collect()
+    }
+    want = {
+        (r["cls"], r["tok"]): r["freq_ppm"]
+        for r in train_token_centroids(w).collect()
+    }
+    assert got == want

@@ -259,3 +259,18 @@ def test_precomputed_total_occurrences_keeps_call_lazy_and_exact(spark):
     got = sorted((r["doc_id"], r["p"]) for r in covered.collect())
     want = sorted((r["doc_id"], r["p"]) for r in covered_eager.collect())
     assert got == want and got, got
+
+
+def test_nonpositive_precomputed_total_is_rejected(spark):
+    """Self-review r11: total_occurrences <= 0 would silently disable
+    the max_hot_grams broadcast bound (effective threshold degenerates
+    to hot_min_count) — reject it like the sibling parameters."""
+    import pytest
+
+    from meteo_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="total_occurrences must be >= 1"):
+        dd.duplicate_span_cover(docs, total_occurrences=0)
+    with pytest.raises(ValueError, match="total_occurrences must be >= 1"):
+        dd.excise_duplicate_spans(docs, total_occurrences=-5)

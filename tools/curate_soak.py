@@ -144,7 +144,7 @@ def main() -> int:
                     r["doc_id"]: r["lang"]
                     for r in use_train.select("doc_id", "lang").collect()
                 }
-                wrong = [d for d in shipped if truth[d] != "en"]
+                wrong = [d for d in shipped if truth.get(d) != "en"]
                 assert not wrong, wrong[:5]
             variant = (
                 f"substring={'on' if substring else 'off'}"
