@@ -432,23 +432,26 @@ def classifier_retrain_foreach_batch(
 
     Scale: the delta aggregate combines map-side within the batch;
     deriving the model reads only (cls, tok, cnt) rows — vocabulary-
-    sized, not corpus-sized. Batch-partition counts can be compacted
-    offline (sum and rewrite — associativity again) when batch count
-    grows; the derive cost is bounded by vocabulary × batches either
-    way."""
+    sized, not corpus-sized. When the batch-partition count grows,
+    :func:`compact_token_counts` folds old partitions into the
+    ``batch=-1`` baseline (associativity again) behind a crash-safe
+    watermark; this handler reads through the same watermark filter
+    (:func:`read_token_counts`), so compaction needs no stream
+    restart."""
     from meteo_etl_spark.operators.fsio import io_for
 
     io = io_for(counts_path, spark)
 
-    def _has_counts() -> bool:
-        # URI-safe existence check (os.path-based upsert.table_exists
-        # is always False on hdfs://-style paths): any batch=<id>
-        # partition directory means there are counts to derive from.
-        if not io.isdir(counts_path):
-            return False
-        return any(n.startswith("batch=") for n in io.listdir(counts_path))
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upto = _compacted_upto(io, counts_path)
+        if int(batch_id) <= upto and int(batch_id) != COMPACT_BASELINE:
+            raise RuntimeError(
+                f"batch {batch_id} was already compacted into the "
+                f"baseline (watermark {upto}) — a compacted batch can "
+                "never be redelivered under streaming's monotonic "
+                "batch-id contract; compact with keep_last >= 1 so the "
+                "newest (redeliverable) batch is never folded in"
+            )
         io.rmtree(f"{counts_path.rstrip('/')}/batch={int(batch_id)}")
         if not batch_df.isEmpty():
             deltas = train_token_counts(
@@ -463,18 +466,149 @@ def classifier_retrain_foreach_batch(
         # republish even when THIS batch was empty: a redelivered
         # now-empty batch just removed its stale partition above, so
         # the published model must converge to the remaining counts
-        if not _has_counts():
+        if not _counts_exist(io, counts_path):
             if stats is not None:
                 stats.append({"batch_id": batch_id, "version": None})
             return
-        model = model_from_counts(
-            spark.read.parquet(counts_path).select("cls", "tok", "cnt")
-        )
+        model = model_from_counts(read_token_counts(spark, counts_path))
         v = save_model(model, model_path, tag=tag)
         if stats is not None:
             stats.append({"batch_id": batch_id, "version": v})
 
     return handle
+
+
+#: partition id of the compacted-counts baseline — below any real
+#: streaming batch id (Structured Streaming ids start at 0).
+COMPACT_BASELINE = -1
+
+#: watermark file inside the counts table: every batch id <= this
+#: value has been folded into the baseline partition (its directory
+#: may linger briefly after a crash; reads filter it out).
+_COMPACT_MARK = "_compacted_upto"
+
+
+def _compacted_upto(io, counts_path: str) -> int:
+    try:
+        return int(io.read_text(f"{counts_path.rstrip('/')}/{_COMPACT_MARK}"))
+    except Exception:  # no watermark yet — nothing compacted
+        return COMPACT_BASELINE
+
+
+def _counts_exist(io, counts_path: str) -> bool:
+    # URI-safe existence check (os.path-based upsert.table_exists is
+    # always False on hdfs://-style paths): any batch=<id> partition
+    # directory (baseline included) means there are counts.
+    if not io.isdir(counts_path):
+        return False
+    return any(n.startswith("batch=") for n in io.listdir(counts_path))
+
+
+def _landed_batch_ids(io, counts_path: str) -> list[int]:
+    if not io.isdir(counts_path):
+        return []
+    out = []
+    for n in io.listdir(counts_path):
+        if n.startswith("batch="):
+            try:
+                out.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_token_counts(spark, counts_path: str) -> DataFrame:
+    """The (cls, tok, cnt) view of an incremental counts table,
+    CORRECT AT ANY CRASH POINT of :func:`compact_token_counts`: rows
+    are read from the baseline plus only the batch partitions ABOVE
+    the compaction watermark, so a batch directory that was folded
+    into the baseline but not yet deleted (crash between watermark
+    publish and cleanup) is never double-counted. The filter is on the
+    partition column — Catalyst prunes the stale directories' files
+    out of the scan entirely."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    upto = _compacted_upto(io_for(counts_path, spark), counts_path)
+    return (
+        spark.read.parquet(counts_path)
+        .where(
+            (F.col("batch") == COMPACT_BASELINE) | (F.col("batch") > upto)
+        )
+        .select("cls", "tok", "cnt")
+    )
+
+
+def compact_token_counts(spark, counts_path: str, *, keep_last: int = 1) -> int:
+    """Fold old count-delta partitions into the ``batch=-1`` baseline
+    (counts are associative, so the fold is exact) — the maintenance
+    half of :func:`classifier_retrain_foreach_batch`, bounding the
+    model-derive read at vocabulary-size + ``keep_last`` partitions
+    however long the stream runs.
+
+    The newest ``keep_last`` batches are NEVER folded: under
+    Structured Streaming's monotonic batch-id contract only the last
+    uncommitted batch can be redelivered after a restart, and a
+    redelivery must still find (and replace) its own partition.
+
+    Crash safety, in commit order:
+
+    1. the merged baseline lands via dynamic partition overwrite
+       (Spark's commit protocol: the old baseline is visible until
+       the new one swaps in) — a crash before/during leaves the old
+       watermark, so reads still use the old baseline + all batches;
+    2. the watermark file is replaced atomically (fsio.replace) — the
+       instant it lands, reads stop seeing the folded batch dirs;
+    3. the folded directories are deleted — a crash before this step
+       leaves stale dirs that reads already ignore and the next
+       compaction re-deletes.
+
+    Single-maintenance-writer discipline (same as atomic vacuum): one
+    compactor at a time, and not concurrent with a foreachBatch
+    refresh of the SAME table.
+
+    Returns the new watermark (highest batch id folded), or the old
+    one when there is nothing to fold."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(counts_path, spark)
+    root = counts_path.rstrip("/")
+    upto_old = _compacted_upto(io, counts_path)
+    ids = [
+        i
+        for i in _landed_batch_ids(io, counts_path)
+        if i != COMPACT_BASELINE
+    ]
+    stale = [i for i in ids if i <= upto_old]
+    fresh = [i for i in ids if i > upto_old]
+    candidates = fresh[:-keep_last] if len(fresh) > keep_last else []
+    if not candidates:
+        for i in stale:  # finish an interrupted cleanup
+            io.rmtree(f"{root}/batch={i}")
+        return upto_old
+    new_upto = max(candidates)
+    merged = (
+        spark.read.parquet(counts_path)
+        .where(
+            (F.col("batch") == COMPACT_BASELINE)
+            | F.col("batch").isin([int(i) for i in candidates])
+        )
+        .groupBy("cls", "tok")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("batch", F.lit(COMPACT_BASELINE))
+        .localCheckpoint(eager=True)  # sever lineage: we overwrite our input
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(counts_path)
+    )
+    io.replace(f"{root}/{_COMPACT_MARK}", str(new_upto))
+    for i in stale + candidates:
+        io.rmtree(f"{root}/batch={i}")
+    return new_upto
 
 
 def classifier_confusion(

@@ -487,3 +487,96 @@ def test_incremental_retrain_publishes_on_uri_counts_path(spark, tmp_path):
         for r in train_token_centroids(w).collect()
     }
     assert got == want
+
+
+def test_count_compaction_is_exact_crash_safe_and_guards_redelivery(
+    spark, tmp_path
+):
+    """compact_token_counts folds old delta partitions into the
+    baseline behind a watermark: the derived model stays bit-identical
+    to a full retrain, the stream continues across a compaction with
+    no restart, a folded-but-undeleted directory (crash between
+    watermark publish and cleanup) is never double-counted, and a
+    redelivery of a folded batch fails loudly."""
+    from functools import reduce
+
+    import pytest
+
+    from meteo_etl_spark.functions.classify import (
+        COMPACT_BASELINE,
+        classifier_retrain_foreach_batch,
+        compact_token_counts,
+        load_model,
+        model_from_counts,
+        read_token_counts,
+        train_token_centroids,
+        train_token_counts,
+    )
+
+    counts = str(tmp_path / "counts")
+    model_path = str(tmp_path / "model")
+    handler = classifier_retrain_foreach_batch(
+        spark, counts, model_path, tag="prod"
+    )
+    waves = [
+        _docs(spark, [(10 * w + 1, f"aa bb w{w}", "en"),
+                      (10 * w + 2, f"xx w{w} w{w}", "fr")])
+        for w in range(4)
+    ]
+    for i, w in enumerate(waves):
+        handler(w, i)
+
+    def weights(df):
+        return {(r["cls"], r["tok"]): r["freq_ppm"] for r in df.collect()}
+
+    def full(n):
+        return weights(train_token_centroids(
+            reduce(lambda a, b: a.unionByName(b), waves[:n])
+        ))
+
+    # fold batches 0..2 (keep_last=1 protects the redeliverable 3)
+    assert compact_token_counts(spark, counts, keep_last=1) == 2
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(str(tmp_path / "counts" / "batch=*")))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-1", "3"], dirs
+    assert weights(
+        model_from_counts(read_token_counts(spark, counts))
+    ) == full(4)
+
+    # the stream continues across the compaction, no restart
+    wave4 = _docs(spark, [(41, "aa cc", "en")])
+    waves.append(wave4)
+    handler(wave4, 4)
+    assert weights(load_model(spark, model_path, tag="prod")) == full(5)
+
+    # redelivery of the newest pre-compaction batch (3, NOT folded)
+    handler(waves[3], 3)
+    assert weights(load_model(spark, model_path, tag="prod")) == full(5)
+
+    # redelivery of a FOLDED batch must fail loudly, not double-count
+    with pytest.raises(RuntimeError, match="already compacted"):
+        handler(waves[1], 1)
+
+    # crash simulation: a folded batch dir that cleanup never removed
+    # (watermark=2 already covers batch=0) must be invisible to reads
+    stale = train_token_counts(waves[0]).withColumn(
+        "batch", F.lit(0)
+    )
+    (
+        stale.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(counts)
+    )
+    assert weights(
+        model_from_counts(read_token_counts(spark, counts))
+    ) == full(5)
+    # the next compaction finishes the interrupted cleanup
+    upto = compact_token_counts(spark, counts, keep_last=1)
+    assert upto >= 2
+    assert not _glob.glob(str(tmp_path / "counts" / "batch=0")), "stale dir survived"
+    assert weights(
+        model_from_counts(read_token_counts(spark, counts))
+    ) == full(5)
+    assert COMPACT_BASELINE == -1
