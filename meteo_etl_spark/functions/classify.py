@@ -278,13 +278,21 @@ def classifier_report(
     half-up integer ppm idiom; precision is NULL when the class was
     never predicted (0/0 — both engines emit NULL, hash-stable).
     """
-    conf = classifier_confusion(
-        docs,
-        class_col=class_col,
-        id_col=id_col,
-        text_col=text_col,
-        train_frac=train_frac,
+    return _report_from_confusion(
+        classifier_confusion(
+            docs,
+            class_col=class_col,
+            id_col=id_col,
+            text_col=text_col,
+            train_frac=train_frac,
+        )
     )
+
+
+def _report_from_confusion(conf: DataFrame) -> DataFrame:
+    """Derive the per-class precision/recall table from a
+    (true_cls, pred_cls, n_docs) confusion matrix — shared by the
+    whole-token and hashed-subword report paths."""
     support = conf.groupBy(F.col("true_cls").alias("cls")).agg(
         F.sum("n_docs").alias("support")
     )
@@ -609,6 +617,195 @@ def compact_token_counts(spark, counts_path: str, *, keep_last: int = 1) -> int:
     for i in stale + candidates:
         io.rmtree(f"{root}/batch={i}")
     return new_upto
+
+
+#: character n-gram width for the hashed-subword feature space
+#: (fastText convention: tokens padded with boundary markers, so
+#: "<to", "tok", "ok>" carry prefix/suffix morphology).
+CHAR_NGRAM_N = 3
+
+#: hashed-feature bucket count. A power of two divides 2^32 evenly,
+#: so the 32-bit md5 bucket idiom has ZERO modulo bias here; the
+#: model is at most (classes x 4096) rows regardless of vocabulary —
+#: the bounded-feature-space property that makes subword models cheap
+#: to broadcast at 100 TB.
+CHAR_FEAT_BUCKETS = 4096
+
+
+def _char_features(tok):
+    """array<string> of boundary-padded character n-grams for one
+    token: ``aa`` → ``['<aa', 'aa>']`` (positions 1..len(padded)-N+1;
+    tokens shorter than N-2 chars yield one truncated gram, same in
+    both engines — substr past the end returns what exists)."""
+    padded = F.concat(F.lit("<"), tok, F.lit(">"))
+    n_pos = F.greatest(
+        F.length(padded) - (CHAR_NGRAM_N - 1), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: padded.substr(i, F.lit(CHAR_NGRAM_N)),
+    )
+
+
+def train_char_ngram_counts(
+    train: DataFrame, *, class_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(cls, feat, cnt) sufficient statistic of the HASHED-SUBWORD
+    classifier: every token expands to its boundary-padded character
+    n-grams, each gram hashes into one of ``CHAR_FEAT_BUCKETS``
+    feature ids (the shared 32-bit md5 idiom — oracle-identical), and
+    the counts aggregate map-side. Same associativity property as
+    :func:`train_token_counts`, so the incremental-retrain machinery
+    applies unchanged."""
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
+    toks = train.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    feats = toks.select(
+        "cls", F.explode(_char_features(F.col("tok"))).alias("gram")
+    )
+    return (
+        feats.select(
+            "cls",
+            hash_bucket(F.col("gram"), CHAR_FEAT_BUCKETS).alias("feat"),
+        )
+        .groupBy("cls", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_char_ngram_centroids(
+    train: DataFrame, *, class_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """The hashed character-n-gram twin of
+    :func:`train_token_centroids`: one (cls, feat, freq_ppm) row per
+    class and feature bucket — fastText-shaped subword features, so
+    the model scores tokens it has NEVER SEEN whenever they share
+    character patterns (morphology, script, affixes) with the
+    training classes, where the whole-token model can only answer
+    ``(oov)``. Same one-pass training, same integer-ppm quantization,
+    same ReuseExchange plan shape."""
+    cnt = train_char_ngram_counts(
+        train, class_col=class_col, text_col=text_col
+    )
+    totals = cnt.groupBy("cls").agg(F.sum("cnt").alias("_total"))
+    return (
+        cnt.join(F.broadcast(totals), "cls")
+        .select(
+            "cls",
+            "feat",
+            F.expr(f"(cnt * CAST({WEIGHT_PPM} AS BIGINT)) div _total").alias(
+                "freq_ppm"
+            ),
+        )
+    )
+
+
+def score_documents_chargram(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a hashed-subword model: (id, pred_cls, score) per input
+    document; score = sum(feature_tf * freq_ppm), argmax ties to the
+    lexicographically smallest class — identical contract to
+    :func:`score_documents`, but a document is ``(oov)`` only when it
+    shares NO feature bucket with training (practically never: any
+    character trigram the training corpus produced anywhere counts)."""
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = (
+        toks.select(
+            id_col, F.explode(_char_features(F.col("tok"))).alias("gram")
+        )
+        .select(
+            id_col,
+            hash_bucket(F.col("gram"), CHAR_FEAT_BUCKETS).alias("feat"),
+        )
+        .groupBy(id_col, "feat")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    num = (
+        tf.join(model, "feat")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        num.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, F.col("cls").alias("pred_cls"), "score")
+    )
+    oov = (
+        docs.select(id_col)
+        .join(pred.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(OOV_LABEL).alias("pred_cls"),
+            F.lit(0).cast("long").alias("score"),
+        )
+    )
+    return pred.unionByName(oov)
+
+
+def chargram_confusion(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Hashed-subword twin of :func:`classifier_confusion`: same hash
+    split, char-n-gram training, char-n-gram scoring, confusion
+    matrix out."""
+    test_frac = round(1.0 - train_frac, 9)
+    split = hash_split(docs, id_col, {"train": train_frac, "test": test_frac})
+    train = split.where(F.col("split") == "train")
+    test = split.where(F.col("split") == "test")
+    model = train_char_ngram_centroids(
+        train, class_col=class_col, text_col=text_col
+    )
+    scored = score_documents_chargram(
+        test, model, id_col=id_col, text_col=text_col
+    )
+    return (
+        test.select(id_col, F.col(class_col).alias("true_cls"))
+        .join(scored, id_col)
+        .groupBy("true_cls", "pred_cls")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def chargram_report(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Per-class precision/recall for the hashed-subword classifier —
+    the same derivation as :func:`classifier_report`, over
+    :func:`chargram_confusion`."""
+    return _report_from_confusion(
+        chargram_confusion(
+            docs,
+            class_col=class_col,
+            id_col=id_col,
+            text_col=text_col,
+            train_frac=train_frac,
+        )
+    )
 
 
 def classifier_confusion(

@@ -1863,6 +1863,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_classifier_incremental",  # incremental retrain == full retrain, bit-exact; side-effecting like events_scd2_stream (never)
     "emb_pq_audit",  # product-quantization ADC + exact-rerank recall audit: emb_quant_audit + sim_ann_recall shapes (never)
     "sim_ann_serve_ivf",  # persisted-index serving == in-memory IVF, pruning asserted in-query; side-effecting (never)
+    "docs_classifier_chargram_skill",  # hashed char-n-gram subword classifier skill: docs_classifier_skill shapes + one more explode (never)
 )
 
 

@@ -580,3 +580,57 @@ def test_count_compaction_is_exact_crash_safe_and_guards_redelivery(
         model_from_counts(read_token_counts(spark, counts))
     ) == full(5)
     assert COMPACT_BASELINE == -1
+
+
+def test_chargram_model_generalizes_to_unseen_tokens(spark):
+    """The hashed-subword classifier's reason to exist: a token NEVER
+    seen in training scores correctly when it shares character
+    patterns with a class — where the whole-token model can only say
+    (oov). Also pins the bounded feature space and exact ppm."""
+    from meteo_etl_spark.functions.classify import (
+        CHAR_FEAT_BUCKETS,
+        OOV_LABEL,
+        score_documents,
+        score_documents_chargram,
+        train_char_ngram_centroids,
+        train_token_centroids,
+    )
+
+    train = _docs(
+        spark,
+        [
+            (1, "play played playing player", "en"),
+            (2, "plays playing play played", "en"),
+            (3, "xqzv xqz xqzvw xq", "xx"),
+            (4, "xq xqz xqzv xqzvw", "xx"),
+        ],
+    )
+    test = _docs(spark, [(10, "playful plax", "?"), (11, "xqzvq", "?")])
+
+    cg = train_char_ngram_centroids(train)
+    got = {
+        r["doc_id"]: r["pred_cls"]
+        for r in score_documents_chargram(test, cg).collect()
+    }
+    assert got == {10: "en", 11: "xx"}, got
+
+    # the whole-token model is blind to all four unseen tokens
+    tok = train_token_centroids(train)
+    got_tok = {
+        r["doc_id"]: r["pred_cls"]
+        for r in score_documents(test, tok).collect()
+    }
+    assert got_tok == {10: OOV_LABEL, 11: OOV_LABEL}, got_tok
+
+    # bounded feature space: every feature id in [0, CHAR_FEAT_BUCKETS)
+    feats = [r["feat"] for r in cg.select("feat").distinct().collect()]
+    assert all(0 <= f < CHAR_FEAT_BUCKETS for f in feats)
+
+    # exact ppm: weights sum to ~1e6 per class (div truncation only)
+    import collections
+
+    by_cls = collections.defaultdict(int)
+    for r in cg.collect():
+        by_cls[r["cls"]] += r["freq_ppm"]
+    for cls, s in by_cls.items():
+        assert 990_000 <= s <= 1_000_000, (cls, s)
