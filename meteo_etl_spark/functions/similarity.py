@@ -639,6 +639,263 @@ def query_ivf_index(
     )
 
 
+def sampled_pq_codebook(
+    emb: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook by deterministic sampling: the
+    per-subspace chunks of the ``n_codes`` lowest-id vectors (one tiny
+    ordered-limit collect). ``codes[m][c]`` is the ``sub_dim``-float
+    code ``c`` of subspace ``m``. The zero-training baseline the
+    ``emb_pq_audit`` oracle replays in SQL."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        fan_out(emb)
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    return [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in rows
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def trained_pq_codebook(
+    emb: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook by per-subspace k-means (the
+    faiss-standard training path): each ``sub_dim``-wide chunk of the
+    corpus is its own k-means problem (``clustering.kmeans_fit`` —
+    integer-quantized Lloyd's, deterministic seeding, bounded k·dim
+    driver state). Cost: ``n_sub × iters`` bounded-state passes —
+    offline index-build work. Returned shape is drop-in for
+    :func:`pq_recall_table`.
+
+    HONEST MEASURED RESULT (r11, pinned by
+    ``test_llm_ops.test_trained_pq_codebook_honest_comparison``): for
+    the COSINE metric this audit ranks by, L2-trained codes do NOT
+    beat :func:`sampled_pq_codebook` on either fixture — clustered
+    corpus: sampled ADC recall@5 1.00 vs trained 0.28 (sampled codes
+    ARE near cluster members, while Lloyd's averaging shrinks
+    reconstructions toward the subspace mean, distorting norms and
+    directions); near-random sf0.1: sampled 0.26 vs trained 0.16-0.20
+    across 3-10 iterations, re-rank recall statistically identical.
+    The standard remedy for inner-product/cosine PQ is spherical
+    k-means or residual normalization — intentionally NOT implemented
+    until a corpus that needs it exists; pick the sampled codebook
+    for cosine workloads."""
+    from meteo_etl_spark.functions.clustering import QUANT, kmeans_fit
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    out = []
+    for m in range(n_sub):
+        chunk = base.select(
+            "vec_id", F.slice(F.col("v"), m * sub_dim + 1, sub_dim).alias("ch")
+        )
+        cents, _ = kmeans_fit(
+            chunk, k=n_codes, iters=iters, id_col="vec_id", vec_col="ch"
+        )
+        out.append([[x / QUANT for x in c] for c in cents])
+    return out
+
+
+def pq_reconstruct(vcol: Column, codes: list[list[list[float]]]) -> Column:
+    """PQ-encode-then-reconstruct as ONE expression: per subspace,
+    argmin-L2 over that subspace's code literal (ties → lowest code
+    id — both engines), concat the chosen codes back into a full
+    vector. Pure map over a constant codebook literal; at 100 TB the
+    stored form is the ``n_sub`` small code IDS (this reconstruction
+    runs at scan time from the broadcast codebook)."""
+    n_sub = len(codes)
+    sub_dim = len(codes[0][0])
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    parts = []
+    for m in range(n_sub):
+        lit = F.lit(codes[m])
+        ch = F.slice(vcol, m * sub_dim + 1, sub_dim)
+        best = F.array_min(
+            F.transform(
+                lit,
+                lambda c, i: F.struct(
+                    fold(
+                        F.zip_with(ch, c, lambda x, y: (x - y) * (x - y))
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            )
+        )
+        parts.append(F.element_at(lit, best.getField("i") + 1))
+    return F.concat(*parts)
+
+
+def pq_audit_sampled(
+    emb: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled-codebook PQ recall audit with ONE ordered-limit collect
+    feeding both the codebook and the (prefix) query panel — the
+    single-job discipline the bench-flagged ``emb_pq_audit`` query is
+    held to."""
+    if n_queries > n_codes:
+        raise ValueError(
+            f"n_queries ({n_queries}) must be <= n_codes ({n_codes}) "
+            "for the one-collect prefix-panel path; call "
+            "sampled_pq_codebook + pq_recall_table separately otherwise"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        fan_out(emb)
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    codes = [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in rows
+        ]
+        for m in range(n_sub)
+    ]
+    return pq_recall_table(
+        emb,
+        codes,
+        n_queries=n_queries,
+        k=k,
+        n_cand=n_cand,
+        id_col=id_col,
+        vec_col=vec_col,
+        panel_rows=[
+            (r["vec_id"], [float(x) for x in r["v"]])
+            for r in rows[:n_queries]
+        ],
+    )
+
+
+def pq_recall_table(
+    emb: DataFrame,
+    codes: list[list[list[float]]],
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_rows: list[tuple] | None = None,
+) -> DataFrame:
+    """The PQ recall audit as a reusable operator (one row per panel
+    query: ``qid, k, n_hit_adc, n_hit_rerank``): raw-ADC top-k recall
+    and recall after exact re-rank of the top-``n_cand`` ADC
+    candidates, against the exact-cosine truth. Works with either
+    codebook builder; the registered ``emb_pq_audit`` query pins the
+    sampled baseline against its DuckDB replay, and the trained
+    codebook's lift is pinned by pytest. ``panel_rows`` (pre-collected
+    ``(id, vec)`` pairs) skips the panel's own top-k job when the
+    caller already holds the rows."""
+    spark = emb.sparkSession
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def cos(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: x * y)) / (
+            F.sqrt(fold(F.zip_with(a, a, lambda x, y: x * y)))
+            * F.sqrt(fold(F.zip_with(b, b, lambda x, y: x * y)))
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    if panel_rows is None:
+        panel_rows = [
+            (r["vec_id"], [float(x) for x in r["v"]])
+            for r in base.orderBy("vec_id").limit(n_queries).collect()
+        ]
+    panel = spark.createDataFrame(
+        [(int(i), [float(x) for x in vec]) for i, vec in panel_rows],
+        "qid long, qv array<double>",
+    )
+    enc = base.select(
+        "vec_id", "v", pq_reconstruct(F.col("v"), codes).alias("r")
+    )
+    pairs = (
+        enc.join(F.broadcast(panel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cos(F.col("v"), F.col("qv")).alias("s_exact"),
+            cos(F.col("r"), F.col("qv")).alias("s_adc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_e = Window.partitionBy("qid").orderBy(F.desc("s_exact"), "vec_id")
+    w_a = Window.partitionBy("qid").orderBy(F.desc("s_adc"), "vec_id")
+    rk = pairs.select(
+        "qid",
+        "vec_id",
+        "s_exact",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_a).alias("rk_a"),
+    )
+    rr = rk.where(F.col("rk_a") <= n_cand).select(
+        "qid",
+        "rk_e",
+        F.row_number().over(w_e).alias("rk_rr"),
+    )
+    hits_adc = (
+        rk.where((F.col("rk_e") <= k) & (F.col("rk_a") <= k))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    hits_rr = (
+        rr.where((F.col("rk_e") <= k) & (F.col("rk_rr") <= k))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    return (
+        panel.select("qid")
+        .join(hits_adc, "qid", "left")
+        .join(hits_rr, "qid", "left")
+        .select(
+            "qid",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_hit_adc"),
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_hit_rerank"),
+        )
+        .orderBy("qid")
+    )
+
+
 #: the audited serving routes and their persisted-index parameters —
 #: what `build_ann_index`/`query_ann_index` dispatch on. The brute
 #: route needs no index (it IS the exact scan).

@@ -4428,96 +4428,14 @@ PQ_CAND = 100
 )
 def emb_pq_audit(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def fold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    def cos(a, b):
-        return fold(F.zip_with(a, b, lambda x, y: x * y)) / (
-            F.sqrt(fold(F.zip_with(a, a, lambda x, y: x * y)))
-            * F.sqrt(fold(F.zip_with(b, b, lambda x, y: x * y)))
-        )
-
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    base = fan_out(emb).select("vec_id", v.alias("v"))
-
-    # codebook + panel in ONE tiny ordered-limit collect (the route
-    # audit's documented driver-side panel idiom): the panel is a
-    # prefix of the codebook rows, so a second top-k job over the
-    # corpus would be pure waste on a bench-flagged query
-    assert PQ_PANEL <= PQ_K, "panel must be a prefix of the codebook"
-    cb_rows = base.orderBy("vec_id").limit(PQ_K).collect()
-    codes = [
-        [[float(x) for x in r["v"][m * PQ_SUB : (m + 1) * PQ_SUB]] for r in cb_rows]
-        for m in range(PQ_M)
-    ]
-    panel_rows = cb_rows[:PQ_PANEL]
-    panel = spark.createDataFrame(
-        [(r["vec_id"], [float(x) for x in r["v"]]) for r in panel_rows],
-        "qid long, qv array<double>",
-    )
-
-    def l2(a, b):
-        return fold(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
-
-    rec_parts = []
-    for m in range(PQ_M):
-        lit = F.lit(codes[m])  # PQ_K x PQ_SUB constant
-        ch = F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
-        best = F.array_min(
-            F.transform(
-                lit,
-                lambda c, i: F.struct(l2(ch, c).alias("d"), i.alias("i")),
-            )
-        )
-        rec_parts.append(F.element_at(lit, best.getField("i") + 1))
-    enc = base.select("vec_id", "v", F.concat(*rec_parts).alias("r"))
-
-    pairs = (
-        enc.join(F.broadcast(panel))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            cos(F.col("v"), F.col("qv")).alias("s_exact"),
-            cos(F.col("r"), F.col("qv")).alias("s_adc"),
-        )
-    )
-    w_e = Window.partitionBy("qid").orderBy(F.desc("s_exact"), "vec_id")
-    w_a = Window.partitionBy("qid").orderBy(F.desc("s_adc"), "vec_id")
-    rk = pairs.select(
-        "qid",
-        "vec_id",
-        "s_exact",
-        F.row_number().over(w_e).alias("rk_e"),
-        F.row_number().over(w_a).alias("rk_a"),
-    )
-    rr = rk.where(F.col("rk_a") <= PQ_CAND).select(
-        "qid",
-        "rk_e",
-        F.row_number().over(w_e).alias("rk_rr"),
-    )
-    hits_adc = (
-        rk.where((F.col("rk_e") <= PQ_TOPK) & (F.col("rk_a") <= PQ_TOPK))
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_a"))
-    )
-    hits_rr = (
-        rr.where((F.col("rk_e") <= PQ_TOPK) & (F.col("rk_rr") <= PQ_TOPK))
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_r"))
-    )
-    return (
-        panel.select("qid")
-        .join(hits_adc, "qid", "left")
-        .join(hits_rr, "qid", "left")
-        .select(
-            "qid",
-            F.lit(PQ_TOPK).cast("long").alias("k"),
-            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_hit_adc"),
-            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_hit_rerank"),
-        )
-        .orderBy("qid")
+    return sim.pq_audit_sampled(
+        emb,
+        n_sub=PQ_M,
+        sub_dim=PQ_SUB,
+        n_codes=PQ_K,
+        n_queries=PQ_PANEL,
+        k=PQ_TOPK,
+        n_cand=PQ_CAND,
     )
 
 

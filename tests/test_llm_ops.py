@@ -831,3 +831,39 @@ def test_build_and_query_ann_index_reject_unknown_routes(spark, tmp_path):
         sim.build_ann_index("brute", emb, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="unknown ANN route"):
         sim.query_ann_index("nope", spark, str(tmp_path / "x"), [0.0] * 8)
+
+
+def test_trained_pq_codebook_honest_comparison(spark):
+    """Per-subspace k-means PQ training (the faiss-standard path) is
+    implemented, deterministic, and drop-in for pq_recall_table — and
+    on the cosine metric it does NOT beat the sampled codebook on the
+    clustered fixture (Lloyd's averaging shrinks reconstructions
+    toward the subspace mean; sampled codes are near actual cluster
+    members). Pin the measured direction so the docstring's honest
+    negative result stays true-or-flagged."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = _clustered_embeddings(spark)
+    kw = dict(n_sub=8, sub_dim=8, n_codes=32)
+    sampled = sim.sampled_pq_codebook(emb, **kw)
+    trained = sim.trained_pq_codebook(emb, iters=3, **kw)
+    # deterministic: both builders reproduce exactly
+    assert trained == sim.trained_pq_codebook(emb, iters=3, **kw)
+    assert len(trained) == 8 and all(len(m) == 32 for m in trained)
+
+    def adc(codes):
+        rows = sim.pq_recall_table(
+            emb, codes, n_queries=10, k=5, n_cand=50
+        ).collect()
+        return sum(r["n_hit_adc"] for r in rows), sum(
+            r["n_hit_rerank"] for r in rows
+        )
+
+    s_adc, s_rr = adc(sampled)
+    t_adc, t_rr = adc(trained)
+    assert s_adc >= t_adc, (s_adc, t_adc)
+    assert s_adc >= 45, s_adc  # sampled codes near cluster members
+    # the exact re-rank recovers full recall under EITHER codebook on
+    # structured data — the candidate-scan + re-rank shape is what
+    # carries the serving path, not the raw ADC ranking
+    assert s_rr == t_rr == 50, (s_rr, t_rr)
