@@ -749,6 +749,73 @@ def pq_reconstruct(vcol: Column, codes: list[list[list[float]]]) -> Column:
     return F.concat(*parts)
 
 
+#: route PQ encoding through the Arrow kernel when the codebook folds
+#: (n_sub × n_codes) reach this size — below it the literal expression
+#: tree is small enough that per-call driver planning stays cheap.
+PQ_ARROW_MIN_FOLDS = 64
+
+
+def _pq_reconstruct_arrow(
+    df: DataFrame,
+    codes: list[list[list[float]]],
+    *,
+    vec_col: str = "v",
+    out_col: str = "r",
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`pq_reconstruct` with BIT-IDENTICAL
+    output: per subspace, the squared-L2 fold accumulates one
+    dimension at a time from 0.0 (``acc = acc + diff*diff`` — the
+    exact IEEE sequence of the expression fold), and ``np.argmin`` is
+    first-minimum, matching the struct-min's lowest-code-id tie
+    order. Parity pinned by
+    ``test_llm_ops.test_pq_reconstruct_paths_are_bit_identical``.
+
+    Why it exists (same driver-cost profile as the r10 ANN audit
+    fix): the literal encode tree is ~n_sub·n_codes·sub_dim·4 nodes
+    (~8k at the default 8×32×8) and costs ~1.3 s of per-call driver
+    analysis/codegen while EXECUTION is ~0.1 s; the kernel keeps the
+    plan a single MapInPandas node. Pure map — nothing shuffles; only
+    the big corpus side goes through here (filters do not push below
+    a Python map)."""
+    import numpy as np
+
+    n_sub = len(codes)
+    sub_dim = len(codes[0][0])
+    codes_np = [np.asarray(cm, dtype=np.float64) for cm in codes]
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+        + f", {out_col} array<double>"
+    )
+
+    def rebuild(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            R = np.empty_like(V)
+            for m in range(n_sub):
+                C = codes_np[m]  # (K, sub_dim)
+                ch = V[:, m * sub_dim : (m + 1) * sub_dim]
+                acc = np.zeros((ch.shape[0], C.shape[0]), dtype=np.float64)
+                for d in range(sub_dim):
+                    diff = ch[:, d, None] - C[None, :, d]
+                    acc = acc + diff * diff
+                R[:, m * sub_dim : (m + 1) * sub_dim] = C[
+                    np.argmin(acc, axis=1)
+                ]
+            out = {f.name: pdf[f.name] for f in in_schema}
+            out[out_col] = list(R)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(rebuild, schema=out_schema)
+
+
 def pq_audit_sampled(
     emb: DataFrame,
     *,
@@ -843,9 +910,12 @@ def pq_recall_table(
         [(int(i), [float(x) for x in vec]) for i, vec in panel_rows],
         "qid long, qv array<double>",
     )
-    enc = base.select(
-        "vec_id", "v", pq_reconstruct(F.col("v"), codes).alias("r")
-    )
+    if len(codes) * len(codes[0]) >= PQ_ARROW_MIN_FOLDS and _HAVE_NUMPY:
+        enc = _pq_reconstruct_arrow(base, codes, vec_col="v", out_col="r")
+    else:
+        enc = base.select(
+            "vec_id", "v", pq_reconstruct(F.col("v"), codes).alias("r")
+        )
     pairs = (
         enc.join(F.broadcast(panel))
         .where(F.col("vec_id") != F.col("qid"))

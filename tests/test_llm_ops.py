@@ -867,3 +867,39 @@ def test_trained_pq_codebook_honest_comparison(spark):
     # structured data — the candidate-scan + re-rank shape is what
     # carries the serving path, not the raw ADC ranking
     assert s_rr == t_rr == 50, (s_rr, t_rr)
+
+
+def test_pq_reconstruct_paths_are_bit_identical(spark):
+    """The Arrow PQ-encode kernel must reproduce the expression path
+    BIT-exactly (same sequential IEEE fold order, same first-min tie
+    order) — the same parity discipline as the ANN bucket kernel."""
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    codes = sim.sampled_pq_codebook(emb, n_sub=8, sub_dim=8, n_codes=32)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    expr = base.select(
+        "vec_id", sim.pq_reconstruct(F.col("v"), codes).alias("r")
+    )
+    arrow = sim._pq_reconstruct_arrow(base, codes).select("vec_id", "r")
+    a = {r["vec_id"]: tuple(r["r"]) for r in expr.collect()}
+    b = {r["vec_id"]: tuple(r["r"]) for r in arrow.collect()}
+    assert a == b  # exact float equality, every vector
+    # and the audit table itself is identical through either path
+    got = sim.pq_recall_table(emb, codes, n_queries=5, k=5, n_cand=20)
+    rows_arrow = [r.asDict() for r in got.collect()]
+    sim_threshold = sim.PQ_ARROW_MIN_FOLDS
+    try:
+        sim.PQ_ARROW_MIN_FOLDS = 10**9  # force the expression path
+        rows_expr = [
+            r.asDict()
+            for r in sim.pq_recall_table(
+                emb, codes, n_queries=5, k=5, n_cand=20
+            ).collect()
+        ]
+    finally:
+        sim.PQ_ARROW_MIN_FOLDS = sim_threshold
+    assert rows_arrow == rows_expr
