@@ -101,6 +101,70 @@ def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
     return [float(x) for x in row]
 
 
+def merged_summary(
+    rollup: DataFrame, probs: list[float]
+) -> tuple[int, list[float]]:
+    """The HLL union estimate AND the merged-KLL quantiles in ONE
+    job: ``merged_distinct_estimate`` + ``merged_quantiles`` each run
+    their own aggregate over the rollup; a moving-window consumer
+    (or the certification query) usually wants both, and the rollup
+    is small enough that the only real cost is per-job driver
+    overhead — so fold the two into one action. Same semantics, same
+    empty-rollup errors."""
+    packed = rollup.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sk", F.lit(True))).alias(
+            "est"
+        ),
+        F.collect_list("kll_sk").alias("l"),
+    )
+    merged = F.aggregate(
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.try_element_at(F.col("l"), F.lit(1)),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+    row = packed.select(
+        "est",
+        F.kll_sketch_get_quantile_double(
+            merged, F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("qs"),
+    ).collect()[0]
+    if row["est"] is None or row["qs"] is None:
+        raise ValueError("merged_summary: empty rollup (no sketches)")
+    return int(row["est"]), [float(x) for x in row["qs"]]
+
+
+def exact_rank_columns(
+    value_col: str, estimates: list[float]
+) -> list[Column]:
+    """One aggregate column per estimate: the exact fraction of rows
+    with ``value <= estimate``. Lets a caller certify EVERY quantile
+    estimate (plus any other exact aggregates, e.g. a countDistinct)
+    in a single fact scan instead of one scan per estimate."""
+    return [
+        (
+            F.sum(
+                F.when(
+                    F.col(value_col).cast("double") <= float(est), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias(f"_rank_{i}")
+        for i, est in enumerate(estimates)
+    ]
+
+
+def certify_quantile_rank_value(
+    rank: float, target_rank: float, *, rank_tol: float, context: str
+) -> None:
+    """Pure checker for an already-computed exact rank (the one-scan
+    path via :func:`exact_rank_columns`)."""
+    if abs(float(rank) - target_rank) > rank_tol:
+        raise RuntimeError(
+            f"{context}: exact rank {float(rank):.4f}, "
+            f"target {target_rank} ± {rank_tol}"
+        )
+
+
 def certify_distinct(
     est: int, exact: int, *, rel_tol: float, context: str
 ) -> None:
@@ -130,17 +194,14 @@ def certify_quantile_rank(
     """Certify a quantile ESTIMATE by its exact rank: the fraction of
     rows ≤ estimate must sit within ``rank_tol`` of ``target_rank`` —
     the KLL guarantee is on rank, not value, so this is the honest
-    check (value-space tolerance would be scale-dependent)."""
-    r = df.agg(
-        (
-            F.sum(
-                F.when(F.col(value_col).cast("double") <= estimate, 1).otherwise(0)
-            )
-            / F.count(F.lit(1))
-        ).alias("rank")
-    ).collect()[0]["rank"]
-    if abs(float(r) - target_rank) > rank_tol:
-        raise RuntimeError(
-            f"{context}: estimate {estimate} has exact rank {float(r):.4f}, "
-            f"target {target_rank} ± {rank_tol}"
-        )
+    check (value-space tolerance would be scale-dependent). One scan
+    per call — certifying several estimates over one fact is cheaper
+    through :func:`exact_rank_columns` + one combined aggregate."""
+    [col] = exact_rank_columns(value_col, [estimate])
+    r = df.agg(col.alias("rank")).collect()[0]["rank"]
+    certify_quantile_rank_value(
+        r,
+        target_rank,
+        rank_tol=rank_tol,
+        context=f"{context}: estimate {estimate}",
+    )
