@@ -1856,14 +1856,22 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_semantic",  # SemDeDup blocked cosine: dedup_semantic_bigk stays in-window (in-window r9, r10)
     "events_cdc_apply",  # CDC I/U/D apply: events_scd2_stream + q15_atomic_merge keyed-LWW stay (in-window r9, r10)
     "events_scd2",  # SCD2 batch history: events_scd2_stream (bit-identical stream twin) stays (in-window r9, r10)
-    # New in round 11, deferred at birth (each oracle-verified at
-    # sf0.001 AND sf0.01 in-session). ROUND-12 ROTATION BACKLOG —
-    # window these first:
-    "docs_classifier_skill",  # classifier skill on the separable injected corpus: docs_classifier_report shapes (never)
-    "docs_classifier_incremental",  # incremental retrain == full retrain, bit-exact; side-effecting like events_scd2_stream (never)
-    "emb_pq_audit",  # product-quantization ADC + exact-rerank recall audit: emb_quant_audit + sim_ann_recall shapes (never)
-    "sim_ann_serve_ivf",  # persisted-index serving == in-memory IVF, pruning asserted in-query; side-effecting (never)
-    "docs_classifier_chargram_skill",  # hashed char-n-gram subword classifier skill: docs_classifier_skill shapes + one more explode (never)
+    # Round-12 rotation: the five r11 newborns (docs_classifier_skill,
+    # docs_classifier_incremental, emb_pq_audit, sim_ann_serve_ivf,
+    # docs_classifier_chargram_skill) leave this ledger and enter the
+    # window for their first driver rows — once green in
+    # CORRECTNESS_r12, every query registered before round 12 has
+    # carried a driver row at least once (154/154 cumulative driver
+    # certification). Rotated OUT to make room, each a 4×-driver-green
+    # (r8-r11) veteran with an in-window twin:
+    "events_window_agg",  # tumbling window agg: events_sliding_window (superset shape) stays (in-window r8-r11)
+    "docs_epoch_shuffle",  # seeded shard shuffle: docs_per_source_sample hash-rank stays (in-window r8-r11)
+    "docs_datasheet",  # corpus datasheet census: docs_drift_report share shapes stay (in-window r8-r11)
+    "docs_bigram_fluency",  # bigram-LM scoring: docs_oov_rate vocab-join shapes stay (in-window r8-r11)
+    "emb_dim_corr",  # dimension correlation: emb_outliers + emb_pca_variance moment folds stay (in-window r8-r11)
+    # New in round 12, deferred at birth (oracle-verified at sf0.001
+    # AND sf0.01 in-session). ROUND-13 ROTATION BACKLOG:
+    "sim_ann_serve_lsh",  # persisted tuned-LSH serving == in-memory route, pruning asserted in-query; side-effecting twin of sim_ann_serve_ivf (never)
 )
 
 

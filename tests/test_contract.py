@@ -95,14 +95,15 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-11 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-12 rotation
     must_be_in_window = {
-        # round-11 rotation: the three r10 newborns take their first
-        # driver check — once green in CORRECTNESS_r11, every query
-        # registered before round 11 has carried a green driver row at
-        # least once.
-        "sim_route_choice", "docs_classifier_confusion",
-        "docs_classifier_report",
+        # round-12 rotation: the five r11 newborns take their first
+        # driver check — once green in CORRECTNESS_r12, every query
+        # registered before round 12 has carried a green driver row at
+        # least once (154/154 cumulative driver certification).
+        "docs_classifier_skill", "docs_classifier_incremental",
+        "emb_pq_audit", "sim_ann_serve_ivf",
+        "docs_classifier_chargram_skill",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
