@@ -36,6 +36,8 @@ the classifier-filter stage every large corpus-curation pipeline runs.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -441,9 +443,9 @@ def classifier_retrain_foreach_batch(
     Scale: the delta aggregate combines map-side within the batch;
     deriving the model reads only (cls, tok, cnt) rows — vocabulary-
     sized, not corpus-sized. When the batch-partition count grows,
-    :func:`compact_token_counts` folds old partitions into the
-    ``batch=-1`` baseline (associativity again) behind a crash-safe
-    watermark; this handler reads through the same watermark filter
+    :func:`compact_token_counts` folds old partitions into a
+    generation-tagged baseline (associativity again) behind a crash-
+    safe watermark; this handler reads through the same watermark filter
     (:func:`read_token_counts`), so compaction needs no stream
     restart."""
     from meteo_etl_spark.operators.fsio import io_for
@@ -486,21 +488,110 @@ def classifier_retrain_foreach_batch(
     return handle
 
 
-#: partition id of the compacted-counts baseline — below any real
-#: streaming batch id (Structured Streaming ids start at 0).
+#: virtual baseline of generation 0 (nothing compacted yet) — below
+#: any real streaming batch id (Structured Streaming ids start at 0).
+#: Generation g >= 1 lands its baseline at partition ``batch=-(g+1)``,
+#: so every compaction writes a NEW partition and a crashed attempt is
+#: replaced wholesale on re-run, never accumulated into (ADVICE r11
+#: high: the old fixed ``batch=-1`` baseline committed BEFORE the
+#: watermark flip, leaving a crash window where candidates were
+#: counted twice — once in the merged baseline, once in their still-
+#: live batch dirs — and a re-run folded them into the baseline again).
 COMPACT_BASELINE = -1
 
-#: watermark file inside the counts table: every batch id <= this
-#: value has been folded into the baseline partition (its directory
-#: may linger briefly after a crash; reads filter it out).
+#: legacy single-file watermark (pre-generation layout) — read as a
+#: fallback so tables compacted under the old code keep working; the
+#: first generation-tagged compaction deletes it.
 _COMPACT_MARK = "_compacted_upto"
+
+#: watermark directory: one ``gen-<k>`` JSON file per compaction
+#: generation, each published with fsio.publish_exclusive (atomic
+#: no-overwrite create with full content — the Delta-HDFSLogStore
+#: commit scheme, NOT delete+rename, so a crash can never leave a
+#: missing watermark; ADVICE r11 low). Readers resolve the max
+#: generation; older files are conservative states awaiting GC.
+_COMPACT_DIR = "_compaction"
+
+
+def _gen_name(gen: int) -> str:
+    return f"gen-{gen:012d}"
+
+
+def _compaction_state(io, counts_path: str) -> tuple[int, int, int]:
+    """``(upto, baseline_batch, generation)`` of the newest published
+    compaction watermark. The baseline swap is atomic WITH the
+    watermark: both live in one publish_exclusive'd JSON body, so
+    reads flip from (old baseline, old upto) to (new, new) in a single
+    namespace operation — there is no state in which the merged
+    candidates and their still-live batch dirs are both visible.
+
+    Only a MISSING watermark means "nothing compacted" (both IO
+    backends normalize absent paths to FileNotFoundError); any other
+    I/O fault propagates loudly — a transient read error must fail
+    the caller, not silently admit redelivery of folded batches
+    (ADVICE r11 medium). A corrupt body is a loud ValueError."""
+    root = counts_path.rstrip("/")
+    markdir = f"{root}/{_COMPACT_DIR}"
+    try:
+        names = [n for n in io.listdir(markdir) if n.startswith("gen-")]
+    except FileNotFoundError:
+        names = []
+    if names:
+        gens = []
+        for n in names:
+            try:
+                gens.append(int(n.split("-", 1)[1]))
+            except ValueError:
+                raise ValueError(
+                    f"corrupt compaction watermark name {n!r} in {markdir}"
+                ) from None
+        gen = max(gens)
+        body = io.read_text(f"{markdir}/{_gen_name(gen)}")
+        try:
+            st = json.loads(body)
+            return int(st["upto"]), int(st["baseline"]), int(st["generation"])
+        except (ValueError, KeyError, TypeError):
+            raise ValueError(
+                f"corrupt compaction watermark body in "
+                f"{markdir}/{_gen_name(gen)}: {body!r}"
+            ) from None
+    # legacy single-file watermark (pre-generation layout)
+    try:
+        raw = io.read_text(f"{root}/{_COMPACT_MARK}")
+    except FileNotFoundError:
+        return COMPACT_BASELINE, COMPACT_BASELINE, 0
+    try:
+        return int(raw), COMPACT_BASELINE, 0
+    except ValueError:
+        raise ValueError(
+            f"corrupt legacy compaction watermark {root}/{_COMPACT_MARK}: "
+            f"{raw!r}"
+        ) from None
 
 
 def _compacted_upto(io, counts_path: str) -> int:
-    try:
-        return int(io.read_text(f"{counts_path.rstrip('/')}/{_COMPACT_MARK}"))
-    except Exception:  # no watermark yet — nothing compacted
-        return COMPACT_BASELINE
+    return _compaction_state(io, counts_path)[0]
+
+
+def _publish_compaction_state(
+    io, counts_path: str, *, upto: int, baseline: int, generation: int
+) -> None:
+    """Atomic watermark publish — the single commit point of a
+    compaction. Split out so the crash-window test can fail exactly
+    here and prove the re-run is exact."""
+    root = counts_path.rstrip("/")
+    markdir = f"{root}/{_COMPACT_DIR}"
+    io.mkdirs(markdir)
+    body = json.dumps(
+        {"upto": int(upto), "baseline": int(baseline),
+         "generation": int(generation)}
+    )
+    if not io.publish_exclusive(f"{markdir}/{_gen_name(generation)}", body):
+        raise RuntimeError(
+            f"compaction generation {generation} already published under "
+            f"{markdir} — a concurrent compactor violated the single-"
+            "maintenance-writer discipline"
+        )
 
 
 def _counts_exist(io, counts_path: str) -> bool:
@@ -527,52 +618,93 @@ def _landed_batch_ids(io, counts_path: str) -> list[int]:
 
 def read_token_counts(spark, counts_path: str) -> DataFrame:
     """The (cls, tok, cnt) view of an incremental counts table,
-    CORRECT AT ANY CRASH POINT of :func:`compact_token_counts`: rows
-    are read from the baseline plus only the batch partitions ABOVE
-    the compaction watermark, so a batch directory that was folded
-    into the baseline but not yet deleted (crash between watermark
-    publish and cleanup) is never double-counted. The filter is on the
-    partition column — Catalyst prunes the stale directories' files
-    out of the scan entirely."""
+    CORRECT AT ANY CRASH POINT of :func:`compact_token_counts`: the
+    watermark names both the baseline generation AND the fold
+    horizon in one atomically-published body, so reads see either
+    (old baseline + all batches above the old horizon) or (new
+    baseline + batches above the new horizon) — never a merged
+    baseline together with the still-live directories it folded, and
+    never a folded-but-undeleted directory (crash between watermark
+    publish and cleanup). The filter is on the partition column —
+    Catalyst prunes every stale directory's files out of the scan
+    entirely."""
     from meteo_etl_spark.operators.fsio import io_for
 
-    upto = _compacted_upto(io_for(counts_path, spark), counts_path)
+    upto, baseline, _ = _compaction_state(
+        io_for(counts_path, spark), counts_path
+    )
     return (
         spark.read.parquet(counts_path)
-        .where(
-            (F.col("batch") == COMPACT_BASELINE) | (F.col("batch") > upto)
-        )
+        .where((F.col("batch") == baseline) | (F.col("batch") > upto))
         .select("cls", "tok", "cnt")
     )
 
 
+def _compaction_cleanup(
+    io, root: str, *, upto: int, baseline: int, generation: int
+) -> None:
+    """Remove everything the current watermark already excludes:
+    folded batch dirs, superseded baseline partitions, the legacy
+    single-file watermark, and older generation files. Safe at any
+    crash point — reads never see any of these."""
+    for i in _landed_batch_ids(io, root):
+        if (0 <= i <= upto) or (i < 0 and i != baseline):
+            io.rmtree(f"{root}/batch={i}")
+    markdir = f"{root}/{_COMPACT_DIR}"
+    if generation >= 1:
+        try:
+            names = [n for n in io.listdir(markdir) if n.startswith("gen-")]
+        except FileNotFoundError:
+            names = []
+        for n in names:
+            try:
+                g = int(n.split("-", 1)[1])
+            except ValueError:
+                continue
+            if g < generation:
+                io.unlink(f"{markdir}/{n}")
+        if io.isfile(f"{root}/{_COMPACT_MARK}"):
+            io.unlink(f"{root}/{_COMPACT_MARK}")
+
+
 def compact_token_counts(spark, counts_path: str, *, keep_last: int = 1) -> int:
-    """Fold old count-delta partitions into the ``batch=-1`` baseline
-    (counts are associative, so the fold is exact) — the maintenance
-    half of :func:`classifier_retrain_foreach_batch`, bounding the
-    model-derive read at vocabulary-size + ``keep_last`` partitions
-    however long the stream runs.
+    """Fold old count-delta partitions into a generation-tagged
+    baseline (counts are associative, so the fold is exact) — the
+    maintenance half of :func:`classifier_retrain_foreach_batch`,
+    bounding the model-derive read at vocabulary-size + ``keep_last``
+    partitions however long the stream runs.
 
     The newest ``keep_last`` batches are NEVER folded: under
     Structured Streaming's monotonic batch-id contract only the last
     uncommitted batch can be redelivered after a restart, and a
     redelivery must still find (and replace) its own partition.
 
-    Crash safety, in commit order:
+    Crash safety, in commit order (the baseline swap is atomic WITH
+    the watermark — ADVICE r11 high):
 
-    1. the merged baseline lands via dynamic partition overwrite
-       (Spark's commit protocol: the old baseline is visible until
-       the new one swaps in) — a crash before/during leaves the old
-       watermark, so reads still use the old baseline + all batches;
-    2. the watermark file is replaced atomically (fsio.replace) — the
-       instant it lands, reads stop seeing the folded batch dirs;
-    3. the folded directories are deleted — a crash before this step
-       leaves stale dirs that reads already ignore and the next
-       compaction re-deletes.
+    1. the merged counts land under the NEXT generation's baseline
+       partition ``batch=-(gen+1)`` — a partition no reader selects
+       yet (the live watermark still names the old baseline and old
+       horizon), so a crash before/during/after this write changes
+       nothing a reader sees, and a re-run replaces the partition
+       wholesale via dynamic partition overwrite instead of folding
+       into an already-merged baseline;
+    2. ONE watermark file ``_compaction/gen-<k>`` carrying
+       ``{upto, baseline, generation}`` is published via
+       ``publish_exclusive`` (atomic no-overwrite create with full
+       content — never delete+rename, so no crash leaves a missing
+       watermark; ADVICE r11 low). The instant it lands, reads flip
+       to the new baseline AND stop seeing the folded batch dirs —
+       there is no state where both are visible;
+    3. cleanup deletes the folded directories, the superseded
+       baseline partition and older generation files — a crash
+       before this leaves stale data that reads already ignore and
+       the next compaction re-deletes.
 
     Single-maintenance-writer discipline (same as atomic vacuum): one
     compactor at a time, and not concurrent with a foreachBatch
-    refresh of the SAME table.
+    refresh of the SAME table — a racing compactor fails loudly on
+    the exclusive watermark publish.
 
     Returns the new watermark (highest batch id folded), or the old
     one when there is nothing to fold."""
@@ -582,29 +714,28 @@ def compact_token_counts(spark, counts_path: str, *, keep_last: int = 1) -> int:
 
     io = io_for(counts_path, spark)
     root = counts_path.rstrip("/")
-    upto_old = _compacted_upto(io, counts_path)
-    ids = [
-        i
-        for i in _landed_batch_ids(io, counts_path)
-        if i != COMPACT_BASELINE
-    ]
-    stale = [i for i in ids if i <= upto_old]
+    upto_old, base_old, gen_old = _compaction_state(io, counts_path)
+    ids = [i for i in _landed_batch_ids(io, counts_path) if i >= 0]
     fresh = [i for i in ids if i > upto_old]
     candidates = fresh[:-keep_last] if len(fresh) > keep_last else []
     if not candidates:
-        for i in stale:  # finish an interrupted cleanup
-            io.rmtree(f"{root}/batch={i}")
+        # finish an interrupted cleanup under the live watermark
+        _compaction_cleanup(
+            io, root, upto=upto_old, baseline=base_old, generation=gen_old
+        )
         return upto_old
     new_upto = max(candidates)
+    gen_new = gen_old + 1
+    base_new = -(gen_new + 1)
     merged = (
         spark.read.parquet(counts_path)
         .where(
-            (F.col("batch") == COMPACT_BASELINE)
+            (F.col("batch") == base_old)
             | F.col("batch").isin([int(i) for i in candidates])
         )
         .groupBy("cls", "tok")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .withColumn("batch", F.lit(COMPACT_BASELINE))
+        .withColumn("batch", F.lit(base_new))
         .localCheckpoint(eager=True)  # sever lineage: we overwrite our input
     )
     (
@@ -613,9 +744,12 @@ def compact_token_counts(spark, counts_path: str, *, keep_last: int = 1) -> int:
         .partitionBy("batch")
         .parquet(counts_path)
     )
-    io.replace(f"{root}/{_COMPACT_MARK}", str(new_upto))
-    for i in stale + candidates:
-        io.rmtree(f"{root}/batch={i}")
+    _publish_compaction_state(
+        io, counts_path, upto=new_upto, baseline=base_new, generation=gen_new
+    )
+    _compaction_cleanup(
+        io, root, upto=new_upto, baseline=base_new, generation=gen_new
+    )
     return new_upto
 
 

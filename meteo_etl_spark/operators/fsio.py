@@ -103,6 +103,9 @@ class LocalIO:
     def unlink(self, path: str) -> None:
         os.unlink(path)
 
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -231,6 +234,9 @@ class HadoopIO:
 
     def unlink(self, path: str) -> None:
         self._fs.delete(self._p(path), False)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
 
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

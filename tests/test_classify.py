@@ -534,12 +534,14 @@ def test_count_compaction_is_exact_crash_safe_and_guards_redelivery(
             reduce(lambda a, b: a.unionByName(b), waves[:n])
         ))
 
-    # fold batches 0..2 (keep_last=1 protects the redeliverable 3)
+    # fold batches 0..2 (keep_last=1 protects the redeliverable 3);
+    # generation 1's baseline lands at batch=-2 (gen-tagged, never the
+    # same partition twice)
     assert compact_token_counts(spark, counts, keep_last=1) == 2
     import glob as _glob
 
     dirs = sorted(_glob.glob(str(tmp_path / "counts" / "batch=*")))
-    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-1", "3"], dirs
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-2", "3"], dirs
     assert weights(
         model_from_counts(read_token_counts(spark, counts))
     ) == full(4)
@@ -580,6 +582,190 @@ def test_count_compaction_is_exact_crash_safe_and_guards_redelivery(
         model_from_counts(read_token_counts(spark, counts))
     ) == full(5)
     assert COMPACT_BASELINE == -1
+
+
+def _compaction_setup(spark, tmp_path, n_waves=4):
+    from functools import reduce
+
+    from meteo_etl_spark.functions.classify import (
+        classifier_retrain_foreach_batch,
+        train_token_centroids,
+    )
+
+    counts = str(tmp_path / "counts")
+    handler = classifier_retrain_foreach_batch(
+        spark, counts, str(tmp_path / "model"), tag="prod"
+    )
+    waves = [
+        _docs(spark, [(10 * w + 1, f"aa bb w{w}", "en"),
+                      (10 * w + 2, f"xx w{w} w{w}", "fr")])
+        for w in range(n_waves)
+    ]
+    for i, w in enumerate(waves):
+        handler(w, i)
+
+    def full(n):
+        return {
+            (r["cls"], r["tok"]): r["freq_ppm"]
+            for r in train_token_centroids(
+                reduce(lambda a, b: a.unionByName(b), waves[:n])
+            ).collect()
+        }
+
+    return counts, handler, waves, full
+
+
+def test_compaction_crash_before_watermark_is_exact_on_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (high): the old layout committed the merged baseline
+    BEFORE the watermark flip — a crash between the two left the
+    candidates visible twice and a re-run folded them into the merged
+    baseline AGAIN (permanent double-count). Under the generation-
+    tagged layout the merged counts land in a partition no reader
+    selects until the watermark publishes, so (a) reads at the crash
+    point are exact via the old state, and (b) a re-run replaces the
+    orphaned baseline wholesale — bit-exact either way."""
+    import glob as _glob
+
+    import pytest
+
+    from meteo_etl_spark.functions import classify as C
+
+    counts, handler, waves, full = _compaction_setup(spark, tmp_path)
+
+    def weights(df):
+        return {(r["cls"], r["tok"]): r["freq_ppm"] for r in df.collect()}
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before watermark publish")
+
+    real_publish = C._publish_compaction_state
+    monkeypatch.setattr(C, "_publish_compaction_state", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        C.compact_token_counts(spark, counts, keep_last=1)
+    # the orphaned gen-1 baseline landed, but no reader selects it:
+    # reads still come from the live batch dirs — counted exactly once
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in _glob.glob(f"{counts}/batch=*")
+    ) == ["-2", "0", "1", "2", "3"]
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(4)
+    # re-run converges exactly (the orphan is replaced, never merged into)
+    monkeypatch.setattr(C, "_publish_compaction_state", real_publish)
+    assert C.compact_token_counts(spark, counts, keep_last=1) == 2
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in _glob.glob(f"{counts}/batch=*")
+    ) == ["-2", "3"]
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(4)
+
+
+def test_compaction_crash_after_watermark_and_second_generation(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between watermark publish and cleanup: the new state is
+    already live (folded dirs invisible), and the next compaction —
+    even one with nothing new to fold — finishes the cleanup. A second
+    full generation then lands at batch=-3 and GCs gen-1."""
+    import glob as _glob
+
+    import pytest
+
+    from meteo_etl_spark.functions import classify as C
+
+    counts, handler, waves, full = _compaction_setup(spark, tmp_path)
+
+    def weights(df):
+        return {(r["cls"], r["tok"]): r["freq_ppm"] for r in df.collect()}
+
+    real_cleanup = C._compaction_cleanup
+    monkeypatch.setattr(
+        C,
+        "_compaction_cleanup",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("simulated crash after publish")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        C.compact_token_counts(spark, counts, keep_last=1)
+    # watermark is live: folded dirs still on disk but invisible
+    assert _glob.glob(f"{counts}/batch=0"), "folded dir expected on disk"
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(4)
+    monkeypatch.setattr(C, "_compaction_cleanup", real_cleanup)
+    # nothing new to fold — the re-run just finishes the cleanup
+    assert C.compact_token_counts(spark, counts, keep_last=1) == 2
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in _glob.glob(f"{counts}/batch=*")
+    ) == ["-2", "3"]
+    # second generation: two more waves, fold again -> baseline at -3,
+    # gen-1's watermark file GC'd, model still exact
+    for i in (4, 5):
+        w = _docs(spark, [(10 * i + 1, f"aa bb w{i}", "en"),
+                          (10 * i + 2, f"xx w{i} w{i}", "fr")])
+        waves.append(w)
+        handler(w, i)
+    assert C.compact_token_counts(spark, counts, keep_last=1) == 4
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in _glob.glob(f"{counts}/batch=*")
+    ) == ["-3", "5"]
+    gens = sorted(
+        p.rsplit("/", 1)[1] for p in _glob.glob(f"{counts}/_compaction/gen-*")
+    )
+    assert gens == ["gen-000000000002"], gens
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(6)
+
+
+def test_compaction_state_faults_are_loud(tmp_path):
+    """ADVICE r11 (medium): only a MISSING watermark means 'nothing
+    compacted'. A transient I/O fault must propagate (silently
+    reading it as upto=-1 would re-admit folded batches and double-
+    count), and a corrupt body is a loud ValueError."""
+    import pytest
+
+    from meteo_etl_spark.functions.classify import (
+        COMPACT_BASELINE,
+        _COMPACT_MARK,
+        _compaction_state,
+    )
+    from meteo_etl_spark.operators.fsio import LocalIO
+
+    io = LocalIO()
+    # missing watermark: the one tolerated state
+    assert _compaction_state(io, str(tmp_path)) == (
+        COMPACT_BASELINE, COMPACT_BASELINE, 0,
+    )
+
+    class FlakyIO(LocalIO):
+        def listdir(self, path):
+            raise OSError("transient store fault")
+
+    with pytest.raises(OSError, match="transient store fault"):
+        _compaction_state(FlakyIO(), str(tmp_path))
+
+    markdir = tmp_path / "_compaction"
+    markdir.mkdir()
+    (markdir / "gen-000000000001").write_text("{not json")
+    with pytest.raises(ValueError, match="corrupt compaction watermark"):
+        _compaction_state(io, str(tmp_path))
+    (markdir / "gen-000000000001").write_text('{"upto": 3}')  # missing keys
+    with pytest.raises(ValueError, match="corrupt compaction watermark"):
+        _compaction_state(io, str(tmp_path))
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / _COMPACT_MARK).write_text("not-an-int")
+    with pytest.raises(ValueError, match="corrupt legacy"):
+        _compaction_state(io, str(legacy))
+    # a valid legacy single-file watermark still reads as gen 0 / batch=-1
+    (legacy / _COMPACT_MARK).write_text("7")
+    assert _compaction_state(io, str(legacy)) == (7, COMPACT_BASELINE, 0)
 
 
 def test_chargram_model_generalizes_to_unseen_tokens(spark):
