@@ -23,6 +23,7 @@ in the hot path.
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -272,6 +273,57 @@ def brute_force_topk(
     )
 
 
+#: shape-metadata sidecar inside every persisted ANN index (leading
+#: underscore: Spark's parquet reader ignores it, like _SUCCESS). A
+#: query issued with a mismatched shape (e.g. an lsh_tuned query
+#: against an lsh_deep index) would compute WRONG buckets and silently
+#: return wrong/empty neighbors — the meta check fails it loudly
+#: instead (ADVICE r11).
+_ANN_META = "_ann_meta.json"
+
+
+def _write_ann_meta(spark, path: str, meta: dict) -> None:
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+    io.replace(f"{path.rstrip('/')}/{_ANN_META}", json.dumps(meta))
+
+
+def _read_ann_meta(spark, path: str) -> dict | None:
+    """The persisted index's shape metadata, or None for a legacy
+    index built before the sidecar existed (validation is then
+    skipped — the caller owns the shape, as before)."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    try:
+        return json.loads(
+            io_for(path, spark).read_text(f"{path.rstrip('/')}/{_ANN_META}")
+        )
+    except FileNotFoundError:
+        return None
+
+
+def _check_ann_meta(spark, path: str, want: dict) -> None:
+    """Fail loudly when the persisted index's shape disagrees with the
+    caller's parameters on any key the caller states."""
+    meta = _read_ann_meta(spark, path)
+    if meta is None:
+        return
+    bad = {
+        k: (meta.get(k), v) for k, v in want.items() if meta.get(k) != v
+    }
+    if bad:
+        raise ValueError(
+            f"ANN index at {path} was built with a different shape: "
+            + ", ".join(
+                f"{k}: index has {got!r}, query expects {exp!r}"
+                for k, (got, exp) in sorted(bad.items())
+            )
+            + " — querying across shapes computes wrong buckets; "
+            "rebuild the index or use its build parameters"
+        )
+
+
 def build_lsh_index(
     emb: DataFrame,
     path: str,
@@ -290,8 +342,10 @@ def build_lsh_index(
     query plan; see ``query_lsh_index``). Rebuild cost is one narrow
     pass over the corpus per table. ``n_tables``/``n_planes`` pick the
     LSH shape — the audited ``lsh_tuned``/``lsh_deep`` routes persist
-    with their own parameters (``build_ann_index``); queries must use
-    the SAME shape (``query_lsh_index`` reads no shape metadata).
+    with their own parameters (``build_ann_index``); the shape lands
+    in the ``_ann_meta.json`` sidecar so a query issued with the
+    wrong parameters fails loudly instead of silently computing wrong
+    buckets.
     """
     v = F.col(vec_col).cast("array<double>")
     corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
@@ -308,6 +362,11 @@ def build_lsh_index(
     for t in tables[1:]:
         df = df.unionAll(t)
     df.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    _write_ann_meta(
+        emb.sparkSession,
+        path,
+        {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes},
+    )
 
 
 def append_lsh_index(
@@ -329,7 +388,14 @@ def append_lsh_index(
     by test). Append-only contract: ids must be NEW. An update/delete
     would have to find the row's OLD buckets (sign patterns of the old
     vector) to touch the right partitions — keep a vec_id→bucket
-    sidecar or rebuild the index for mutation-heavy corpora."""
+    sidecar or rebuild the index for mutation-heavy corpora. An
+    append with a shape different from the index's ``_ann_meta.json``
+    would land vectors in buckets no same-shape query probes — it
+    fails loudly before writing."""
+    spark = emb.sparkSession
+    _check_ann_meta(
+        spark, path, {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
+    )
     v = F.col(vec_col).cast("array<double>")
     corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
     tables = [
@@ -345,6 +411,12 @@ def append_lsh_index(
     for t in tables[1:]:
         df = df.unionAll(t)
     df.write.mode("append").partitionBy("table", "bucket").parquet(path)
+    if _read_ann_meta(spark, path) is None:  # legacy index: adopt the sidecar
+        _write_ann_meta(
+            spark,
+            path,
+            {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes},
+        )
 
 
 def query_lsh_index(
@@ -368,7 +440,15 @@ def query_lsh_index(
     every bucket within that many sign flips (computed driver-side —
     still a LITERAL bucket IN-list, still partition-pruned; h<=1 reads
     P+1 partitions per table instead of 1 and buys the recall
-    ann_multiprobe_topk measures)."""
+    ann_multiprobe_topk measures).
+
+    Shape safety: when the index carries ``_ann_meta.json`` (every
+    index built since the sidecar landed), a query whose
+    ``n_tables``/``n_planes`` disagree with the build parameters
+    raises instead of silently probing wrong buckets."""
+    _check_ann_meta(
+        spark, path, {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
+    )
     qv = [float(x) for x in query_vec]
 
     def bucket_of(table: int) -> str:
@@ -604,6 +684,9 @@ def build_ivf_index(
         ivf_list_of(v).alias("lst"),
     )
     corpus.write.mode("overwrite").partitionBy("lst").parquet(path)
+    _write_ann_meta(
+        emb.sparkSession, path, {"kind": "ivf", "n_lists": IVF_LISTS}
+    )
 
 
 def query_ivf_index(
@@ -621,7 +704,10 @@ def query_ivf_index(
     first-max wins), then ONLY those ``lst=`` partitions are scanned —
     the ``lst IN (...)`` literal becomes PartitionFilters in the plan,
     so I/O is proportional to the probed lists, not the corpus.
-    Candidates re-rank by exact cosine."""
+    Candidates re-rank by exact cosine. The ``_ann_meta.json``
+    sidecar (when present) must agree this is an IVF index with the
+    same list count — a mismatched query fails loudly."""
+    _check_ann_meta(spark, path, {"kind": "ivf", "n_lists": IVF_LISTS})
     qv = [float(x) for x in query_vec]
     dots = [_dot_py(qv, ivf_centroid(j)) for j in range(IVF_LISTS)]
     order = sorted(range(IVF_LISTS), key=lambda j: (-dots[j], j))

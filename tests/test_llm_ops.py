@@ -833,6 +833,65 @@ def test_build_and_query_ann_index_reject_unknown_routes(spark, tmp_path):
         sim.query_ann_index("nope", spark, str(tmp_path / "x"), [0.0] * 8)
 
 
+def test_ann_index_meta_guards_shape_mismatch(spark, tmp_path):
+    """ADVICE r11: the persisted index carries its build shape in an
+    _ann_meta.json sidecar; a query (or append) issued with a
+    mismatched shape computes wrong buckets, so it must fail LOUDLY —
+    only legacy indexes without the sidecar skip the check."""
+    import os
+
+    import pytest
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "idx_tuned")
+    sim.build_ann_index("lsh_tuned", emb, idx)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+
+    # right shape serves; wrong shape (deep params vs tuned index) raises
+    assert sim.query_ann_index("lsh_tuned", spark, idx, qv, k=3).count() == 3
+    with pytest.raises(ValueError, match="different shape"):
+        sim.query_ann_index("lsh_deep", spark, idx, qv, k=3)
+    with pytest.raises(ValueError, match="different shape"):
+        sim.query_lsh_index(spark, idx, qv, n_tables=2, n_planes=4)
+    # an IVF query against an LSH index is a kind mismatch, same guard
+    with pytest.raises(ValueError, match="different shape"):
+        sim.query_ivf_index(spark, idx, qv)
+    # a mismatched append fails BEFORE writing any wrongly-bucketed rows
+    with pytest.raises(ValueError, match="different shape"):
+        sim.append_lsh_index(
+            emb.limit(1), idx, n_tables=2, n_planes=4
+        )
+
+    # IVF index: same discipline in the other direction
+    ivf = str(tmp_path / "idx_ivf")
+    sim.build_ann_index("ivf", emb, ivf)
+    assert sim.query_ann_index("ivf", spark, ivf, qv, k=3).count() == 3
+    with pytest.raises(ValueError, match="different shape"):
+        sim.query_ann_index("lsh_tuned", spark, ivf, qv, k=3)
+
+    # legacy index (no sidecar): validation skips, caller owns the shape
+    os.unlink(os.path.join(idx, sim._ANN_META))
+    assert (
+        sim.query_ann_index("lsh_tuned", spark, idx, qv, k=3).count() == 3
+    )
+    # and an append to a legacy index adopts the sidecar going forward
+    sim.append_lsh_index(
+        spark.createDataFrame(
+            [(999_999, qv)], "vec_id long, embedding array<double>"
+        ),
+        idx,
+        n_tables=sim.LSH_TUNED_TABLES,
+        n_planes=sim.LSH_TUNED_PLANES,
+    )
+    assert sim._read_ann_meta(spark, idx) == {
+        "kind": "lsh",
+        "n_tables": sim.LSH_TUNED_TABLES,
+        "n_planes": sim.LSH_TUNED_PLANES,
+    }
+
+
 def test_trained_pq_codebook_honest_comparison(spark):
     """Per-subspace k-means PQ training (the faiss-standard path) is
     implemented, deterministic, and drop-in for pq_recall_table — and
