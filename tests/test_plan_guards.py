@@ -32,6 +32,7 @@ SIDE_EFFECTING = {
     "events_scd2_stream",  # drives a real streaming drain + scratch merges
     "docs_classifier_incremental",  # lands scratch count partitions + an atomic model table per wave
     "sim_ann_serve_ivf",  # builds a scratch persisted IVF index then serves from it
+    "sim_ann_serve_lsh",  # builds a scratch persisted tuned-LSH index then serves from it
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
