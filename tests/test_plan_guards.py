@@ -58,12 +58,40 @@ SCALAR_BROADCAST_OK = {
 }
 
 
+#: Driver-side planning ceiling (r11 verdict order #3). Three rounds
+#: running, a new operator shipped with a multi-second PER-CALL driver
+#: analysis/codegen tree (r10: the ~7k-node ANN audit panel fold; r11:
+#: the ~8k-node PQ encode literal) and was only caught in a bench
+#: read. This bounds the analyze+optimize+physical-planning wall of
+#: every registered query's RETURNED frame so the next constant-folded
+#: literal monster fails CI instead. Measured baseline (r12, sf0.001,
+#: uncontended local[32]): max 0.30 s (docs_classifier_chargram_skill),
+#: p50 ~0.03 s — the ceiling is 5x the max; the historical offenders
+#: measured 1.3-7 s. Construction-time jobs (iterative k-means/CC
+#: collects) are deliberately OUTSIDE the timer: this guards planning
+#: cost, which is what recurs.
+PLAN_COST_CEILING_SEC = 1.5
+
+
 @pytest.mark.parametrize(
     "name", [n for n in Q.all_queries() if n not in SIDE_EFFECTING]
 )
 def test_no_cartesian_and_no_unjustified_nested_loop(spark, name):
+    import time
+
     spec = Q.get(name)
-    plan = spec.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    df = spec.fn(spark, SF_SMALL)
+    t0 = time.monotonic()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    planning_wall = time.monotonic() - t0
+    assert planning_wall <= PLAN_COST_CEILING_SEC, (
+        f"{name} spends {planning_wall:.2f}s in driver-side plan"
+        " analysis/optimization (ceiling"
+        f" {PLAN_COST_CEILING_SEC}s) — the constant-folded-literal"
+        " expression-tree class; move the big side to an Arrow kernel"
+        " or the tiny side driver-side (see"
+        " functions/similarity._pq_reconstruct_arrow)"
+    )
     assert "CartesianProduct" not in plan, (
         f"{name} plans a CartesianProduct — quadratic at scale"
     )
