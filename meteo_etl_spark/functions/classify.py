@@ -156,15 +156,19 @@ def train_token_counts(
     return toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def model_from_counts(counts: DataFrame) -> DataFrame:
-    """Derive the (cls, tok, freq_ppm) model from (cls, tok, cnt)
-    rows — re-aggregating first, so count fragments from multiple
-    training increments fold exactly before the ppm quantization
-    (quantize-after-sum: ppm is taken once, over the true totals).
-    The summed counts' exchange is shared with the totals aggregate
-    via ReuseExchange (see :func:`train_token_centroids`)."""
+def model_from_counts(counts: DataFrame, *, token_col: str = "tok") -> DataFrame:
+    """Derive the (cls, <token_col>, freq_ppm) model from
+    (cls, <token_col>, cnt) rows — re-aggregating first, so count
+    fragments from multiple training increments fold exactly before
+    the ppm quantization (quantize-after-sum: ppm is taken once, over
+    the true totals). The summed counts' exchange is shared with the
+    totals aggregate via ReuseExchange (see
+    :func:`train_token_centroids`). ``token_col`` parameterizes the
+    feature column so the hashed-subword path
+    (:func:`train_char_ngram_centroids`, ``feat``) derives through the
+    SAME quantization code instead of a drifting copy (ADVICE r11)."""
     cnt = (
-        counts.groupBy("cls", "tok")
+        counts.groupBy("cls", token_col)
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     totals = cnt.groupBy("cls").agg(F.sum("cnt").alias("_total"))
@@ -172,7 +176,7 @@ def model_from_counts(counts: DataFrame) -> DataFrame:
         cnt.join(F.broadcast(totals), "cls")
         .select(
             "cls",
-            "tok",
+            token_col,
             F.expr(f"(cnt * CAST({WEIGHT_PPM} AS BIGINT)) div _total").alias(
                 "freq_ppm"
             ),
@@ -820,20 +824,11 @@ def train_char_ngram_centroids(
     character patterns (morphology, script, affixes) with the
     training classes, where the whole-token model can only answer
     ``(oov)``. Same one-pass training, same integer-ppm quantization,
-    same ReuseExchange plan shape."""
-    cnt = train_char_ngram_counts(
-        train, class_col=class_col, text_col=text_col
-    )
-    totals = cnt.groupBy("cls").agg(F.sum("cnt").alias("_total"))
-    return (
-        cnt.join(F.broadcast(totals), "cls")
-        .select(
-            "cls",
-            "feat",
-            F.expr(f"(cnt * CAST({WEIGHT_PPM} AS BIGINT)) div _total").alias(
-                "freq_ppm"
-            ),
-        )
+    same ReuseExchange plan shape — literally the same derivation code
+    (:func:`model_from_counts` with ``token_col="feat"``)."""
+    return model_from_counts(
+        train_char_ngram_counts(train, class_col=class_col, text_col=text_col),
+        token_col="feat",
     )
 
 

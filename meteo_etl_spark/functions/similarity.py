@@ -725,6 +725,23 @@ def query_ivf_index(
     )
 
 
+def _codes_from_rows(
+    rows, *, n_sub: int, sub_dim: int
+) -> list[list[list[float]]]:
+    """Reshape collected ``(…, v)`` rows into ``codes[m][c]`` (the
+    per-subspace chunk of row ``c``) — the ONE reshape shared by
+    :func:`sampled_pq_codebook`, :func:`pq_audit_sampled` and the
+    spherical trainer's seeding, so the layouts can never drift
+    (ADVICE r11)."""
+    return [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in rows
+        ]
+        for m in range(n_sub)
+    ]
+
+
 def sampled_pq_codebook(
     emb: DataFrame,
     *,
@@ -747,13 +764,7 @@ def sampled_pq_codebook(
         .limit(n_codes)
         .collect()
     )
-    return [
-        [
-            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
-            for r in rows
-        ]
-        for m in range(n_sub)
-    ]
+    return _codes_from_rows(rows, n_sub=n_sub, sub_dim=sub_dim)
 
 
 def trained_pq_codebook(
@@ -783,10 +794,14 @@ def trained_pq_codebook(
     reconstructions toward the subspace mean, distorting norms and
     directions); near-random sf0.1: sampled 0.26 vs trained 0.16-0.20
     across 3-10 iterations, re-rank recall statistically identical.
-    The standard remedy for inner-product/cosine PQ is spherical
-    k-means or residual normalization — intentionally NOT implemented
-    until a corpus that needs it exists; pick the sampled codebook
-    for cosine workloads."""
+    The standard remedy for inner-product/cosine PQ — spherical
+    k-means — is :func:`spherical_pq_codebook` (r12): on a
+    cross-cluster query panel it flips the direction (spherical >
+    sampled > Lloyd, pinned by
+    ``test_spherical_pq_codebook_flips_the_cosine_direction``); the
+    lowest-id panel remains a memorization special case the sampled
+    codebook wins by construction (codes ARE the panel's own cluster
+    members)."""
     from meteo_etl_spark.functions.clustering import QUANT, kmeans_fit
 
     v = F.col(vec_col).cast("array<double>")
@@ -803,6 +818,126 @@ def trained_pq_codebook(
     return out
 
 
+def _unit(vec: list[float]) -> list[float] | None:
+    n2 = sum(x * x for x in vec)
+    if n2 <= 0.0:
+        return None
+    n = n2 ** 0.5
+    return [x / n for x in vec]
+
+
+def spherical_pq_codebook(
+    emb: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook by per-subspace SPHERICAL
+    k-means — the documented remedy for the r11 honest result that
+    L2-trained (Lloyd) codes lose the COSINE ranking to the sampled
+    baseline (r12 verdict order #4).
+
+    Why Lloyd loses on cosine: averaging shrinks each centroid toward
+    its subspace mean, so different vectors' reconstructions shrink by
+    different amounts and the reconstruction NORM becomes a ranking
+    signal it never was. Spherical k-means removes the norm channel
+    entirely: every centroid is L2-normalized after each update, so
+    every reconstruction is a concat of ``n_sub`` unit chunks with the
+    IDENTICAL norm ``sqrt(n_sub)`` — ADC cosine then ranks purely by
+    direction. Assignment needs no new encoder: for unit-norm codes
+    argmin-L2 IS argmax-dot (:func:`_pq_best_code`), so the trained
+    codebook is drop-in for :func:`pq_reconstruct` /
+    :func:`_pq_reconstruct_arrow` / :func:`pq_recall_table` with their
+    bit-exactness properties untouched.
+
+    Determinism at any partitioning: member sums are accumulated over
+    the INTEGER-quantized chunks (``floor(x·QUANT)`` — the
+    clustering-module discipline), so the shuffle's combine order
+    cannot perturb the mean direction; normalization happens once,
+    driver-side, on the exact integer sums. Seeding is the sampled
+    codebook (lowest-id chunks), normalized — training can only
+    refine the baseline it is compared against. Empty clusters keep
+    their previous centroid; a zero-norm mean (impossible for real
+    encoders, possible for padded dims) keeps the previous centroid
+    too. Cost: ``n_sub × iters`` bounded-state passes, k·dim driver
+    state — same offline index-build envelope as
+    :func:`trained_pq_codebook`."""
+    from meteo_etl_spark.functions.clustering import QUANT, quantize
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    base = base.persist()
+    try:
+        seed_rows = base.orderBy("vec_id").limit(n_codes).collect()
+        seeds = _codes_from_rows(seed_rows, n_sub=n_sub, sub_dim=sub_dim)
+        out = []
+        for m in range(n_sub):
+            chunk = base.select(
+                F.slice(F.col("v"), m * sub_dim + 1, sub_dim).alias("ch")
+            )
+            cents = [_unit(c) or list(c) for c in seeds[m]]
+            for _ in range(iters):
+                lit = F.lit(cents)
+                stats = (
+                    chunk.select(
+                        _pq_best_code(F.col("ch"), lit).alias("code"),
+                        quantize(F.col("ch")).alias("qch"),
+                    )
+                    .groupBy("code")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        *[
+                            F.sum(F.element_at("qch", d + 1)).alias(f"s{d}")
+                            for d in range(sub_dim)
+                        ],
+                    )
+                )
+                rows = {int(r["code"]): r for r in stats.collect()}
+                new_cents = []
+                for j in range(n_codes):
+                    r = rows.get(j)
+                    if r is None:
+                        new_cents.append(cents[j])  # empty cluster: keep
+                        continue
+                    n = int(r["n"]) * QUANT
+                    mean = [int(r[f"s{d}"]) / n for d in range(sub_dim)]
+                    new_cents.append(_unit(mean) or cents[j])
+                cents = new_cents
+            out.append(cents)
+        return out
+    finally:
+        base.unpersist()
+
+
+def _pq_best_code(ch: Column, codes_lit: Column) -> Column:
+    """0-based argmin-squared-L2 code id of chunk ``ch`` over a code
+    literal (struct-min: ties → lowest code id — the tie order both
+    engines and the Arrow kernel share). For UNIT-NORM codes,
+    ``argmin |ch-c|² = argmin (|ch|² - 2·ch·c + 1) = argmax ch·c`` —
+    the property that lets :func:`spherical_pq_codebook` reuse the
+    existing L2 encoder unchanged for cosine workloads."""
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    best = F.array_min(
+        F.transform(
+            codes_lit,
+            lambda c, i: F.struct(
+                fold(
+                    F.zip_with(ch, c, lambda x, y: (x - y) * (x - y))
+                ).alias("d"),
+                i.alias("i"),
+            ),
+        )
+    )
+    return best.getField("i")
+
+
 def pq_reconstruct(vcol: Column, codes: list[list[list[float]]]) -> Column:
     """PQ-encode-then-reconstruct as ONE expression: per subspace,
     argmin-L2 over that subspace's code literal (ties → lowest code
@@ -812,26 +947,11 @@ def pq_reconstruct(vcol: Column, codes: list[list[list[float]]]) -> Column:
     runs at scan time from the broadcast codebook)."""
     n_sub = len(codes)
     sub_dim = len(codes[0][0])
-
-    def fold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
     parts = []
     for m in range(n_sub):
         lit = F.lit(codes[m])
         ch = F.slice(vcol, m * sub_dim + 1, sub_dim)
-        best = F.array_min(
-            F.transform(
-                lit,
-                lambda c, i: F.struct(
-                    fold(
-                        F.zip_with(ch, c, lambda x, y: (x - y) * (x - y))
-                    ).alias("d"),
-                    i.alias("i"),
-                ),
-            )
-        )
-        parts.append(F.element_at(lit, best.getField("i") + 1))
+        parts.append(F.element_at(lit, _pq_best_code(ch, lit) + 1))
     return F.concat(*parts)
 
 
@@ -932,13 +1052,7 @@ def pq_audit_sampled(
         .limit(n_codes)
         .collect()
     )
-    codes = [
-        [
-            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
-            for r in rows
-        ]
-        for m in range(n_sub)
-    ]
+    codes = _codes_from_rows(rows, n_sub=n_sub, sub_dim=sub_dim)
     return pq_recall_table(
         emb,
         codes,

@@ -928,6 +928,59 @@ def test_trained_pq_codebook_honest_comparison(spark):
     assert s_rr == t_rr == 50, (s_rr, t_rr)
 
 
+def test_spherical_pq_codebook_flips_the_cosine_direction(spark):
+    """r12 verdict order #4: the documented remedy for the r11 honest
+    negative result. Spherical k-means (unit-norm centroids, integer-
+    quantized member sums) removes the reconstruction-norm channel
+    Lloyd's averaging corrupts: every reconstruction is a concat of
+    unit chunks with identical norm sqrt(n_sub), so ADC cosine ranks
+    purely by direction. On a CROSS-CLUSTER query panel (one query per
+    cluster — the corpus-wide audit, not the lowest-id panel whose
+    neighborhood the sampled codes memorize by construction) the
+    direction flips: spherical > sampled AND spherical > Lloyd. All
+    quantities here are deterministic (seeded fixture, integer member
+    sums, first-min tie order), so the pin is exact."""
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = _clustered_embeddings(spark)
+    kw = dict(n_sub=8, sub_dim=8, n_codes=32)
+    spherical = sim.spherical_pq_codebook(emb, iters=3, **kw)
+    # deterministic: the builder reproduces exactly
+    assert spherical == sim.spherical_pq_codebook(emb, iters=3, **kw)
+    # every centroid is unit-norm -> every reconstruction norm is
+    # exactly sqrt(n_sub): the property that makes ADC rank by
+    # direction alone (and makes argmin-L2 encoding == argmax-dot)
+    for m, cm in enumerate(spherical):
+        assert len(cm) == 32
+        for c in cm:
+            assert abs(sum(x * x for x in c) - 1.0) < 1e-9, (m, c)
+
+    # one query per cluster: ids 0, 25, ..., 225
+    rows = (
+        emb.filter(F.col("vec_id").isin([25 * j for j in range(10)]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    panel = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows]
+
+    def adc(codes):
+        t = sim.pq_recall_table(
+            emb, codes, n_queries=10, k=5, n_cand=50, panel_rows=panel
+        ).collect()
+        return sum(r["n_hit_adc"] for r in t), sum(r["n_hit_rerank"] for r in t)
+
+    s_adc, s_rr = adc(sim.sampled_pq_codebook(emb, **kw))
+    l_adc, l_rr = adc(sim.trained_pq_codebook(emb, iters=3, **kw))
+    p_adc, p_rr = adc(spherical)
+    assert p_adc > s_adc, (p_adc, s_adc)
+    assert p_adc > l_adc, (p_adc, l_adc)
+    # exact re-rank still recovers full recall under every codebook —
+    # the candidate-scan + re-rank shape carries the serving path
+    assert s_rr == l_rr == p_rr == 50, (s_rr, l_rr, p_rr)
+
+
 def test_pq_reconstruct_paths_are_bit_identical(spark):
     """The Arrow PQ-encode kernel must reproduce the expression path
     BIT-exactly (same sequential IEEE fold order, same first-min tie
