@@ -63,12 +63,20 @@ def main() -> int:
     eval_sep = inject_class_signal(eval_docs, class_col="lang")
     model_sep = train_token_centroids(train_sep, class_col="lang")
 
+    from meteo_etl_spark.functions import dedup as dd
+    from meteo_etl_spark.operators.parallelism import fan_out
+
     rc = 0
     for substring, classifier, injected in (
         (False, False, False),
         (True, False, False),
         (False, True, False),
         (False, True, True),
+        # r12 (verdict order #5): the COMBINED variant — substring
+        # excision AND the classifier over the injected corpus, so the
+        # full-chain interaction (excised text feeding the classifier
+        # stage) runs at sf0.1, not just pytest scale.
+        (True, True, True),
     ):
         out = tempfile.mkdtemp(prefix="curate_soak_")
         use_train = train_sep if injected else train
@@ -85,6 +93,12 @@ def main() -> int:
                 classifier_keep=("en",) if classifier else (),
             )
             wall = time.monotonic() - t0
+            # the text form the ledger judged: excised when stage 2b ran
+            judged = use_train
+            if substring:
+                judged = dd.excise_duplicate_spans(
+                    fan_out(use_train)
+                ).select("doc_id", "text")
             # reconciliation 1: every input doc has exactly one reason
             assert sum(stats.reasons.values()) == n_train, stats.reasons
             # reconciliation 2: splits partition the kept set
@@ -111,17 +125,61 @@ def main() -> int:
                 bad = [d for d in shipped if led[d] not in ("kept",)]
                 assert not bad, bad[:5]
             # reconciliation 5 (classifier variant): every shipped doc
-            # is predicted 'en' by the same published model
+            # is predicted 'en' by the same published model — scored
+            # on the text form the ledger judged (the EXCISED text
+            # when substring ran: the stage-ordering contract,
+            # pipeline/curate.py)
             if classifier and shipped:
                 preds = {
                     r["doc_id"]: r["pred_cls"]
                     for r in score_documents(
-                        use_train.where(F.col("doc_id").isin(list(shipped))),
+                        judged.where(F.col("doc_id").isin(list(shipped))),
                         use_model,
                     ).collect()
                 }
                 bad = [d for d in shipped if preds.get(d) != "en"]
                 assert not bad, bad[:5]
+            # reconciliation 7 (combined variant, r12): the classifier
+            # stage judged the EXCISED text, not the raw text — replay
+            # the ledger externally with the same inputs and check the
+            # classifier_reject set against predictions on BOTH forms.
+            combo_note = ""
+            if substring and classifier:
+                ext_rewritten = dd.excise_duplicate_spans(fan_out(use_train))
+                ext_led = {
+                    r.doc_id: r.reason
+                    for r in drop_ledger(
+                        use_train,
+                        use_eval,
+                        rewritten=ext_rewritten,
+                        classifier_model=use_model,
+                        classifier_keep=("en",),
+                    ).collect()
+                }
+                from collections import Counter
+
+                assert dict(Counter(ext_led.values())) == dict(
+                    stats.reasons
+                ), (Counter(ext_led.values()), stats.reasons)
+                pred_exc = {
+                    r["doc_id"]: r["pred_cls"]
+                    for r in score_documents(judged, use_model).collect()
+                }
+                pred_raw = {
+                    r["doc_id"]: r["pred_cls"]
+                    for r in score_documents(use_train, use_model).collect()
+                }
+                rej = [d for d, why in ext_led.items()
+                       if why == "classifier_reject"]
+                bad = [d for d in rej if pred_exc[d] == "en"]
+                assert not bad, (
+                    "classifier_reject despite excised-text pred=en "
+                    f"(stage judged the wrong form): {bad[:5]}"
+                )
+                n_diff = sum(
+                    1 for d in pred_exc if pred_exc[d] != pred_raw.get(d)
+                )
+                combo_note = f" raw-vs-excised pred diffs={n_diff}"
             # reconciliation 6 (skill variant): on the separable
             # corpus the stage must actually separate — corpus-wide
             # prediction/label agreement well above the 5-class 20%
@@ -150,6 +208,7 @@ def main() -> int:
                 f"substring={'on' if substring else 'off'}"
                 f", classifier={'en' if classifier else 'off'}"
                 f"{', corpus=injected' if injected else ''}{skill_note}"
+                f"{combo_note}"
             )
             reasons = dict(sorted(stats.reasons.items()))
             lines.append(
