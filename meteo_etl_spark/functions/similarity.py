@@ -1166,6 +1166,227 @@ def pq_recall_table(
     )
 
 
+def pq_encode(vcol: Column, codes: list[list[list[float]]]) -> Column:
+    """PQ-encode a vector to its ``n_sub`` code IDS (array<int>) — the
+    stored form of a quantized index entry (``n_sub`` small ints per
+    vector instead of the full float vector). Same argmin/tie order as
+    :func:`pq_reconstruct` (they share :func:`_pq_best_code`)."""
+    n_sub = len(codes)
+    sub_dim = len(codes[0][0])
+    ids = []
+    for m in range(n_sub):
+        ch = F.slice(vcol, m * sub_dim + 1, sub_dim)
+        ids.append(_pq_best_code(ch, F.lit(codes[m])).cast("int"))
+    return F.array(*ids)
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codes: list[list[list[float]]],
+    *,
+    vec_col: str = "v",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Arrow twin of :func:`pq_encode` with BIT-IDENTICAL code ids:
+    the same sequential squared-L2 fold per dimension from 0.0 and
+    ``np.argmin`` first-minimum tie order as
+    :func:`_pq_reconstruct_arrow` — it just emits the argmin INDEX
+    instead of gathering the code vector. Used by
+    :func:`build_ivfpq_index` above the same fold threshold as the
+    reconstruction kernel (the encode literal tree is the r11 driver-
+    cost offender; the kernel keeps the build plan one MapInPandas)."""
+    import numpy as np
+
+    n_sub = len(codes)
+    sub_dim = len(codes[0][0])
+    codes_np = [np.asarray(cm, dtype=np.float64) for cm in codes]
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+        + f", {out_col} array<int>"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            ids = np.empty((V.shape[0], n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                C = codes_np[m]
+                ch = V[:, m * sub_dim : (m + 1) * sub_dim]
+                acc = np.zeros((ch.shape[0], C.shape[0]), dtype=np.float64)
+                for d in range(sub_dim):
+                    diff = ch[:, d, None] - C[None, :, d]
+                    acc = acc + diff * diff
+                ids[:, m] = np.argmin(acc, axis=1)
+            out = {f.name: pdf[f.name] for f in in_schema}
+            out[out_col] = list(ids)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF-PQ inverted file — the faiss
+    serving architecture and THE memory lever at 100 TB: each entry
+    stores ``(vec_id, codes)`` where ``codes`` is the vector's
+    ``n_sub`` PQ code ids (conceptually ``n_sub`` bytes vs 256 B fp32;
+    the full float vector is NOT in the index — exact re-rank fetches
+    it from the primary store by id). Entries land under their
+    argmax-dot IVF list (``lst=<k>`` partitions, same routing as
+    :func:`build_ivf_index`), the deterministic sampled codebook rides
+    in the ``_ann_meta.json`` sidecar, and a query is a partition-
+    pruned scan of ``nprobe`` lists scoring candidates from two tiny
+    per-query lookup tables (:func:`query_ivfpq_index`).
+
+    Encode goes through the Arrow kernel above the same fold threshold
+    as the audit path (:func:`_pq_encode_arrow` — bit-exact, pinned);
+    the codebook is sampled (lowest-id chunks) so the DuckDB oracle of
+    ``sim_ann_serve_ivfpq`` replays the ENTIRE index deterministically
+    in SQL. Swap in :func:`spherical_pq_codebook` output for cosine-
+    heavy corpora once data-dependent codebooks are acceptable (the
+    index format is identical)."""
+    codes = sampled_pq_codebook(
+        emb, n_sub=n_sub, sub_dim=sub_dim, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        ivf_list_of(v).alias("lst"),
+    )
+    if n_sub * n_codes >= PQ_ARROW_MIN_FOLDS and _HAVE_NUMPY:
+        enc = _pq_encode_arrow(base, codes, vec_col="v", out_col="codes")
+    else:
+        enc = base.withColumn("codes", pq_encode(F.col("v"), codes))
+    (
+        enc.select("vec_id", "codes", "lst")
+        .write.mode("overwrite")
+        .partitionBy("lst")
+        .parquet(path)
+    )
+    _write_ann_meta(
+        emb.sparkSession,
+        path,
+        {
+            "kind": "ivfpq",
+            "n_lists": IVF_LISTS,
+            "n_sub": n_sub,
+            "sub_dim": sub_dim,
+            "n_codes": n_codes,
+            "codebook": codes,
+        },
+    )
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    emb_full: DataFrame,
+    *,
+    k: int = 5,
+    n_cand: int = 100,
+    nprobe: int = IVF_NPROBE,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from an IVF-PQ index: probe lists and the per-query
+    ADC LOOKUP TABLES are computed driver-side (``n_sub × n_codes``
+    dot products on constants — the classic ADC trick), the pruned
+    scan scores each candidate with ``2·n_sub`` literal lookups and a
+    sequential fold (NO per-row vector math — the index doesn't even
+    contain vectors), the top ``n_cand`` ADC candidates re-rank by
+    exact cosine against the PRIMARY store (``emb_full``, joined by
+    id — candidates are k-row tiny, so the join broadcasts), and the
+    exact top-k ships. I/O: ``nprobe`` partitions of ``n_sub``-byte
+    codes + ``n_cand`` full vectors — at 100 TB this is the difference
+    between scanning terabytes of floats and megabytes of codes.
+
+    FP discipline (oracle parity): LUT entries are driver-side Python
+    folds (:func:`_dot_py` — IEEE doubles, engine fold order), the
+    candidate score folds LUT entries sequentially in subspace order
+    from 0.0, and ADC ties break on vec_id — every value bit-matches
+    the DuckDB replay in ``sim_ann_serve_ivfpq``'s oracle."""
+    import math
+
+    meta = _read_ann_meta(spark, path)
+    if meta is None or meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"no IVF-PQ index at {path} (meta: "
+            f"{None if meta is None else meta.get('kind')!r})"
+        )
+    _check_ann_meta(spark, path, {"kind": "ivfpq", "n_lists": IVF_LISTS})
+    codes = meta["codebook"]
+    n_sub = int(meta["n_sub"])
+    sub_dim = int(meta["sub_dim"])
+
+    qv = [float(x) for x in query_vec]
+    dots = [_dot_py(qv, ivf_centroid(j)) for j in range(IVF_LISTS)]
+    order = sorted(range(IVF_LISTS), key=lambda j: (-dots[j], j))
+    probes = [j + 1 for j in order[:nprobe]]
+    # per-query ADC lookup tables: dot(code, q_chunk) and |code|² per
+    # (subspace, code id) — n_sub·n_codes scalars on constants
+    lut_dot = [
+        [_dot_py(c, qv[m * sub_dim : (m + 1) * sub_dim]) for c in codes[m]]
+        for m in range(n_sub)
+    ]
+    lut_nrm = [[_dot_py(c, c) for c in codes[m]] for m in range(n_sub)]
+    q_norm = math.sqrt(_dot_py(qv, qv))
+
+    cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+
+    def lut_fold(lut):
+        table = F.lit(lut)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at(table, m + 1),
+                F.element_at(F.col("codes"), m + 1) + 1,
+            ),
+        )
+
+    adc = cand.select(
+        "vec_id",
+        (
+            lut_fold(lut_dot)
+            / (F.sqrt(lut_fold(lut_nrm)) * F.lit(q_norm))
+        ).alias("s_adc"),
+    )
+    short = adc.orderBy(F.desc("s_adc"), "vec_id").limit(n_cand)
+    v = F.col(vec_col).cast("array<double>")
+    full = fan_out(emb_full).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    qcol = F.array(*[F.lit(x) for x in qv])
+    return (
+        full.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 #: the audited serving routes and their persisted-index parameters —
 #: what `build_ann_index`/`query_ann_index` dispatch on. The brute
 #: route needs no index (it IS the exact scan).

@@ -4500,6 +4500,137 @@ def emb_pq_audit(spark, sf_dir):
     )
 
 
+# Shared PQ-encode CTEs (codebook -> per-subspace chunks -> argmin
+# code ids), the exact text emb_pq_audit certifies — reused by the
+# IVF-PQ serve oracle below.
+_DUCK_PQ_ENC = f"""
+    ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {PQ_K})),
+    cbm AS (SELECT m, cid, cv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS cv
+            FROM cb, ms),
+    vm AS (SELECT vec_id, m, v[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS ch
+           FROM v, ms),
+    dist AS (SELECT vm.vec_id, vm.m, cbm.cid,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, {PQ_SUB + 1}),
+                        i -> (ch[i] - cv[i]) * (ch[i] - cv[i]))),
+                      (acc, x) -> acc + x) AS d
+             FROM vm JOIN cbm USING (m)),
+    enc AS (SELECT vec_id, m, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d, cid) AS rk
+              FROM dist) WHERE rk = 1)"""
+
+_DUCK_SUB_FOLD = (
+    "list_reduce(list_prepend(0.0, "
+    f"list_transform(range(1, {PQ_SUB + 1}), i -> {{terms}})), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "sim_ann_serve_ivfpq",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_DUCK_PQ_ENC},
+    c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    asn AS (SELECT vec_id, list_position(d, list_max(d)) AS lst, d FROM c),
+    q0 AS (SELECT v.v AS qv, a.lst AS p1, a.d AS qd
+           FROM v JOIN asn a USING (vec_id) WHERE vec_id = 0),
+    q AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM q0),
+    qm AS (SELECT m, qv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qch
+           FROM q, ms),
+    lut AS (SELECT cbm.m, cbm.cid,
+                   {_DUCK_SUB_FOLD.format(terms='cv[i] * qch[i]')} AS dq,
+                   {_DUCK_SUB_FOLD.format(terms='cv[i] * cv[i]')} AS nn
+            FROM cbm JOIN qm USING (m)),
+    sc AS (SELECT e.vec_id,
+                  list_reduce(list_prepend(0.0, list(l.dq ORDER BY e.m)),
+                              (acc, x) -> acc + x) AS num,
+                  list_reduce(list_prepend(0.0, list(l.nn ORDER BY e.m)),
+                              (acc, x) -> acc + x) AS nrm2
+           FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+           GROUP BY e.vec_id),
+    cand AS (SELECT s.vec_id,
+                    s.num / (sqrt(s.nrm2)
+                             * sqrt({_duck_fold('qv[i] * qv[i]')})) AS s_adc
+             FROM sc s JOIN asn a ON a.vec_id = s.vec_id, q
+             WHERE s.vec_id <> 0 AND (a.lst = q.p1 OR a.lst = q.p2)),
+    short AS (SELECT vec_id FROM cand
+              ORDER BY s_adc DESC, vec_id LIMIT {PQ_CAND}),
+    rr AS (SELECT v.vec_id,
+                  {_duck_dot('v', 'qv')}
+                    / (sqrt({_duck_dot('v', 'v')})
+                       * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+           FROM v JOIN short USING (vec_id), q)
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM rr
+    ORDER BY sim_raw DESC, vec_id LIMIT {PQ_TOPK}""",
+    doc="IVF-PQ persisted serving certification (r12, composing the "
+    "two certified halves into the faiss serving architecture — THE "
+    f"memory lever at 100 TB): build_ivfpq_index lands (vec_id, "
+    f"{PQ_M} PQ code ids) — NOT the float vectors — under lst=<k> "
+    "IVF partitions with the deterministic sampled codebook in the "
+    "_ann_meta.json sidecar; query_ivfpq_index computes the nprobe "
+    "probe lists AND the per-query ADC lookup tables driver-side "
+    f"({PQ_M}x{PQ_K} dots on constants), scores each candidate in the "
+    f"pruned scan with 2x{PQ_M} literal lookups + a sequential fold "
+    "(no per-row vector math — the index holds no vectors), exact-"
+    f"re-ranks the top {PQ_CAND} ADC candidates against the PRIMARY "
+    "store (broadcast id join: candidates are k-row tiny), and ships "
+    "the exact top-5. The query RAISES unless the executed plan "
+    "carries non-empty PartitionFilters. I/O at scale: nprobe "
+    f"partitions of {PQ_M}-byte codes + {PQ_CAND} full vectors, vs "
+    "terabytes of floats for a full-vector index. The oracle replays "
+    "the ENTIRE route in SQL — sampled codebook, argmin encode, IVF "
+    "probe arithmetic, LUT folds in subspace order, ADC shortlist, "
+    "exact re-rank — so a hash match certifies the persisted index "
+    "bit-for-bit. Side-effecting (scratch index, removed in-query).",
+)
+def sim_ann_serve_ivfpq(spark, sf_dir):
+    import re
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="annserveivfpq_")
+    try:
+        sim.build_ivfpq_index(
+            emb, f"{scratch}/idx", n_sub=PQ_M, sub_dim=PQ_SUB, n_codes=PQ_K
+        )
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        got = sim.query_ivfpq_index(
+            spark,
+            f"{scratch}/idx",
+            qv,
+            emb,
+            k=PQ_TOPK,
+            n_cand=PQ_CAND,
+            exclude_id=0,
+        )
+        # two scans in this plan: the primary store (unpartitioned, an
+        # empty PartitionFilters) and the IVF-PQ index — at least one
+        # must carry the pruned lst IN (...) filter
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        hits = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if not any(h.strip() for h in hits):
+            raise RuntimeError(
+                "persisted IVF-PQ serve is not partition-pruned:\n" + plan
+            )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 @query(
     "events_key_skew_report",
     """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

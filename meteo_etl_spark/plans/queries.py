@@ -1869,9 +1869,10 @@ _DEFERRED: tuple[str, ...] = (
     "docs_datasheet",  # corpus datasheet census: docs_drift_report share shapes stay (in-window r8-r11)
     "docs_bigram_fluency",  # bigram-LM scoring: docs_oov_rate vocab-join shapes stay (in-window r8-r11)
     "emb_dim_corr",  # dimension correlation: emb_outliers + emb_pca_variance moment folds stay (in-window r8-r11)
-    # New in round 12, deferred at birth (oracle-verified at sf0.001
-    # AND sf0.01 in-session). ROUND-13 ROTATION BACKLOG:
+    # New in round 12, deferred at birth (each oracle-verified at
+    # sf0.001 AND sf0.01 in-session). ROUND-13 ROTATION BACKLOG:
     "sim_ann_serve_lsh",  # persisted tuned-LSH serving == in-memory route, pruning asserted in-query; side-effecting twin of sim_ann_serve_ivf (never)
+    "sim_ann_serve_ivfpq",  # IVF-PQ codes-only inverted file + driver-side ADC LUTs + exact re-rank from the primary store; side-effecting (never)
 )
 
 

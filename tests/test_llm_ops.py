@@ -928,6 +928,73 @@ def test_trained_pq_codebook_honest_comparison(spark):
     assert s_rr == t_rr == 50, (s_rr, t_rr)
 
 
+def test_ivfpq_index_mechanics_and_encode_parity(spark, tmp_path):
+    """IVF-PQ serving mechanics (the result values are hash-certified
+    by the sim_ann_serve_ivfpq oracle): codes-only storage, meta
+    kind/shape guards in both directions, re-rank against the primary
+    store, and bit-identical code ids from the expression and Arrow
+    encoders."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(emb, idx, n_sub=8, sub_dim=8, n_codes=32)
+
+    # the index holds code ids and the routing key — never the vectors
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"vec_id", "codes", "lst"}
+    n = stored.count()
+    assert n == emb.count()
+    meta = sim._read_ann_meta(spark, idx)
+    assert meta["kind"] == "ivfpq" and len(meta["codebook"]) == 8
+
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+    got = sim.query_ivfpq_index(
+        spark, idx, qv, emb, k=5, n_cand=50, exclude_id=0
+    ).collect()
+    assert len(got) == 5
+    # exact re-rank from the primary store: with n_cand covering most
+    # of the probed lists, the served top-1 matches brute force often;
+    # assert the weaker, always-true contract — every served sim is a
+    # genuine exact cosine of a real corpus vector (spot-check top-1)
+    top1 = got[0]
+    brute = {
+        r.vec_id: r.sim
+        for r in sim.brute_force_topk(emb, query_id=0, k=50).collect()
+    }
+    assert top1.vec_id in brute and brute[top1.vec_id] == top1.sim
+
+    # kind guards, both directions
+    with pytest.raises(ValueError, match="different shape"):
+        sim.query_ivf_index(spark, idx, qv)
+    ivf = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, ivf)
+    with pytest.raises(ValueError, match="no IVF-PQ index"):
+        sim.query_ivfpq_index(spark, ivf, qv, emb)
+
+    # expression and Arrow encoders agree on every code id
+    codes = sim.sampled_pq_codebook(emb, n_sub=8, sub_dim=8, n_codes=32)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    via_expr = {
+        r["vec_id"]: list(r["c"])
+        for r in base.select(
+            "vec_id", sim.pq_encode(F.col("v"), codes).alias("c")
+        ).collect()
+    }
+    via_arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim._pq_encode_arrow(base, codes).select(
+            "vec_id", "codes"
+        ).collect()
+    }
+    assert via_expr == via_arrow
+
+
 def test_spherical_pq_codebook_flips_the_cosine_direction(spark):
     """r12 verdict order #4: the documented remedy for the r11 honest
     negative result. Spherical k-means (unit-norm centroids, integer-

@@ -33,6 +33,7 @@ SIDE_EFFECTING = {
     "docs_classifier_incremental",  # lands scratch count partitions + an atomic model table per wave
     "sim_ann_serve_ivf",  # builds a scratch persisted IVF index then serves from it
     "sim_ann_serve_lsh",  # builds a scratch persisted tuned-LSH index then serves from it
+    "sim_ann_serve_ivfpq",  # builds a scratch persisted IVF-PQ (codes-only) index then serves from it
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
