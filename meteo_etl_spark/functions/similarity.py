@@ -1239,6 +1239,7 @@ def build_ivfpq_index(
     n_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 32,
+    codebook: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -1255,16 +1256,28 @@ def build_ivfpq_index(
     per-query lookup tables (:func:`query_ivfpq_index`).
 
     Encode goes through the Arrow kernel above the same fold threshold
-    as the audit path (:func:`_pq_encode_arrow` — bit-exact, pinned);
-    the codebook is sampled (lowest-id chunks) so the DuckDB oracle of
-    ``sim_ann_serve_ivfpq`` replays the ENTIRE index deterministically
-    in SQL. Swap in :func:`spherical_pq_codebook` output for cosine-
-    heavy corpora once data-dependent codebooks are acceptable (the
-    index format is identical)."""
-    codes = sampled_pq_codebook(
-        emb, n_sub=n_sub, sub_dim=sub_dim, n_codes=n_codes,
-        id_col=id_col, vec_col=vec_col,
+    as the audit path (:func:`_pq_encode_arrow` — bit-exact, pinned).
+    The default codebook is sampled (lowest-id chunks) so the DuckDB
+    oracle of ``sim_ann_serve_ivfpq`` replays the ENTIRE index
+    deterministically in SQL; pass ``codebook=`` (e.g.
+    :func:`spherical_pq_codebook` output) for cosine-heavy corpora —
+    the index format, meta sidecar and query path are identical."""
+    codes = (
+        codebook
+        if codebook is not None
+        else sampled_pq_codebook(
+            emb, n_sub=n_sub, sub_dim=sub_dim, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
+    if len(codes) != n_sub or any(len(cm) != n_codes for cm in codes) or any(
+        len(c) != sub_dim for cm in codes for c in cm
+    ):
+        raise ValueError(
+            f"codebook shape {len(codes)}x"
+            f"{len(codes[0]) if codes else 0} does not match "
+            f"n_sub={n_sub}, n_codes={n_codes}, sub_dim={sub_dim}"
+        )
     v = F.col(vec_col).cast("array<double>")
     base = fan_out(emb).select(
         F.col(id_col).alias("vec_id"),

@@ -205,3 +205,110 @@ def certify_quantile_rank(
         rank_tol=rank_tol,
         context=f"{context}: estimate {estimate}",
     )
+
+
+#: Count-min sketch shape. width=64 keeps the demonstration honest at
+#: test scale — collisions are visible, so the one-sided overestimate
+#: property actually exercises; production picks width ≈ e/ε for an
+#: ε·N additive bound and depth ≈ ln(1/δ) for failure probability δ.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_probe(key: Column, d: int, width: int) -> Column:
+    """Row-``d`` CMS bucket of a key: the shared 32-bit md5 idiom with
+    a per-depth seed prefix (``cms<d>:``) — deterministic, identical
+    in both engines, so the sketch itself is oracle-replayable."""
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
+    return hash_bucket(
+        F.concat(F.lit(f"cms{d}:"), key.cast("string")), width
+    )
+
+
+def cms_rollup(
+    df: DataFrame,
+    key_col: str | Column,
+    *,
+    group_keys: list[str] | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies AS A RELATION: one
+    ``(group_keys…, d, bucket, cnt)`` row per non-empty counter cell,
+    at most ``depth × width`` rows per group however large the key
+    domain. The relational form is the point: cells MERGE by summing
+    matching ``(d, bucket)`` — associative integers, so rollups built
+    per day/partition compose into any coarser window with a plain
+    groupBy-sum and zero fact I/O (the same maintenance contract as
+    :func:`sketch_rollup`'s HLL/KLL blobs), the result is partition-
+    invariant, and the DuckDB oracle replays it exactly (unlike opaque
+    sketch binaries). Build cost: one explode to ``depth`` rows per
+    fact row (map-side combine collapses them immediately) + one
+    shuffle of ≤ depth·width·groups cells.
+
+    Estimates are ONE-SIDED: a cell only ever over-counts (hash
+    collisions add, never subtract), so ``est ≥ true`` always — the
+    property :func:`cms_estimate`'s consumers rely on (e.g. a
+    candidate filter that must never false-negative a heavy hitter)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    gk = list(group_keys or [])
+    probes = df.select(
+        *gk,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_probe(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.select(*gk, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .groupBy(*gk, "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for a candidate key set: per key,
+    ``min`` over the ``depth`` probed cells (a missing cell reads 0 —
+    the key was never counted and nothing collided into that cell).
+    Candidates are expected tiny (heavy-hitter shortlists, watchlist
+    keys); the probe side is ``depth`` rows per candidate joined
+    against the ≤ depth·width-cell sketch, never against the fact.
+    ``depth``/``width`` must match the rollup's — same discipline as
+    the ANN index shape sidecar, enforced here by the join simply
+    finding no cells (reads 0) rather than silently wrong values only
+    when widths disagree; pass the rollup's own constants."""
+    key = F.col(key_col)
+    probes = candidates.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_probe(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_cms"))
+    )

@@ -27,6 +27,7 @@ from meteo_etl_spark.functions import dedup as dd
 from meteo_etl_spark.functions import multimodal as mm
 from meteo_etl_spark.functions import packing as pk
 from meteo_etl_spark.functions import similarity as sim
+from meteo_etl_spark.functions import sketches as sk
 from meteo_etl_spark.functions import text as tx
 from meteo_etl_spark.operators.parallelism import fan_out
 from meteo_etl_spark.plans.queries import query
@@ -4629,6 +4630,65 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
         return got.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "events_cms_topk",
+    f"""WITH cells AS (
+      SELECT d,
+             ('0x' || substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+               % {sk.CMS_WIDTH} AS bucket,
+             COUNT(*) AS cnt
+      FROM events, UNNEST(range(0, {sk.CMS_DEPTH})) AS u(d)
+      GROUP BY 1, 2),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+              GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 5),
+    probes AS (SELECT user_id, d,
+                      ('0x' || substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                        % {sk.CMS_WIDTH} AS bucket
+               FROM exact, UNNEST(range(0, {sk.CMS_DEPTH})) AS u(d)),
+    est AS (SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS n_cms
+            FROM probes p LEFT JOIN cells c USING (d, bucket)
+            GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(est.n_cms AS BIGINT) AS n_cms
+    FROM exact e JOIN est USING (user_id)
+    ORDER BY n_exact DESC, user_id""",
+    doc="Count-min-sketch frequency table (sketches.cms_rollup/"
+    f"cms_estimate, r12): a {sk.CMS_DEPTH}x{sk.CMS_WIDTH} CMS of "
+    "user_id frequencies built AS A RELATION — one (d, bucket, cnt) "
+    "row per non-empty counter cell, bounded at depth*width rows "
+    "however large the key domain — then point estimates (min over "
+    "the probed cells) for the exact top-5 heavy hitters, reported "
+    "beside their true counts. The relational form is the point: "
+    "cells merge across days/partitions by groupBy-SUM (associative "
+    "integers — the mergeable-rollup contract of events_sketch_rollup "
+    "without opaque binaries), estimates are one-sided (collisions "
+    "only ADD, so n_cms >= n_exact always — pinned by pytest along "
+    "with merge-equality), and the md5-seeded hashes make the whole "
+    "sketch deterministic and oracle-replayable. width=64 keeps "
+    "collisions visible at test scale; production sizes width ~ e/eps "
+    "for an eps*N additive bound. Plan: one explode-to-depth map + "
+    "one cell aggregate (map-side combined); the probe side is 20 "
+    "rows joined against a broadcast 256-cell sketch — the fact is "
+    "scanned once.",
+)
+def events_cms_topk(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cms = sk.cms_rollup(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(5)
+    )
+    est = sk.cms_estimate(cms, exact.select("user_id"), "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", F.col("n_exact").cast("long").alias("n_exact"), "n_cms")
+        .orderBy(F.desc("n_exact"), "user_id")
+    )
 
 
 @query(

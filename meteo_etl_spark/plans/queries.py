@@ -1873,6 +1873,7 @@ _DEFERRED: tuple[str, ...] = (
     # sf0.001 AND sf0.01 in-session). ROUND-13 ROTATION BACKLOG:
     "sim_ann_serve_lsh",  # persisted tuned-LSH serving == in-memory route, pruning asserted in-query; side-effecting twin of sim_ann_serve_ivf (never)
     "sim_ann_serve_ivfpq",  # IVF-PQ codes-only inverted file + driver-side ADC LUTs + exact re-rank from the primary store; side-effecting (never)
+    "events_cms_topk",  # count-min sketch as a mergeable relation + one-sided heavy-hitter estimates vs exact (never)
 )
 
 

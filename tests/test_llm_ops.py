@@ -975,6 +975,30 @@ def test_ivfpq_index_mechanics_and_encode_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="no IVF-PQ index"):
         sim.query_ivfpq_index(spark, ivf, qv, emb)
 
+    # the format is codebook-agnostic: a spherical (data-trained)
+    # codebook builds and serves through the identical index/meta/query
+    # path; a mis-shaped codebook fails loudly before writing
+    emb_c = _clustered_embeddings(spark)
+    sph = sim.spherical_pq_codebook(emb_c, n_sub=8, sub_dim=8, n_codes=32)
+    idx_s = str(tmp_path / "ivfpq_sph")
+    sim.build_ivfpq_index(
+        emb_c, idx_s, n_sub=8, sub_dim=8, n_codes=32, codebook=sph
+    )
+    qv_c = [
+        float(x)
+        for x in emb_c.orderBy("vec_id").limit(1).collect()[0].embedding
+    ]
+    assert (
+        sim.query_ivfpq_index(
+            spark, idx_s, qv_c, emb_c, k=5, n_cand=50, exclude_id=0
+        ).count()
+        == 5
+    )
+    with pytest.raises(ValueError, match="codebook shape"):
+        sim.build_ivfpq_index(
+            emb_c, idx_s, n_sub=4, sub_dim=8, n_codes=32, codebook=sph
+        )
+
     # expression and Arrow encoders agree on every code id
     codes = sim.sampled_pq_codebook(emb, n_sub=8, sub_dim=8, n_codes=32)
     base = emb.select(

@@ -89,3 +89,46 @@ def test_empty_rollup_raises_cleanly(spark, ev):
     # but there is no KLL sketch to fold, so quantiles must refuse
     with pytest.raises(ValueError, match="empty rollup"):
         sk.merged_quantiles(empty, [0.5])
+
+
+def test_cms_merges_by_sum_and_never_underestimates(spark, ev):
+    """Count-min sketch (r12): (1) cells built per-slice and merged by
+    groupBy-SUM equal the single-pass sketch exactly — the mergeable-
+    rollup contract, plain associative integers; (2) estimates are
+    ONE-SIDED: min-over-cells >= the true count for EVERY key (hash
+    collisions only add); (3) the estimate never exceeds truth by more
+    than the total mass that could collide (a loose sanity ceiling —
+    the real bound is probabilistic eps*N)."""
+    whole = sk.cms_rollup(ev, "user_id")
+
+    # (1) merge-equality: two disjoint halves, cells summed
+    lo = sk.cms_rollup(ev.where(F.col("event_id") % 2 == 0), "user_id")
+    hi = sk.cms_rollup(ev.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    as_dict = lambda df: {  # noqa: E731
+        (r["d"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert as_dict(merged) == as_dict(whole)
+
+    # (2) one-sided for EVERY key, not just heavy hitters
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sk.cms_estimate(whole, exact.select("user_id"), "user_id")
+    joined = exact.join(est, "user_id").collect()
+    assert joined
+    under = [r for r in joined if r["n_cms"] < r["n_exact"]]
+    assert not under, under[:5]
+
+    # (3) loose ceiling: overestimate bounded by the colliding mass
+    total = ev.count()
+    over = [r for r in joined if r["n_cms"] - r["n_exact"] > total]
+    assert not over, over[:5]
+
+    # an unseen key reads whatever collided into its cells — still
+    # one-sided (>= its true count of 0) and never an error
+    ghost = spark.createDataFrame([(10**12,)], "user_id long")
+    g = sk.cms_estimate(whole, ghost, "user_id").collect()[0]
+    assert g["n_cms"] >= 0
