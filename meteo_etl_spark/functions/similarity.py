@@ -324,6 +324,54 @@ def _check_ann_meta(spark, path: str, want: dict) -> None:
         )
 
 
+def _lsh_rows(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+) -> DataFrame:
+    """(vec_id, v, table, bucket) index rows from ONE corpus scan:
+    every table's bucket projects in a single pass (the Arrow kernel
+    above the dot threshold — the pinned bit-exact twin of
+    ``_bucket``), then one Generate explodes the table dimension.
+    Shared by build and append so their layouts can never diverge."""
+    specs = [(f"b{t}", t, n_planes) for t in range(n_tables)]
+    if n_tables * n_planes >= BUCKET_ARROW_MIN_DOTS and _HAVE_NUMPY:
+        corpus = _project_ann_arrow(
+            fan_out(emb),
+            id_col=id_col,
+            vec_col=vec_col,
+            bucket_specs=specs,
+            with_ivf=None,
+        )
+    else:
+        v = F.col(vec_col).cast("array<double>")
+        corpus = fan_out(emb).select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            *[_bucket(v, t, n_planes).alias(f"b{t}") for t in range(n_tables)],
+        )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    F.col(f"b{t}").alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    return corpus.select("vec_id", "v", pairs.alias("p")).select(
+        "vec_id",
+        "v",
+        F.col("p.table").alias("table"),
+        F.col("p.bucket").alias("bucket"),
+    )
+
+
 def build_lsh_index(
     emb: DataFrame,
     path: str,
@@ -346,22 +394,24 @@ def build_lsh_index(
     in the ``_ann_meta.json`` sidecar so a query issued with the
     wrong parameters fails loudly instead of silently computing wrong
     buckets.
-    """
-    v = F.col(vec_col).cast("array<double>")
-    corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
-    tables = [
-        corpus.select(
-            "vec_id",
-            "v",
-            F.lit(t).alias("table"),
-            _bucket(F.col("v"), t, n_planes).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    df = tables[0]
-    for t in tables[1:]:
-        df = df.unionAll(t)
-    df.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+    Build plan (r12): ONE corpus scan projects every table's bucket
+    (Arrow kernel above the dot threshold — the pinned bit-exact
+    twin), one Generate explodes to (table, bucket) rows, and one
+    repartition on the partition keys gives each (table, bucket)
+    directory a single file — the previous n_tables-way union scanned
+    the corpus per table and wrote a file per task per directory
+    (tuned shape: 8 scans, up to tasks×8×2^6 files)."""
+    df = _lsh_rows(
+        emb, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, n_planes=n_planes,
+    )
+    (
+        df.repartition("table", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
     _write_ann_meta(
         emb.sparkSession,
         path,
@@ -391,26 +441,22 @@ def append_lsh_index(
     sidecar or rebuild the index for mutation-heavy corpora. An
     append with a shape different from the index's ``_ann_meta.json``
     would land vectors in buckets no same-shape query probes — it
-    fails loudly before writing."""
+    fails loudly before writing. Same single-scan explode build plan
+    as :func:`build_lsh_index`."""
     spark = emb.sparkSession
     _check_ann_meta(
         spark, path, {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
     )
-    v = F.col(vec_col).cast("array<double>")
-    corpus = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
-    tables = [
-        corpus.select(
-            "vec_id",
-            "v",
-            F.lit(t).alias("table"),
-            _bucket(F.col("v"), t, n_planes).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    df = tables[0]
-    for t in tables[1:]:
-        df = df.unionAll(t)
-    df.write.mode("append").partitionBy("table", "bucket").parquet(path)
+    df = _lsh_rows(
+        emb, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, n_planes=n_planes,
+    )
+    (
+        df.repartition("table", "bucket")
+        .write.mode("append")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
     if _read_ann_meta(spark, path) is None:  # legacy index: adopt the sidecar
         _write_ann_meta(
             spark,
