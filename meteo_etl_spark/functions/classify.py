@@ -537,18 +537,19 @@ def _compaction_state(io, counts_path: str) -> tuple[int, int, int]:
     root = counts_path.rstrip("/")
     markdir = f"{root}/{_COMPACT_DIR}"
     try:
-        names = [n for n in io.listdir(markdir) if n.startswith("gen-")]
+        names = io.listdir(markdir)
     except FileNotFoundError:
         names = []
-    if names:
-        gens = []
-        for n in names:
-            try:
-                gens.append(int(n.split("-", 1)[1]))
-            except ValueError:
-                raise ValueError(
-                    f"corrupt compaction watermark name {n!r} in {markdir}"
-                ) from None
+    # ONLY exact `gen-<digits>` names are watermarks. publish_exclusive
+    # stages `gen-<k>.tmp-<uuid>` in this same directory and a SIGKILL
+    # can strand one — a stranded staging file must be invisible here
+    # (the atomic.py convention: skip unparseable names), never a
+    # "corrupt watermark" that bricks every read (r12 self-review #1);
+    # _compaction_cleanup GCs strays.
+    gens = [
+        int(n[4:]) for n in names if n.startswith("gen-") and n[4:].isdigit()
+    ]
+    if gens:
         gen = max(gens)
         body = io.read_text(f"{markdir}/{_gen_name(gen)}")
         try:
@@ -661,11 +662,12 @@ def _compaction_cleanup(
         except FileNotFoundError:
             names = []
         for n in names:
-            try:
-                g = int(n.split("-", 1)[1])
-            except ValueError:
-                continue
-            if g < generation:
+            if n[4:].isdigit():
+                if int(n[4:]) < generation:
+                    io.unlink(f"{markdir}/{n}")
+            elif ".tmp-" in n:
+                # stranded publish_exclusive staging file (crash inside
+                # a publish) — invisible to readers, GC'd here
                 io.unlink(f"{markdir}/{n}")
         if io.isfile(f"{root}/{_COMPACT_MARK}"):
             io.unlink(f"{root}/{_COMPACT_MARK}")

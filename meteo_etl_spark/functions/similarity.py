@@ -303,10 +303,13 @@ def _read_ann_meta(spark, path: str) -> dict | None:
         return None
 
 
-def _check_ann_meta(spark, path: str, want: dict) -> None:
+def _check_ann_meta(spark, path: str, want: dict, *, meta: dict | None = None) -> None:
     """Fail loudly when the persisted index's shape disagrees with the
-    caller's parameters on any key the caller states."""
-    meta = _read_ann_meta(spark, path)
+    caller's parameters on any key the caller states. Pass ``meta``
+    when the sidecar is already in hand (the ivfpq serve path reads it
+    once for the codebook) to avoid a second driver-side read."""
+    if meta is None:
+        meta = _read_ann_meta(spark, path)
     if meta is None:
         return
     bad = {
@@ -457,12 +460,11 @@ def append_lsh_index(
         .partitionBy("table", "bucket")
         .parquet(path)
     )
-    if _read_ann_meta(spark, path) is None:  # legacy index: adopt the sidecar
-        _write_ann_meta(
-            spark,
-            path,
-            {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes},
-        )
+    # A legacy index (no sidecar) deliberately STAYS sidecar-less: the
+    # append's parameters are a claim about the ORIGINAL build this
+    # code cannot verify, and stamping them would convert a one-batch
+    # wrong-shape append into "every correctly-shaped query now fails
+    # the meta check" (r12 self-review). Rebuild to gain the sidecar.
 
 
 def query_lsh_index(
@@ -919,6 +921,13 @@ def spherical_pq_codebook(
     base = base.persist()
     try:
         seed_rows = base.orderBy("vec_id").limit(n_codes).collect()
+        if len(seed_rows) < n_codes:
+            raise ValueError(
+                f"spherical_pq_codebook needs >= n_codes ({n_codes}) "
+                f"vectors to seed; corpus has {len(seed_rows)} — lower "
+                "n_codes (sampled_pq_codebook degrades to a shorter "
+                "codebook instead, if that is acceptable)"
+            )
         seeds = _codes_from_rows(seed_rows, n_sub=n_sub, sub_dim=sub_dim)
         out = []
         for m in range(n_sub):
@@ -1372,9 +1381,11 @@ def query_ivfpq_index(
     dot products on constants — the classic ADC trick), the pruned
     scan scores each candidate with ``2·n_sub`` literal lookups and a
     sequential fold (NO per-row vector math — the index doesn't even
-    contain vectors), the top ``n_cand`` ADC candidates re-rank by
-    exact cosine against the PRIMARY store (``emb_full``, joined by
-    id — candidates are k-row tiny, so the join broadcasts), and the
+    contain vectors), the top ``n_cand`` ADC candidate IDS are
+    collected (one tiny driver list) and PUSHED into the primary-store
+    scan (``emb_full``) as an ``isin`` filter — PushedFilters and
+    row-group skipping, where a join would read the whole store and
+    discard post-scan — then exact cosine re-ranks them and the
     exact top-k ships. I/O: ``nprobe`` partitions of ``n_sub``-byte
     codes + ``n_cand`` full vectors — at 100 TB this is the difference
     between scanning terabytes of floats and megabytes of codes.
@@ -1392,7 +1403,9 @@ def query_ivfpq_index(
             f"no IVF-PQ index at {path} (meta: "
             f"{None if meta is None else meta.get('kind')!r})"
         )
-    _check_ann_meta(spark, path, {"kind": "ivfpq", "n_lists": IVF_LISTS})
+    _check_ann_meta(
+        spark, path, {"kind": "ivfpq", "n_lists": IVF_LISTS}, meta=meta
+    )
     codes = meta["codebook"]
     n_sub = int(meta["n_sub"])
     sub_dim = int(meta["sub_dim"])
@@ -1433,13 +1446,32 @@ def query_ivfpq_index(
             / (F.sqrt(lut_fold(lut_nrm)) * F.lit(q_norm))
         ).alias("s_adc"),
     )
-    short = adc.orderBy(F.desc("s_adc"), "vec_id").limit(n_cand)
+    # partition pruning is a CONTRACT of this serve path, enforced on
+    # every call (the shortlist collect below executes this plan, so a
+    # caller could no longer inspect it afterwards): refuse to serve
+    # from an unpruned candidate scan
+    import re
+
+    shortlist = adc.orderBy(F.desc("s_adc"), "vec_id").limit(n_cand)
+    plan = shortlist._jdf.queryExecution().executedPlan().toString()
+    hit = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not (hit and hit.group(1).strip()):
+        raise RuntimeError(
+            "IVF-PQ candidate scan is not partition-pruned:\n" + plan
+        )
+    # the ADC shortlist is n_cand ids — COLLECT it and push an isin
+    # filter into the primary-store scan (PushedFilters → row-group
+    # skipping), so re-rank I/O really is n_cand vectors, not a full
+    # scan that a join would only discard post-read (r12 self-review)
+    short = [r["vec_id"] for r in shortlist.collect()]
     v = F.col(vec_col).cast("array<double>")
-    full = fan_out(emb_full).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    full = (
+        fan_out(emb_full.filter(F.col(id_col).isin(short)))
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    )
     qcol = F.array(*[F.lit(x) for x in qv])
     return (
-        full.join(F.broadcast(short.select("vec_id")), "vec_id")
-        .select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
+        full.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
         .orderBy(F.desc("sim_raw"), "vec_id")
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))

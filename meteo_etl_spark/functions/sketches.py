@@ -291,7 +291,23 @@ def cms_estimate(
     ``depth``/``width`` must match the rollup's — same discipline as
     the ANN index shape sidecar, enforced here by the join simply
     finding no cells (reads 0) rather than silently wrong values only
-    when widths disagree; pass the rollup's own constants."""
+    when widths disagree; pass the rollup's own constants.
+
+    A GROUPED rollup (built with ``group_keys``) must be merged to
+    plain ``(d, bucket, cnt)`` cells first — ``groupBy('d',
+    'bucket').sum('cnt')``, the mergeable contract — because joining
+    grouped cells here would take the min ACROSS groups and
+    underestimate, breaking the one-sided guarantee; this raises
+    loudly instead (r12 self-review)."""
+    extra = set(cms.columns) - {"d", "bucket", "cnt"}
+    if extra or set(cms.columns) != {"d", "bucket", "cnt"}:
+        raise ValueError(
+            "cms_estimate needs a merged (d, bucket, cnt) sketch; got "
+            f"columns {sorted(cms.columns)} — merge a grouped rollup "
+            "first: cms.groupBy('d', 'bucket').agg(sum('cnt')) "
+            "(min over grouped cells would underestimate and break "
+            "the one-sided guarantee)"
+        )
     key = F.col(key_col)
     probes = candidates.select(
         key_col,

@@ -4584,8 +4584,9 @@ _DUCK_SUB_FOLD = (
     f"pruned scan with 2x{PQ_M} literal lookups + a sequential fold "
     "(no per-row vector math — the index holds no vectors), exact-"
     f"re-ranks the top {PQ_CAND} ADC candidates against the PRIMARY "
-    "store (broadcast id join: candidates are k-row tiny), and ships "
-    "the exact top-5. The query RAISES unless the executed plan "
+    "store (the id shortlist is collected and PUSHED into the store "
+    "scan as an isin filter — row-group skipping, not a full-scan "
+    "join), and ships the exact top-5. The query RAISES unless the executed plan "
     "carries non-empty PartitionFilters. I/O at scale: nprobe "
     f"partitions of {PQ_M}-byte codes + {PQ_CAND} full vectors, vs "
     "terabytes of floats for a full-vector index. The oracle replays "
@@ -4609,6 +4610,11 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
             float(x)
             for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         ]
+        # query_ivfpq_index RAISES internally unless its candidate
+        # scan is partition-pruned (the pruning contract moved into
+        # the serve path itself — the ADC shortlist executes in-query,
+        # so the returned frame is only the pushed-isin re-rank);
+        # assert the re-rank scan carries the pushed id filter here
         got = sim.query_ivfpq_index(
             spark,
             f"{scratch}/idx",
@@ -4618,14 +4624,11 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
             n_cand=PQ_CAND,
             exclude_id=0,
         )
-        # two scans in this plan: the primary store (unpartitioned, an
-        # empty PartitionFilters) and the IVF-PQ index — at least one
-        # must carry the pruned lst IN (...) filter
         plan = got._jdf.queryExecution().executedPlan().toString()
-        hits = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-        if not any(h.strip() for h in hits):
+        if not re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan):
             raise RuntimeError(
-                "persisted IVF-PQ serve is not partition-pruned:\n" + plan
+                "IVF-PQ re-rank does not push the id shortlist into "
+                "the primary-store scan:\n" + plan
             )
         return got.localCheckpoint(eager=True)
     finally:

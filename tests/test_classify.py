@@ -722,6 +722,44 @@ def test_compaction_crash_after_watermark_and_second_generation(
     ) == full(6)
 
 
+def test_compaction_tolerates_and_gcs_stranded_staging_files(
+    spark, tmp_path
+):
+    """r12 self-review #1: publish_exclusive stages gen-<k>.tmp-<uuid>
+    in the watermark directory and a SIGKILL can strand one. A
+    stranded staging file must be INVISIBLE to _compaction_state (not
+    a 'corrupt watermark' that bricks every read of the table), and
+    the next compaction GCs it."""
+    import glob as _glob
+
+    from meteo_etl_spark.functions import classify as C
+
+    counts, handler, waves, full = _compaction_setup(spark, tmp_path)
+
+    def weights(df):
+        return {(r["cls"], r["tok"]): r["freq_ppm"] for r in df.collect()}
+
+    assert C.compact_token_counts(spark, counts, keep_last=1) == 2
+    markdir = tmp_path / "counts" / "_compaction"
+    stray = markdir / "gen-000000000002.tmp-deadbeef"
+    stray.write_text('{"upto": 99, "baseline": -9, "generation": 2}')
+    # reads ignore the stray (still gen 1) — no raise, exact values
+    from meteo_etl_spark.operators.fsio import LocalIO
+
+    assert C._compaction_state(LocalIO(), counts) == (2, -2, 1)
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(4)
+    # the stream handler reads through the same state — no raise
+    handler(waves[3], 3)
+    # the next compaction (nothing to fold) GCs the stray
+    assert C.compact_token_counts(spark, counts, keep_last=1) == 2
+    assert not _glob.glob(str(markdir / "*.tmp-*")), "stray survived GC"
+    assert weights(
+        C.model_from_counts(C.read_token_counts(spark, counts))
+    ) == full(4)
+
+
 def test_compaction_state_faults_are_loud(tmp_path):
     """ADVICE r11 (medium): only a MISSING watermark means 'nothing
     compacted'. A transient I/O fault must propagate (silently

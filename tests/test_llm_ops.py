@@ -876,7 +876,10 @@ def test_ann_index_meta_guards_shape_mismatch(spark, tmp_path):
     assert (
         sim.query_ann_index("lsh_tuned", spark, idx, qv, k=3).count() == 3
     )
-    # and an append to a legacy index adopts the sidecar going forward
+    # an append to a legacy index must NOT stamp a sidecar: the
+    # append's parameters are an unverifiable claim about the original
+    # build — stamping a wrong one would fail every correctly-shaped
+    # query thereafter (r12 self-review)
     sim.append_lsh_index(
         spark.createDataFrame(
             [(999_999, qv)], "vec_id long, embedding array<double>"
@@ -885,11 +888,7 @@ def test_ann_index_meta_guards_shape_mismatch(spark, tmp_path):
         n_tables=sim.LSH_TUNED_TABLES,
         n_planes=sim.LSH_TUNED_PLANES,
     )
-    assert sim._read_ann_meta(spark, idx) == {
-        "kind": "lsh",
-        "n_tables": sim.LSH_TUNED_TABLES,
-        "n_planes": sim.LSH_TUNED_PLANES,
-    }
+    assert sim._read_ann_meta(spark, idx) is None
 
 
 def test_trained_pq_codebook_honest_comparison(spark):
@@ -1106,3 +1105,15 @@ def test_pq_reconstruct_paths_are_bit_identical(spark):
     finally:
         sim.PQ_ARROW_MIN_FOLDS = sim_threshold
     assert rows_arrow == rows_expr
+
+
+def test_spherical_codebook_rejects_undersized_corpus(spark):
+    """r12 self-review: fewer corpus vectors than n_codes must be a
+    clear ValueError up front, not an IndexError mid-training."""
+    import pytest
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(20)
+    with pytest.raises(ValueError, match="n_codes"):
+        sim.spherical_pq_codebook(emb, n_sub=8, sub_dim=8, n_codes=32)

@@ -132,3 +132,27 @@ def test_cms_merges_by_sum_and_never_underestimates(spark, ev):
     ghost = spark.createDataFrame([(10**12,)], "user_id long")
     g = sk.cms_estimate(whole, ghost, "user_id").collect()[0]
     assert g["n_cms"] >= 0
+
+
+def test_cms_estimate_rejects_grouped_sketches(spark, ev):
+    """r12 self-review: min over GROUPED cells underestimates (one
+    cell per group matches the probe join), silently breaking the
+    one-sided guarantee — a grouped rollup must be merged to plain
+    (d, bucket, cnt) first, and passing it raw raises loudly."""
+    grouped = sk.cms_rollup(
+        ev.withColumn("day", _day()), "user_id", group_keys=["day"]
+    )
+    cand = ev.select("user_id").distinct().limit(3)
+    with pytest.raises(ValueError, match="merged"):
+        sk.cms_estimate(grouped, cand, "user_id")
+    # the documented merge makes it usable — and equal to single-pass
+    merged = (
+        grouped.groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = sk.cms_rollup(ev, "user_id")
+    a = {r["user_id"]: r["n_cms"]
+         for r in sk.cms_estimate(merged, cand, "user_id").collect()}
+    b = {r["user_id"]: r["n_cms"]
+         for r in sk.cms_estimate(whole, cand, "user_id").collect()}
+    assert a == b

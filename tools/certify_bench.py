@@ -33,9 +33,34 @@ def main() -> int:
     for path in args.runs:
         with open(path) as f:
             run = json.loads(f.read().strip().splitlines()[-1])
+        # a run with failed queries sums only the survivors — its
+        # artificially low total must never be certified as noise-floor
+        # context (r12 self-review)
+        if run.get("errors"):
+            print(
+                f"refusing to certify {path}: run has errors "
+                f"{sorted(run['errors'])}",
+                file=sys.stderr,
+            )
+            return 1
+        if sf is not None and run.get("sf") != sf:
+            print(
+                f"refusing to certify {path}: sf {run.get('sf')} != {sf} "
+                "of earlier runs",
+                file=sys.stderr,
+            )
+            return 1
+        if n_queries is not None and len(run.get("queries", {})) != n_queries:
+            print(
+                f"refusing to certify {path}: roster size "
+                f"{len(run.get('queries', {}))} != {n_queries} of earlier "
+                "runs",
+                file=sys.stderr,
+            )
+            return 1
         totals.append(float(run["value"]))
         sf = run.get("sf", sf)
-        n_queries = len(run.get("queries", {})) or n_queries
+        n_queries = len(run.get("queries", {}))
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True,
