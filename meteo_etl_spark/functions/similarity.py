@@ -714,27 +714,42 @@ def build_ivf_index(
     emb: DataFrame,
     path: str,
     *,
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Persist the corpus as an IVF inverted file: one pass routes
-    every vector to its argmax-dot centroid list (``ivf_list_of``)
-    and lands it under ``lst=<k>`` — the partition layout that makes
-    an nprobe query a pruned read of nprobe directories instead of a
-    corpus scan (the serving half of the ``ivf`` route
-    ``choose_ann_route`` falls back to). Twin of ``build_lsh_index``;
-    each vector is written ONCE (lists partition the corpus, unlike
-    LSH tables which replicate it n_tables times)."""
+    every vector to its argmax-dot centroid list and lands it under
+    ``lst=<k>`` — the partition layout that makes an nprobe query a
+    pruned read of nprobe directories instead of a corpus scan (the
+    serving half of the ``ivf`` route ``choose_ann_route`` falls back
+    to). Twin of ``build_lsh_index``; each vector is written ONCE
+    (lists partition the corpus, unlike LSH tables which replicate it
+    n_tables times).
+
+    ``centroids=None`` routes with the fixed md5-seeded literals
+    (``ivf_list_of`` — the oracle-replayable default). Pass TRAINED
+    centroids (``clustering.trained_ivf_centroids`` output) for
+    data-adaptive lists — the r8 ``sim_ann_ivf`` promise ("swap the
+    centroid literals for k-means output without touching the plan"):
+    routing goes through ``ivf_route_join`` (broadcast packed
+    centroids, same argmax/tie order), the centroids land in the meta
+    sidecar, and ``query_ivf_index`` probes with THEM — build and
+    query can never disagree on the quantizer."""
     v = F.col(vec_col).cast("array<double>")
-    corpus = fan_out(emb).select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        ivf_list_of(v).alias("lst"),
-    )
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    if centroids is None:
+        corpus = base.withColumn("lst", ivf_list_of(F.col("v")))
+        meta = {"kind": "ivf", "n_lists": IVF_LISTS}
+    else:
+        corpus = ivf_route_join(base, centroids, vec_col="v", out_col="lst")
+        meta = {
+            "kind": "ivf",
+            "n_lists": len(centroids),
+            "centroids": [[float(x) for x in c] for c in centroids],
+        }
     corpus.write.mode("overwrite").partitionBy("lst").parquet(path)
-    _write_ann_meta(
-        emb.sparkSession, path, {"kind": "ivf", "n_lists": IVF_LISTS}
-    )
+    _write_ann_meta(emb.sparkSession, path, meta)
 
 
 def query_ivf_index(
@@ -753,12 +768,24 @@ def query_ivf_index(
     the ``lst IN (...)`` literal becomes PartitionFilters in the plan,
     so I/O is proportional to the probed lists, not the corpus.
     Candidates re-rank by exact cosine. The ``_ann_meta.json``
-    sidecar (when present) must agree this is an IVF index with the
-    same list count — a mismatched query fails loudly."""
-    _check_ann_meta(spark, path, {"kind": "ivf", "n_lists": IVF_LISTS})
+    sidecar (when present) must agree this is an IVF index — and for
+    a TRAINED index (built with ``centroids=``), the probes are
+    computed against the centroids STORED in the sidecar, so the
+    query routes with exactly the quantizer the build used (same
+    first-max/lowest-list tie order as ``ivf_route_join``)."""
+    meta = _read_ann_meta(spark, path)
+    cents = None
+    if meta is not None and "centroids" in meta:
+        _check_ann_meta(spark, path, {"kind": "ivf"}, meta=meta)
+        cents = meta["centroids"]
+    else:
+        _check_ann_meta(
+            spark, path, {"kind": "ivf", "n_lists": IVF_LISTS}, meta=meta
+        )
+        cents = [ivf_centroid(j) for j in range(IVF_LISTS)]
     qv = [float(x) for x in query_vec]
-    dots = [_dot_py(qv, ivf_centroid(j)) for j in range(IVF_LISTS)]
-    order = sorted(range(IVF_LISTS), key=lambda j: (-dots[j], j))
+    dots = [_dot_py(qv, c) for c in cents]
+    order = sorted(range(len(cents)), key=lambda j: (-dots[j], j))
     probes = [j + 1 for j in order[:nprobe]]
 
     cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))

@@ -1117,3 +1117,55 @@ def test_spherical_codebook_rejects_undersized_corpus(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").limit(20)
     with pytest.raises(ValueError, match="n_codes"):
         sim.spherical_pq_codebook(emb, n_sub=8, sub_dim=8, n_codes=32)
+
+
+def test_trained_ivf_index_beats_fixed_centroids_on_clustered(spark, tmp_path):
+    """build_ivf_index(centroids=trained_ivf_centroids(...)) — the
+    sim_ann_ivf promise 'swap the centroid literals for k-means output
+    without touching the plan'. On the clustered fixture, k-means
+    centroids route same-cluster vectors into the same list, so an
+    nprobe=2 query recovers (strictly) more of the exact top-5 than
+    the fixed md5-seeded quantizer; the query probes the centroids
+    STORED in the sidecar, stays partition-pruned, and a plain-ivf
+    shape mismatch still fails loudly."""
+    import re
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+    from meteo_etl_spark.functions.clustering import trained_ivf_centroids
+
+    emb = _clustered_embeddings(spark)
+    fixed_idx = str(tmp_path / "ivf_fixed")
+    trained_idx = str(tmp_path / "ivf_trained")
+    sim.build_ivf_index(emb, fixed_idx)
+    cents = trained_ivf_centroids(emb, k=24, iters=3)
+    sim.build_ivf_index(emb, trained_idx, centroids=cents)
+    meta = sim._read_ann_meta(spark, trained_idx)
+    assert meta["n_lists"] == 24 and len(meta["centroids"]) == 24
+
+    def recall(idx, qid):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).collect()[0].embedding
+        ]
+        got = sim.query_ivf_index(spark, idx, qv, k=5, exclude_id=qid)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), f"{idx} not partition-pruned"
+        truth = {
+            r.vec_id
+            for r in sim.brute_force_topk(emb, query_id=qid, k=5).collect()
+        }
+        return len({r.vec_id for r in got.collect()} & truth)
+
+    qids = [25 * j for j in range(8)]  # one query per cluster
+    r_fixed = sum(recall(fixed_idx, q) for q in qids)
+    r_trained = sum(recall(trained_idx, q) for q in qids)
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+    assert r_trained >= 0.9 * 5 * len(qids), (r_trained, r_fixed)
+
+    # kind/shape discipline still holds against the trained index
+    with pytest.raises(ValueError, match="no IVF-PQ index"):
+        sim.query_ivfpq_index(spark, trained_idx, [0.0] * 64, emb)
