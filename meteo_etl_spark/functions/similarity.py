@@ -286,6 +286,7 @@ def _write_ann_meta(spark, path: str, meta: dict) -> None:
     from meteo_etl_spark.operators.fsio import io_for
 
     io = io_for(path, spark)
+    io.mkdirs(path.rstrip("/"))  # streaming ingest stamps meta first
     io.replace(f"{path.rstrip('/')}/{_ANN_META}", json.dumps(meta))
 
 
@@ -465,6 +466,69 @@ def append_lsh_index(
     # code cannot verify, and stamping them would convert a one-batch
     # wrong-shape append into "every correctly-shaped query now fails
     # the meta check" (r12 self-review). Rebuild to gain the sidecar.
+
+
+def lsh_ingest_foreach_batch(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
+    stats: list | None = None,
+):
+    """``foreachBatch`` body for STREAMING ANN-index ingestion — the
+    daily-crawl shape under at-least-once delivery: each micro-batch's
+    vectors bucket once (:func:`_lsh_rows` — the same single-scan
+    kernel as the batch build) and land under
+    ``batch=<id>/table=<t>/bucket=<b>`` with an up-front FileSystem
+    delete of ``batch=<id>`` + append — the by-layout exactly-once
+    argument of the classifier count deltas: a redelivered batch
+    replaces its OWN partition subtree instead of duplicating vectors
+    (plain ``append_lsh_index`` in a foreachBatch would double every
+    redelivered vector). The first batch stamps the shape sidecar;
+    every later batch (and every query) validates against it.
+
+    ``batch`` is the OUTERMOST partition key so the redelivery delete
+    is one rmtree; queries filter on (table, bucket) only, and
+    partition pruning on a key subset works regardless of nesting —
+    the probed scan reads every batch's matching buckets, which is the
+    point (the index grows, queries see the union). Append-only ids,
+    as with :func:`append_lsh_index`."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+    want = {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_ann_meta(spark, path)
+        if meta is None:
+            _write_ann_meta(spark, path, want)
+        else:
+            _check_ann_meta(spark, path, want, meta=meta)
+        io.rmtree(f"{path.rstrip('/')}/batch={int(batch_id)}")
+        if batch_df.isEmpty():
+            if stats is not None:
+                stats.append({"batch_id": batch_id, "n_rows": 0})
+            return
+        rows = _lsh_rows(
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_tables=n_tables,
+            n_planes=n_planes,
+        ).withColumn("batch", F.lit(int(batch_id)))
+        (
+            rows.repartition("table", "bucket")
+            .write.mode("append")
+            .partitionBy("batch", "table", "bucket")
+            .parquet(path)
+        )
+        if stats is not None:
+            stats.append({"batch_id": batch_id, "n_rows": batch_df.count()})
+
+    return handle
 
 
 def query_lsh_index(

@@ -1169,3 +1169,88 @@ def test_trained_ivf_index_beats_fixed_centroids_on_clustered(spark, tmp_path):
     # kind/shape discipline still holds against the trained index
     with pytest.raises(ValueError, match="no IVF-PQ index"):
         sim.query_ivfpq_index(spark, trained_idx, [0.0] * 64, emb)
+
+
+def test_lsh_streaming_ingest_is_redelivery_idempotent(spark, tmp_path):
+    """Streaming ANN ingestion (r12): micro-batches land under
+    batch=<id>/table/bucket with an up-front delete + append, so (1) a
+    query over the grown index equals the same query over a one-shot
+    batch build of the union, (2) an at-least-once REDELIVERY replaces
+    its own partition subtree — identical results, no duplicated
+    vectors — where plain append_lsh_index would double them, and (3)
+    a later batch with a different shape fails loudly before writing."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "stream_idx")
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    handler = sim.lsh_ingest_foreach_batch(spark, idx)
+
+    waves = [
+        emb.filter(F.col("vec_id") % 2 == w).select("vec_id", "embedding")
+        for w in range(2)
+    ]
+
+    def emit(w):
+        rows = waves[w].collect()
+        (src / f"w{w}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+                )
+                for r in rows
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for w in range(2):
+        emit(w)
+        run()
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    def topk(path):
+        return [
+            r.asDict()
+            for r in sim.query_lsh_index(
+                spark, path, qv, k=5, exclude_id=0
+            ).collect()
+        ]
+
+    batch_idx = str(tmp_path / "batch_idx")
+    sim.build_lsh_index(emb, batch_idx)
+    got = topk(idx)
+    assert got == topk(batch_idx)
+    n_rows = spark.read.parquet(idx).count()
+    assert n_rows == emb.count() * sim.LSH_TABLES
+
+    # redelivery of wave 1 replaces its own subtree — nothing doubles
+    handler(waves[1], 1)
+    assert spark.read.parquet(idx).count() == n_rows
+    assert topk(idx) == got
+
+    # a wrong-shape later batch fails loudly before writing
+    bad = sim.lsh_ingest_foreach_batch(
+        spark, idx, n_tables=sim.LSH_TUNED_TABLES, n_planes=sim.LSH_TUNED_PLANES
+    )
+    with pytest.raises(ValueError, match="different shape"):
+        bad(waves[0], 2)
+    assert spark.read.parquet(idx).count() == n_rows
