@@ -1430,14 +1430,12 @@ def build_ivfpq_index(
         v.alias("v"),
         ivf_list_of(v).alias("lst"),
     )
-    if n_sub * n_codes >= PQ_ARROW_MIN_FOLDS and _HAVE_NUMPY:
-        enc = _pq_encode_arrow(base, codes, vec_col="v", out_col="codes")
-    else:
-        enc = base.withColumn("codes", pq_encode(F.col("v"), codes))
+    enc = _ivfpq_encode(base, codes, n_sub=n_sub, n_codes=n_codes)
     (
         enc.select("vec_id", "codes", "lst")
+        .withColumn("batch", F.lit(0))
         .write.mode("overwrite")
-        .partitionBy("lst")
+        .partitionBy("batch", "lst")
         .parquet(path)
     )
     _write_ann_meta(
@@ -1452,6 +1450,90 @@ def build_ivfpq_index(
             "codebook": codes,
         },
     )
+
+
+def _ivfpq_encode(
+    base: DataFrame,
+    codes: list[list[list[float]]],
+    *,
+    n_sub: int,
+    n_codes: int,
+) -> DataFrame:
+    """(vec_id, v, lst, codes) for (vec_id, v, lst) rows — the shared
+    encode step of the batch build and the streaming ingest (Arrow
+    kernel above the fold threshold, bit-exact either way)."""
+    if n_sub * n_codes >= PQ_ARROW_MIN_FOLDS and _HAVE_NUMPY:
+        return _pq_encode_arrow(base, codes, vec_col="v", out_col="codes")
+    return base.withColumn("codes", pq_encode(F.col("v"), codes))
+
+
+def ivfpq_ingest_foreach_batch(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: list | None = None,
+):
+    """``foreachBatch`` body growing a persisted IVF-PQ index under
+    at-least-once delivery — the codes-only twin of
+    :func:`lsh_ingest_foreach_batch`. The index MUST already exist
+    (:func:`build_ivfpq_index` on a seed corpus): the frozen quantizer
+    — the codebook in the meta sidecar plus the fixed IVF routing —
+    is what makes incremental growth exact, since every batch encodes
+    with the SAME codebook the queries' ADC lookup tables are built
+    from (re-sampling a codebook per batch would silently change what
+    stored code ids MEAN). Each micro-batch lands under
+    ``batch=<id>/lst=<k>`` via up-front delete + append — redelivery
+    replaces its own subtree, never duplicates. Append-only ids."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_ann_meta(spark, path)
+        if meta is None or meta.get("kind") != "ivfpq":
+            raise ValueError(
+                f"no IVF-PQ index at {path} — build_ivfpq_index a seed "
+                "corpus first; the stored codebook is the contract every "
+                "ingested batch must encode with"
+            )
+        if int(batch_id) == 0:
+            raise ValueError(
+                "batch id 0 is reserved for the seed build partition; "
+                "start the ingest stream against a fresh checkpoint "
+                "AFTER the seed build (ids from a checkpointed stream "
+                "are monotonic, so only a stream that predates the "
+                "build can collide)"
+            )
+        io.rmtree(f"{path.rstrip('/')}/batch={int(batch_id)}")
+        if batch_df.isEmpty():
+            if stats is not None:
+                stats.append({"batch_id": batch_id, "n_rows": 0})
+            return
+        v = F.col(vec_col).cast("array<double>")
+        base = fan_out(batch_df).select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            ivf_list_of(v).alias("lst"),
+        )
+        enc = _ivfpq_encode(
+            base,
+            meta["codebook"],
+            n_sub=int(meta["n_sub"]),
+            n_codes=int(meta["n_codes"]),
+        )
+        (
+            enc.select("vec_id", "codes", "lst")
+            .withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("batch", "lst")
+            .parquet(path)
+        )
+        if stats is not None:
+            stats.append({"batch_id": batch_id, "n_rows": batch_df.count()})
+
+    return handle
 
 
 def query_ivfpq_index(
