@@ -4676,6 +4676,7 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
     "one cell aggregate (map-side combined); the probe side is 20 "
     "rows joined against a broadcast 256-cell sketch — the fact is "
     "scanned once.",
+    bench=True,
 )
 def events_cms_topk(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -4687,6 +4688,70 @@ def events_cms_topk(spark, sf_dir):
         .limit(5)
     )
     est = sk.cms_estimate(cms, exact.select("user_id"), "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", F.col("n_exact").cast("long").alias("n_exact"), "n_cms")
+        .orderBy(F.desc("n_exact"), "user_id")
+    )
+
+
+@query(
+    "events_cms_merge_topk",
+    f"""WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, d,
+             ('0x' || substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+               % {sk.CMS_WIDTH} AS bucket,
+             COUNT(*) AS cnt
+      FROM events, UNNEST(range(0, {sk.CMS_DEPTH})) AS u(d)
+      GROUP BY 1, 2, 3),
+    cells AS (SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM daily GROUP BY d, bucket),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+              GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 5),
+    probes AS (SELECT user_id, d,
+                      ('0x' || substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                        % {sk.CMS_WIDTH} AS bucket
+               FROM exact, UNNEST(range(0, {sk.CMS_DEPTH})) AS u(d)),
+    est AS (SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS n_cms
+            FROM probes p LEFT JOIN cells c USING (d, bucket)
+            GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(est.n_cms AS BIGINT) AS n_cms
+    FROM exact e JOIN est USING (user_id)
+    ORDER BY n_exact DESC, user_id""",
+    doc="CMS MERGE certification — the maintenance contract of "
+    "events_cms_topk under the driver's hash gate, the same twin "
+    "relationship as events_scd2 / events_scd2_stream: the Spark side "
+    "builds PER-DAY cell rollups (the stored daily form at 100 TB), "
+    "merges them with one groupBy-SUM (associative integer cells — "
+    "zero fact rescans), and estimates the exact top-5 heavy hitters "
+    "from the MERGED sketch; the oracle replays the daily "
+    "decomposition + merge in SQL. A hash match against the same "
+    "estimates proves merged-daily == single-pass exactly — the "
+    "property that lets any coarser window (month, ad-hoc ranges) be "
+    "answered from stored daily cells. Plan: explode-to-depth map + "
+    "two cell aggregates (day-keyed then merged, both map-side "
+    "combined, both bounded at depth*width rows per group).",
+)
+def events_cms_merge_topk(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = sk.cms_rollup(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        "user_id",
+        group_keys=["day"],
+    )
+    cells = (
+        daily.groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(5)
+    )
+    est = sk.cms_estimate(cells, exact.select("user_id"), "user_id")
     return (
         exact.join(est, "user_id")
         .select("user_id", F.col("n_exact").cast("long").alias("n_exact"), "n_cms")

@@ -1874,6 +1874,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_serve_lsh",  # persisted tuned-LSH serving == in-memory route, pruning asserted in-query; side-effecting twin of sim_ann_serve_ivf (never)
     "sim_ann_serve_ivfpq",  # IVF-PQ codes-only inverted file + driver-side ADC LUTs + exact re-rank from the primary store; side-effecting (never)
     "events_cms_topk",  # count-min sketch as a mergeable relation + one-sided heavy-hitter estimates vs exact (never)
+    "events_cms_merge_topk",  # per-day CMS cells merged by groupBy-SUM == single pass; the merge-maintenance twin (never)
 )
 
 
