@@ -2201,3 +2201,178 @@ def ann_route_decision_table(
         )
         .orderBy("route")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization — the memory floor of the quantization
+# family: 1 bit per dimension (dim/8 bytes/vector) below int8's
+# dim bytes (emb_quant_audit) and PQ's n_sub bytes (pq_audit_sampled).
+# Distance between codes is Hamming = popcount(XOR) over packed words,
+# an integer kernel with no float math at all — the cheapest possible
+# shortlist scan at 100 TB, always followed by an exact re-rank fetch
+# of the shortlist's full vectors (the same candidate-scan +
+# exact-re-rank serving shape query_ivfpq_index certifies).
+# Reference parity: the reference stores full float payloads
+# (etl/db.py:117-120 natural-key rows); the quantization family is
+# pipeline-mandate surface, not reference surface.
+# ---------------------------------------------------------------------------
+
+SIGN_WORD_BITS = 32  # packed word width; 32 keeps every word positive
+#: in a signed 64-bit lane on BOTH engines (bit 63 never set), so the
+#: packed form is portable to any BIGINT store.
+
+
+def sign_bits(vcol: Column, dim: int = EMBEDDING_DIM) -> Column:
+    """array<int> of 0/1 sign bits: bit i = 1 iff v[i] > 0 (ties at
+    exactly 0.0 quantize to 0 — same rule as the LSH bucket sign in
+    ``_bucket``, so both binary families share one sign convention)."""
+    return F.transform(
+        vcol, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def sign_bit_words(vcol: Column, dim: int = EMBEDDING_DIM) -> Column:
+    """Pack the sign bits into array<long> little-endian 32-bit words:
+    word w bit i (value 2^i) holds dimension w*32+i. A 64-dim vector
+    is TWO longs — 16 bytes against 256 fp32 bytes, a 16x cut. The
+    chain-of-adds per word stays whole-stage-codegen (no UDF)."""
+    n_words = (dim + SIGN_WORD_BITS - 1) // SIGN_WORD_BITS
+    words = []
+    for w in range(n_words):
+        acc = None
+        for i in range(min(SIGN_WORD_BITS, dim - w * SIGN_WORD_BITS)):
+            bit = F.when(
+                F.element_at(vcol, w * SIGN_WORD_BITS + i + 1) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            acc = bit if acc is None else acc + bit
+        words.append(acc)
+    return F.array(*words)
+
+
+def _sign_words_py(vec: list[float], dim: int = EMBEDDING_DIM) -> list[int]:
+    """Driver-side twin of :func:`sign_bit_words` for collected panel
+    rows (same > 0 rule, same little-endian packing)."""
+    n_words = (dim + SIGN_WORD_BITS - 1) // SIGN_WORD_BITS
+    out = [0] * n_words
+    for idx in range(min(dim, len(vec))):
+        if vec[idx] > 0:
+            out[idx // SIGN_WORD_BITS] |= 1 << (idx % SIGN_WORD_BITS)
+    return out
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit arrays:
+    sum(bit_count(xor)) per word — pure integer ops, identical on any
+    engine with 64-bit lanes (DuckDB replays it as a per-bit fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_quant_audit(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cand: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization recall audit, one row per panel query
+    (``qid, k, n_hit_ham, n_hit_rerank``): how much of the exact
+    cosine top-k survives (a) ranking by Hamming distance over the
+    1-bit codes alone and (b) exact re-rank of the top-``n_cand``
+    Hamming shortlist — the go/no-go table before serving a
+    32x-smaller first-pass index. Mirrors ``pq_recall_table``'s
+    discipline: one scored frame feeds both rankings (truth and
+    approximation can never diverge on scoring), ties break on
+    vec_id, only integer counters aggregate. The panel is the
+    ``n_queries`` lowest-id vectors, collected once; its packed words
+    are computed driver-side by the bit-identical Python twin. Plan:
+    corpus scan x broadcast panel, two window rankings on qid — an
+    offline audit (the serving path would scan packed words only and
+    fetch shortlist vectors by id, exactly the IVF-PQ re-rank shape)."""
+    spark = emb.sparkSession
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def cos(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: x * y)) / (
+            F.sqrt(fold(F.zip_with(a, a, lambda x, y: x * y)))
+            * F.sqrt(fold(F.zip_with(b, b, lambda x, y: x * y)))
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        sign_bit_words(v).alias("w"),
+    )
+    panel_rows = (
+        fan_out(emb)
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    )
+    panel = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["v"]],
+                _sign_words_py(list(r["v"])),
+            )
+            for r in panel_rows
+        ],
+        "qid long, qv array<double>, qw array<long>",
+    )
+    pairs = (
+        base.join(F.broadcast(panel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cos(F.col("v"), F.col("qv")).alias("s_exact"),
+            hamming_words(F.col("w"), F.col("qw")).alias("ham"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_e = Window.partitionBy("qid").orderBy(F.desc("s_exact"), "vec_id")
+    w_h = Window.partitionBy("qid").orderBy("ham", "vec_id")
+    rk = pairs.select(
+        "qid",
+        "vec_id",
+        "s_exact",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_h).alias("rk_h"),
+    )
+    rr = rk.where(F.col("rk_h") <= n_cand).select(
+        "qid", "rk_e", F.row_number().over(w_e).alias("rk_rr")
+    )
+    hits_ham = (
+        rk.where((F.col("rk_e") <= k) & (F.col("rk_h") <= k))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    hits_rr = (
+        rr.where((F.col("rk_e") <= k) & (F.col("rk_rr") <= k))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    return (
+        panel.select("qid")
+        .join(hits_ham, "qid", "left")
+        .join(hits_rr, "qid", "left")
+        .select(
+            "qid",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce("n_h", F.lit(0)).cast("long").alias("n_hit_ham"),
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_hit_rerank"),
+        )
+        .orderBy("qid")
+    )

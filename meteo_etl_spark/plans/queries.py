@@ -1875,6 +1875,8 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_serve_ivfpq",  # IVF-PQ codes-only inverted file + driver-side ADC LUTs + exact re-rank from the primary store; side-effecting (never)
     "events_cms_topk",  # count-min sketch as a mergeable relation + one-sided heavy-hitter estimates vs exact (never)
     "events_cms_merge_topk",  # per-day CMS cells merged by groupBy-SUM == single pass; the merge-maintenance twin (never)
+    "emb_binary_quant_audit",  # 1-bit sign quantization recall audit (Hamming shortlist + exact re-rank); emb_pq_audit's audit shape stays certified (never)
+    "dedup_embedding_bitlsh",  # sign-band LSH candidates + exact cosine verify — the sub-quadratic embedding near-dup route (never)
 )
 
 

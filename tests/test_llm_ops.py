@@ -1342,3 +1342,99 @@ def test_ivfpq_streaming_ingest_grows_exactly(spark, tmp_path):
     bad = sim.ivfpq_ingest_foreach_batch(spark, lsh_idx)
     with pytest.raises(ValueError, match="no IVF-PQ index"):
         bad(rest, 1)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + sign-band LSH (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_sign_bit_words_match_python_twin_and_unpacked_hamming(spark):
+    """The packed-word expression must equal the driver-side Python
+    twin on every corpus row, and packed XOR+popcount Hamming must
+    equal the unpacked per-bit disagreement count — the two encodings
+    the audit mixes (corpus packs engine-side, panel packs driver-side)
+    can never diverge."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    rows = emb.select(
+        "vec_id", v.alias("v"), sim.sign_bit_words(v).alias("w")
+    ).collect()
+    for r in rows:
+        assert list(r["w"]) == sim._sign_words_py(list(r["v"])), r["vec_id"]
+    # packed hamming == unpacked bit-diff count, all corpus pairs vs
+    # one pinned probe row
+    probe = rows[0]
+    got = (
+        emb.select("vec_id", v.alias("v"))
+        .select(
+            "vec_id",
+            sim.hamming_words(
+                sim.sign_bit_words(F.col("v")),
+                F.lit(probe["w"]).cast("array<long>"),
+            ).alias("ham_packed"),
+            F.aggregate(
+                F.zip_with(
+                    sim.sign_bits(F.col("v")),
+                    F.lit(
+                        [1 if x > 0 else 0 for x in probe["v"]]
+                    ).cast("array<int>"),
+                    lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("ham_bits"),
+        )
+        .collect()
+    )
+    assert all(r["ham_packed"] == r["ham_bits"] for r in got)
+    assert got[0]["ham_packed"] == 0  # self-distance
+
+
+def test_binary_quant_rerank_dominates_and_recovers_on_clustered(spark):
+    """Per panel row the exact re-rank can never do worse than the
+    raw Hamming ranking (every truth item inside the shortlist
+    outranks all non-truth candidates on s_exact), and on a corpus
+    with real neighbor structure the 50-candidate re-rank recovers
+    the exact top-5 completely — the audit numbers a deployment
+    needs before trusting the 1-bit first pass."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = _clustered_embeddings(spark)
+    audit = sim.binary_quant_audit(emb, n_queries=10, k=5, n_cand=50).collect()
+    assert len(audit) == 10
+    assert all(r["n_hit_rerank"] >= r["n_hit_ham"] for r in audit), audit
+    total = sum(r["n_hit_rerank"] for r in audit)
+    assert total == 50, f"clustered corpus should fully recover, got {total}/50"
+    # and on the near-random testdata corpus the raw-Hamming ranking
+    # honestly degrades (the number the registered query pins: 0.24)
+    weak = sim.binary_quant_audit(
+        load_table(spark, SF_SMALL, "embeddings"), n_queries=5, k=5, n_cand=50
+    ).collect()
+    assert sum(r["n_hit_ham"] for r in weak) < 25
+
+
+def test_signband_pairs_subset_of_exact_with_high_recall_on_clustered(spark):
+    """Sign-band candidates + exact verify must emit a SUBSET of the
+    blocked-exact sweep at the same threshold (verification is the
+    same kernel, candidates can only lose pairs), with banded-S-curve
+    recall at near-dup thresholds — the sub-quadratic route is
+    honest about what it trades."""
+    emb = _clustered_embeddings(spark)
+    t = 0.9
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dd.embedding_cosine_pairs(emb, threshold=t).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dd.embedding_signband_pairs(emb, threshold=t).collect()
+    }
+    assert exact, "clustered fixture must contain near-dup pairs"
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair]  # identical kernel + rounding
+    recall = len(banded) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below the S-curve expectation"
