@@ -5844,3 +5844,92 @@ def emb_binary_quant_audit(spark, sf_dir):
 def dedup_embedding_bitlsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_signband_pairs(emb).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) audit (round 12)
+# ---------------------------------------------------------------------------
+
+RP_PANEL = 10
+
+
+def _duck_rp_plane(k: int) -> str:
+    from meteo_etl_spark.functions.projections import rp_plane
+
+    vals = ", ".join(str(w) for w in rp_plane(k))
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _duck_foldn(terms: str, n: int) -> str:
+    """Sequential left fold from 0.0 over per-index ``terms`` with an
+    explicit range bound (``_duck_fold``'s generalization for the
+    projected space's smaller dimensionality)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+        f"i -> {terms})), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_rp_proj(v: str) -> str:
+    from meteo_etl_spark.functions.projections import RP_OUT_DIM
+
+    scale = float(RP_OUT_DIM) ** 0.5
+    comps = ", ".join(
+        f"{_duck_fold(f'({v})[i] * {_duck_rp_plane(k)}[i]')} / {scale}"
+        for k in range(RP_OUT_DIM)
+    )
+    return f"[{comps}]"
+
+
+def _rp_oracle() -> str:
+    from meteo_etl_spark.functions.projections import RP_OUT_DIM
+
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, v, {_duck_rp_proj('v')} AS p FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, p AS qp FROM p
+          ORDER BY vec_id LIMIT {RP_PANEL}),
+    pairs AS (SELECT q.qid,
+                     {_duck_fold('(v[i] - qv[i]) * (v[i] - qv[i])')} AS d2v,
+                     {_duck_foldn('(p[i] - qp[i]) * (p[i] - qp[i])', RP_OUT_DIM)} AS d2p
+              FROM q, p WHERE p.vec_id <> q.qid),
+    filt AS (SELECT qid,
+                    CAST(floor(d2p / d2v * 1000000.0 + 0.5) AS BIGINT)
+                      AS ratio_u
+             FROM pairs WHERE d2v > 0)
+    SELECT qid,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(ratio_u) AS BIGINT) AS sum_ratio_u,
+           MIN(ratio_u) AS min_ratio_u,
+           MAX(ratio_u) AS max_ratio_u
+    FROM filt GROUP BY qid ORDER BY qid"""
+
+
+@query(
+    "emb_rp_audit",
+    _rp_oracle(),
+    doc="Johnson-Lindenstrauss random-projection distortion audit — "
+    "the DATA-INDEPENDENT dim cut beside PCA (emb_pca_variance): a "
+    "fixed md5-seeded ±1 Rademacher matrix (Achlioptas 2001, the "
+    "similarity.hyperplane convention — literal coefficients in BOTH "
+    "engines, no RNG state) projects 64 -> 16 dims in one codegen'd "
+    "map (16 sequential folds against literal arrays; sqrt(16)=4.0 "
+    "makes even the JL scale FP-exact). Per panel query, the audit "
+    "reports the distribution of dist2(projected)/dist2(original) "
+    "over all corpus pairs — count, sum, min, max in integer "
+    "micro-units (snapped per pair BEFORE the group aggregate: "
+    "partition-invariant by construction). Mean near 1.0 certifies "
+    "the 4x-smaller vectors for clustering/dedup blocking; min/max "
+    "bound the worst pair. No training pass, no model table — the "
+    "reduction reproduces from a constant at every executor, the "
+    "property that matters when vectors arrive faster than a PCA "
+    "refit (streaming crawls). Plan: corpus scan x broadcast 10-row "
+    "panel (panel projected driver-side by the bit-identical twin), "
+    "one grouped aggregate; no corpus-x-corpus join, no vector "
+    "shuffle.",
+    bench=True,
+)
+def emb_rp_audit(spark, sf_dir):
+    from meteo_etl_spark.functions.projections import rp_distortion_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_distortion_audit(emb, n_queries=RP_PANEL)

@@ -1877,6 +1877,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_cms_merge_topk",  # per-day CMS cells merged by groupBy-SUM == single pass; the merge-maintenance twin (never)
     "emb_binary_quant_audit",  # 1-bit sign quantization recall audit (Hamming shortlist + exact re-rank); emb_pq_audit's audit shape stays certified (never)
     "dedup_embedding_bitlsh",  # sign-band LSH candidates + exact cosine verify — the sub-quadratic embedding near-dup route (never)
+    "emb_rp_audit",  # Johnson-Lindenstrauss random-projection distortion audit (data-independent dim cut beside PCA) (never)
 )
 
 
