@@ -964,3 +964,103 @@ def classifier_confusion(
         .groupBy("true_cls", "pred_cls")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: calibration bins: conf_ppm in [0, 1e6] -> deciles 0..9 (capped);
+#: bin -1 collects zero-overlap / zero-mass documents (no confidence
+#: is defined there — reporting them in-band would poison decile 0).
+CAL_BINS = 10
+
+
+def classifier_calibration(
+    docs: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Reliability (calibration) table for the token classifier — the
+    standard eval artifact beside the confusion matrix: hash-split,
+    train, score the held-out split, derive a per-document integer
+    confidence conf_ppm = top_score * 1e6 div sum(scores) (the argmax
+    class's share of total score mass), bucket into deciles, and
+    report per bin: n_docs, n_correct, sum_conf_ppm, acc_ppm. A
+    well-calibrated filter has acc_ppm tracking the bin's mean
+    confidence — THE table a curation pipeline reads before trusting
+    classifier scores as keep/drop thresholds (FineWeb-Edu style
+    score-gating assumes it). Integer-exact end to end: confidence is
+    one BIGINT division, bins are integer div, accuracy uses the
+    repo's half-up ppm idiom — both engines agree bit-for-bit.
+    Plan: same shape as classifier_confusion plus one doc_id-grouped
+    aggregate; the bin table is <= 11 rows."""
+    test_frac = round(1.0 - train_frac, 9)
+    split = hash_split(docs, id_col, {"train": train_frac, "test": test_frac})
+    train = split.where(F.col("split") == "train")
+    test = split.where(F.col("split") == "test")
+    model = train_token_centroids(train, class_col=class_col, text_col=text_col)
+    tf = (
+        test.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    num = (
+        tf.join(model, "tok")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    per_doc = (
+        num.withColumn("rk", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cls"))).alias("pred_cls"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("top_score"),
+            F.sum("score").cast("long").alias("tot_score"),
+        )
+    )
+    lab = test.select(id_col, F.col(class_col).alias("true_cls")).join(
+        per_doc, id_col, "left"
+    )
+    has_mass = F.col("tot_score").isNotNull() & (F.col("tot_score") > 0)
+    conf = F.expr("top_score * 1000000 div tot_score")
+    binned = lab.select(
+        F.when(~has_mass, F.lit(-1))
+        .otherwise(
+            F.expr("least(top_score * 1000000 div tot_score, 999999) div 100000")
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.col("pred_cls").isNotNull()
+            & (F.col("pred_cls") == F.col("true_cls")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("correct"),
+        F.when(~has_mass, F.lit(0).cast("long"))
+        .otherwise(conf)
+        .alias("conf_ppm"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("correct").cast("long").alias("n_correct"),
+            F.sum("conf_ppm").cast("long").alias("sum_conf_ppm"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            "sum_conf_ppm",
+            F.expr(
+                "(2 * 1000000 * n_correct + n_docs) div (2 * n_docs)"
+            ).alias("acc_ppm"),
+        )
+        .orderBy("bin")
+    )

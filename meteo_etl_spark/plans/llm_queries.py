@@ -5933,3 +5933,76 @@ def emb_rp_audit(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_distortion_audit(emb, n_queries=RP_PANEL)
+
+
+@query(
+    "docs_classifier_calibration",
+    """WITH s AS (SELECT doc_id, text, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000 AS b
+           FROM documents),
+    tr AS (SELECT lang AS cls, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b < 800),
+    cnt AS (SELECT cls, tok, COUNT(*) AS cnt FROM tr GROUP BY cls, tok),
+    tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM cnt GROUP BY cls),
+    model AS (SELECT cls, tok, cnt * 1000000 // total AS freq_ppm
+              FROM cnt JOIN tot USING (cls)),
+    te AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+           FROM s WHERE b >= 800),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM te GROUP BY doc_id, tok),
+    num AS (SELECT doc_id, cls, CAST(SUM(tf * freq_ppm) AS BIGINT) AS score
+            FROM tf JOIN model USING (tok) GROUP BY doc_id, cls),
+    rk AS (SELECT doc_id, cls, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cls) AS rk
+           FROM num),
+    per AS (SELECT doc_id,
+                   max(CASE WHEN rk = 1 THEN cls END) AS pred_cls,
+                   max(CASE WHEN rk = 1 THEN score END) AS top_score,
+                   CAST(SUM(score) AS BIGINT) AS tot_score
+            FROM rk GROUP BY doc_id),
+    lab AS (SELECT s.doc_id, s.lang AS true_cls,
+                   p.pred_cls, p.top_score, p.tot_score
+            FROM s LEFT JOIN per p USING (doc_id) WHERE s.b >= 800),
+    bins AS (SELECT
+               CASE WHEN tot_score IS NULL OR tot_score <= 0 THEN -1
+                    ELSE least(top_score * 1000000 // tot_score, 999999)
+                         // 100000 END AS bin,
+               CASE WHEN pred_cls IS NOT NULL AND pred_cls = true_cls
+                    THEN 1 ELSE 0 END AS correct,
+               CASE WHEN tot_score IS NULL OR tot_score <= 0 THEN 0
+                    ELSE top_score * 1000000 // tot_score END AS conf_ppm
+             FROM lab)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(correct) AS BIGINT) AS n_correct,
+           CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm,
+           CAST((2 * 1000000 * SUM(correct) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS acc_ppm
+    FROM bins GROUP BY bin ORDER BY bin""",
+    doc="Classifier reliability (calibration) table — the third "
+    "artifact of the learned-filter family (confusion matrix -> "
+    "precision/recall report -> THIS): per confidence decile of the "
+    "held-out split, document count, correct count, summed confidence "
+    "and half-up accuracy ppm. Confidence is the argmax class's share "
+    "of total score mass (top_score * 1e6 div sum-of-scores — one "
+    "BIGINT division, no softmax/libm, so both engines agree "
+    "bit-for-bit); zero-overlap/zero-mass documents land in bin -1 "
+    "rather than poisoning decile 0. A curation pipeline that "
+    "score-gates documents (FineWeb-Edu style) reads THIS table "
+    "before trusting any threshold: acc_ppm tracking mean confidence "
+    "per bin is what makes a cutoff meaningful — and the table "
+    "honestly shows that share-of-mass confidence concentrates near "
+    "1/k with k classes of mostly-shared vocabulary (tiny margins "
+    "win argmax), so a 0.9-style softmax cutoff would keep NOTHING "
+    "here; the pinning test documents this geometry. Plan: the confusion "
+    "query's train/score shape plus one doc_id-grouped aggregate; "
+    "output <= 11 rows.",
+    bench=True,
+)
+def docs_classifier_calibration(spark, sf_dir):
+    from meteo_etl_spark.functions.classify import classifier_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_calibration(fan_out(docs), class_col="lang")

@@ -1878,6 +1878,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_binary_quant_audit",  # 1-bit sign quantization recall audit (Hamming shortlist + exact re-rank); emb_pq_audit's audit shape stays certified (never)
     "dedup_embedding_bitlsh",  # sign-band LSH candidates + exact cosine verify — the sub-quadratic embedding near-dup route (never)
     "emb_rp_audit",  # Johnson-Lindenstrauss random-projection distortion audit (data-independent dim cut beside PCA) (never)
+    "docs_classifier_calibration",  # reliability table: per confidence decile, docs/correct/conf/acc — the score-gating prerequisite (never)
 )
 
 

@@ -858,3 +858,69 @@ def test_chargram_model_generalizes_to_unseen_tokens(spark):
         by_cls[r["cls"]] += r["freq_ppm"]
     for cls, s in by_cls.items():
         assert 990_000 <= s <= 1_000_000, (cls, s)
+
+
+def test_calibration_accounts_every_heldout_doc_and_bounds(spark):
+    """Structural contract: every held-out document lands in exactly
+    one bin, bins stay in [-1, 9], confidence sums are consistent with
+    the bin edges, and acc_ppm is the half-up ppm of n_correct/n_docs."""
+    from meteo_etl_spark.functions.classify import classifier_calibration
+    from meteo_etl_spark.functions.sampling import hash_split
+    from meteo_etl_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    heldout = (
+        hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2})
+        .where(F.col("split") == "test")
+        .count()
+    )
+    rows = classifier_calibration(docs, class_col="lang").collect()
+    assert sum(r["n_docs"] for r in rows) == heldout
+    for r in rows:
+        assert -1 <= r["bin"] <= 9
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        exp_acc = (2 * 1_000_000 * r["n_correct"] + r["n_docs"]) // (
+            2 * r["n_docs"]
+        )
+        assert r["acc_ppm"] == exp_acc
+        if r["bin"] == -1:
+            assert r["sum_conf_ppm"] == 0
+        else:
+            lo, hi = r["bin"] * 100_000, (r["bin"] + 1) * 100_000
+            mean_conf = r["sum_conf_ppm"] / r["n_docs"]
+            # bin 9 also holds the capped conf == 1e6 docs
+            hi = 1_000_001 if r["bin"] == 9 else hi
+            assert lo <= mean_conf < hi, (r["bin"], mean_conf)
+
+
+def test_calibration_table_pins_skill_and_share_of_mass_geometry(spark):
+    """On the injected (deterministically separable) corpus the table
+    must carry the known skill result (near-perfect overall accuracy)
+    while the CONFIDENCE axis honestly shows the share-of-mass
+    geometry: with k=4 classes and mostly-shared vocabulary, the
+    argmax class's share of total score concentrates near 1/k even
+    when accuracy is ~1.0 — tiny margins win argmax. THIS is why a
+    pipeline needs the calibration table before score-gating: raw
+    share-of-mass cannot be thresholded at 0.9 like a softmax prob."""
+    from meteo_etl_spark.functions.classify import (
+        classifier_calibration,
+        inject_class_signal,
+    )
+    from meteo_etl_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = inject_class_signal(
+        load_table(spark, SF_SMALL, "documents"), class_col="lang"
+    )
+    rows = classifier_calibration(docs, class_col="lang").collect()
+    n_all = sum(r["n_docs"] for r in rows)
+    acc = sum(r["n_correct"] for r in rows) / n_all
+    assert acc > 0.9, rows
+    # no zero-mass documents on this corpus, and every doc's
+    # confidence sits in the low-share band around 1/k (bins 1-3) —
+    # the geometry the docstring warns score-gaters about
+    assert all(r["bin"] != -1 for r in rows), rows
+    assert all(1 <= r["bin"] <= 3 for r in rows), rows
+    mean_conf = sum(r["sum_conf_ppm"] for r in rows) / n_all
+    assert 150_000 < mean_conf < 350_000, mean_conf
