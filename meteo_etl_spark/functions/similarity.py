@@ -2376,3 +2376,123 @@ def binary_quant_audit(
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-range scalar quantization (faiss ScalarQuantizer / SQ8):
+# per-DIMENSION [lo, hi] ranges trained on the corpus, 8-bit codes
+# against a fixed per-dim dictionary. Differs from emb_quant_audit's
+# per-VECTOR max-abs int8 (no per-row scale to store, and the frozen
+# ranges are a quantizer CONTRACT later batches encode with — the
+# same frozen-quantizer streaming property ivfpq_ingest enforces) and
+# from PQ (no codebook training, byte-per-dim instead of
+# byte-per-subspace).
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255
+
+
+def sq8_train_ranges(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> tuple[list[float], list[float]]:
+    """One aggregate pass -> per-dimension (lo, hi) range lists. The
+    collect is d-scalar-sized (the codebook/centroid discipline), and
+    min/max of doubles are order-invariant, so the trained ranges are
+    identical at any partitioning."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"lo{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"hi{i}"))
+    row = emb.agg(*aggs).collect()[0]
+    lo = [float(row[f"lo{i}"]) for i in range(dim)]
+    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    return lo, hi
+
+
+def sq8_dequantized(
+    vcol: Column,
+    lo: list[float],
+    hi: list[float],
+    *,
+    dim: int = EMBEDDING_DIM,
+) -> Column:
+    """Quantize-then-dequantize against the frozen ranges (the
+    reconstruction an SQ8 index serves): code = clamp(round((x-lo)/
+    (hi-lo)*255), 0, 255), back as lo + code*(hi-lo)/255. Degenerate
+    dims (hi == lo) reconstruct exactly. Pure element chain — the
+    identical textual form the oracle replays."""
+    lo_l = F.lit(lo).cast("array<double>")
+    hi_l = F.lit(hi).cast("array<double>")
+
+    def dq(i: Column) -> Column:
+        x = F.element_at(vcol, i)
+        a = F.element_at(lo_l, i)
+        b = F.element_at(hi_l, i)
+        code = F.least(
+            F.greatest(
+                F.floor((x - a) / (b - a) * F.lit(255.0) + F.lit(0.5)),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        )
+        return F.when(b == a, x).otherwise(a + code * (b - a) / F.lit(255.0))
+
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)), lambda i: dq(i.cast("int"))
+    )
+
+
+def sq8_audit(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+    ranges: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Trained-range SQ8 reconstruction audit, same table shape and
+    integer discipline as the per-vector int8 audit (per label:
+    n_vecs, summed L2 error and cosine preservation in micro-units,
+    snapped per vector BEFORE the group sum): the side-by-side row
+    that says whether per-dim frozen ranges beat per-vector scales on
+    YOUR corpus before an index commits to either. ``ranges`` accepts
+    pre-trained (lo, hi) — the frozen-quantizer path for auditing new
+    batches against an existing contract."""
+    lo, hi = ranges if ranges is not None else sq8_train_ranges(
+        emb, vec_col=vec_col, dim=dim
+    )
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def dot2(a, b):
+        return fold(F.zip_with(a, b, lambda x, y: x * y))
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(
+        F.col(label_col).alias("label"),
+        v.alias("v"),
+        sq8_dequantized(v, lo, hi, dim=dim).alias("dq"),
+    )
+    err = F.sqrt(fold(F.zip_with("v", "dq", lambda x, y: (x - y) * (x - y))))
+    denom = F.sqrt(dot2(F.col("v"), F.col("v"))) * F.sqrt(
+        dot2(F.col("dq"), F.col("dq"))
+    )
+    cos = F.when(denom == 0, F.lit(1.0)).otherwise(
+        dot2(F.col("v"), F.col("dq")) / denom
+    )
+    u = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        base.select("label", u(err).alias("err_u"), u(cos).alias("cos_u"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_u").cast("long").alias("sum_err_u"),
+            F.sum("cos_u").cast("long").alias("sum_cos_u"),
+        )
+        .orderBy("label")
+    )

@@ -6006,3 +6006,59 @@ def docs_classifier_calibration(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return classifier_calibration(fan_out(docs), class_col="lang")
+
+
+@query(
+    "emb_sq8_audit",
+    f"""WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ix AS (SELECT UNNEST(range(1, {_DIM + 1})) AS i),
+    rg AS (SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi FROM v, ix GROUP BY i),
+    ra AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+           FROM rg),
+    d AS (SELECT label, v,
+                 list_transform(range(1, {_DIM + 1}), i ->
+                   CASE WHEN ra.hi[i] = ra.lo[i] THEN v[i]
+                        ELSE ra.lo[i]
+                             + least(greatest(floor((v[i] - ra.lo[i])
+                                       / (ra.hi[i] - ra.lo[i]) * 255.0
+                                       + 0.5), 0.0), 255.0)
+                               * (ra.hi[i] - ra.lo[i]) / 255.0
+                   END) AS dq
+          FROM v, ra),
+    e AS (SELECT label,
+                 sqrt({_duck_fold('(v[i] - dq[i]) * (v[i] - dq[i])')}) AS err,
+                 CASE WHEN sqrt({_duck_fold('v[i] * v[i]')})
+                           * sqrt({_duck_fold('dq[i] * dq[i]')}) = 0 THEN 1.0
+                      ELSE {_duck_fold('v[i] * dq[i]')}
+                           / (sqrt({_duck_fold('v[i] * v[i]')})
+                              * sqrt({_duck_fold('dq[i] * dq[i]')}))
+                 END AS cos
+          FROM d)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(err * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_err_u,
+           CAST(SUM(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cos_u
+    FROM e GROUP BY label ORDER BY label""",
+    doc="Trained-range scalar quantization audit (faiss SQ8) — the "
+    "fourth quantization family row beside per-vector int8 "
+    "(emb_quant_audit), PQ (emb_pq_audit) and 1-bit sign codes "
+    "(emb_binary_quant_audit): per-DIMENSION [lo, hi] ranges trained "
+    "in ONE aggregate pass (min/max are order-invariant — identical "
+    "at any partitioning; the collect is d-scalar-sized), then 8-bit "
+    "codes against the fixed per-dim dictionary, reconstructed and "
+    "measured with the same per-label integer micro-unit table as "
+    "the int8 audit, so the two quantizers' numbers sit side by side "
+    "directly. Unlike per-vector scales there is NO per-row "
+    "metadata, and the frozen ranges are a quantizer CONTRACT later "
+    "batches encode with (the frozen-quantizer streaming property "
+    "the IVF-PQ ingest enforces; sq8_audit(ranges=) audits new "
+    "batches against an existing contract). Plan: one d-wide min/max "
+    "aggregate + one pure-map pass with literal range arrays + one "
+    "map-combined group-by — no joins, no vector shuffle at 100 TB.",
+    bench=True,
+)
+def emb_sq8_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.sq8_audit(emb)

@@ -1879,6 +1879,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_embedding_bitlsh",  # sign-band LSH candidates + exact cosine verify — the sub-quadratic embedding near-dup route (never)
     "emb_rp_audit",  # Johnson-Lindenstrauss random-projection distortion audit (data-independent dim cut beside PCA) (never)
     "docs_classifier_calibration",  # reliability table: per confidence decile, docs/correct/conf/acc — the score-gating prerequisite (never)
+    "emb_sq8_audit",  # trained-range scalar quantization (faiss SQ8) audit — fourth quantization family row (never)
 )
 
 

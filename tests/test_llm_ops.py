@@ -1438,3 +1438,57 @@ def test_signband_pairs_subset_of_exact_with_high_recall_on_clustered(spark):
         assert cos == exact[pair]  # identical kernel + rounding
     recall = len(banded) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} below the S-curve expectation"
+
+
+def test_sq8_ranges_are_partition_invariant_and_audit_is_exact(spark):
+    """Trained ranges equal the true per-dim min/max at any layout;
+    the audit preserves cosine well on real vectors; degenerate
+    (constant) dims reconstruct exactly; frozen ranges clamp
+    out-of-contract batches instead of extrapolating."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    lo, hi = sim.sq8_train_ranges(emb)
+    lo2, hi2 = sim.sq8_train_ranges(emb.repartition(7))
+    assert lo == lo2 and hi == hi2
+    import numpy as np
+
+    V = np.array([r["e"] for r in emb.select(F.col("embedding").cast("array<double>").alias("e")).collect()])
+    assert lo == [float(x) for x in V.min(axis=0)]
+    assert hi == [float(x) for x in V.max(axis=0)]
+
+    audit = sim.sq8_audit(emb).collect()
+    n = sum(r["n_vecs"] for r in audit)
+    mean_cos = sum(r["sum_cos_u"] for r in audit) / n / 1e6
+    assert mean_cos > 0.999, mean_cos
+
+    # constant dim: every vector reconstructs that dim exactly
+    cdf = emb.select(
+        "label",
+        F.concat(
+            F.array(F.lit(3.25)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+        ).alias("embedding"),
+    )
+    clo, chi = sim.sq8_train_ranges(cdf)
+    assert clo[0] == chi[0] == 3.25
+    row = cdf.select(
+        sim.sq8_dequantized(F.col("embedding"), clo, chi).alias("dq")
+    ).first()
+    assert row["dq"][0] == 3.25
+
+    # frozen-contract audit: a batch outside the ranges clamps to the
+    # dictionary edge (never extrapolates past hi)
+    big = emb.limit(5).select(
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 100.0
+        ).alias("embedding"),
+    )
+    dq = big.select(
+        sim.sq8_dequantized(F.col("embedding"), lo, hi).alias("dq")
+    ).collect()
+    eps = 1e-9
+    for r in dq:
+        for i, x in enumerate(r["dq"]):
+            assert lo[i] - eps <= x <= hi[i] + eps
