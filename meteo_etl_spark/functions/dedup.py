@@ -332,6 +332,79 @@ def minhash_lsh_pairs(
     )
 
 
+#: containment verify threshold and the document-frequency ceiling for
+#: the rare-shingle blocking index (a posting list of df docs yields
+#: <= df^2 candidate pairs — bounding df bounds the fan-out).
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_DF_MAX = 10
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    df_max: int = CONTAINMENT_DF_MAX,
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|, |B|)
+    — the asymmetric measure symmetric Jaccard is blind to: a short
+    document pasted inside a much longer one scores J ≈ |A|/|B| ≈ 0
+    but containment ≈ 1. The complement of `minhash_lsh_pairs` in the
+    dedup family (MinHash estimates Jaccard, so its bands CANNOT
+    block for containment — size-skewed pairs rarely collide).
+
+    Blocking: a RARE-shingle inverted index — only shingles with
+    document frequency in [2, df_max] emit postings, so each posting
+    list yields at most df_max^2 candidate pairs (bounded fan-out; no
+    stop-shingle quadratic blowup), while a contained document shares
+    ALL its shingles with its container, so any of its rare shingles
+    suffices to collide the pair. Missed only when every shared
+    shingle is common (df > df_max) — raise df_max to trade cost for
+    that tail. Verification intersects the two cached shingle SETS on
+    candidates only (the `_pair_jaccard` candidate path discipline).
+    Shuffles: one df census, one posting self-join, two id-joins —
+    all equi-joins, nothing all-pairs."""
+    sh_docs = _shingle_docs(docs, id_col, text_col)
+    ex = sh_docs.select("id", F.explode("sh").alias("s"))
+    rare_keys = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .where((F.col("dfc") >= 2) & (F.col("dfc") <= df_max))
+        .select("s")
+    )
+    rare = ex.join(rare_keys, "s")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh_docs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_docs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("c"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+        .select("doc_a", "doc_b", cont.alias("containment_raw"))
+        .filter(F.col("containment_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment_raw", 3).alias("containment"),
+        )
+    )
+
+
 EDIT_RATIO_THRESHOLD = 0.9
 
 

@@ -6062,3 +6062,47 @@ def docs_classifier_calibration(spark, sf_dir):
 def emb_sq8_audit(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.sq8_audit(emb)
+
+
+@query(
+    "dedup_containment",
+    f"""WITH {_DUCK_SHINGLES},
+    dfc AS (SELECT tok, COUNT(*) AS dfc FROM ex GROUP BY tok),
+    rare AS (SELECT ex.doc_id, ex.tok FROM ex JOIN dfc USING (tok)
+             WHERE dfc BETWEEN 2 AND {dd.CONTAINMENT_DF_MAX}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    v AS (SELECT cd.doc_a, cd.doc_b,
+                 len(list_intersect(p.s, q.s)) AS c,
+                 len(p.s) AS na, len(q.s) AS nb
+          FROM cand cd
+          JOIN sh p ON p.doc_id = cd.doc_a
+          JOIN sh q ON q.doc_id = cd.doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 3)
+             AS containment
+    FROM v
+    WHERE CAST(c AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)
+          >= {dd.CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b""",
+    doc="Containment near-dup pairs — |A∩B|/min(|A|,|B|), the "
+    "asymmetric measure Jaccard is blind to: a short document pasted "
+    "into a long one scores J ≈ |A|/|B| ≈ 0 but containment ≈ 1, and "
+    "MinHash bands (which estimate Jaccard) structurally CANNOT "
+    "block for it — size-skewed pairs rarely collide. Blocking here "
+    "is a rare-shingle inverted index: postings only for shingles "
+    f"with document frequency in [2, {dd.CONTAINMENT_DF_MAX}], so "
+    "each posting list fans out to at most df_max^2 pairs (bounded — "
+    "no stop-shingle quadratic blowup) while a contained doc shares "
+    "ALL its shingles with its container, so any one rare shingle "
+    "collides the pair; missed only when every shared shingle is "
+    "corpus-common, the documented df_max trade. Verification "
+    "intersects cached shingle sets on candidates only. Plan: df "
+    "census + posting self-join + two id-joins — equi-joins "
+    "throughout, nothing all-pairs, the blocked-dedup scale shape.",
+    bench=True,
+)
+def dedup_containment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs).orderBy("doc_a", "doc_b")

@@ -1880,6 +1880,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_rp_audit",  # Johnson-Lindenstrauss random-projection distortion audit (data-independent dim cut beside PCA) (never)
     "docs_classifier_calibration",  # reliability table: per confidence decile, docs/correct/conf/acc — the score-gating prerequisite (never)
     "emb_sq8_audit",  # trained-range scalar quantization (faiss SQ8) audit — fourth quantization family row (never)
+    "dedup_containment",  # asymmetric containment pairs via rare-shingle blocking — the small-doc-inside-big catch Jaccard misses (never)
 )
 
 

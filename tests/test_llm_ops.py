@@ -1492,3 +1492,48 @@ def test_sq8_ranges_are_partition_invariant_and_audit_is_exact(spark):
     for r in dq:
         for i, x in enumerate(r["dq"]):
             assert lo[i] - eps <= x <= hi[i] + eps
+
+
+def test_containment_catches_what_jaccard_structurally_misses(spark):
+    """A short document pasted inside a much longer one: containment
+    must report it at ~1.0 while the Jaccard route (minhash bands +
+    J >= 0.8 verify) reports nothing — the asymmetric blind spot this
+    operator exists for. Also pins the verify: every reported pair
+    really meets the threshold on exact shingle sets."""
+    base = [f"w{i}" for i in range(400)]
+    short = " ".join(base[:30])
+    long_doc = " ".join(base[:30] + [f"filler{i}" for i in range(300)])
+    other = " ".join(f"z{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    cont = dd.containment_pairs(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in cont}
+    assert (1, 2) in got and got[(1, 2)] >= 0.99, got
+    jac = dd.minhash_lsh_pairs(docs).collect()
+    assert not any(
+        {r["doc_a"], r["doc_b"]} == {1, 2} for r in jac
+    ), "J(short, long) ~ 0.09 must NOT pass the 0.8 Jaccard route"
+
+
+def test_containment_rare_shingle_blocking_bounds_fanout(spark):
+    """A shingle shared by MORE than df_max documents must not create
+    candidates by itself: the posting-list bound is what keeps the
+    self-join sub-quadratic on stop-shingle-heavy corpora."""
+    # 15 docs sharing one identical 'header' sentence (df = 15 >
+    # df_max = 10), each with a unique body — no rare shingle is
+    # shared, so NO pairs may be reported despite the common header.
+    header = " ".join(f"h{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (i, header + " " + " ".join(f"b{i}_{j}" for j in range(50)))
+            for i in range(15)
+        ],
+        "doc_id long, text string",
+    )
+    assert dd.containment_pairs(docs).count() == 0
+    # raising df_max re-admits the header postings and the pairs
+    # appear (containment of the shared header region is small, so
+    # verify at a low threshold to see the candidates themselves)
+    readmitted = dd.containment_pairs(docs, threshold=0.1, df_max=20).count()
+    assert readmitted == 15 * 14 / 2
