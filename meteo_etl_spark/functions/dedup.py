@@ -332,6 +332,133 @@ def minhash_lsh_pairs(
     )
 
 
+#: winnowing (Schleimer et al. 2003, the MOSS fingerprinter): window
+#: of WINNOW_WINDOW consecutive k-gram hashes -> keep each window's
+#: minimum. GUARANTEE: any shared token run of length >=
+#: SHINGLE_K + WINNOW_WINDOW - 1 produces at least one shared
+#: fingerprint; expected density ~ 2/(WINNOW_WINDOW+1) of grams.
+WINNOW_WINDOW = 4
+WINNOW_DF_MAX = 10
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """(id, fp: array<struct<h,pos>>) winnowed fingerprints per doc —
+    the POSITION-AWARE local fingerprint the set-global shingle/
+    MinHash family lacks: each window of ``w`` consecutive k-gram
+    hashes contributes its minimum (ties select the rightmost
+    occurrence — min over struct(h, -pos)), so fingerprints are
+    locally stable under edits elsewhere in the document and a match
+    of length >= k+w-1 tokens ALWAYS shares one. ``pos`` is the gram
+    index — enough to locate the matched span for excision/review.
+
+    Same materialization discipline as ``_shingle_docs``: token
+    hashes and the positional gram array are separate projections so
+    the per-window slice arithmetic references computed arrays (the
+    documented inlining trap would otherwise re-hash per window)."""
+    keep = fan_out(
+        docs.filter(F.size(F.split(text_col, " ")) >= k + w - 1)
+    )
+    toks = keep.select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("tw")
+    )
+    hashed = toks.select("id", token_hashes("tw").alias("w_h"))
+    roll = shingle_rolling_expr("w_h", "i", k)
+    grams = hashed.select(
+        "id",
+        F.expr(
+            f"transform(sequence(1, size(w_h) - {k - 1}), i -> {roll})"
+        ).alias("g"),
+    )
+    fp = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, size(g) - {w - 1}),
+          j -> named_struct(
+            'h', array_min(slice(g, j, {w})),
+            'pos', j + {w}
+                   - array_position(reverse(slice(g, j, {w})),
+                                    array_min(slice(g, j, {w}))))))
+        """
+    )
+    return grams.select("id", fp.alias("fp"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = WINNOW_MIN_SHARED,
+    df_max: int = WINNOW_DF_MAX,
+) -> DataFrame:
+    """Partial-overlap pairs by shared winnowed fingerprints — the
+    plagiarism-detector shape: (doc_a, doc_b, n_shared) where
+    n_shared counts DISTINCT shared fingerprint hashes and any shared
+    passage of >= k+w-1 tokens is guaranteed to register. Blocking
+    reuses the containment route's df-bounded inverted index (each
+    posting list fans out to <= df_max^2 pairs); verification
+    intersects the cached per-doc fingerprint-hash sets on candidates
+    only. Winnowing's sparsity (~2/(w+1) of grams) makes this index
+    ~2.5x smaller than the full shingle index at the same guarantee
+    horizon."""
+    # cache() is load-bearing, not an optimization: the fingerprint
+    # expression is THREE stacked array-lambda projections (token
+    # hashes -> positional grams -> window minima), and pulling an
+    # explode/join lineage through them lets projection collapse
+    # inline each level into every reference site — the shingles()
+    # inlining trap compounded per level (measured: sf0.001 hangs).
+    # One materialization evaluates the fingerprints once; every
+    # downstream branch (df census, postings, verify fetches) reads
+    # the cached rows. Same discipline as minhash_lsh_pairs' sh_docs.
+    fps = (
+        winnow_docs(docs, id_col, text_col)
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform("fp", lambda x: x.getField("h"))
+            ).alias("fh"),
+        )
+        .cache()
+    )
+    ex = fps.select("id", F.explode("fh").alias("h"))
+    rare_keys = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .where((F.col("dfc") >= 2) & (F.col("dfc") <= df_max))
+        .select("h")
+    )
+    rare = ex.join(rare_keys, "h")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fps.select(F.col("id").alias("doc_a"), F.col("fh").alias("fh_a"))
+    fb = fps.select(F.col("id").alias("doc_b"), F.col("fh").alias("fh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("fh_a", "fh_b")).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 #: containment verify threshold and the document-frequency ceiling for
 #: the rare-shingle blocking index (a posting list of df docs yields
 #: <= df^2 candidate pairs — bounding df bounds the fan-out).

@@ -1881,6 +1881,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_classifier_calibration",  # reliability table: per confidence decile, docs/correct/conf/acc — the score-gating prerequisite (never)
     "emb_sq8_audit",  # trained-range scalar quantization (faiss SQ8) audit — fourth quantization family row (never)
     "dedup_containment",  # asymmetric containment pairs via rare-shingle blocking — the small-doc-inside-big catch Jaccard misses (never)
+    "docs_winnow_overlap",  # winnowed-fingerprint partial-overlap pairs (MOSS primitive; guaranteed-catch horizon k+w-1) (never)
 )
 
 

@@ -1537,3 +1537,70 @@ def test_containment_rare_shingle_blocking_bounds_fanout(spark):
     # verify at a low threshold to see the candidates themselves)
     readmitted = dd.containment_pairs(docs, threshold=0.1, df_max=20).count()
     assert readmitted == 15 * 14 / 2
+
+
+def test_winnow_guarantee_and_positions(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    exactly k+w-1 tokens (and nothing else) MUST share at least one
+    fingerprint. Positions must index a gram whose hash equals the
+    fingerprint (span location works), and density stays well below
+    the full gram count (the index-size win)."""
+    k, w = dd.SHINGLE_K, dd.WINNOW_WINDOW
+    run = " ".join(f"shared{i}" for i in range(k + w - 1))
+    doc_a = " ".join(f"a{i}" for i in range(40)) + " " + run + " " + " ".join(
+        f"a{i}" for i in range(40, 80)
+    )
+    doc_b = " ".join(f"b{i}" for i in range(60)) + " " + run
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = {r["id"]: r["fp"] for r in dd.winnow_docs(docs).collect()}
+    ha = {x["h"] for x in fps[1]}
+    hb = {x["h"] for x in fps[2]}
+    assert ha & hb, "guaranteed-horizon shared run must register"
+    # positions locate the gram: recompute grams and check h == g[pos]
+    from meteo_etl_spark.functions.dedup import (
+        shingle_rolling_expr,
+        token_hashes,
+    )
+
+    hashed = docs.select(
+        "doc_id", F.split("text", " ").alias("tw")
+    ).select("doc_id", token_hashes("tw").alias("gh"))
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in hashed.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(gh) - {0}), i -> {1})".format(
+                    k - 1, shingle_rolling_expr("gh", "i", k)
+                )
+            ).alias("g"),
+        ).collect()
+    }
+    for doc_id, fp in fps.items():
+        for entry in fp:
+            assert grams[doc_id][entry["pos"] - 1] == entry["h"], entry
+        assert len(fp) < 0.6 * len(grams[doc_id])
+    # and the pair surfaces from the overlap operator (min_shared=1
+    # here: ONE guaranteed fingerprint is the horizon's promise)
+    pairs = dd.winnow_overlap_pairs(docs, min_shared=1).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_winnow_fingerprints_are_locally_stable(spark):
+    """Edits OUTSIDE a region must not disturb the region's selected
+    fingerprints (the locality property global MinHash lacks): rewrite
+    the document head, keep the tail; tail fingerprints (by hash) are
+    preserved."""
+    tail = " ".join(f"t{i}" for i in range(50))
+    v1 = " ".join(f"h{i}" for i in range(30)) + " " + tail
+    v2 = " ".join(f"H{i}x" for i in range(30)) + " " + tail
+    docs = spark.createDataFrame(
+        [(1, v1), (2, v2)], "doc_id long, text string"
+    )
+    fps = {r["id"]: {x["h"] for x in r["fp"]} for r in dd.winnow_docs(docs).collect()}
+    shared = fps[1] & fps[2]
+    # the 50-token shared tail dwarfs the guarantee horizon: many
+    # fingerprints survive the head rewrite
+    assert len(shared) >= 10, len(shared)
