@@ -491,7 +491,11 @@ def containment_pairs(
     candidates only (the `_pair_jaccard` candidate path discipline).
     Shuffles: one df census, one posting self-join, two id-joins —
     all equi-joins, nothing all-pairs."""
-    sh_docs = _shingle_docs(docs, id_col, text_col)
+    # cache() the shingle sets (the minhash_lsh_pairs discipline):
+    # the df census, the posting join, and BOTH verify fetches read
+    # this frame — uncached, each branch re-runs the full hash+window
+    # pipeline (measured 79 s vs ~3 s at sf0.1).
+    sh_docs = _shingle_docs(docs, id_col, text_col).cache()
     ex = sh_docs.select("id", F.explode("sh").alias("s"))
     rare_keys = (
         ex.groupBy("s")
