@@ -56,6 +56,8 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_recall_tuned",  # same 10-row audit panel as sim_ann_recall, tuned (8x6 h<=1) probe condition
     "sim_route_choice",  # same 10-row audit panel crossed in once; all three routes' counters fold into one aggregate
     "emb_pq_audit",  # same 10-row audit panel crossed into the PQ-encoded corpus once
+    "emb_binary_quant_audit",  # same 10-row audit panel crossed into the sign-packed corpus once
+    "emb_rp_audit",  # same 10-row audit panel crossed into the projected corpus once
 }
 
 
