@@ -1619,10 +1619,41 @@ def query_ivfpq_index(
             / (F.sqrt(lut_fold(lut_nrm)) * F.lit(q_norm))
         ).alias("s_adc"),
     )
-    # partition pruning is a CONTRACT of this serve path, enforced on
-    # every call (the shortlist collect below executes this plan, so a
-    # caller could no longer inspect it afterwards): refuse to serve
-    # from an unpruned candidate scan
+    return _pruned_shortlist_rerank(
+        adc,
+        emb_full,
+        qv,
+        k=k,
+        n_cand=n_cand,
+        id_col=id_col,
+        vec_col=vec_col,
+        what="IVF-PQ",
+    )
+
+
+def _pruned_shortlist_rerank(
+    adc: DataFrame,
+    emb_full: DataFrame,
+    qv: list[float],
+    *,
+    k: int,
+    n_cand: int,
+    id_col: str,
+    vec_col: str,
+    what: str,
+) -> DataFrame:
+    """Shared tail of every codes-only serve path (IVF-PQ, IVF-SQ8):
+    top-``n_cand`` by approximate score from the pruned index scan,
+    then exact re-rank against the PRIMARY store with the id
+    shortlist PUSHED into its scan.
+
+    Partition pruning is a CONTRACT of these serve paths, enforced on
+    every call (the shortlist collect below executes the plan, so a
+    caller could no longer inspect it afterwards): refuse to serve
+    from an unpruned candidate scan. The collected shortlist is
+    n_cand ids pushed as an isin filter (PushedFilters → row-group
+    skipping) — re-rank I/O really is n_cand vectors, not a full scan
+    a join would only discard post-read (r12 self-review)."""
     import re
 
     shortlist = adc.orderBy(F.desc("s_adc"), "vec_id").limit(n_cand)
@@ -1630,12 +1661,8 @@ def query_ivfpq_index(
     hit = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     if not (hit and hit.group(1).strip()):
         raise RuntimeError(
-            "IVF-PQ candidate scan is not partition-pruned:\n" + plan
+            f"{what} candidate scan is not partition-pruned:\n" + plan
         )
-    # the ADC shortlist is n_cand ids — COLLECT it and push an isin
-    # filter into the primary-store scan (PushedFilters → row-group
-    # skipping), so re-rank I/O really is n_cand vectors, not a full
-    # scan that a join would only discard post-read (r12 self-review)
     short = [r["vec_id"] for r in shortlist.collect()]
     v = F.col(vec_col).cast("array<double>")
     full = (
@@ -2495,4 +2522,178 @@ def sq8_audit(
             F.sum("cos_u").cast("long").alias("sum_cos_u"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 persisted serving: the third faiss index variant beside
+# IVF-flat (build_ivf_index) and IVF-PQ (build_ivfpq_index). Entries
+# store (vec_id, dim 8-bit codes against the trained per-dim ranges of
+# sq8_train_ranges) — dim bytes/vector (4x below fp32) with NO
+# codebook and a decode that is one affine op per dim, sitting between
+# IVF-flat (full recall, full floats) and IVF-PQ (n_sub bytes,
+# codebook-dependent) on the memory/accuracy curve. The frozen ranges
+# ride in the meta sidecar: the same quantizer CONTRACT discipline as
+# the IVF-PQ codebook — build and query can never disagree.
+# ---------------------------------------------------------------------------
+
+
+def sq8_codes(
+    vcol: Column,
+    lo: list[float],
+    hi: list[float],
+    *,
+    dim: int = EMBEDDING_DIM,
+) -> Column:
+    """array<int> SQ8 codes against frozen ranges: clamp(round((x-lo)
+    /(hi-lo)*255), 0, 255); degenerate dims (hi == lo) encode 0 (the
+    decode returns lo there, which IS the stored value). Identical
+    textual arithmetic to :func:`sq8_dequantized`'s encode half."""
+    lo_l = F.lit(lo).cast("array<double>")
+    hi_l = F.lit(hi).cast("array<double>")
+
+    def enc(i: Column) -> Column:
+        x = F.element_at(vcol, i)
+        a = F.element_at(lo_l, i)
+        b = F.element_at(hi_l, i)
+        code = F.least(
+            F.greatest(
+                F.floor((x - a) / (b - a) * F.lit(255.0) + F.lit(0.5)),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        )
+        return F.when(b == a, F.lit(0.0)).otherwise(code).cast("int")
+
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)), lambda i: enc(i.cast("int"))
+    )
+
+
+def sq8_decode(
+    codes_col: Column,
+    lo: list[float],
+    hi: list[float],
+    *,
+    dim: int = EMBEDDING_DIM,
+) -> Column:
+    """array<double> reconstruction from stored codes: lo + code *
+    (hi-lo)/255; degenerate dims return lo. The index-side decode —
+    unlike :func:`sq8_dequantized` it never sees the original vector."""
+    lo_l = F.lit(lo).cast("array<double>")
+    hi_l = F.lit(hi).cast("array<double>")
+
+    def dec(i: Column) -> Column:
+        a = F.element_at(lo_l, i)
+        b = F.element_at(hi_l, i)
+        c = F.element_at(codes_col, i).cast("double")
+        return F.when(b == a, a).otherwise(a + c * (b - a) / F.lit(255.0))
+
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)), lambda i: dec(i.cast("int"))
+    )
+
+
+def build_ivfsq8_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    ranges: tuple[list[float], list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> None:
+    """Persist the corpus as an IVF-SQ8 inverted file: (vec_id, dim
+    8-bit codes) under argmax-dot ``lst=<k>`` partitions (the
+    build_ivf_index routing), trained per-dim ranges in the
+    ``_ann_meta.json`` sidecar. ``ranges=`` accepts a pre-trained
+    contract (the frozen-quantizer streaming property); default
+    trains on this corpus in one order-invariant aggregate pass."""
+    lo, hi = ranges if ranges is not None else sq8_train_ranges(
+        emb, vec_col=vec_col, dim=dim
+    )
+    if len(lo) != dim or len(hi) != dim:
+        raise ValueError(
+            f"ranges of length {len(lo)}/{len(hi)} do not match dim={dim}"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        sq8_codes(v, lo, hi, dim=dim).alias("codes"),
+        ivf_list_of(v).alias("lst"),
+    )
+    (
+        base.withColumn("batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch", "lst")
+        .parquet(path)
+    )
+    _write_ann_meta(
+        emb.sparkSession,
+        path,
+        {
+            "kind": "ivfsq8",
+            "n_lists": IVF_LISTS,
+            "dim": dim,
+            "lo": lo,
+            "hi": hi,
+        },
+    )
+
+
+def query_ivfsq8_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    emb_full: DataFrame,
+    *,
+    k: int = 5,
+    n_cand: int = 100,
+    nprobe: int = IVF_NPROBE,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from an IVF-SQ8 index: nprobe probe lists computed
+    driver-side (stored-quantizer arithmetic), the pruned scan decodes
+    each candidate's codes with the SIDEcar ranges (one affine op per
+    dim on literals — no codebook join, no stored vectors) and scores
+    cosine against the literal query, then the top ``n_cand``
+    shortlist is exact-re-ranked from the PRIMARY store via the
+    pushed-isin path shared with IVF-PQ. I/O at scale: nprobe
+    partitions of dim-byte codes + n_cand full vectors. RAISES unless
+    the candidate scan is partition-pruned (the serve contract)."""
+    meta = _read_ann_meta(spark, path)
+    if meta is None or meta.get("kind") != "ivfsq8":
+        raise ValueError(
+            f"no IVF-SQ8 index at {path} (meta: "
+            f"{None if meta is None else meta.get('kind')!r})"
+        )
+    _check_ann_meta(
+        spark, path, {"kind": "ivfsq8", "n_lists": IVF_LISTS}, meta=meta
+    )
+    lo = [float(x) for x in meta["lo"]]
+    hi = [float(x) for x in meta["hi"]]
+    dim = int(meta["dim"])
+
+    qv = [float(x) for x in query_vec]
+    dots = [_dot_py(qv, ivf_centroid(j)) for j in range(IVF_LISTS)]
+    order = sorted(range(IVF_LISTS), key=lambda j: (-dots[j], j))
+    probes = [j + 1 for j in order[:nprobe]]
+
+    cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    dq = sq8_decode(F.col("codes"), lo, hi, dim=dim)
+    adc = cand.select("vec_id", cosine(dq, qcol).alias("s_adc"))
+    return _pruned_shortlist_rerank(
+        adc,
+        emb_full,
+        qv,
+        k=k,
+        n_cand=n_cand,
+        id_col=id_col,
+        vec_col=vec_col,
+        what="IVF-SQ8",
     )

@@ -6162,3 +6162,105 @@ def dedup_containment(spark, sf_dir):
 def docs_winnow_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dd.winnow_overlap_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+SQ8_TOPK = 5
+SQ8_CAND = 100
+
+
+@query(
+    "sim_ann_serve_ivfsq8",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ix AS (SELECT UNNEST(range(1, {_DIM + 1})) AS i),
+    rg AS (SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi FROM v, ix GROUP BY i),
+    ra AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+           FROM rg),
+    d AS (SELECT vec_id, v,
+                 list_transform(range(1, {_DIM + 1}), i ->
+                   CASE WHEN ra.hi[i] = ra.lo[i] THEN ra.lo[i]
+                        ELSE ra.lo[i]
+                             + least(greatest(floor((v[i] - ra.lo[i])
+                                       / (ra.hi[i] - ra.lo[i]) * 255.0
+                                       + 0.5), 0.0), 255.0)
+                               * (ra.hi[i] - ra.lo[i]) / 255.0
+                   END) AS dq
+          FROM v, ra),
+    c AS (SELECT vec_id, {_duck_ivf_dots('v')} AS dd FROM v),
+    asn AS (SELECT vec_id, list_position(dd, list_max(dd)) AS lst, dd FROM c),
+    q0 AS (SELECT v.v AS qv, a.lst AS p1, a.dd AS qd
+           FROM v JOIN asn a USING (vec_id) WHERE vec_id = 0),
+    q AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM q0),
+    cand AS (SELECT d.vec_id,
+                    {_duck_fold('dq[i] * qv[i]')}
+                      / (sqrt({_duck_fold('dq[i] * dq[i]')})
+                         * sqrt({_duck_fold('qv[i] * qv[i]')})) AS s_adc
+             FROM d JOIN asn a ON a.vec_id = d.vec_id, q
+             WHERE d.vec_id <> 0 AND (a.lst = q.p1 OR a.lst = q.p2)),
+    short AS (SELECT vec_id FROM cand
+              ORDER BY s_adc DESC, vec_id LIMIT {SQ8_CAND}),
+    rr AS (SELECT v.vec_id,
+                  {_duck_dot('v', 'qv')}
+                    / (sqrt({_duck_dot('v', 'v')})
+                       * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+           FROM v JOIN short USING (vec_id), q)
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM rr
+    ORDER BY sim_raw DESC, vec_id LIMIT {SQ8_TOPK}""",
+    doc="IVF-SQ8 persisted serving certification — the third faiss "
+    "index variant, completing the matrix: IVF-flat (full floats, "
+    "sim_ann_serve_ivf) / IVF-PQ (8 B codes + codebook, "
+    "sim_ann_serve_ivfpq) / THIS (dim bytes, NO codebook, one affine "
+    "decode per dim): build_ivfsq8_index lands (vec_id, 64 8-bit "
+    "codes) under lst=<k> IVF partitions with the trained per-dim "
+    "ranges (emb_sq8_audit's quantizer) frozen in the _ann_meta.json "
+    "sidecar; query_ivfsq8_index probes nprobe lists driver-side, "
+    "decodes candidates IN the pruned scan from literal range arrays "
+    "and scores cosine against the literal query, then exact-re-ranks "
+    f"the top {SQ8_CAND} from the PRIMARY store through the shared "
+    "pushed-isin path (PushedFilters In(vec_id...) asserted "
+    "in-query; the serve RAISES unless the candidate scan carries "
+    "non-empty PartitionFilters). I/O at scale: nprobe partitions of "
+    "64-byte codes + 100 full vectors — 4x below IVF-flat with zero "
+    "codebook maintenance; choose IVF-PQ when 8x more compression "
+    "justifies codebook training. The oracle replays the ENTIRE "
+    "route — range training, encode+decode fusion, probe arithmetic, "
+    "quantized-cosine shortlist, exact re-rank. Side-effecting "
+    "(scratch index, removed in-query).",
+)
+def sim_ann_serve_ivfsq8(spark, sf_dir):
+    import re
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="annserveivfsq8_")
+    try:
+        sim.build_ivfsq8_index(emb, f"{scratch}/idx")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        got = sim.query_ivfsq8_index(
+            spark,
+            f"{scratch}/idx",
+            qv,
+            emb,
+            k=SQ8_TOPK,
+            n_cand=SQ8_CAND,
+            exclude_id=0,
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        if not re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan):
+            raise RuntimeError(
+                "IVF-SQ8 re-rank does not push the id shortlist into "
+                "the primary-store scan:\n" + plan
+            )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1882,6 +1882,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_sq8_audit",  # trained-range scalar quantization (faiss SQ8) audit — fourth quantization family row (never)
     "dedup_containment",  # asymmetric containment pairs via rare-shingle blocking — the small-doc-inside-big catch Jaccard misses (never)
     "docs_winnow_overlap",  # winnowed-fingerprint partial-overlap pairs (MOSS primitive; guaranteed-catch horizon k+w-1) (never)
+    "sim_ann_serve_ivfsq8",  # IVF-SQ8 persisted serving (dim-byte codes, no codebook) — completes the faiss index matrix; side-effecting (never)
 )
 
 
