@@ -2697,3 +2697,66 @@ def query_ivfsq8_index(
         vec_col=vec_col,
         what="IVF-SQ8",
     )
+
+
+def ivfsq8_ingest_foreach_batch(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: list | None = None,
+):
+    """``foreachBatch`` body growing a persisted IVF-SQ8 index under
+    at-least-once delivery — every index kind now has the same
+    streaming growth path (LSH, IVF-PQ, IVF-SQ8). The index MUST
+    already exist (:func:`build_ivfsq8_index` on a seed corpus): the
+    frozen per-dim ranges in the sidecar are the quantizer contract
+    every batch encodes with — retraining ranges per batch would
+    silently change what stored codes MEAN (out-of-range arrivals
+    clamp to the dictionary edge, exactly what ``sq8_audit(ranges=)``
+    measures before you trust the contract on new data). Each
+    micro-batch lands under ``batch=<id>/lst=<k>`` via up-front
+    delete + append — redelivery replaces its own subtree."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_ann_meta(spark, path)
+        if meta is None or meta.get("kind") != "ivfsq8":
+            raise ValueError(
+                f"no IVF-SQ8 index at {path} — build_ivfsq8_index a seed "
+                "corpus first; the stored ranges are the contract every "
+                "ingested batch must encode with"
+            )
+        if int(batch_id) == 0:
+            raise ValueError(
+                "batch id 0 is reserved for the seed build partition; "
+                "start the ingest stream against a fresh checkpoint "
+                "AFTER the seed build"
+            )
+        io.rmtree(f"{path.rstrip('/')}/batch={int(batch_id)}")
+        if batch_df.isEmpty():
+            if stats is not None:
+                stats.append({"batch_id": batch_id, "n_rows": 0})
+            return
+        lo = [float(x) for x in meta["lo"]]
+        hi = [float(x) for x in meta["hi"]]
+        dim = int(meta["dim"])
+        v = F.col(vec_col).cast("array<double>")
+        base = fan_out(batch_df).select(
+            F.col(id_col).alias("vec_id"),
+            sq8_codes(v, lo, hi, dim=dim).alias("codes"),
+            ivf_list_of(v).alias("lst"),
+        )
+        (
+            base.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("batch", "lst")
+            .parquet(path)
+        )
+        if stats is not None:
+            stats.append({"batch_id": batch_id, "n_rows": batch_df.count()})
+
+    return handle

@@ -1700,3 +1700,54 @@ def test_ivfsq8_rerank_recovers_quantization_loss(spark):
         assert hits == total, (hits, total)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_ivfsq8_streaming_ingest_grows_exactly(spark, tmp_path):
+    """IVF-SQ8 streaming growth under the frozen-range contract: seed
+    build (lowest-id half) + ingested second half must serve
+    IDENTICALLY to a one-shot build over the full corpus using the
+    SEED's trained ranges. Redelivery replaces its own subtree;
+    non-sq8 targets and batch id 0 are refused."""
+    import pytest as _pt
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    seed = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+
+    idx = str(tmp_path / "sq8_stream")
+    sim.build_ivfsq8_index(seed, idx)
+    handler = sim.ivfsq8_ingest_foreach_batch(spark, idx)
+    with _pt.raises(ValueError, match="batch id 0 is reserved"):
+        handler(rest, 0)
+    handler(rest, 1)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [
+        r.asDict()
+        for r in sim.query_ivfsq8_index(
+            spark, idx, qv, emb, k=5, n_cand=50, exclude_id=0
+        ).collect()
+    ]
+    full_idx = str(tmp_path / "sq8_full")
+    sim.build_ivfsq8_index(emb, full_idx, ranges=sim.sq8_train_ranges(seed))
+    want = [
+        r.asDict()
+        for r in sim.query_ivfsq8_index(
+            spark, full_idx, qv, emb, k=5, n_cand=50, exclude_id=0
+        ).collect()
+    ]
+    assert got == want
+
+    n_rows = spark.read.parquet(idx).count()
+    assert n_rows == n
+    handler(rest, 1)  # redelivery
+    assert spark.read.parquet(idx).count() == n_rows
+
+    flat = str(tmp_path / "flat2")
+    sim.build_ivf_index(emb, flat)
+    bad = sim.ivfsq8_ingest_foreach_batch(spark, flat)
+    with _pt.raises(ValueError, match="no IVF-SQ8 index"):
+        bad(rest, 1)
