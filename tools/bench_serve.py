@@ -74,6 +74,13 @@ def main() -> int:
                 spark, p, qv, emb, k=5, n_cand=100, exclude_id=0
             ),
         ),
+        (
+            "ivfsq8 (8 lists, 64 B codes, n_cand 100)",
+            lambda p: sim.build_ivfsq8_index(emb, p),
+            lambda p: sim.query_ivfsq8_index(
+                spark, p, qv, emb, k=5, n_cand=100, exclude_id=0
+            ),
+        ),
     ]
 
     lines = [
