@@ -6264,3 +6264,201 @@ def sim_ann_serve_ivfsq8(spark, sf_dir):
         return got.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity, dedup operating points, balanced sampling (round 12)
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""WITH {_DUCK_SHINGLES},
+    {_DUCK_MINHASH_CTES},
+    jac AS (SELECT CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE) AS j
+            FROM common
+            JOIN cnt p ON p.doc_id = doc_a
+            JOIN cnt q ON q.doc_id = doc_b),
+    th AS (SELECT UNNEST([{', '.join(f'{t}::DOUBLE' for t in SWEEP_THRESHOLDS)}]) AS t)
+    SELECT t,
+           CAST(SUM(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM jac, th GROUP BY t ORDER BY t""",
+    doc="Dedup operating-point sweep: from ONE banded-MinHash "
+    "candidate pass and ONE exact-Jaccard verify frame, the pair "
+    "count at every candidate verify threshold "
+    f"{SWEEP_THRESHOLDS} — the table you read to CHOOSE the dedup "
+    "threshold before committing a corpus rewrite, without re-running "
+    "the expensive candidate join per candidate threshold (the "
+    "Jaccard score is computed once; thresholds are a conditional "
+    "aggregate over an exploded literal). Honest scope: counts are "
+    "over the banded candidate set (bands tuned for the 0.8 "
+    "S-curve), so low thresholds undercount by the bands' recall "
+    "there — this is the VERIFIER's operating curve for a fixed "
+    "index, the quantity that actually governs the rewrite; "
+    "dedup_lsh_recall audits the band recall itself. Plan: the "
+    "dedup_minhash_lsh shape plus a 4x explode and a 4-row "
+    "aggregate.",
+    bench=True,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh_docs = dd._shingle_docs(docs, "doc_id", "text").cache()
+    cand = dd.minhash_candidates(sh_docs)
+    jac = dd._pair_jaccard(sh_docs, cand).select(
+        F.col("jaccard_raw").alias("j")
+    )
+    return (
+        jac.select(
+            F.explode(
+                F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+            ).alias("t"),
+            "j",
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("t")
+    )
+
+
+@query(
+    "docs_ngram_diversity",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                     FROM documents),
+    uni AS (SELECT source, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT tok) AS n_uni
+            FROM (SELECT source, UNNEST(w) AS tok FROM toks)
+            GROUP BY source),
+    big AS (SELECT source, COUNT(*) AS n_bigrams,
+                   COUNT(DISTINCT bg) AS n_big
+            FROM (SELECT source,
+                         UNNEST(list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i+1])) AS bg
+                  FROM toks)
+            GROUP BY source),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM toks GROUP BY source)
+    SELECT nd.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_uni AS BIGINT) AS n_uni,
+           CAST(n_big AS BIGINT) AS n_big,
+           CAST((2 * 1000000 * n_uni + n_tokens) // (2 * n_tokens)
+                AS BIGINT) AS uni_ttr_ppm,
+           CAST((2 * 1000000 * n_big + n_bigrams) // (2 * n_bigrams)
+                AS BIGINT) AS big_ttr_ppm
+    FROM nd JOIN uni USING (source) JOIN big USING (source)
+    ORDER BY source""",
+    doc="Per-source n-gram diversity census — the metric a synthetic-"
+    "data pipeline tracks round over round (model-generated corpora "
+    "collapse in type-token ratio long before they collapse in "
+    "quality scores): per source, document/token counts, distinct "
+    "unigrams and bigrams, and half-up TTR ppm for both orders. "
+    "Exact distinct counts (the oracle demands them; swap "
+    "approx_count_distinct at 100 TB where a 2% bound suffices and "
+    "the shuffle matters). Plan: two explode+distinct aggregates "
+    "joined on the |sources|-row key — map-side combined, no "
+    "all-pairs anything.",
+    bench=True,
+)
+def docs_ngram_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    uni = (
+        toks.select("source", F.explode("w").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_uni"),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> "
+        "concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    big = (
+        toks.select("source", F.explode(bigrams).alias("bg"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_big"),
+        )
+    )
+    nd = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.join(uni, "source")
+        .join(big, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_uni").cast("long").alias("n_uni"),
+            F.col("n_big").cast("long").alias("n_big"),
+            F.expr(
+                "(2 * 1000000 * n_uni + n_tokens) div (2 * n_tokens)"
+            ).alias("uni_ttr_ppm"),
+            F.expr(
+                "(2 * 1000000 * n_big + n_bigrams) div (2 * n_bigrams)"
+            ).alias("big_ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: fine-grained deterministic order for balanced downsampling.
+BALANCE_ORDER_BUCKETS = 1_000_000
+
+
+@query(
+    "docs_balanced_sample",
+    f"""WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             % {BALANCE_ORDER_BUCKETS},
+                             doc_id) AS rk
+           FROM documents),
+    m AS (SELECT MIN(cnt) AS n_min FROM
+            (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
+    SELECT doc_id, lang FROM r, m WHERE rk <= m.n_min
+    ORDER BY lang, doc_id""",
+    doc="Class-balanced downsampling — the classifier-training prep "
+    "step: per language, keep exactly n_min documents (the smallest "
+    "class's count), chosen by deterministic hash rank (32 md5 bits "
+    "then doc_id — reproducible, coordination-free, and unbiased "
+    "w.r.t. any corpus ordering, unlike LIMIT per class which keeps "
+    "whatever the scan happened to read first). Every class lands "
+    "equal-sized, so downstream per-class metrics (confusion, "
+    "calibration) are comparable without reweighting. Plan: one "
+    "|classes|-row count aggregate crossed in as a 1-row scalar "
+    "(broadcast), one rank window per class partition — no data "
+    "shuffled beyond the rank.",
+    bench=True,
+)
+def docs_balanced_sample(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id", BALANCE_ORDER_BUCKETS), "doc_id"
+    )
+    r = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("n_min"))
+    )
+    return (
+        r.join(F.broadcast(m))
+        .where(F.col("rk") <= F.col("n_min"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

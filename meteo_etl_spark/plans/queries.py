@@ -1883,6 +1883,9 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_containment",  # asymmetric containment pairs via rare-shingle blocking — the small-doc-inside-big catch Jaccard misses (never)
     "docs_winnow_overlap",  # winnowed-fingerprint partial-overlap pairs (MOSS primitive; guaranteed-catch horizon k+w-1) (never)
     "sim_ann_serve_ivfsq8",  # IVF-SQ8 persisted serving (dim-byte codes, no codebook) — completes the faiss index matrix; side-effecting (never)
+    "dedup_threshold_sweep",  # verify-threshold operating curve from one candidate pass — the choose-before-rewrite table (never)
+    "docs_ngram_diversity",  # per-source distinct n-gram / TTR census — the synthetic-data collapse metric (never)
+    "docs_balanced_sample",  # per-class hash-rank downsampling to the min class size (never)
 )
 
 

@@ -1751,3 +1751,69 @@ def test_ivfsq8_streaming_ingest_grows_exactly(spark, tmp_path):
     bad = sim.ivfsq8_ingest_foreach_batch(spark, flat)
     with _pt.raises(ValueError, match="no IVF-SQ8 index"):
         bad(rest, 1)
+
+
+def test_threshold_sweep_is_monotone_and_matches_single_threshold(spark):
+    """Pair counts must be non-increasing in the threshold, and the
+    0.8 row must equal the registered single-threshold route's count
+    (same candidates, same verify)."""
+    from meteo_etl_spark.plans import queries as Q
+
+    rows = {
+        round(r["t"], 2): r["n_pairs"]
+        for r in Q.all_queries()["dedup_threshold_sweep"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    ts = sorted(rows)
+    assert all(rows[a] >= rows[b] for a, b in zip(ts, ts[1:]))
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert rows[0.8] == dd.minhash_lsh_pairs(docs).count()
+
+
+def test_balanced_sample_equalizes_classes(spark):
+    """Every class keeps exactly min-class-count docs, drawn from the
+    class's own population, deterministically."""
+    from meteo_etl_spark.plans import queries as Q
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    true_counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(true_counts.values())
+    out = Q.all_queries()["docs_balanced_sample"].fn(spark, SF_SMALL)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(true_counts)
+    assert all(v == n_min for v in got.values()), got
+    # deterministic: a second run returns the identical id set
+    a = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in Q.all_queries()["docs_balanced_sample"].fn(spark, SF_SMALL).collect()
+    }
+    assert a == b
+
+
+def test_ngram_diversity_reconciles_with_direct_counts(spark):
+    """The census must agree with independently computed distinct
+    counts for one source, and TTR must be <= 1e6 with bigram TTR
+    >= unigram TTR (bigrams repeat less)."""
+    from meteo_etl_spark.plans import queries as Q
+
+    rows = Q.all_queries()["docs_ngram_diversity"].fn(spark, SF_SMALL).collect()
+    assert rows
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = rows[0]["source"]
+    one = docs.where(F.col("source") == src)
+    toks = one.select(F.explode(F.split("text", " ")).alias("t"))
+    n_tok = toks.count()
+    n_uni = toks.distinct().count()
+    r0 = rows[0]
+    assert (r0["n_tokens"], r0["n_uni"]) == (n_tok, n_uni)
+    for r in rows:
+        assert 0 < r["uni_ttr_ppm"] <= 1_000_000
+        assert r["big_ttr_ppm"] >= r["uni_ttr_ppm"]

@@ -58,6 +58,7 @@ SCALAR_BROADCAST_OK = {
     "emb_pq_audit",  # same 10-row audit panel crossed into the PQ-encoded corpus once
     "emb_binary_quant_audit",  # same 10-row audit panel crossed into the sign-packed corpus once
     "emb_rp_audit",  # same 10-row audit panel crossed into the projected corpus once
+    "docs_balanced_sample",  # 1-row min-class-count scalar crossed into the ranked frame
 }
 
 
