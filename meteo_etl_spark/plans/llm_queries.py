@@ -6462,3 +6462,90 @@ def docs_balanced_sample(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "docs_langid_confusion",
+    f"""WITH pred AS (
+      SELECT doc_id, lang AS true_lang,
+             {_duck_lang_case().replace('h_', '__h_')} AS pred_lang
+      FROM (SELECT doc_id, lang,
+                   {', '.join(f'{expr} AS __h_{lang}' for lang, expr in _STOP_HITS.items())}
+            FROM documents))
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang""",
+    doc="Language-ID confusion census — the honesty table for the "
+    "heuristic detector: text_lang_id's stopword-profile argmax "
+    "scored against the corpus's labeled lang column, one "
+    "(true, pred, n_docs) row per cell. A routing pipeline that "
+    "branches per detected language (per-language quality rules, "
+    "tokenizers, stopword lists) reads THIS before trusting the "
+    "detector — per-language error rates fall straight out of the "
+    "marginals, and 'und' (no stopword hits) shows up as its own "
+    "column instead of silently polluting a language bucket. Plan: "
+    "pure-map detection + one map-combined (true, pred) aggregate — "
+    "|langs|^2-bounded output, no joins.",
+    bench=True,
+)
+def docs_langid_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fan_out(docs)
+        .select(
+            F.col("lang").alias("true_lang"),
+            tx.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "dedup_source_overlap",
+    f"""WITH {_DUCK_SHINGLES},
+    {_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b
+              FROM common JOIN cnt p ON p.doc_id = doc_a
+                          JOIN cnt q ON q.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                    >= {dd.JACCARD_THRESHOLD}),
+    lab AS (SELECT pr.doc_a, pr.doc_b,
+                   least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+            FROM pairs pr
+            JOIN documents da ON da.doc_id = pr.doc_a
+            JOIN documents db ON db.doc_id = pr.doc_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    ORDER BY source_a, source_b""",
+    doc="Cross-source near-dup overlap matrix: the verified MinHash "
+    "pair set (dedup_minhash_lsh's exact route) rolled up by the "
+    "UNORDERED source pair of each duplicate — 'how much of source A "
+    "is already in source B', the table a mixture planner "
+    "(docs_mixture_plan) needs BEFORE weighting sources: double-"
+    "counting mass between two crawls inflates both weights, and the "
+    "diagonal (within-source duplication) says which source needs "
+    "dedup before mixing at all. Sources are ordered per pair "
+    "(least/greatest) so each unordered pair lands in exactly one "
+    "cell. Plan: the certified pair route + two doc_id-keyed label "
+    "joins + one |sources|^2-bounded aggregate.",
+    bench=True,
+)
+def dedup_source_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1886,6 +1886,8 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_threshold_sweep",  # verify-threshold operating curve from one candidate pass — the choose-before-rewrite table (never)
     "docs_ngram_diversity",  # per-source distinct n-gram / TTR census — the synthetic-data collapse metric (never)
     "docs_balanced_sample",  # per-class hash-rank downsampling to the min class size (never)
+    "docs_langid_confusion",  # stopword-argmax detector vs labeled lang — the routing-trust table (never)
+    "dedup_source_overlap",  # cross-source near-dup matrix over the certified pair route — the mixture-planning prerequisite (never)
 )
 
 

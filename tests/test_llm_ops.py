@@ -1817,3 +1817,36 @@ def test_ngram_diversity_reconciles_with_direct_counts(spark):
     for r in rows:
         assert 0 < r["uni_ttr_ppm"] <= 1_000_000
         assert r["big_ttr_ppm"] >= r["uni_ttr_ppm"]
+
+
+def test_langid_confusion_marginals_cover_corpus(spark):
+    """Every document lands in exactly one confusion cell; the true
+    marginals equal the label distribution; predictions stay in the
+    detector's output domain (langs + 'und')."""
+    from meteo_etl_spark.plans import queries as Q
+
+    rows = Q.all_queries()["docs_langid_confusion"].fn(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    marg = {}
+    for r in rows:
+        marg[r["true_lang"]] = marg.get(r["true_lang"], 0) + r["n_docs"]
+    truth = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert marg == truth
+    assert {r["pred_lang"] for r in rows} <= set(tx.LANGS) | {"und"}
+
+
+def test_source_overlap_reconciles_with_pair_route(spark):
+    """Cell counts must sum to the certified pair route's total, with
+    unordered source pairs (source_a <= source_b) and every pair
+    counted exactly once."""
+    from meteo_etl_spark.plans import queries as Q
+
+    rows = Q.all_queries()["dedup_source_overlap"].fn(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    total = dd.minhash_lsh_pairs(docs).count()
+    assert sum(r["n_pairs"] for r in rows) == total > 0
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
