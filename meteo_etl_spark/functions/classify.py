@@ -220,6 +220,34 @@ def load_model(
     return AtomicParquetTable(spark, path).read(version=version, tag=tag)
 
 
+def _doc_class_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ONE scoring kernel: (id, cls, score) with score =
+    sum(tf * freq_ppm) over the document's tokens (exact BIGINT).
+    Shared by :func:`score_documents` (argmax serving) and
+    :func:`classifier_calibration` (confidence table) so the
+    calibration can never certify a different classifier than the one
+    that serves (the model_from_counts drift lesson, r12
+    self-review)."""
+    tf = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(model, "tok")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
+    )
+
+
 def score_documents(
     docs: DataFrame,
     model: DataFrame,
@@ -233,18 +261,7 @@ def score_documents(
     smallest class. Documents with no vocabulary overlap get
     ``OOV_LABEL`` with score 0 via an anti-join — never dropped.
     """
-    tf = (
-        docs.select(
-            id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-        )
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    num = (
-        tf.join(model, "tok")
-        .groupBy(id_col, "cls")
-        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
-    )
+    num = _doc_class_scores(docs, model, id_col=id_col, text_col=text_col)
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("cls").asc()
     )
@@ -999,18 +1016,7 @@ def classifier_calibration(
     train = split.where(F.col("split") == "train")
     test = split.where(F.col("split") == "test")
     model = train_token_centroids(train, class_col=class_col, text_col=text_col)
-    tf = (
-        test.select(
-            id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-        )
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    num = (
-        tf.join(model, "tok")
-        .groupBy(id_col, "cls")
-        .agg(F.sum(F.col("tf") * F.col("freq_ppm")).alias("score"))
-    )
+    num = _doc_class_scores(test, model, id_col=id_col, text_col=text_col)
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("cls").asc()
     )
@@ -1028,10 +1034,14 @@ def classifier_calibration(
     )
     has_mass = F.col("tot_score").isNotNull() & (F.col("tot_score") > 0)
     conf = F.expr("top_score * 1000000 div tot_score")
+    bin_width = 1_000_000 // CAL_BINS
     binned = lab.select(
         F.when(~has_mass, F.lit(-1))
         .otherwise(
-            F.expr("least(top_score * 1000000 div tot_score, 999999) div 100000")
+            F.expr(
+                "least(top_score * 1000000 div tot_score, "
+                f"{1_000_000 - 1}) div {bin_width}"
+            )
         )
         .cast("long")
         .alias("bin"),

@@ -1486,17 +1486,61 @@ def ivfpq_ingest_foreach_batch(
     stored code ids MEAN). Each micro-batch lands under
     ``batch=<id>/lst=<k>`` via up-front delete + append — redelivery
     replaces its own subtree, never duplicates. Append-only ids."""
+    def encode(batch_df: DataFrame, meta: dict) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        base = fan_out(batch_df).select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            ivf_list_of(v).alias("lst"),
+        )
+        return _ivfpq_encode(
+            base,
+            meta["codebook"],
+            n_sub=int(meta["n_sub"]),
+            n_codes=int(meta["n_codes"]),
+        ).select("vec_id", "codes", "lst")
+
+    return _codes_ingest_foreach_batch(
+        spark,
+        path,
+        kind="ivfpq",
+        kind_label="IVF-PQ",
+        builder_name="build_ivfpq_index",
+        contract="codebook",
+        encode=encode,
+        stats=stats,
+    )
+
+
+def _codes_ingest_foreach_batch(
+    spark,
+    path: str,
+    *,
+    kind: str,
+    kind_label: str,
+    builder_name: str,
+    contract: str,
+    encode,
+    stats: list | None,
+):
+    """Shared ``foreachBatch`` scaffold for the codes-only inverted
+    files (IVF-PQ, IVF-SQ8): meta-kind guard, the batch-0 seed
+    collision guard, up-front redelivery delete, empty-batch stats,
+    and the ``batch=<id>/lst=<k>`` append. ``encode(batch_df, meta)``
+    supplies the per-kind (vec_id, codes, lst) frame — the ONLY part
+    that differs between kinds, so a fix to the redelivery mechanics
+    lands everywhere at once (r12 self-review)."""
     from meteo_etl_spark.operators.fsio import io_for
 
     io = io_for(path, spark)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_ann_meta(spark, path)
-        if meta is None or meta.get("kind") != "ivfpq":
+        if meta is None or meta.get("kind") != kind:
             raise ValueError(
-                f"no IVF-PQ index at {path} — build_ivfpq_index a seed "
-                "corpus first; the stored codebook is the contract every "
-                "ingested batch must encode with"
+                f"no {kind_label} index at {path} — {builder_name} a seed "
+                f"corpus first; the stored {contract} is the contract "
+                "every ingested batch must encode with"
             )
         if int(batch_id) == 0:
             raise ValueError(
@@ -1511,20 +1555,8 @@ def ivfpq_ingest_foreach_batch(
             if stats is not None:
                 stats.append({"batch_id": batch_id, "n_rows": 0})
             return
-        v = F.col(vec_col).cast("array<double>")
-        base = fan_out(batch_df).select(
-            F.col(id_col).alias("vec_id"),
-            v.alias("v"),
-            ivf_list_of(v).alias("lst"),
-        )
-        enc = _ivfpq_encode(
-            base,
-            meta["codebook"],
-            n_sub=int(meta["n_sub"]),
-            n_codes=int(meta["n_codes"]),
-        )
         (
-            enc.select("vec_id", "codes", "lst")
+            encode(batch_df, meta)
             .withColumn("batch", F.lit(int(batch_id)))
             .write.mode("append")
             .partitionBy("batch", "lst")
@@ -2447,30 +2479,15 @@ def sq8_dequantized(
     *,
     dim: int = EMBEDDING_DIM,
 ) -> Column:
-    """Quantize-then-dequantize against the frozen ranges (the
-    reconstruction an SQ8 index serves): code = clamp(round((x-lo)/
-    (hi-lo)*255), 0, 255), back as lo + code*(hi-lo)/255. Degenerate
-    dims (hi == lo) reconstruct exactly. Pure element chain — the
-    identical textual form the oracle replays."""
-    lo_l = F.lit(lo).cast("array<double>")
-    hi_l = F.lit(hi).cast("array<double>")
-
-    def dq(i: Column) -> Column:
-        x = F.element_at(vcol, i)
-        a = F.element_at(lo_l, i)
-        b = F.element_at(hi_l, i)
-        code = F.least(
-            F.greatest(
-                F.floor((x - a) / (b - a) * F.lit(255.0) + F.lit(0.5)),
-                F.lit(0.0),
-            ),
-            F.lit(255.0),
-        )
-        return F.when(b == a, x).otherwise(a + code * (b - a) / F.lit(255.0))
-
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)), lambda i: dq(i.cast("int"))
-    )
+    """Quantize-then-dequantize against the frozen ranges — BY
+    COMPOSITION of the index codec (:func:`sq8_codes` then
+    :func:`sq8_decode`), so the audit measures exactly the
+    reconstruction an IVF-SQ8 index serves. In particular a
+    degenerate dim (hi == lo) reconstructs to lo — the dictionary's
+    only value — even when a frozen-contract audit feeds a batch
+    whose value there differs (the served index would return lo, so
+    the audit must charge that error too; r12 self-review)."""
+    return sq8_decode(sq8_codes(vcol, lo, hi, dim=dim), lo, hi, dim=dim)
 
 
 def sq8_audit(
@@ -2718,45 +2735,24 @@ def ivfsq8_ingest_foreach_batch(
     measures before you trust the contract on new data). Each
     micro-batch lands under ``batch=<id>/lst=<k>`` via up-front
     delete + append — redelivery replaces its own subtree."""
-    from meteo_etl_spark.operators.fsio import io_for
-
-    io = io_for(path, spark)
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        meta = _read_ann_meta(spark, path)
-        if meta is None or meta.get("kind") != "ivfsq8":
-            raise ValueError(
-                f"no IVF-SQ8 index at {path} — build_ivfsq8_index a seed "
-                "corpus first; the stored ranges are the contract every "
-                "ingested batch must encode with"
-            )
-        if int(batch_id) == 0:
-            raise ValueError(
-                "batch id 0 is reserved for the seed build partition; "
-                "start the ingest stream against a fresh checkpoint "
-                "AFTER the seed build"
-            )
-        io.rmtree(f"{path.rstrip('/')}/batch={int(batch_id)}")
-        if batch_df.isEmpty():
-            if stats is not None:
-                stats.append({"batch_id": batch_id, "n_rows": 0})
-            return
+    def encode(batch_df: DataFrame, meta: dict) -> DataFrame:
         lo = [float(x) for x in meta["lo"]]
         hi = [float(x) for x in meta["hi"]]
         dim = int(meta["dim"])
         v = F.col(vec_col).cast("array<double>")
-        base = fan_out(batch_df).select(
+        return fan_out(batch_df).select(
             F.col(id_col).alias("vec_id"),
             sq8_codes(v, lo, hi, dim=dim).alias("codes"),
             ivf_list_of(v).alias("lst"),
         )
-        (
-            base.withColumn("batch", F.lit(int(batch_id)))
-            .write.mode("append")
-            .partitionBy("batch", "lst")
-            .parquet(path)
-        )
-        if stats is not None:
-            stats.append({"batch_id": batch_id, "n_rows": batch_df.count()})
 
-    return handle
+    return _codes_ingest_foreach_batch(
+        spark,
+        path,
+        kind="ivfsq8",
+        kind_label="IVF-SQ8",
+        builder_name="build_ivfsq8_index",
+        contract="ranges",
+        encode=encode,
+        stats=stats,
+    )

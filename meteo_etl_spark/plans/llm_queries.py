@@ -5935,9 +5935,14 @@ def emb_rp_audit(spark, sf_dir):
     return rp_distortion_audit(emb, n_queries=RP_PANEL)
 
 
+from meteo_etl_spark.functions.classify import CAL_BINS as _CAL_BINS
+
+_CAL_W = 1_000_000 // _CAL_BINS
+
+
 @query(
     "docs_classifier_calibration",
-    """WITH s AS (SELECT doc_id, text, lang,
+    f"""WITH s AS (SELECT doc_id, text, lang,
                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                     % 1000 AS b
            FROM documents),
@@ -5967,8 +5972,9 @@ def emb_rp_audit(spark, sf_dir):
             FROM s LEFT JOIN per p USING (doc_id) WHERE s.b >= 800),
     bins AS (SELECT
                CASE WHEN tot_score IS NULL OR tot_score <= 0 THEN -1
-                    ELSE least(top_score * 1000000 // tot_score, 999999)
-                         // 100000 END AS bin,
+                    ELSE least(top_score * 1000000 // tot_score,
+                               {1_000_000 - 1})
+                         // {_CAL_W} END AS bin,
                CASE WHEN pred_cls IS NOT NULL AND pred_cls = true_cls
                     THEN 1 ELSE 0 END AS correct,
                CASE WHEN tot_score IS NULL OR tot_score <= 0 THEN 0
@@ -6017,7 +6023,7 @@ def docs_classifier_calibration(spark, sf_dir):
            FROM rg),
     d AS (SELECT label, v,
                  list_transform(range(1, {_DIM + 1}), i ->
-                   CASE WHEN ra.hi[i] = ra.lo[i] THEN v[i]
+                   CASE WHEN ra.hi[i] = ra.lo[i] THEN ra.lo[i]
                         ELSE ra.lo[i]
                              + least(greatest(floor((v[i] - ra.lo[i])
                                        / (ra.hi[i] - ra.lo[i]) * 255.0
