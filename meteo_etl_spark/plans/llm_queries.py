@@ -6555,3 +6555,33 @@ def dedup_source_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "docs_unigram_vocab",
+    None,  # iterative (hard-EM with driver-side cost re-estimation) —
+    # rows-only check, like docs_bpe_merges; exact-model correctness is
+    # pinned by tests/test_unigram.py against an independently written
+    # pure-Python trainer (bit-equal model incl. integer costs), plus
+    # hand-computed Viterbi pins and a partitioning-invariance run.
+    doc="Unigram-LM tokenizer training end-to-end (Kudo 2018 — the "
+    "SentencePiece algorithm, completing the real-world tokenizer "
+    "family beside docs_bpe_merges' BPE): seed substring vocabulary "
+    "from ONE corpus scan's word histogram, hard-EM alternating "
+    "Arrow-batched Viterbi segmentation of the DISTINCT-word table "
+    "(Python per word type, never per corpus token; the cost dict is "
+    "a vocab-sized broadcast) with map-combined count re-estimation, "
+    "then an alphabet-preserving prune. Costs are INTEGER micro-nats "
+    "computed driver-side from vocab-sized count tables, so every "
+    "Viterbi decision is exact and the model is bit-stable under any "
+    "partitioning — certified by the reference-twin pytest rather "
+    "than a SQL oracle (EM is not SQL-expressible). Returns the "
+    "model table (piece, freq, cost_u) ordered by (freq DESC, "
+    "piece). Plan: the corpus funnels through one histogram "
+    "aggregate; every EM pass touches only Heaps-law-sized tables.",
+)
+def docs_unigram_vocab(spark, sf_dir):
+    from meteo_etl_spark.functions.unigram import train_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram_lm(docs)

@@ -1888,6 +1888,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_balanced_sample",  # per-class hash-rank downsampling to the min class size (never)
     "docs_langid_confusion",  # stopword-argmax detector vs labeled lang — the routing-trust table (never)
     "dedup_source_overlap",  # cross-source near-dup matrix over the certified pair route — the mixture-planning prerequisite (never)
+    "docs_unigram_vocab",  # SentencePiece-style unigram-LM trainer (hard-EM, integer costs) — rows-only by design like docs_bpe_merges (never)
 )
 
 
