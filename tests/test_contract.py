@@ -16,13 +16,15 @@ def test_entry_contract_shape(spark):
     assert len(qs) >= 30
     # every oracle key is a declared query; rows-only set is the
     # intentional non-SQL-expressible entries only: the approx twins,
-    # the iterative BPE trainer (driver-side argmax loop), and the PCA
-    # spectrum (driver-side eigendecomposition)
+    # the iterative BPE and unigram-LM trainers (driver-side
+    # argmax/EM loops), and the PCA spectrum (driver-side
+    # eigendecomposition)
     assert set(oracles) <= set(qs)
     assert set(qs) - set(oracles) == {
         "q3_approx_distinct",
         "q5_approx_summary",
         "docs_bpe_merges",
+        "docs_unigram_vocab",
         "emb_pca_variance",
     }
     assert all(callable(fn) for fn in qs.values())
