@@ -74,12 +74,21 @@ def drop_ledger(
     eval_docs: DataFrame,
     *,
     rewritten: DataFrame | None = None,
+    containment_dedup: bool = False,
     classifier_model: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, reason) for every training doc; reason is the FIRST
-    failing stage ('exact_dup' | 'near_dup' | 'substring_dup' |
-    'low_quality' | 'classifier_reject' | 'contaminated' | 'kept').
+    failing stage ('exact_dup' | 'near_dup' | 'contained_dup' |
+    'substring_dup' | 'low_quality' | 'classifier_reject' |
+    'contaminated' | 'kept').
+
+    ``containment_dedup=True`` enables stage 2c (the asymmetric
+    route, ``dedup.containment_pairs``): for each pair whose shingle
+    containment passes the threshold, the SHORTER document drops as
+    'contained_dup' (its content ships inside the container; ties
+    keep the lower doc_id) — the small-doc-pasted-into-big case the
+    symmetric near-dup stage is blind to.
     The flag sets are
     id-sized (never carry text) but still O(corpus) rows — near-dup
     ids alone can be a large fraction of all docs — so they are NOT
@@ -108,6 +117,7 @@ def drop_ledger(
         fan_out(docs),
         eval_docs,
         rewritten=rewritten,
+        containment_dedup=containment_dedup,
         classifier_model=classifier_model,
         classifier_keep=classifier_keep,
     )
@@ -118,6 +128,7 @@ def _drop_ledger_on(
     eval_docs: DataFrame,
     *,
     rewritten: DataFrame | None = None,
+    containment_dedup: bool = False,
     classifier_model: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -148,21 +159,51 @@ def _drop_ledger_on(
     )
 
     # Stage priority encodes "first failing stage": 1 exact_dup,
-    # 2 near_dup, 3 substring_dup (excised to nothing),
-    # 4 classifier_reject, 5 contaminated (the quality gate is
-    # computed from the score, not a flag set, and the when-chain
-    # places it between 3 and 4). min(pri) over the union replaces
-    # the per-set distincts AND the per-set corpus joins with one
-    # aggregate + ONE shuffled join — no O(corpus) broadcast anywhere.
+    # 2 near_dup, 3 contained_dup (optional 2c), 4 substring_dup
+    # (excised to nothing), 5 classifier_reject, 6 contaminated (the
+    # quality gate is computed from the score, not a flag set, and
+    # the when-chain places it between 4 and 5). min(pri) over the
+    # union replaces the per-set distincts AND the per-set corpus
+    # joins with one aggregate + ONE shuffled join — no O(corpus)
+    # broadcast anywhere.
     def tagged(ids: DataFrame, pri: int) -> DataFrame:
         return ids.toDF("doc_id").select("doc_id", F.lit(pri).alias("pri"))
 
     flag_sets = [
         tagged(exact_dups, 1),
         tagged(near_dups, 2),
-        tagged(exact_con, 5),
-        tagged(fuzzy_con, 5),
+        tagged(exact_con, 6),
+        tagged(fuzzy_con, 6),
     ]
+    if containment_dedup:
+        # drop the CONTAINED (shorter) side of each passing pair; on
+        # equal length keep the lower doc_id (the dedup_canonical
+        # keep-policy convention)
+        lens = docs.select(
+            F.col("doc_id").alias("lid"), F.length("text").alias("ln")
+        )
+        pairs = dd.containment_pairs(docs)
+        contained = (
+            pairs.join(
+                lens.select(
+                    F.col("lid").alias("doc_a"), F.col("ln").alias("len_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                lens.select(
+                    F.col("lid").alias("doc_b"), F.col("ln").alias("len_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                F.when(F.col("len_a") < F.col("len_b"), F.col("doc_a"))
+                .when(F.col("len_b") < F.col("len_a"), F.col("doc_b"))
+                .otherwise(F.greatest("doc_a", "doc_b"))
+                .alias("cont_id")
+            )
+        )
+        flag_sets.append(tagged(contained, 3))
     if classifier_model is not None:
         from meteo_etl_spark.functions.classify import score_documents
 
@@ -171,7 +212,7 @@ def _drop_ledger_on(
             .where(~F.col("pred_cls").isin(list(classifier_keep)))
             .select("doc_id")
         )
-        flag_sets.append(tagged(rejected, 4))
+        flag_sets.append(tagged(rejected, 5))
     if rewritten is not None:
         # excised-to-NOTHING means tokens were actually removed: an
         # originally-empty document rebuilds to "" with n_removed == 0
@@ -179,7 +220,7 @@ def _drop_ledger_on(
         empty = rewritten.filter(
             (F.col("text") == "") & (F.col("n_removed") > 0)
         ).select("doc_id")
-        flag_sets.append(tagged(empty, 3))
+        flag_sets.append(tagged(empty, 4))
     flags = flag_sets[0]
     for fs in flag_sets[1:]:
         flags = flags.unionByName(fs)
@@ -194,10 +235,11 @@ def _drop_ledger_on(
         "doc_id",
         F.when(F.col("pri") == 1, "exact_dup")
         .when(F.col("pri") == 2, "near_dup")
-        .when(F.col("pri") == 3, "substring_dup")
+        .when(F.col("pri") == 3, "contained_dup")
+        .when(F.col("pri") == 4, "substring_dup")
         .when(F.col("score") < QUALITY_MIN, "low_quality")
-        .when(F.col("pri") == 4, "classifier_reject")
-        .when(F.col("pri") == 5, "contaminated")
+        .when(F.col("pri") == 5, "classifier_reject")
+        .when(F.col("pri") == 6, "contaminated")
         .otherwise("kept")
         .alias("reason"),
     )
@@ -240,6 +282,7 @@ def curate_corpus(
     pack_budget: int = PACK_BUDGET,
     num_shards: int = CURATE_SHARDS,
     substring_dedup: bool = False,
+    containment_dedup: bool = False,
     classifier_model: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
 ) -> CurateStats:
@@ -252,6 +295,11 @@ def curate_corpus(
     and the shipped shards all see the excised text; docs excised to
     nothing drop with ledger reason 'substring_dup'; the total token
     count removed is reported as ``n_tokens_excised``.
+
+    ``containment_dedup=True`` enables stage 2c (asymmetric
+    containment, ``dedup.containment_pairs``): the shorter side of
+    every passing pair drops as 'contained_dup' — the
+    small-doc-inside-big case symmetric near-dup misses.
 
     ``classifier_model`` + ``classifier_keep`` enable stage 3b (the
     learned filter, functions/classify): documents whose predicted
@@ -279,6 +327,7 @@ def curate_corpus(
             cached,
             eval_docs,
             rewritten=rewritten,
+            containment_dedup=containment_dedup,
             classifier_model=classifier_model,
             classifier_keep=classifier_keep,
         )
@@ -346,6 +395,7 @@ def curate_corpus(
                 "pack_budget": pack_budget,
                 "num_shards": num_shards,
                 "substring_dedup": substring_dedup,
+                "containment_dedup": containment_dedup,
                 "classifier_filter": classifier_model is not None,
                 "classifier_keep": sorted(classifier_keep),
                 "quality_min": QUALITY_MIN,

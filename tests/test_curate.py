@@ -322,3 +322,75 @@ def test_originally_empty_doc_is_not_blamed_on_substring_stage(spark):
     }
     assert led[1] == "substring_dup", led
     assert led[2] == "low_quality", led
+
+
+def test_containment_stage_drops_the_contained_side(spark, tmp_path):
+    """Stage 2c off: the short-doc-inside-long pair survives symmetric
+    dedup (J ~ len_a/len_b is tiny). On: the CONTAINED (shorter) doc
+    drops as 'contained_dup', the container ships, and higher-priority
+    stages still win (an exact dup of the short doc reads
+    'exact_dup', never 'contained_dup')."""
+    from meteo_etl_spark.pipeline.curate import drop_ledger
+
+    base = [f"w{i}" for i in range(400)]
+    short = " ".join(base[:40])
+    long_doc = " ".join(base[:40] + [f"filler{i}" for i in range(300)])
+    others = [
+        (10 + k, " ".join(f"z{k}_{i}" for i in range(120))) for k in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, short)] + others,
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, "completely unrelated benchmark text")],
+        "doc_id long, text string",
+    )
+    off = {
+        r["doc_id"]: r["reason"]
+        for r in drop_ledger(docs, eval_docs).collect()
+    }
+    assert "contained_dup" not in off.values()
+    on = {
+        r["doc_id"]: r["reason"]
+        for r in drop_ledger(docs, eval_docs, containment_dedup=True).collect()
+    }
+    # doc 1 and doc 3 are exact duplicates of each other: doc 3 (the
+    # later id) drops as exact_dup FIRST — priority beats containment
+    assert on[3] == "exact_dup"
+    # doc 1 is contained in doc 2 -> contained_dup; the container ships
+    assert on[1] == "contained_dup"
+    assert on[2] == "kept"
+
+
+def test_curate_corpus_with_containment_stage(spark, tmp_path):
+    """End-to-end: the contained doc never ships, the DATACARD records
+    the stage flag and the 'contained_dup' reason count."""
+    import json
+    import os
+
+    from meteo_etl_spark.pipeline.curate import curate_corpus
+
+    base = [f"w{i}" for i in range(400)]
+    short = " ".join(base[:40])
+    long_doc = " ".join(base[:40] + [f"filler{i}" for i in range(300)])
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)]
+        + [
+            (10 + k, " ".join(f"z{k}_{i}" for i in range(120)))
+            for k in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, "completely unrelated benchmark text")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "rel")
+    stats = curate_corpus(
+        docs, eval_docs, out, num_shards=1, containment_dedup=True
+    )
+    assert stats.reasons.get("contained_dup", 0) == 1
+    card = json.load(open(os.path.join(out, "DATACARD.json")))
+    assert card["config"]["containment_dedup"] is True
+    assert card["reasons"]["contained_dup"] == 1
