@@ -183,6 +183,36 @@ def _build_parser() -> argparse.ArgumentParser:
     tt.add_argument("--merges", type=int, default=256)
     tt.add_argument("--min-pair-count", type=int, default=2)
     tt.add_argument("--out", required=True, help="output path for merges.jsonl")
+
+    ut = sub.add_parser(
+        "unigram-train",
+        help="train a unigram-LM (SentencePiece-style) tokenizer over a "
+        "parquet text column (hard-EM on the word histogram, integer "
+        "micro-nat costs) and write the model as JSON lines",
+    )
+    ut.add_argument("--path", required=True, help="parquet table with the text column")
+    ut.add_argument("--text-col", default="text")
+    ut.add_argument("--vocab-size", type=int, default=None)
+    ut.add_argument("--out", required=True, help="output path for vocab.jsonl")
+
+    cv = sub.add_parser(
+        "convert",
+        help="convert a table between file formats through the "
+        "round-trip-safe seam (sources/formats.py); json/csv reads "
+        "take their schema from --schema-like",
+    )
+    cv.add_argument("--src", required=True, help="input table path")
+    cv.add_argument("--src-format", default="parquet")
+    cv.add_argument("--dest", required=True, help="output table path")
+    cv.add_argument("--dest-format", required=True)
+    cv.add_argument(
+        "--schema-like",
+        default=None,
+        help="parquet table whose schema governs a json/csv read",
+    )
+    cv.add_argument(
+        "--partition-by", default=None, metavar="COL[,COL..]",
+    )
     return ap
 
 
@@ -382,6 +412,53 @@ def main(argv: Sequence[str] | None = None) -> int:
                     + "\n"
                 )
         print(f"merges={len(merges)} out={args.out}")
+        return 0
+
+    if args.command == "unigram-train":
+        import json as _json
+
+        from meteo_etl_spark.functions.unigram import VOCAB_SIZE, train_unigram_lm
+
+        df = spark.read.parquet(args.path)
+        kw = {"text_col": args.text_col}
+        if args.vocab_size is not None:
+            kw["vocab_size"] = args.vocab_size
+        model = train_unigram_lm(df, **kw).collect()
+        with open(args.out, "w", encoding="utf-8") as fh:
+            for r in model:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "piece": r["piece"],
+                            "freq": r["freq"],
+                            "cost_u": r["cost_u"],
+                        },
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+        print(f"pieces={len(model)} out={args.out}")
+        return 0
+
+    if args.command == "convert":
+        from meteo_etl_spark.sources.formats import read_table_as, write_table_as
+
+        like = (
+            spark.read.parquet(args.schema_like)
+            if args.schema_like is not None
+            else None
+        )
+        df = read_table_as(spark, args.src, args.src_format, like=like)
+        write_table_as(
+            df,
+            args.dest,
+            args.dest_format,
+            partition_by=(
+                args.partition_by.split(",") if args.partition_by else None
+            ),
+        )
+        n = read_table_as(spark, args.dest, args.dest_format, like=df).count()
+        print(f"rows={n} dest={args.dest} format={args.dest_format}")
         return 0
 
     if args.command == "dashboard":

@@ -204,13 +204,22 @@ def train_unigram_lm(
         r["piece"]: int(r["cnt"])
         for r in _seed_counts(words, seed_size, max_len).collect()
     }
+    # the corpus alphabet (every observed character — present in the
+    # seed by construction): kept in the model at a FLOOR count of 1
+    # even when segmentation stops using a character, so any future
+    # word over this alphabet stays segmentable (the SentencePiece
+    # required-chars rule; without it unigram_encode would raise on
+    # unseen words whose characters the EM "optimized away")
+    alphabet = {p for p in counts if len(p) == 1}
     for it in range(em_iters):
         costs = piece_costs(counts)
         counts = {
             r["piece"]: int(r["cnt"])
             for r in _resegment_counts(words, costs, max_len).collect()
         }
-        # pieces the segmentation stopped using drop out naturally
+        for ch in alphabet:
+            counts.setdefault(ch, 1)
+        # multi-char pieces the segmentation stopped using drop out
         if it == em_iters - 1:
             chars = {p: c for p, c in counts.items() if len(p) == 1}
             multi = sorted(

@@ -249,3 +249,64 @@ def test_cli_tag_lifecycle(spark, tmp_path, capsys):
     assert cli.main(["tag", "--path", path, "--name", "rel", "--delete"]) == 0
     assert t.tags() == {}
     assert cli.main(["tag", "--path", str(tmp_path / "nope"), "--name", "x"]) == 1
+
+
+def test_unigram_train_cli_writes_model(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd"), (3, "cc dd aa")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "vocab.jsonl")
+    rc = cli.main(
+        ["unigram-train", "--path", src, "--out", out, "--vocab-size", "16"]
+    )
+    assert rc == 0
+    import json
+
+    rows = [json.loads(line) for line in open(out)]
+    assert rows and all(
+        set(r) == {"piece", "freq", "cost_u"} for r in rows
+    )
+    pieces = {r["piece"] for r in rows}
+    # the alphabet is always present; costs are positive integers
+    assert {"a", "b", "c", "d"} <= pieces
+    assert all(isinstance(r["cost_u"], int) and r["cost_u"] > 0 for r in rows)
+    assert "pieces=" in capsys.readouterr().out
+
+
+def test_convert_cli_roundtrips_through_orc_and_csv(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y,z", None)], "id long, s string, v double"
+    ).write.parquet(src)
+    orc = str(tmp_path / "orc")
+    rc = cli.main(
+        ["convert", "--src", src, "--dest", orc, "--dest-format", "orc"]
+    )
+    assert rc == 0
+    assert "rows=2" in capsys.readouterr().out
+    # and orc -> csv with the schema borrowed from the parquet source
+    csvp = str(tmp_path / "csv")
+    rc = cli.main(
+        [
+            "convert",
+            "--src",
+            orc,
+            "--src-format",
+            "orc",
+            "--dest",
+            csvp,
+            "--dest-format",
+            "csv",
+        ]
+    )
+    assert rc == 0
+    from meteo_etl_spark.sources.formats import read_table_as
+
+    back = read_table_as(
+        spark, csvp, "csv", like=spark.read.parquet(src)
+    )
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(
+        map(tuple, spark.read.parquet(src).collect()), key=repr
+    )

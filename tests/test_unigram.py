@@ -56,6 +56,7 @@ def _reference_train(texts, vocab_size, seed_size, em_iters, max_len):
         key=lambda pc: (-pc[1], pc[0]),
     )[:seed_size]
     counts = {**chars, **dict(multi)}
+    alphabet = set(chars)
 
     def costs_of(cnts):
         total = sum(cnts.values())
@@ -71,6 +72,8 @@ def _reference_train(texts, vocab_size, seed_size, em_iters, max_len):
             for piece in ug.viterbi_segment(w, costs, max_len):
                 new[piece] += n
         counts = dict(new)
+        for ch in alphabet:
+            counts.setdefault(ch, 1)
         if it == em_iters - 1:
             chars = {p: c for p, c in counts.items() if len(p) == 1}
             multi = sorted(
