@@ -6585,3 +6585,88 @@ def docs_unigram_vocab(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return train_unigram_lm(docs)
+
+
+@query(
+    "docs_tokenizer_compare",
+    None,  # both trainers are iterative (BPE merge loop / unigram
+    # hard-EM) — rows-only, like their individual queries; each
+    # trainer's exactness is pinned by its own reference-twin suite
+    # (tests/test_bpe.py, tests/test_unigram.py), and this table's
+    # accounting is pinned by tests/test_llm_ops.py.
+    doc="Tokenizer family comparison — BPE (docs_bpe_merges' 8-merge "
+    "model) vs unigram-LM (docs_unigram_vocab's hard-EM model) "
+    "fertility on the SAME corpus: per tokenizer, corpus word count, "
+    "total emitted pieces, and pieces-per-word in half-up ppm — THE "
+    "table that picks a tokenizer for a training run (lower fertility "
+    "= fewer sequence positions per document = cheaper training at "
+    "equal context). Both encoders run at the word-HISTOGRAM level "
+    "(pieces per distinct word x frequency — the corpus funnels "
+    "through one scan, the comparison never re-tokenizes the corpus "
+    "per tokenizer). Plan: two vocab-sized trainers + one histogram "
+    "pass each + a 2-row aggregate.",
+)
+def docs_tokenizer_compare(spark, sf_dir):
+    from meteo_etl_spark.functions import bpe
+    from meteo_etl_spark.functions import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        bpe.word_histogram(fan_out(docs))
+        .select("word", F.col("freq").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    word_docs = words.select(F.col("word").alias("text"), "cnt")
+
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe.bpe_train(fan_out(docs), _BPE_N_MERGES).collect()
+    ]
+    bpe_pieces = (
+        bpe.bpe_encode(word_docs, merges)
+        .select(
+            (F.size("bpe_tokens") * F.col("cnt")).alias("p"),
+            F.col("cnt").alias("w"),
+        )
+        .agg(
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("p").cast("long").alias("n_pieces"),
+        )
+        .select(F.lit("bpe").alias("tokenizer"), "n_words", "n_pieces")
+    )
+    model = ug.train_unigram_lm(docs)
+    costs = {r["piece"]: int(r["cost_u"]) for r in model.collect()}
+    bc = spark.sparkContext.broadcast(costs)
+
+    def seg_len(batches):
+        import pandas as pd
+
+        c = bc.value
+        for batch in batches:
+            out = []
+            for word, cnt in zip(batch["word"], batch["cnt"]):
+                out.append(
+                    (len(ug.viterbi_segment(str(word), c)), int(cnt))
+                )
+            yield pd.DataFrame(out, columns=["n", "cnt"])
+
+    ug_pieces = (
+        words.mapInPandas(seg_len, "n long, cnt long")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("cnt")).cast("long").alias("n_pieces"),
+        )
+        .select(F.lit("unigram").alias("tokenizer"), "n_words", "n_pieces")
+    )
+    return (
+        bpe_pieces.unionByName(ug_pieces)
+        .select(
+            "tokenizer",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "(2 * 1000000 * n_pieces + n_words) div (2 * n_words)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("tokenizer")
+    )

@@ -1889,6 +1889,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_langid_confusion",  # stopword-argmax detector vs labeled lang — the routing-trust table (never)
     "dedup_source_overlap",  # cross-source near-dup matrix over the certified pair route — the mixture-planning prerequisite (never)
     "docs_unigram_vocab",  # SentencePiece-style unigram-LM trainer (hard-EM, integer costs) — rows-only by design like docs_bpe_merges (never)
+    "docs_tokenizer_compare",  # BPE vs unigram fertility on one corpus — the pick-a-tokenizer table; rows-only (both trainers iterative) (never)
 )
 
 

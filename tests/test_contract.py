@@ -25,6 +25,7 @@ def test_entry_contract_shape(spark):
         "q5_approx_summary",
         "docs_bpe_merges",
         "docs_unigram_vocab",
+        "docs_tokenizer_compare",
         "emb_pca_variance",
     }
     assert all(callable(fn) for fn in qs.values())

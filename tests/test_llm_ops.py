@@ -1850,3 +1850,39 @@ def test_source_overlap_reconciles_with_pair_route(spark):
     total = dd.minhash_lsh_pairs(docs).count()
     assert sum(r["n_pairs"] for r in rows) == total > 0
     assert all(r["source_a"] <= r["source_b"] for r in rows)
+
+
+def test_tokenizer_compare_accounting(spark):
+    """Both rows count the same corpus words; fertility is the half-up
+    ppm of pieces/words and is >= 1e6 for both (a piece never spans
+    words); the unigram row reconciles with a driver-side
+    re-segmentation under the trained model."""
+    from meteo_etl_spark.functions import unigram as ugm
+    from meteo_etl_spark.plans import queries as Q
+
+    rows = {
+        r["tokenizer"]: r
+        for r in Q.all_queries()["docs_tokenizer_compare"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(rows) == {"bpe", "unigram"}
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_words = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)))
+    ).collect()[0][0]
+    for r in rows.values():
+        assert r["n_words"] == n_words
+        assert r["n_pieces"] >= r["n_words"]
+        exp = (2 * 1_000_000 * r["n_pieces"] + r["n_words"]) // (
+            2 * r["n_words"]
+        )
+        assert r["fertility_ppm"] == exp >= 1_000_000
+    model = ugm.train_unigram_lm(docs)
+    costs = {r["piece"]: r["cost_u"] for r in model.collect()}
+    total = 0
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                total += len(ugm.viterbi_segment(w, costs))
+    assert rows["unigram"]["n_pieces"] == total
