@@ -19,6 +19,7 @@ noise (measured ±30% wall variance on shared hosts).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -28,6 +29,25 @@ from meteo_etl_spark.session import get_spark
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--names",
+        nargs="*",
+        help="restrict the roster to these query names (targeted re-reads; "
+        "names outside the bench roster are still accepted)",
+    )
+    ap.add_argument(
+        "--serve",
+        action="store_true",
+        help="force the persisted ANN serve-path section even under "
+        "--names (it runs by default on full-roster runs)",
+    )
+    ap.add_argument(
+        "--no-serve",
+        action="store_true",
+        help="skip the persisted ANN serve-path section",
+    )
+    cli = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # scale factor from the dir name (sf0.1 -> 0.1); fall back to 0.1
     try:
@@ -46,7 +66,11 @@ def main() -> None:
     # shapes are already on the roster via q15_last_write_wins (merge
     # read-back) and the scan/agg queries; the write paths are timed
     # e2e in their pytest suites instead.
-    bench_specs = {n: s for n, s in _q.all_queries().items() if s.bench}
+    if cli.names:
+        allq = _q.all_queries()
+        bench_specs = {n: allq[n] for n in cli.names}
+    else:
+        bench_specs = {n: s for n, s in _q.all_queries().items() if s.bench}
 
     # Warmup: run the cheapest query once to absorb JVM/codegen startup.
     warm = bench_specs.get("q7_grouped_count") or next(iter(bench_specs.values()))
@@ -70,6 +94,70 @@ def main() -> None:
         except Exception as exc:  # one broken query must not null the round
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Persisted ANN serving twins (r12 verdict order #4): the engine's
+    # hottest real-user read path. The sim_ann_serve_* registry queries
+    # are excluded from the roster as side-effecting (each run builds a
+    # scratch index), so here each index is built ONCE outside the
+    # timed region and only the partition-pruned query path is timed,
+    # same 2-run-min discipline as the roster. This keeps serve-path
+    # latency under the 3-run certified tracking instead of living only
+    # in R12_NEWOPS evidence tables.
+    if (cli.serve or not cli.names) and not cli.no_serve:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from meteo_etl_spark.functions import similarity as sim
+        from meteo_etl_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        ]
+        scratch = tempfile.mkdtemp(prefix="bench_serve_")
+        serve_specs = {
+            "serve_lsh_tuned": (
+                lambda p: sim.build_ann_index("lsh_tuned", emb, p),
+                lambda p: sim.query_ann_index(
+                    "lsh_tuned", spark, p, qv, k=5, exclude_id=0
+                ),
+            ),
+            "serve_ivf": (
+                lambda p: sim.build_ivf_index(emb, p),
+                lambda p: sim.query_ivf_index(spark, p, qv, k=5, exclude_id=0),
+            ),
+            "serve_ivfpq": (
+                lambda p: sim.build_ivfpq_index(emb, p),
+                lambda p: sim.query_ivfpq_index(
+                    spark, p, qv, emb, k=5, n_cand=100, exclude_id=0
+                ),
+            ),
+            "serve_ivfsq8": (
+                lambda p: sim.build_ivfsq8_index(emb, p),
+                lambda p: sim.query_ivfsq8_index(
+                    spark, p, qv, emb, k=5, n_cand=100, exclude_id=0
+                ),
+            ),
+        }
+        try:
+            for name, (build, query) in serve_specs.items():
+                p = os.path.join(scratch, name)
+                try:
+                    build(p)  # untimed: one-time index construction
+                    best = float("inf")
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        query(p).collect()
+                        best = min(best, time.perf_counter() - t0)
+                    timings[name] = round(best, 4)
+                except Exception as exc:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_wall",
@@ -80,12 +168,14 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # Embed the end-of-round certified-run summary (median of the 3
-    # protocol runs, written by tools/certify_bench.py) so the single
-    # recorded artifact carries the noise-floor context instead of one
-    # extra noisy reading standing alone (r11 verdict 'what's wrong'
-    # #3). Passthrough with provenance — this run's own measurement
-    # stays in "value" untouched.
+    # Noise-floor context (median-of-3 certified runs, written by
+    # tools/certify_bench.py) is emitted as its OWN stdout line, and a
+    # compact pointer rides in the headline instead of the full blob.
+    # r12 lesson: embedding the certified_runs object in the single
+    # headline line pushed `metric`/`value` past the driver's
+    # tail-capture window — BENCH_r12.json landed with parsed:null.
+    # The headline JSON must be the LAST line and stay small (r12
+    # verdict 'what's wrong' #1 / next-round order #2).
     ev = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "bench_evidence",
@@ -93,7 +183,9 @@ def main() -> None:
     )
     try:
         with open(ev) as f:
-            out["certified_runs"] = json.load(f)
+            certified = json.load(f)
+        print(json.dumps({"certified_runs": certified}))
+        out["certified_runs_path"] = "bench_evidence/CERTIFIED_RUNS.json"
     except (OSError, ValueError):
         pass
     print(json.dumps(out))
