@@ -1869,27 +1869,34 @@ _DEFERRED: tuple[str, ...] = (
     "docs_datasheet",  # corpus datasheet census: docs_drift_report share shapes stay (in-window r8-r11)
     "docs_bigram_fluency",  # bigram-LM scoring: docs_oov_rate vocab-join shapes stay (in-window r8-r11)
     "emb_dim_corr",  # dimension correlation: emb_outliers + emb_pca_variance moment folds stay (in-window r8-r11)
-    # New in round 12, deferred at birth (each oracle-verified at
-    # sf0.001 AND sf0.01 in-session). ROUND-13 ROTATION BACKLOG:
-    "sim_ann_serve_lsh",  # persisted tuned-LSH serving == in-memory route, pruning asserted in-query; side-effecting twin of sim_ann_serve_ivf (never)
-    "sim_ann_serve_ivfpq",  # IVF-PQ codes-only inverted file + driver-side ADC LUTs + exact re-rank from the primary store; side-effecting (never)
-    "events_cms_topk",  # count-min sketch as a mergeable relation + one-sided heavy-hitter estimates vs exact (never)
-    "events_cms_merge_topk",  # per-day CMS cells merged by groupBy-SUM == single pass; the merge-maintenance twin (never)
-    "emb_binary_quant_audit",  # 1-bit sign quantization recall audit (Hamming shortlist + exact re-rank); emb_pq_audit's audit shape stays certified (never)
-    "dedup_embedding_bitlsh",  # sign-band LSH candidates + exact cosine verify — the sub-quadratic embedding near-dup route (never)
-    "emb_rp_audit",  # Johnson-Lindenstrauss random-projection distortion audit (data-independent dim cut beside PCA) (never)
-    "docs_classifier_calibration",  # reliability table: per confidence decile, docs/correct/conf/acc — the score-gating prerequisite (never)
-    "emb_sq8_audit",  # trained-range scalar quantization (faiss SQ8) audit — fourth quantization family row (never)
-    "dedup_containment",  # asymmetric containment pairs via rare-shingle blocking — the small-doc-inside-big catch Jaccard misses (never)
-    "docs_winnow_overlap",  # winnowed-fingerprint partial-overlap pairs (MOSS primitive; guaranteed-catch horizon k+w-1) (never)
-    "sim_ann_serve_ivfsq8",  # IVF-SQ8 persisted serving (dim-byte codes, no codebook) — completes the faiss index matrix; side-effecting (never)
-    "dedup_threshold_sweep",  # verify-threshold operating curve from one candidate pass — the choose-before-rewrite table (never)
-    "docs_ngram_diversity",  # per-source distinct n-gram / TTR census — the synthetic-data collapse metric (never)
-    "docs_balanced_sample",  # per-class hash-rank downsampling to the min class size (never)
-    "docs_langid_confusion",  # stopword-argmax detector vs labeled lang — the routing-trust table (never)
-    "dedup_source_overlap",  # cross-source near-dup matrix over the certified pair route — the mixture-planning prerequisite (never)
-    "docs_unigram_vocab",  # SentencePiece-style unigram-LM trainer (hard-EM, integer costs) — rows-only by design like docs_bpe_merges (never)
-    "docs_tokenizer_compare",  # BPE vs unigram fertility on one corpus — the pick-a-tokenizer table; rows-only (both trainers iterative) (never)
+    # Round-13 rotation (r12 verdict order #1): ALL 19 r12 newborns
+    # (sim_ann_serve_lsh/ivfpq/ivfsq8, the CMS pair, the quantization
+    # audits, dedup_containment, docs_winnow_overlap, the sweep/census
+    # tables, and the two rows-only tokenizer entries) leave this
+    # ledger and enter the window for their first driver rows — once
+    # green in CORRECTNESS_r13, every query registered before round 13
+    # has carried a driver row at least once (173/173 cumulative
+    # driver certification). Rotated OUT to make room, each a
+    # ≥5×-driver-green veteran with an in-window or incoming twin:
+    "dedup_minhash_lsh",  # banded MinHash pairs: dedup_lsh_recall stays; dedup_threshold_sweep (incoming) reuses the same candidate route (in-window r1-r12, 12× green)
+    "dedup_components",  # connected components: dedup_canonical (CC closure keep-policy) stays (in-window r2-r12, 11× green)
+    "jdbc_roundtrip_agg",  # Derby JDBC round-trip: jdbc_upsert_agg (same source+agg shape) stays (in-window r5-r12, 8× green)
+    "q15_atomic_merge",  # atomic-table keyed merge: events_scd2_stream keyed-LWW stays (in-window r5-r12, 8× green)
+    "events_session_window",  # gap session agg: events_sliding_window windowed agg stays (in-window r5-r12, 8× green)
+    "dedup_semantic_bigk",  # cluster-blocked cosine dedup: emb_cluster_prototypes (same assignment kernel) stays (in-window r7-r12, 6× green)
+    "docs_dsir_weights",  # importance weights: docs_oov_rate vocab-join shapes stay (in-window r8-r12, 5× green)
+    "docs_priority_sample",  # weighted priority sample: docs_balanced_sample (incoming) hash-rank sampling twin (in-window r8-r12, 5× green)
+    "sim_ann_recall",  # fixed-route recall audit: sim_ann_recall_tuned (superset audit) stays (in-window r8-r12, 5× green)
+    "docs_contamination_report",  # grouped-distinct contamination census: dedup_source_overlap (incoming) same matrix shape (in-window r8-r12, 5× green)
+    "docs_packing_stats",  # packing efficiency census: docs_token_budget_sample token accounting stays (in-window r8-r12, 5× green)
+    "sim_ann_multiprobe",  # multiprobe LSH: sim_ann_recall_tuned (tuned multiprobe route) stays (in-window r8-r12, 5× green)
+    "events_ewma",  # ordered exponential fold: events_anomaly_mad ordered-window fold stays (in-window r8-r12, 5× green)
+    "docs_chunk_dup_ratio",  # chunk-hash dup census: docs_chunk_dedup_rewrite (same chunk route + rewrite) stays (in-window r8-r12, 5× green)
+    "docs_per_source_sample",  # per-source hash-rank sample: docs_balanced_sample (incoming) per-class twin (in-window r8-r12, 5× green)
+    "docs_adaptive_quality_gate",  # per-group calibration gate: docs_quality_rules census stays (in-window r8-r12, 5× green)
+    "emb_quant_audit",  # int8 quantization audit: emb_sq8_audit + emb_binary_quant_audit (incoming) same audit shape; emb_pq_audit stays (in-window r8-r12, 5× green)
+    "emb_outliers",  # centroid-distance outliers: emb_pca_variance moment folds stay (in-window r8-r12, 5× green)
+    "rollup_incremental_agg",  # incremental rollup maintenance: events_sketch_rollup stays; events_cms_merge_topk (incoming) is the merge-maintenance twin (in-window r8-r12, 5× green)
 )
 
 
