@@ -399,14 +399,21 @@ def winnow_overlap_pairs(
 ) -> DataFrame:
     """Partial-overlap pairs by shared winnowed fingerprints — the
     plagiarism-detector shape: (doc_a, doc_b, n_shared) where
-    n_shared counts DISTINCT shared fingerprint hashes and any shared
-    passage of >= k+w-1 tokens is guaranteed to register. Blocking
-    reuses the containment route's df-bounded inverted index (each
-    posting list fans out to <= df_max^2 pairs); verification
-    intersects the cached per-doc fingerprint-hash sets on candidates
-    only. Winnowing's sparsity (~2/(w+1) of grams) makes this index
-    ~2.5x smaller than the full shingle index at the same guarantee
-    horizon."""
+    n_shared counts DISTINCT shared fingerprint hashes. The winnowing
+    guarantee (a shared passage of >= k+w-1 tokens always contributes
+    >= 1 shared fingerprint) carries end-to-end ONLY at
+    ``min_shared=1`` and within the blocking bound: the default
+    ``min_shared=2`` is a precision filter that deliberately drops
+    pairs sharing exactly the one guaranteed fingerprint, and a pair
+    whose every shared fingerprint has document frequency > df_max is
+    never blocked together. Callers that need the full MOSS-style
+    guarantee horizon pass ``min_shared=1`` (and raise ``df_max``);
+    the defaults trade that recall tail for a candidate set that stays
+    df_max^2-bounded per posting. Blocking reuses the containment
+    route's df-bounded inverted index; verification intersects the
+    cached per-doc fingerprint-hash sets on candidates only.
+    Winnowing's sparsity (~2/(w+1) of grams) makes this index ~2.5x
+    smaller than the full shingle index at the same horizon."""
     # cache() is load-bearing, not an optimization: the fingerprint
     # expression is THREE stacked array-lambda projections (token
     # hashes -> positional grams -> window minima), and pulling an
@@ -789,6 +796,7 @@ def embedding_signband_pairs(
     threshold: float = EMB_SIGNBAND_THRESHOLD,
     n_bands: int = EMB_SIGNBAND_BANDS,
     band_bits: int = EMB_SIGNBAND_BITS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-band LSH candidates + exact
     cosine verify — the SUB-QUADRATIC route `embedding_cosine_pairs`'s
@@ -809,8 +817,26 @@ def embedding_signband_pairs(
 
     Same output shape as `embedding_cosine_pairs` (vec_a, vec_b,
     cos); the registered `dedup_embedding_bitlsh` query hash-checks
-    the full route against a DuckDB replay."""
-    from meteo_etl_spark.functions.similarity import dot, norm
+    the full route against a DuckDB replay.
+
+    ``dim`` (default: the corpus-wide ``EMBEDDING_DIM``) guards the
+    band layout: the code reads sign bits at positions 1..
+    n_bands*band_bits, so a vector shorter than that would silently
+    quantize missing dims to 0 (element_at null) and dims beyond band
+    coverage are ignored — band coverage exceeding ``dim`` raises
+    instead of degrading recall silently (the build_ivfsq8_index
+    range-validation rule)."""
+    from meteo_etl_spark.functions.similarity import EMBEDDING_DIM, dot, norm
+
+    if dim is None:
+        dim = EMBEDDING_DIM
+    if n_bands * band_bits > dim:
+        raise ValueError(
+            f"sign-band layout {n_bands}x{band_bits} covers "
+            f"{n_bands * band_bits} dims but vectors have {dim} — "
+            "bits beyond the vector would silently quantize to 0; "
+            "shrink n_bands/band_bits or pass the true dim"
+        )
 
     v = F.col(vec_col).cast("array<double>")
     base = fan_out(emb).select(

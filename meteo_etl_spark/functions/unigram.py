@@ -227,6 +227,22 @@ def train_unigram_lm(
                 key=lambda pc: (-pc[1], pc[0]),
             )[: max(0, vocab_size - len(chars))]
             counts = {**chars, **dict(multi)}
+    # One post-prune re-segmentation pass (the SentencePiece rule of
+    # re-running EM after pruning): freq must describe segmentations
+    # under the PRUNED vocab, not the pre-prune one in which
+    # since-pruned pieces absorbed mass, so that freq and cost_u
+    # describe the same vocabulary. The piece set stays fixed —
+    # pruned-in pieces the final segmentation stops using keep a floor
+    # count of 1 (the alphabet rule generalized) so the model stays
+    # vocab-stable and every returned cost is defined.
+    vocab = set(counts)
+    costs = piece_costs(counts)
+    counts = {
+        r["piece"]: int(r["cnt"])
+        for r in _resegment_counts(words, costs, max_len).collect()
+    }
+    for p in vocab:
+        counts.setdefault(p, 1)
     costs = piece_costs(counts)
     rows = sorted(
         ((p, c, costs[p]) for p, c in counts.items()),

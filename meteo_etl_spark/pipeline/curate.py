@@ -176,11 +176,16 @@ def _drop_ledger_on(
         tagged(fuzzy_con, 6),
     ]
     if containment_dedup:
-        # drop the CONTAINED (shorter) side of each passing pair; on
-        # equal length keep the lower doc_id (the dedup_canonical
-        # keep-policy convention)
-        lens = docs.select(
-            F.col("doc_id").alias("lid"), F.length("text").alias("ln")
+        # drop the CONTAINED side of each passing pair, ranked by
+        # SHINGLE-SET size — the measure containment itself is
+        # computed over (|A∩B| / min(|A|,|B|)) — not char length: a
+        # doc with fewer characters can own the LARGER shingle set
+        # (e.g. more distinct grams in less text), and the dropped doc
+        # must be the set-theoretically contained one. On equal set
+        # size keep the lower doc_id (the dedup_canonical keep-policy
+        # convention).
+        lens = dd._shingle_docs(docs, "doc_id", "text").select(
+            F.col("id").alias("lid"), F.size("sh").alias("ln")
         )
         pairs = dd.containment_pairs(docs)
         contained = (

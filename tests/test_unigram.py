@@ -81,6 +81,17 @@ def _reference_train(texts, vocab_size, seed_size, em_iters, max_len):
                 key=lambda pc: (-pc[1], pc[0]),
             )[: max(0, vocab_size - len(chars))]
             counts = {**chars, **dict(multi)}
+    # post-prune re-segmentation (SentencePiece final-EM rule): freq
+    # under the pruned vocab; unused pruned-in pieces floor at 1
+    vocab = set(counts)
+    costs = costs_of(counts)
+    new = Counter()
+    for w, n in words.items():
+        for piece in ug.viterbi_segment(w, costs, max_len):
+            new[piece] += n
+    counts = dict(new)
+    for p in vocab:
+        counts.setdefault(p, 1)
     costs = costs_of(counts)
     return sorted(
         ((p, c, costs[p]) for p, c in counts.items()),
