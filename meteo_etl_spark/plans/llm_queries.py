@@ -6587,6 +6587,56 @@ def docs_unigram_vocab(spark, sf_dir):
     return train_unigram_lm(docs)
 
 
+from meteo_etl_spark.functions.unigram import PIECE_MAX_LEN as _UG_MAX_LEN
+from meteo_etl_spark.functions.unigram import SEED_SIZE as _UG_SEED
+
+
+@query(
+    "docs_unigram_seed_vocab",
+    f"""WITH w AS (SELECT UNNEST(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS word
+            FROM documents),
+    h AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    s AS (SELECT substring(word, i, l) AS piece, freq
+          FROM h,
+          UNNEST(generate_series(1, {_UG_MAX_LEN})) AS gl(l),
+          UNNEST(generate_series(1, length(word) - l + 1)) AS gi(i)),
+    c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM s GROUP BY piece),
+    chars AS (SELECT piece, cnt FROM c WHERE length(piece) = 1),
+    multi AS (SELECT piece, cnt FROM c WHERE length(piece) > 1
+              ORDER BY cnt DESC, piece LIMIT {_UG_SEED})
+    SELECT piece, cnt FROM chars
+    UNION ALL SELECT piece, cnt FROM multi
+    ORDER BY cnt DESC, piece""",
+    doc="Unigram-LM trainer, stage 1 as a hash-pinned table (r12 "
+    "verdict order #3 — shrink the rows-only set): the seed "
+    "substring-vocabulary census docs_unigram_vocab's hard-EM starts "
+    "from — every substring of length 1..PIECE_MAX_LEN of every "
+    "distinct word weighted by word frequency, the full alphabet plus "
+    "the top SEED_SIZE multi-char pieces by (cnt DESC, piece). "
+    "Fully SQL-expressible (the docs_bpe_pairs pattern: the iterative "
+    "trainer stays rows-only, its first-stage aggregate carries a "
+    "DuckDB hash). Plan: ONE corpus scan to the map-combined word "
+    "histogram (Heaps' law), then a narrow substring explode over the "
+    "vocab table only — corpus bytes are never re-read; the "
+    "(cnt DESC, piece) total order makes the seed cut and the result "
+    "partitioning-invariant.",
+    bench=True,
+)
+def docs_unigram_seed_vocab(spark, sf_dir):
+    from meteo_etl_spark.functions import unigram as ug
+    from meteo_etl_spark.functions.bpe import word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_histogram(fan_out(docs)).select(
+        "word", F.col("freq").cast("long").alias("cnt")
+    )
+    return ug._seed_counts(words, ug.SEED_SIZE, ug.PIECE_MAX_LEN).orderBy(
+        F.desc("cnt"), "piece"
+    )
+
+
 @query(
     "docs_tokenizer_compare",
     None,  # both trainers are iterative (BPE merge loop / unigram

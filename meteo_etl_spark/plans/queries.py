@@ -1897,6 +1897,9 @@ _DEFERRED: tuple[str, ...] = (
     "emb_quant_audit",  # int8 quantization audit: emb_sq8_audit + emb_binary_quant_audit (incoming) same audit shape; emb_pq_audit stays (in-window r8-r12, 5× green)
     "emb_outliers",  # centroid-distance outliers: emb_pca_variance moment folds stay (in-window r8-r12, 5× green)
     "rollup_incremental_agg",  # incremental rollup maintenance: events_sketch_rollup stays; events_cms_merge_topk (incoming) is the merge-maintenance twin (in-window r8-r12, 5× green)
+    # New in round 13, deferred at birth (oracle-verified at sf0.001
+    # AND sf0.01 in-session). ROUND-14 ROTATION BACKLOG:
+    "docs_unigram_seed_vocab",  # unigram trainer stage 1 (seed substring census) as a hash-pinned table — shrinks the trainer's rows-only surface to the EM loop (never)
 )
 
 
