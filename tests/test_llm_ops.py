@@ -1072,6 +1072,59 @@ def test_spherical_pq_codebook_flips_the_cosine_direction(spark):
     assert s_rr == l_rr == p_rr == 50, (s_rr, l_rr, p_rr)
 
 
+def test_spherical_codebook_served_recall_beats_sampled(spark, tmp_path):
+    """r12 verdict order #7: the spherical direction-flip must carry
+    through the PERSISTED IVF-PQ serve path end-to-end, not just the
+    in-memory pq_recall_table audit — build_ivfpq_index(codebook=
+    spherical_pq_codebook(...)) then query_ivfpq_index, recall@5 on
+    the cross-cluster panel >= the sampled codebook's through the
+    identical index layout, routing, and re-rank. n_cand=10 keeps the
+    ADC shortlist the bottleneck (at n_cand=50 exact re-rank recovers
+    either codebook — measured 48/48), so the pin isolates codebook
+    quality as served. Deterministic fixture + codebooks -> the
+    measured gap (26 > 20 of 50) is exact."""
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = _clustered_embeddings(spark)
+    kw = dict(n_sub=8, sub_dim=8, n_codes=32)
+    paths = {}
+    for name, codes in (
+        ("sampled", sim.sampled_pq_codebook(emb, **kw)),
+        ("spherical", sim.spherical_pq_codebook(emb, iters=3, **kw)),
+    ):
+        paths[name] = str(tmp_path / name)
+        sim.build_ivfpq_index(emb, paths[name], codebook=codes, **kw)
+
+    panel = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(
+            F.col("vec_id").isin([25 * j for j in range(10)])
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    hits = {}
+    for name, path in paths.items():
+        h = 0
+        for qid, qv in panel:
+            true5 = {
+                r.vec_id
+                for r in sim.brute_force_topk(emb, query_id=qid, k=5).collect()
+            }
+            got = {
+                r.vec_id
+                for r in sim.query_ivfpq_index(
+                    spark, path, qv, emb, k=5, n_cand=10, exclude_id=qid
+                ).collect()
+            }
+            h += len(true5 & got)
+        hits[name] = h
+    assert hits["spherical"] > hits["sampled"], hits
+    assert hits["spherical"] >= 25, hits  # half the panel's 50 slots
+
+
 def test_pq_reconstruct_paths_are_bit_identical(spark):
     """The Arrow PQ-encode kernel must reproduce the expression path
     BIT-exactly (same sequential IEEE fold order, same first-min tie
