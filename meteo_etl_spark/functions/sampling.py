@@ -23,7 +23,7 @@ sampling surface); mandated by BASELINE.json's training-data scope.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket granularity — permille resolution for split fractions.
@@ -174,6 +174,88 @@ def mixture_plan(
             ).alias("sampling_rate"),
         )
         .orderBy("source")
+    )
+
+
+def waterfill_allocation(
+    weights: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget_frac_permille: int = 500,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    capped-mixture planner: given per-key masses ``w_k`` and a global
+    budget ``B`` (``budget_frac_permille``/1000 of the total, integer
+    DIV so both engines agree exactly), find the level λ with
+    Σ min(w_k, λ) = B and allocate ``min(w_k, λ)`` — small sources
+    keep their full mass, over-represented ones are capped at a
+    COMMON level instead of a proportional haircut (the max-min fair
+    allocation used in multi-source data recipes to stop one giant
+    crawl from crowding out everything else; proportional scaling is
+    ``mixture_plan``'s job).
+
+    Closed form, no iteration: keys sorted ascending by (w, key);
+    with prefix sums P_i, the candidate level at pivot i is
+    λ_i = (B - P_{i-1}) / (n - i + 1), and the solution is λ at the
+    FIRST i where λ_i <= w_i (every j < i ships whole, every j >= i
+    is capped). If no pivot qualifies, B >= total and nothing is
+    capped. Each λ_i is ONE correctly-rounded IEEE division of exact
+    integers, so the level — and the allocation table — is
+    bit-reproducible in any engine (the priority_sample determinism
+    discipline).
+
+    Output: ``(key, weight, alloc: double, capped: int)`` —
+    Σ alloc = B exactly (up to the one division's rounding) when
+    capping engaged.
+
+    Scale shape: the window sort and prefix sums run over the KEY
+    table (O(sources) rows — tiny next to the corpus aggregate that
+    produced it); the two 1-row scalars (total/count, pivot level)
+    broadcast into it — the decorrelated-scalar shape. Nothing
+    touches the fact table here."""
+    w = Window.orderBy(weight_col, key_col)
+    ranked = weights.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.row_number().over(w).alias("rk"),
+        F.coalesce(
+            F.sum(weight_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pfx"),
+    )
+    tot = weights.agg(
+        F.expr(
+            f"CAST(sum({weight_col}) * {int(budget_frac_permille)} AS LONG)"
+            " DIV 1000"
+        ).alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lam = (F.col("budget") - F.col("pfx")).cast("double") / (
+        F.col("n") - F.col("rk") + F.lit(1)
+    ).cast("double")
+    staged = ranked.crossJoin(F.broadcast(tot)).select(
+        "key", "weight", "rk", lam.alias("lam_i")
+    )
+    pivot = staged.filter(F.col("lam_i") <= F.col("weight")).agg(
+        F.min("rk").alias("prk"),
+        F.min_by("lam_i", "rk").alias("lvl"),
+    )
+    capped = F.col("prk").isNotNull() & (F.col("rk") >= F.col("prk"))
+    return (
+        staged.crossJoin(F.broadcast(pivot))
+        .select(
+            "key",
+            "weight",
+            F.when(capped, F.col("lvl"))
+            .otherwise(F.col("weight").cast("double"))
+            .alias("alloc"),
+            capped.cast("int").alias("capped"),
+        )
+        .orderBy("key")
     )
 
 

@@ -287,7 +287,7 @@ def curate_corpus(
     pack_budget: int = PACK_BUDGET,
     num_shards: int = CURATE_SHARDS,
     substring_dedup: bool = False,
-    containment_dedup: bool = False,
+    containment_dedup: bool = True,
     classifier_model: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
 ) -> CurateStats:
@@ -301,10 +301,17 @@ def curate_corpus(
     nothing drop with ledger reason 'substring_dup'; the total token
     count removed is reported as ``n_tokens_excised``.
 
-    ``containment_dedup=True`` enables stage 2c (asymmetric
-    containment, ``dedup.containment_pairs``): the shorter side of
-    every passing pair drops as 'contained_dup' — the
-    small-doc-inside-big case symmetric near-dup misses.
+    ``containment_dedup`` (stage 2c, asymmetric containment via
+    ``dedup.containment_pairs``) defaults ON for the release
+    pipeline — the r13 decision, backed by the sf0.1 audit
+    (bench_evidence/R13_CURATE.md): 256 passing pairs, EVERY dropped
+    side's own-set containment exactly 1.0 (zero false drops at the
+    0.9 threshold), 244 contained docs the symmetric near-dup stage
+    structurally cannot catch. The side with the smaller SHINGLE SET
+    drops as 'contained_dup'. ``drop_ledger``'s own parameter stays
+    default-off (it is the ad-hoc building block; registered queries
+    pin their own flags), so flip it explicitly when reconciling a
+    ledger against a curate_corpus run.
 
     ``classifier_model`` + ``classifier_keep`` enable stage 3b (the
     learned filter, functions/classify): documents whose predicted

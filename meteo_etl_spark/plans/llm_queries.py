@@ -1496,6 +1496,65 @@ def docs_mixture_plan(spark, sf_dir):
 
 
 @query(
+    "docs_budget_waterfill",
+    """WITH per AS (SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) * 500 AS BIGINT) // 1000 AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM per),
+    r AS (SELECT source, n_tokens,
+                 ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rk,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY n_tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pfx
+          FROM per),
+    s AS (SELECT source, n_tokens, rk,
+                 CAST(budget - pfx AS DOUBLE)
+                   / CAST(n - rk + 1 AS DOUBLE) AS lam_i
+          FROM r, tot),
+    piv AS (SELECT MIN(rk) AS prk, MIN_BY(lam_i, rk) AS lvl
+            FROM s WHERE lam_i <= n_tokens)
+    SELECT s.source AS key, s.n_tokens AS weight,
+           CASE WHEN (SELECT prk FROM piv) IS NOT NULL
+                     AND s.rk >= (SELECT prk FROM piv)
+                THEN (SELECT lvl FROM piv)
+                ELSE CAST(s.n_tokens AS DOUBLE) END AS alloc,
+           CASE WHEN (SELECT prk FROM piv) IS NOT NULL
+                     AND s.rk >= (SELECT prk FROM piv)
+                THEN 1 ELSE 0 END AS capped
+    FROM s ORDER BY key""",
+    doc="Water-filling token-budget allocation across sources "
+    "(functions/sampling.waterfill_allocation) — the capped-mixture "
+    "planner beside docs_mixture_plan's proportional one: with a "
+    "budget of 500 permille of total tokens, find the level λ with "
+    "Σ min(tokens_s, λ) = budget; small sources ship whole, "
+    "over-represented ones cap at the COMMON level (max-min fair — "
+    "the recipe rule that stops one giant crawl from crowding out "
+    "everything else). Closed form via prefix sums over the sorted "
+    "source table — no iteration; λ is one IEEE division of exact "
+    "integers, so the allocation is bit-reproducible and the DuckDB "
+    "oracle replays it exactly. Plan: one corpus groupBy(source) "
+    "aggregate, then windows + two 1-row broadcast scalars over the "
+    "O(sources) key table.",
+    bench=True,
+)
+def docs_budget_waterfill(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import waterfill_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        fan_out(docs)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+        )
+    )
+    return waterfill_allocation(per, "source", "n_tokens")
+
+
+@query(
     "events_rollup_multi",
     """SELECT CAST(ts AS DATE) AS d, event_type,
               COUNT(*) AS n,

@@ -45,6 +45,7 @@ SCALAR_BROADCAST_OK = {
     "sim_ann_lsh",  # same query-vector pattern, LSH-bucketed candidates
     "sim_ann_ivf",  # same query-vector pattern, IVF-routed candidates
     "docs_mixture_plan",  # 1-row global token total crossed into per-source rows
+    "docs_budget_waterfill",  # 1-row (budget, n) census + 1-row pivot level crossed into the O(sources) key table
     "docs_vocab_topp",  # 1-row global token-mass total crossed into the vocab head
     "dedup_semantic_bigk",  # 1-row packed centroid table (collect_list) crossed in for large-k argmin assignment
     "docs_dsir_weights",  # 1-row target/source feature totals crossed into the <=1024-row bucket weight table
