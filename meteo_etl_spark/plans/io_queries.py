@@ -447,6 +447,93 @@ def events_scd2_stream(spark, sf_dir):
 
 
 @query(
+    "events_stream_dedup",
+    """SELECT event_id, user_id, ts, value
+       FROM events ORDER BY event_id""",
+    doc="STREAMING exact-dedup certification "
+    "(streaming/windows.dedup_stream — dropDuplicatesWithinWatermark, "
+    "the state-bounded guard in front of an at-least-once source "
+    "whose sink is not an idempotent merge): the events feed is "
+    "drained through a real Structured-Streaming file source in two "
+    "availableNow waves, with DUPLICATE deliveries injected both "
+    "ACROSS waves (every 5th pre-cut event redelivered in wave 2 — "
+    "state restored from the checkpoint must suppress it) and WITHIN "
+    "a wave (every 7th post-cut event shipped twice in the same "
+    "append — in-batch suppression), onto an append parquet sink "
+    "with NO batch-side distinct anywhere. In-query assertions: "
+    "output cardinality equals the source's and no event_id appears "
+    "twice (RuntimeError otherwise), so the oracle — a plain SELECT "
+    "of the original rows — hash-certifies that the STREAM suppressed "
+    "every duplicate and corrupted nothing. The watermark delay (60 "
+    "days) deliberately spans the whole fixture so suppression is "
+    "deterministic; at 100 TB you size it to the real redelivery "
+    "horizon and state stays O(keys within horizon), the "
+    "dropDuplicatesWithinWatermark contract.",
+)
+def events_stream_dedup(spark, sf_dir):
+    from meteo_etl_spark.streaming.windows import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wave1 = ev.filter(F.col("ts") < cut)
+    wave2 = ev.filter(F.col("ts") >= cut)
+    redelivered = wave1.filter(F.col("event_id") % 5 == 0)
+    in_batch_dup = wave2.filter(F.col("event_id") % 7 == 0)
+    feed = _scratch("dedup_feed")
+    out = _scratch("dedup_out")
+    ckpt = _scratch("dedup_ckpt")
+    schema = ev.schema
+
+    def drain():
+        q = (
+            dedup_stream(
+                spark.readStream.schema(schema).parquet(feed),
+                ["event_id"],
+                ts_col="ts",
+                watermark_delay="60 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.write.mode("append").parquet(feed)
+        drain()
+        # wave 2 + cross-wave redeliveries + doubled in-wave rows land
+        # as ONE append so a single drain sees them all
+        wave2.unionByName(redelivered).unionByName(in_batch_dup).write.mode(
+            "append"
+        ).parquet(feed)
+        drain()
+        got = spark.read.parquet(out)
+        stats = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("nd"),
+        ).collect()[0]
+        n_src = ev.count()
+        if stats["n"] != n_src or stats["nd"] != n_src:
+            raise RuntimeError(
+                f"stream dedup leaked: {stats['n']} rows / "
+                f"{stats['nd']} distinct ids vs {n_src} source rows"
+            )
+        return (
+            got.select("event_id", "user_id", "ts", "value")
+            .orderBy("event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "rollup_incremental_agg",
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
               COUNT(*) AS n,

@@ -1902,6 +1902,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_unigram_seed_vocab",  # unigram trainer stage 1 (seed substring census) as a hash-pinned table — shrinks the trainer's rows-only surface to the EM loop (never)
     "events_kll_merge_quantiles",  # KLL merged-daily vs single-pass rank-band certification under the driver gate — the CMS merge-maintenance twin for quantiles (never)
     "docs_budget_waterfill",  # water-filling capped-mixture allocation (max-min fair token budget across sources) — closed-form, bit-reproducible level (never)
+    "events_stream_dedup",  # dropDuplicatesWithinWatermark drain with cross-wave + in-batch duplicate injection; oracle = plain SELECT, stream must suppress every duplicate; side-effecting (never)
 )
 
 

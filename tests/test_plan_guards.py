@@ -30,6 +30,7 @@ SIDE_EFFECTING = {
     "q15_atomic_merge",
     "rollup_incremental_agg",
     "events_scd2_stream",  # drives a real streaming drain + scratch merges
+    "events_stream_dedup",  # drives a real streaming dedup drain + scratch parquet sink
     "docs_classifier_incremental",  # lands scratch count partitions + an atomic model table per wave
     "sim_ann_serve_ivf",  # builds a scratch persisted IVF index then serves from it
     "sim_ann_serve_lsh",  # builds a scratch persisted tuned-LSH index then serves from it
