@@ -4959,6 +4959,140 @@ def docs_bigram_fluency(spark, sf_dir):
     )
 
 
+@query(
+    "docs_ccnet_buckets",
+    """WITH t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> length(x) > 0) AS t
+          FROM documents),
+    b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+    cu AS (SELECT tok, COUNT(*) AS cu
+           FROM (SELECT UNNEST(t) AS tok FROM t) GROUP BY 1),
+    p AS (SELECT doc_id, (1000000 * cb.cb) // cu.cu AS ppm
+          FROM b JOIN cb USING (w1, w2) JOIN cu ON b.w1 = cu.tok),
+    f AS (SELECT doc_id,
+                 CAST((2 * SUM(ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                   AS fluency_ppm
+          FROM p GROUP BY doc_id),
+    d AS (SELECT doc_id, source,
+                 len(list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0)) AS n_toks
+          FROM documents),
+    g AS (SELECT d.source, d.n_toks, f.fluency_ppm,
+                 NTILE(3) OVER (PARTITION BY d.source
+                                ORDER BY f.fluency_ppm DESC, d.doc_id)
+                   AS tile
+          FROM f JOIN d USING (doc_id))
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(fluency_ppm) AS BIGINT) AS min_fluency_ppm,
+           CAST(MAX(fluency_ppm) AS BIGINT) AS max_fluency_ppm,
+           CAST((2 * SUM(fluency_ppm) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS avg_fluency_ppm
+    FROM g GROUP BY source, tile ORDER BY source, bucket""",
+    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): "
+    "per SOURCE, documents rank by their LM score (docs_bigram_fluency"
+    "'s integer-ppm bigram fluency — CCNet uses a KenLM perplexity; "
+    "the bucketing mechanics are identical) and cut into tertiles via "
+    "ntile(3) over the deterministic total order (fluency DESC, "
+    "doc_id). Output is the operating table the CCNet recipe reads to "
+    "keep head+middle and drop (or re-mine) the tail: per (source, "
+    "bucket) doc/token mass and the fluency band (min/max/avg, "
+    "half-up integer ppm — both engines replay the arithmetic "
+    "exactly). Docs with <2 tokens have no LM transitions and are "
+    "absent in both engines. Plan: the fluency derivation's two "
+    "vocab-count joins, one doc_id shuffle, then ntile within source "
+    "partitions (bounded by the largest source, not the corpus) and "
+    "one final (source, tile) aggregate.",
+    bench=True,
+)
+def docs_ccnet_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out(docs).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
+    )
+    pairs = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    fluency = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(cu, pairs["w1"] == cu["tok"])
+        .select("doc_id", F.expr("(1000000 * cb) div cu").alias("ppm"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(2 * sum(ppm) + count(1)) div (2 * count(1))"
+            ).alias("fluency_ppm")
+        )
+    )
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("n_toks"),
+    )
+    tile = F.ntile(3).over(
+        Window.partitionBy("source").orderBy(
+            F.desc("fluency_ppm"), "doc_id"
+        )
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        fluency.join(meta, "doc_id")
+        .select("source", "n_toks", "fluency_ppm", tile.alias("tile"))
+        .groupBy("source", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("fluency_ppm").cast("long").alias("min_fluency_ppm"),
+            F.max("fluency_ppm").cast("long").alias("max_fluency_ppm"),
+            F.expr(
+                "(2 * sum(fluency_ppm) + count(1)) div (2 * count(1))"
+            )
+            .cast("long")
+            .alias("avg_fluency_ppm"),
+        )
+        .select(
+            "source",
+            bucket.alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "min_fluency_ppm",
+            "max_fluency_ppm",
+            "avg_fluency_ppm",
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 _OUTLIER_TOPK = 3
 
 

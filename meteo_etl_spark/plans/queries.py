@@ -1903,6 +1903,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_kll_merge_quantiles",  # KLL merged-daily vs single-pass rank-band certification under the driver gate — the CMS merge-maintenance twin for quantiles (never)
     "docs_budget_waterfill",  # water-filling capped-mixture allocation (max-min fair token budget across sources) — closed-form, bit-reproducible level (never)
     "events_stream_dedup",  # dropDuplicatesWithinWatermark drain with cross-wave + in-batch duplicate injection; oracle = plain SELECT, stream must suppress every duplicate; side-effecting (never)
+    "docs_ccnet_buckets",  # CCNet head/middle/tail tertiles per source over the bigram-LM fluency — the keep-head-and-middle operating table (never)
 )
 
 
