@@ -556,6 +556,92 @@ def test_token_budget_sample_edges(spark, docs):
         token_budget_sample(d, "doc_id", "n_tok", -1)
 
 
+def _ref_waterfill(pairs, frac_permille):
+    """Independent driver-side water-fill: sort ascending, walk for
+    the first pivot whose candidate level fits, cap everything from
+    the pivot on. Same integer budget and single-division level as
+    the operator."""
+    total = sum(w for _, w in pairs)
+    n = len(pairs)
+    budget = total * frac_permille // 1000
+    s = sorted(pairs, key=lambda kv: (kv[1], kv[0]))
+    pfx, piv, lam = 0, None, None
+    for i, (_, w) in enumerate(s, 1):
+        cand = (budget - pfx) / (n - i + 1)
+        if cand <= w:
+            piv, lam = i, cand
+            break
+        pfx += w
+    out = {}
+    for i, (k, w) in enumerate(s, 1):
+        if piv is not None and i >= piv:
+            out[k] = (lam, 1)
+        else:
+            out[k] = (float(w), 0)
+    return out, budget
+
+
+def test_waterfill_matches_reference_and_conserves_budget(spark):
+    from meteo_etl_spark.functions.sampling import waterfill_allocation
+
+    pairs = [("a", 100), ("b", 7), ("c", 900), ("d", 250), ("e", 3)]
+    df = spark.createDataFrame(pairs, "source string, n_tokens long")
+    got = {
+        r["key"]: (r["alloc"], r["capped"])
+        for r in waterfill_allocation(df, "source", "n_tokens").collect()
+    }
+    want, budget = _ref_waterfill(pairs, 500)
+    assert got == want
+    # capping engaged: the allocation exhausts the budget exactly (one
+    # IEEE division times an integer count — tolerance is ulp-level)
+    assert abs(sum(a for a, _ in got.values()) - budget) < 1e-6
+    # every capped source shares the SAME level; every uncapped one
+    # ships whole and sits below the level
+    levels = {a for a, c in got.values() if c}
+    assert len(levels) == 1
+    lam = levels.pop()
+    for (alloc, capped), (_, w) in zip(
+        (got[k] for k, _ in pairs), pairs
+    ):
+        if not capped:
+            assert alloc == float(w) and w <= lam
+    # partition invariance
+    relaid = {
+        r["key"]: (r["alloc"], r["capped"])
+        for r in waterfill_allocation(
+            df.repartition(7), "source", "n_tokens"
+        ).collect()
+    }
+    assert relaid == got
+
+
+def test_waterfill_edges(spark):
+    from meteo_etl_spark.functions.sampling import waterfill_allocation
+
+    # budget == total: every source ships its whole mass
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "source string, n_tokens long"
+    )
+    full = {
+        r["key"]: r["alloc"]
+        for r in waterfill_allocation(
+            df, "source", "n_tokens", budget_frac_permille=1000
+        ).collect()
+    }
+    assert full == {"a": 10.0, "b": 30.0}
+    # single source: capped at exactly the budget
+    one = spark.createDataFrame([("x", 1000)], "source string, n_tokens long")
+    row = waterfill_allocation(one, "source", "n_tokens").collect()[0]
+    assert (row["alloc"], row["capped"]) == (500.0, 1)
+    # equal weights: level is the common share, everyone capped at it
+    eq = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 100), ("d", 100)],
+        "source string, n_tokens long",
+    )
+    rows = waterfill_allocation(eq, "source", "n_tokens").collect()
+    assert all(r["alloc"] == 50.0 and r["capped"] == 1 for r in rows)
+
+
 def test_chunk_keep_text_matches_hash_and_default_omits_text(spark, docs):
     from meteo_etl_spark.functions.packing import chunk_token_windows
 
