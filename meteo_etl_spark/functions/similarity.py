@@ -2756,3 +2756,131 @@ def ivfsq8_ingest_foreach_batch(
         encode=encode,
         stats=stats,
     )
+
+
+#: crash-recovery plan sidecar for compact_ann_index — underscore
+#: prefix keeps Spark's parquet reader from treating it as data.
+_COMPACT_PLAN = "_compact_plan.json"
+
+
+def compact_ann_index(spark, path: str) -> dict:
+    """Fold a streaming-ingested ANN index's ``batch=<id>`` generations
+    into one consolidated generation — the maintenance job that stops
+    the daily-crawl ingestion layout from accumulating thousands of
+    tiny per-batch partition subtrees (at 100 TB, file listing and
+    task scheduling start to dominate the probed read long before
+    data volume does; the Delta OPTIMIZE / Iceberg rewrite analogue
+    for the inverted-file layout).
+
+    Contract (the ``atomic.vacuum`` single-maintenance-writer rule):
+    run at a stream-quiescent point — the ingest query stopped or
+    checkpoint-committed past every batch being folded. The NEWEST
+    real batch is always left alone: it is the only batch a restarted
+    stream can legally redeliver (its commit may be missing from the
+    checkpoint), and its ``rmtree + append`` idempotency must keep
+    working — folding it would turn that redelivery into duplicates.
+    Earlier batches are checkpoint-committed and can never replay.
+
+    Crash atomicity — the classifier count-compaction generation
+    discipline in miniature:
+
+    1. recovery: a leftover plan sidecar means a prior run crashed —
+       if the consolidated generation is complete (row count matches
+       the plan) the deletes are finished idempotently, otherwise the
+       partial generation is discarded; either way the index is
+       consistent before new work starts;
+    2. the plan (folded ids, target generation, expected rows) is
+       published EXCLUSIVELY (a second concurrent compactor fails
+       here, not halfway through deletes);
+    3. folded rows land under ``batch=<newgen>`` (negative ids —
+       never collide with Structured Streaming's non-negative batch
+       ids; successive compactions fold prior consolidations too);
+    4. the copy is verified by count BEFORE any source delete;
+    5. sources are deleted, then the plan is removed.
+
+    A crash between any two steps lands in a state recovery
+    recognizes. Queries are layout-agnostic (partition pruning on the
+    inner keys scans every generation's matching subtrees), so served
+    results are identical before and after — pinned by pytest.
+
+    Returns ``{"folded": [...], "newgen": int, "n_rows": int}``
+    (``folded`` empty = nothing to do)."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+    root = path.rstrip("/")
+    plan_path = f"{root}/{_COMPACT_PLAN}"
+
+    def batch_ids() -> list[int]:
+        out = []
+        for name in io.listdir(root):
+            if name.startswith("batch="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    # 1. recovery
+    if io.isfile(plan_path):
+        plan = json.loads(io.read_text(plan_path))
+        gen_dir = f"{root}/batch={int(plan['newgen'])}"
+        done = False
+        if io.isdir(gen_dir):
+            try:
+                n = spark.read.parquet(gen_dir).count()
+                done = n == int(plan["n_rows"])
+            except Exception:
+                done = False
+        if done:
+            for b in plan["folded"]:
+                io.rmtree(f"{root}/batch={int(b)}")
+        else:
+            io.rmtree(gen_dir)
+        io.unlink(plan_path)
+
+    ids = batch_ids()
+    reals = [b for b in ids if b >= 0]
+    keep_max = max(reals) if reals else None
+    fold = [b for b in ids if b != keep_max]
+    if len(fold) < 2:
+        return {"folded": [], "newgen": 0, "n_rows": 0}
+    newgen = min(0, min(ids)) - 1
+
+    df = spark.read.parquet(root).filter(F.col("batch").isin(fold))
+    n_rows = df.count()
+    # 2. exclusive plan publish — the single-writer guard
+    ok = io.publish_exclusive(
+        plan_path,
+        json.dumps({"folded": fold, "newgen": newgen, "n_rows": n_rows}),
+    )
+    if not ok:
+        raise RuntimeError(
+            f"compact_ann_index: a compaction plan already exists at "
+            f"{plan_path} — another compactor is active or crashed; "
+            "re-invoke to run recovery"
+        )
+    inner = [c for c in df.columns if c != "batch"]
+    part_keys = [
+        k for k in ("table", "bucket", "lst") if k in df.columns
+    ]
+    # 3. consolidated generation (append-mode write of ONLY the new
+    # batch dir; existing dirs untouched)
+    (
+        df.select(*inner)
+        .withColumn("batch", F.lit(int(newgen)))
+        .repartition(*part_keys)
+        .write.mode("append")
+        .partitionBy("batch", *part_keys)
+        .parquet(root)
+    )
+    # 4. verify before destroying anything
+    n_new = spark.read.parquet(f"{root}/batch={newgen}").count()
+    if n_new != n_rows:
+        raise RuntimeError(
+            f"compact_ann_index: consolidated generation has {n_new} "
+            f"rows, expected {n_rows} — plan left in place for "
+            "recovery; sources untouched"
+        )
+    # 5. delete sources, then the plan
+    for b in fold:
+        io.rmtree(f"{root}/batch={int(b)}")
+    io.unlink(plan_path)
+    return {"folded": fold, "newgen": newgen, "n_rows": n_rows}

@@ -1396,6 +1396,103 @@ def test_lsh_streaming_ingest_is_redelivery_idempotent(spark, tmp_path):
     assert spark.read.parquet(idx).count() == n_rows
 
 
+def test_compact_ann_index_folds_generations_and_serves_identically(
+    spark, tmp_path
+):
+    """Generation compaction for the streaming-ingested inverted-file
+    layout (the Delta-OPTIMIZE analogue): folding checkpoint-committed
+    batch=<id> subtrees into a consolidated negative generation must
+    (1) preserve row count and served top-k exactly, (2) leave the
+    NEWEST real batch alone so a restarted stream's one legal
+    redelivery stays idempotent, (3) fold prior consolidations on the
+    next pass, and (4) recover from a crashed run (leftover plan +
+    partial generation) by discarding the partial state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "cidx")
+    handler = sim.lsh_ingest_foreach_batch(spark, idx)
+    waves = [
+        emb.filter(F.col("vec_id") % 3 == w).select("vec_id", "embedding")
+        for w in range(3)
+    ]
+    for w in range(3):
+        handler(waves[w], w)
+
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+
+    def topk():
+        return [
+            r.asDict()
+            for r in sim.query_lsh_index(
+                spark, idx, qv, k=5, exclude_id=0
+            ).collect()
+        ]
+
+    def batch_dirs():
+        import os
+
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(idx)
+            if d.startswith("batch=")
+        )
+
+    before, n_before = topk(), spark.read.parquet(idx).count()
+    stats = sim.compact_ann_index(spark, idx)
+    assert stats["folded"] == [0, 1] and stats["newgen"] == -1
+    assert batch_dirs() == [-1, 2]
+    assert spark.read.parquet(idx).count() == n_before
+    assert topk() == before
+
+    # the kept newest batch's redelivery contract survives compaction
+    handler(waves[2], 2)
+    assert spark.read.parquet(idx).count() == n_before
+    assert topk() == before
+
+    # a lone consolidation + newest real = nothing worth folding
+    assert sim.compact_ann_index(spark, idx)["folded"] == []
+
+    # grow with fresh ids, then a second pass folds the PRIOR
+    # consolidation together with the now-committed batch 2
+    shifted = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    handler(shifted, 3)
+    n_grown = spark.read.parquet(idx).count()
+    after_growth = topk()  # the growth legitimately changes the top-5
+    stats2 = sim.compact_ann_index(spark, idx)
+    assert stats2["folded"] == [-1, 2] and stats2["newgen"] == -2
+    assert batch_dirs() == [-2, 3]
+    assert spark.read.parquet(idx).count() == n_grown
+    assert topk() == after_growth
+
+    # crash recovery: a leftover plan + PARTIAL consolidated
+    # generation (count mismatch) is discarded, then compaction
+    # proceeds cleanly — no-op here since nothing is foldable
+    partial = spark.read.parquet(f"{idx}/batch=3").limit(3)
+    (
+        partial.withColumn("batch", F.lit(-5))
+        .write.mode("append")
+        .partitionBy("batch", "table", "bucket")
+        .parquet(idx)
+    )
+    (tmp_path / "cidx" / sim._COMPACT_PLAN).write_text(
+        _json.dumps({"folded": [-2, 3], "newgen": -5, "n_rows": 10**9})
+    )
+    stats3 = sim.compact_ann_index(spark, idx)
+    assert batch_dirs() == [-2, 3]  # partial -5 discarded, sources intact
+    assert stats3["folded"] == []
+    assert spark.read.parquet(idx).count() == n_grown
+    assert topk() == after_growth
+
+
 def test_ivfpq_streaming_ingest_grows_exactly(spark, tmp_path):
     """IVF-PQ streaming growth: a seed build (lowest-id half) plus a
     streamed second half must serve IDENTICALLY to a one-shot build
