@@ -3854,6 +3854,103 @@ def docs_chunk_dup_ratio(spark, sf_dir):
     )
 
 
+#: within-source distinct-doc floor for a chunk hash to count as
+#: boilerplate (a header/footer template repeats across MANY docs of
+#: one source; 2 is just a duplicate pair).
+_BOILERPLATE_MIN_DOCS = 3
+
+
+@query(
+    "docs_boilerplate_chunks",
+    f"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             FROM documents),
+    n AS (SELECT doc_id, source, w, len(w) AS n FROM t),
+    c AS (SELECT doc_id, source, w,
+                 CASE WHEN n <= {pk.CHUNK_TOKENS} THEN 1
+                      ELSE CAST(ceil((n - {pk.CHUNK_TOKENS}) / {float(pk.CHUNK_STRIDE)}) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM n),
+    x AS (SELECT doc_id, source, w, UNNEST(range(0, n_chunks)) AS chunk_id
+          FROM c),
+    s AS (SELECT doc_id, source,
+                 md5(array_to_string(
+                     w[chunk_id * {pk.CHUNK_STRIDE} + 1 :
+                       chunk_id * {pk.CHUNK_STRIDE} + {pk.CHUNK_TOKENS}], ' '))
+                   AS h
+          FROM x),
+    ht AS (SELECT source, h, COUNT(DISTINCT doc_id) AS nd,
+                  COUNT(*) AS nocc
+           FROM s GROUP BY source, h),
+    j AS (SELECT s.doc_id, s.source, s.h,
+                 ht.nd >= {_BOILERPLATE_MIN_DOCS} AS tmpl
+          FROM s JOIN ht USING (source, h)),
+    d AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM t
+          GROUP BY source)
+    SELECT j.source,
+           CAST(MAX(d.n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT CASE WHEN j.tmpl THEN j.h END) AS BIGINT)
+             AS n_template_hashes,
+           ROUND(CAST(SUM(CASE WHEN j.tmpl THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS template_occ_ratio,
+           CAST(COUNT(DISTINCT CASE WHEN j.tmpl THEN j.doc_id END)
+                AS BIGINT) AS docs_affected
+    FROM j JOIN d USING (source)
+    GROUP BY j.source ORDER BY j.source""",
+    doc="Per-source boilerplate detector — the template/header/footer "
+    "census that drives a boilerplate-stripping decision: a chunk "
+    f"hash repeating in >= {_BOILERPLATE_MIN_DOCS} DISTINCT docs of "
+    "the SAME source is a template candidate (docs_chunk_dup_ratio's "
+    "corpus-wide signal can't tell one source's template from "
+    "cross-source plagiarism — the partition key is the semantics "
+    "here). Output per source: template-hash count, the fraction of "
+    "all chunk occurrences that are template, and the blast radius "
+    "(docs carrying >= 1 template chunk). Composes the shuffle-free "
+    "chunker with one (source, hash) aggregate — at 100 TB the "
+    "hash agg combines map-side and the source partition bounds "
+    "every group.",
+    bench=True,
+)
+def docs_boilerplate_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    ch = (
+        pk.chunk_token_windows(fan_out(docs))
+        .select("doc_id", "chunk_hash")
+        .join(src, "doc_id")
+    )
+    ht = ch.groupBy("source", "chunk_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    tmpl = F.col("nd") >= _BOILERPLATE_MIN_DOCS
+    nd_docs = src.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        ch.join(ht, ["source", "chunk_hash"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct(F.when(tmpl, F.col("chunk_hash")))
+            .cast("long")
+            .alias("n_template_hashes"),
+            F.round(
+                F.sum(tmpl.cast("int")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("template_occ_ratio"),
+            F.countDistinct(F.when(tmpl, F.col("doc_id")))
+            .cast("long")
+            .alias("docs_affected"),
+        )
+        .join(nd_docs, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_template_hashes",
+            "template_occ_ratio",
+            "docs_affected",
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "docs_per_source_sample",
     """WITH h AS (SELECT doc_id, source,

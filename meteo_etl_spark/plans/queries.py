@@ -1904,6 +1904,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_budget_waterfill",  # water-filling capped-mixture allocation (max-min fair token budget across sources) — closed-form, bit-reproducible level (never)
     "events_stream_dedup",  # dropDuplicatesWithinWatermark drain with cross-wave + in-batch duplicate injection; oracle = plain SELECT, stream must suppress every duplicate; side-effecting (never)
     "docs_ccnet_buckets",  # CCNet head/middle/tail tertiles per source over the bigram-LM fluency — the keep-head-and-middle operating table (never)
+    "docs_boilerplate_chunks",  # per-source template census (chunk hash in >=3 distinct docs of one source) — the boilerplate-strip decision table (never)
 )
 
 
