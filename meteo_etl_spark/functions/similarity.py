@@ -594,6 +594,7 @@ def query_lsh_index(
     cand = df.filter(match_any)
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = _suppress_tombstones(spark, path, cand)
     qcol = F.array(*[F.lit(x) for x in qv])
     # a vector in both tables' matching buckets appears twice — dedup
     cand = cand.select("vec_id", "v").dropDuplicates(["vec_id"])
@@ -855,6 +856,7 @@ def query_ivf_index(
     cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = _suppress_tombstones(spark, path, cand)
     qcol = F.array(*[F.lit(x) for x in qv])
     return (
         cand.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
@@ -1631,6 +1633,7 @@ def query_ivfpq_index(
     cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = _suppress_tombstones(spark, path, cand)
 
     def lut_fold(lut):
         table = F.lit(lut)
@@ -2701,6 +2704,7 @@ def query_ivfsq8_index(
     cand = spark.read.parquet(path).filter(F.col("lst").isin(probes))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = _suppress_tombstones(spark, path, cand)
     qcol = F.array(*[F.lit(x) for x in qv])
     dq = sq8_decode(F.col("codes"), lo, hi, dim=dim)
     adc = cand.select("vec_id", cosine(dq, qcol).alias("s_adc"))
@@ -2845,6 +2849,12 @@ def compact_ann_index(spark, path: str) -> dict:
     newgen = min(0, min(ids)) - 1
 
     df = spark.read.parquet(root).filter(F.col("batch").isin(fold))
+    # tombstoned vectors are physically dropped from the folded
+    # generations here (the deferred-delete half of
+    # delete_from_ann_index's contract); the tombstone LIST stays —
+    # the kept newest batch may still hold deleted rows, and its
+    # legal redelivery would re-append them
+    df = _suppress_tombstones(spark, root, df)
     n_rows = df.count()
     # 2. exclusive plan publish — the single-writer guard
     ok = io.publish_exclusive(
@@ -2884,3 +2894,62 @@ def compact_ann_index(spark, path: str) -> dict:
         io.rmtree(f"{root}/batch={int(b)}")
     io.unlink(plan_path)
     return {"folded": fold, "newgen": newgen, "n_rows": n_rows}
+
+
+#: tombstone subdirectory for deleted vector ids — the underscore
+#: prefix keeps Spark's partition discovery from reading it as data.
+_TOMBSTONES = "_tombstones"
+
+
+def delete_from_ann_index(spark, path: str, ids) -> int:
+    """Tombstone-delete vectors from a persisted ANN index — the
+    takedown/right-to-erasure path a 100 TB serving store needs
+    without rewriting terabytes of inverted file: deleted ids land as
+    an append-only parquet list under ``_tombstones/`` and every
+    query path anti-joins candidates against it before ranking, so a
+    deleted vector stops being servable at the NEXT query (O(deletes)
+    I/O, not O(index)).
+
+    Physical removal is deferred to :func:`compact_ann_index`, which
+    drops tombstoned rows from the generations it folds. The
+    tombstone LIST itself is retained even then: a restarted stream's
+    legal redelivery of the newest batch re-appends that batch's
+    original rows — including deleted ones — and only the list keeps
+    them suppressed (delete-then-resurrect is exactly the bug
+    at-least-once delivery would otherwise cause). A full rebuild of
+    the index from a corrected corpus is the only operation that
+    clears it.
+
+    ``ids`` is a list of vector ids or a single-column DataFrame.
+    Returns the number of tombstones appended (duplicates are
+    harmless — suppression is a semi-join)."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    io = io_for(path, spark)
+    root = path.rstrip("/")
+    if not io.isdir(root):
+        raise ValueError(f"no ANN index at {path}")
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias("vec_id"))
+    else:
+        ids = list(ids)
+        if not ids:
+            return 0
+        df = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
+    n = df.count()
+    df.coalesce(1).write.mode("append").parquet(f"{root}/{_TOMBSTONES}")
+    return n
+
+
+def _suppress_tombstones(spark, path: str, cand: DataFrame) -> DataFrame:
+    """Anti-join candidates against the index's tombstone list (no-op
+    when none exist). The list is deletion-sized — AQE broadcasts it;
+    no hint so a pathological giant list still degrades to a shuffle
+    instead of an OOM."""
+    from meteo_etl_spark.operators.fsio import io_for
+
+    tomb = f"{path.rstrip('/')}/{_TOMBSTONES}"
+    if not io_for(path, spark).isdir(tomb):
+        return cand
+    ts = spark.read.parquet(tomb).select("vec_id").dropDuplicates()
+    return cand.join(ts, "vec_id", "left_anti")

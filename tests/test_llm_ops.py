@@ -1493,6 +1493,83 @@ def test_compact_ann_index_folds_generations_and_serves_identically(
     assert topk() == after_growth
 
 
+def test_ann_tombstone_delete_suppresses_and_compaction_applies(
+    spark, tmp_path
+):
+    """delete_from_ann_index: a tombstoned vector stops being servable
+    at the next query (anti-join on the candidate path, O(deletes)
+    I/O); compact_ann_index physically drops tombstoned rows from the
+    generations it folds but RETAINS the list, so the newest batch's
+    legal redelivery cannot resurrect a deleted vector into served
+    results. Also exercised through the IVF-PQ shortlist path."""
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "tidx")
+    handler = sim.lsh_ingest_foreach_batch(spark, idx)
+    waves = [
+        emb.filter(F.col("vec_id") % 3 == w).select("vec_id", "embedding")
+        for w in range(3)
+    ]
+    for w in range(3):
+        handler(waves[w], w)
+
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+
+    def topk(k=5):
+        return [
+            r.asDict()
+            for r in sim.query_lsh_index(
+                spark, idx, qv, k=k, exclude_id=0
+            ).collect()
+        ]
+
+    before7 = topk(7)
+    x = before7[0]["vec_id"]
+    y = next(
+        r["vec_id"] for r in before7 if r["vec_id"] % 3 == 2
+    )  # lives in the kept newest batch
+    assert sim.delete_from_ann_index(spark, idx, [x, y]) == 2
+    want = [r for r in before7 if r["vec_id"] not in (x, y)][:5]
+    assert topk() == want
+
+    # compaction drops tombstoned rows from the FOLDED generations
+    stats = sim.compact_ann_index(spark, idx)
+    assert stats["folded"] == [0, 1]
+    assert topk() == want
+    gone = spark.read.parquet(idx).filter(
+        F.col("vec_id").isin([x, y]) & (F.col("batch") < 0)
+    )
+    assert gone.count() == 0  # physically absent from the consolidation
+    # the kept newest batch still holds y physically (legal —
+    # suppression is the list's job until that batch is folded)
+    if y % 3 == 2:
+        held = spark.read.parquet(idx).filter(F.col("vec_id") == y).count()
+        assert held == sim.LSH_TABLES
+
+    # redelivery of the newest batch re-appends y's rows — served
+    # results must STAY suppressed (the resurrection case)
+    handler(waves[2], 2)
+    assert topk() == want
+
+    # the pushed-shortlist (IVF-PQ) path suppresses too
+    pq = str(tmp_path / "tpq")
+    sim.build_ivfpq_index(emb, pq)
+    got = sim.query_ivfpq_index(
+        spark, pq, qv, emb, k=5, n_cand=50, exclude_id=0
+    ).collect()
+    px = got[0]["vec_id"]
+    sim.delete_from_ann_index(spark, pq, [px])
+    after = sim.query_ivfpq_index(
+        spark, pq, qv, emb, k=5, n_cand=50, exclude_id=0
+    ).collect()
+    assert px not in {r["vec_id"] for r in after} and len(after) == 5
+
+
 def test_ivfpq_streaming_ingest_grows_exactly(spark, tmp_path):
     """IVF-PQ streaming growth: a seed build (lowest-id half) plus a
     streamed second half must serve IDENTICALLY to a one-shot build
