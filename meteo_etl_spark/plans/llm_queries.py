@@ -3421,6 +3421,69 @@ def sim_ann_serve_lsh(spark, sf_dir):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+@query(
+    "sim_ann_serve_deleted",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_TUNED_BUCKETS} FROM v),
+    q AS (SELECT v AS qv, {_TUNED_QB} FROM c WHERE vec_id = 0),
+    s AS (SELECT c.vec_id,
+                 {_duck_dot('c.v', 'qv')}
+                   / (sqrt({_duck_dot('c.v', 'c.v')})
+                      * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM c, q WHERE c.vec_id <> 0 AND ({_TUNED_CAND})),
+    r AS (SELECT vec_id, sim_raw,
+                 ROW_NUMBER() OVER (ORDER BY sim_raw DESC, vec_id) AS rn
+          FROM s)
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM r WHERE rn > 2
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc="Tombstone-delete serving certification: after "
+    "delete_from_ann_index removes the persisted tuned-LSH index's "
+    "served top-2 vectors, query_ann_index must serve EXACTLY the "
+    "route's ranks 3-7 — the oracle replays the identical routing in "
+    "SQL and skips the first two ranks, so a hash match proves the "
+    "anti-join suppression path returns 'as if those vectors never "
+    "existed' (no rank distortion, no candidate leakage) while the "
+    "partition-pruned scan contract still holds (RAISES without "
+    "PartitionFilters — tombstones must not break pruning). The "
+    "takedown path a serving store needs at 100 TB: O(deletes) I/O, "
+    "no index rewrite; physical removal deferred to "
+    "compact_ann_index (pytest-pinned incl. the redelivery-"
+    "resurrection case). Side-effecting (scratch index).",
+)
+def sim_ann_serve_deleted(spark, sf_dir):
+    import re
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="annservedel_")
+    try:
+        sim.build_ann_index("lsh_tuned", emb, f"{scratch}/idx")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        top2 = [
+            r["vec_id"]
+            for r in sim.query_ann_index(
+                "lsh_tuned", spark, f"{scratch}/idx", qv, k=2, exclude_id=0
+            ).collect()
+        ]
+        sim.delete_from_ann_index(spark, f"{scratch}/idx", top2)
+        got = sim.query_ann_index(
+            "lsh_tuned", spark, f"{scratch}/idx", qv, k=5, exclude_id=0
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if not (m and m.group(1).strip()):
+            raise RuntimeError(
+                "tombstoned LSH serve is not partition-pruned:\n" + plan
+            )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 # Serving-route decision table (round 10): all three ANN routes
 # audited from ONE scored frame, adjudicated by the integer
 # thresholds in similarity.ANN_ROUTE_*. Constants shared with

@@ -1905,6 +1905,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_stream_dedup",  # dropDuplicatesWithinWatermark drain with cross-wave + in-batch duplicate injection; oracle = plain SELECT, stream must suppress every duplicate; side-effecting (never)
     "docs_ccnet_buckets",  # CCNet head/middle/tail tertiles per source over the bigram-LM fluency — the keep-head-and-middle operating table (never)
     "docs_boilerplate_chunks",  # per-source template census (chunk hash in >=3 distinct docs of one source) — the boilerplate-strip decision table (never)
+    "sim_ann_serve_deleted",  # tombstone-delete serving: served == route ranks 3-7 after deleting top-2, pruning still asserted; side-effecting (never)
 )
 
 

@@ -35,6 +35,7 @@ SIDE_EFFECTING = {
     "sim_ann_serve_ivf",  # builds a scratch persisted IVF index then serves from it
     "sim_ann_serve_lsh",  # builds a scratch persisted tuned-LSH index then serves from it
     "sim_ann_serve_ivfpq",  # builds a scratch persisted IVF-PQ (codes-only) index then serves from it
+    "sim_ann_serve_deleted",  # builds a scratch persisted index, tombstone-deletes, then serves
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
