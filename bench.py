@@ -28,7 +28,7 @@ from meteo_etl_spark.plans import queries as _q
 from meteo_etl_spark.session import get_spark
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--names",
@@ -47,7 +47,7 @@ def main() -> None:
         action="store_true",
         help="skip the persisted ANN serve-path section",
     )
-    cli = ap.parse_args()
+    cli = ap.parse_args(argv)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # scale factor from the dir name (sf0.1 -> 0.1); fall back to 0.1
     try:

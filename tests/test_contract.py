@@ -67,14 +67,20 @@ def test_bench_emits_contract_json(spark, monkeypatch, capsys):
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    bench.main()
+    bench.main([])  # explicit argv: pytest's own flags must not leak in
     out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    payload = json.loads(out_lines[-1])  # ONE JSON line
-    # certified_runs is the optional end-of-round multi-run summary
-    # passthrough (bench_evidence/CERTIFIED_RUNS.json, r12)
-    assert set(payload) - {"certified_runs"} == {
+    # the headline must be the LAST line and must stay COMPACT: r12's
+    # artifact landed parsed:null because the embedded certified_runs
+    # blob pushed metric/value past the driver's tail-capture window —
+    # that summary now prints as its own earlier line with only a path
+    # pointer in the headline (r12 verdict order #2)
+    payload = json.loads(out_lines[-1])
+    assert set(payload) - {"certified_runs_path"} == {
         "metric", "value", "unit", "queries", "sf",
     }
+    assert "certified_runs" not in payload
+    for line in out_lines[:-1]:
+        json.loads(line)  # any preceding lines must also be valid JSON
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
@@ -102,15 +108,22 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-12 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-13 rotation
     must_be_in_window = {
-        # round-12 rotation: the five r11 newborns take their first
-        # driver check — once green in CORRECTNESS_r12, every query
-        # registered before round 12 has carried a green driver row at
-        # least once (154/154 cumulative driver certification).
-        "docs_classifier_skill", "docs_classifier_incremental",
-        "emb_pq_audit", "sim_ann_serve_ivf",
-        "docs_classifier_chargram_skill",
+        # round-13 rotation: the nineteen r12 newborns take their
+        # first driver check — once green in CORRECTNESS_r13, every
+        # query registered before round 13 has carried a driver row at
+        # least once (173/173 cumulative driver certification).
+        "sim_ann_serve_lsh", "sim_ann_serve_ivfpq",
+        "sim_ann_serve_ivfsq8", "events_cms_topk",
+        "events_cms_merge_topk", "emb_binary_quant_audit",
+        "dedup_embedding_bitlsh", "emb_rp_audit",
+        "docs_classifier_calibration", "emb_sq8_audit",
+        "dedup_containment", "docs_winnow_overlap",
+        "dedup_threshold_sweep", "docs_ngram_diversity",
+        "docs_balanced_sample", "docs_langid_confusion",
+        "dedup_source_overlap", "docs_unigram_vocab",
+        "docs_tokenizer_compare",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
@@ -122,4 +135,5 @@ def test_correctness_window_composition_is_pinned():
     no_oracle = [n for n in window if n not in oracles]
     assert set(no_oracle) == {
         "docs_bpe_merges", "emb_pca_variance", "q5_approx_summary",
+        "docs_unigram_vocab", "docs_tokenizer_compare",
     }, f"unexpected window entries without oracle SQL: {no_oracle}"
