@@ -401,6 +401,120 @@ def sim_topk_cosine(spark, sf_dir):
     return sim.brute_force_topk(emb, query_id=0, k=10)
 
 
+#: metadata predicate for the filtered-search demo and the panel size
+#: for hard-negative mining (data-independent constants, like the
+#: recall-audit panel).
+_FILTERED_LABEL = 3
+_HARDNEG_PANEL = 5
+_HARDNEG_K = 3
+
+
+@query(
+    "sim_filtered_topk",
+    f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM v, q WHERE vec_id <> 0 AND label = {_FILTERED_LABEL})
+    SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM s
+    ORDER BY sim_raw DESC, vec_id LIMIT 5""",
+    doc="Metadata-FILTERED vector search (query = vec 0, candidates "
+    f"restricted to label = {_FILTERED_LABEL}) — the filter+vector "
+    "combination every retrieval store serves (tenant/language/"
+    "source-scoped search). The predicate applies BEFORE any vector "
+    "math: a plain column filter the scan pushes down "
+    "(PushedFilters), so at 100 TB the kernel touches only the "
+    "matching selectivity fraction — with a label-partitioned or "
+    "bucketed layout it prunes to those files outright. Exactness "
+    "baseline for a filtered ANN route; top-k is "
+    "TakeOrderedAndProject.",
+    bench=True,
+)
+def sim_filtered_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = fan_out(emb).select("vec_id", "label", v.alias("v"))
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        corpus.filter(
+            (F.col("vec_id") != 0) & (F.col("label") == _FILTERED_LABEL)
+        )
+        .join(F.broadcast(q))
+        .select("vec_id", sim.cosine(F.col("v"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query(
+    "sim_hard_negatives",
+    f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+    p AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM v WHERE vec_id < {_HARDNEG_PANEL}),
+    s AS (SELECT p.query_id, v.vec_id,
+                 {_duck_dot('v.v', 'p.qv')} / (sqrt({_duck_dot('v.v', 'v.v')}) * sqrt({_duck_dot('p.qv', 'p.qv')})) AS sim_raw
+          FROM v, p
+          WHERE v.vec_id <> p.query_id AND v.label <> p.qlabel),
+    r AS (SELECT query_id, vec_id, sim_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim_raw DESC, vec_id) AS rnk
+          FROM s)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           ROUND(sim_raw, 6) AS sim
+    FROM r WHERE rnk <= {_HARDNEG_K}
+    ORDER BY query_id, rnk""",
+    doc="Hard-negative mining (the contrastive-training batch "
+    f"constructor): for each of {_HARDNEG_PANEL} anchor vectors, the "
+    f"top-{_HARDNEG_K} most-similar vectors with a DIFFERENT label — "
+    "the near-miss negatives that make an embedding model learn "
+    "boundaries (random negatives are too easy; the highest-cosine "
+    "wrong-label neighbors carry the gradient signal). Plan: the "
+    "panel is a broadcast k-row relation crossed into one corpus "
+    "scan (the recall-audit shape), label mismatch filters before "
+    "ranking, and the per-anchor top-k is one window over "
+    "panel-keyed partitions — at 100 TB the corpus is read once for "
+    "the whole panel, and a real mining run swaps the brute-force "
+    "scan for the IVF/LSH candidate route with the same rank stage.",
+    bench=True,
+)
+def sim_hard_negatives(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = fan_out(emb).select("vec_id", "label", v.alias("v"))
+    panel = corpus.filter(F.col("vec_id") < _HARDNEG_PANEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        corpus.join(F.broadcast(panel))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            sim.cosine(F.col("v"), F.col("qv")).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "vec_id",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 @query(
     "sim_ann_lsh",
     f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

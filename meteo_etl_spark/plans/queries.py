@@ -1906,6 +1906,8 @@ _DEFERRED: tuple[str, ...] = (
     "docs_ccnet_buckets",  # CCNet head/middle/tail tertiles per source over the bigram-LM fluency — the keep-head-and-middle operating table (never)
     "docs_boilerplate_chunks",  # per-source template census (chunk hash in >=3 distinct docs of one source) — the boilerplate-strip decision table (never)
     "sim_ann_serve_deleted",  # tombstone-delete serving: served == route ranks 3-7 after deleting top-2, pruning still asserted; side-effecting (never)
+    "sim_filtered_topk",  # metadata-filtered vector search (label predicate pushed into the scan before any vector math) (never)
+    "sim_hard_negatives",  # contrastive hard-negative mining: per-anchor top-3 different-label neighbors, one corpus scan for the whole panel (never)
 )
 
 

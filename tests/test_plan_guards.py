@@ -62,6 +62,8 @@ SCALAR_BROADCAST_OK = {
     "emb_binary_quant_audit",  # same 10-row audit panel crossed into the sign-packed corpus once
     "emb_rp_audit",  # same 10-row audit panel crossed into the projected corpus once
     "docs_balanced_sample",  # 1-row min-class-count scalar crossed into the ranked frame
+    "sim_filtered_topk",  # the single query vector crossed into the label-filtered candidates
+    "sim_hard_negatives",  # the 5-row (data-independent anchor panel) crossed into one corpus scan
 }
 
 
