@@ -2795,6 +2795,91 @@ def dedup_components(spark, sf_dir):
     )
 
 
+@query(
+    "docs_leakage_safe_split",
+    f"""WITH RECURSIVE {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN cnt p ON p.doc_id = doc_a
+              JOIN cnt q ON q.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                      >= {dd.JACCARD_THRESHOLD}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM walk GROUP BY node),
+    s AS (SELECT doc_id, component,
+                 CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT % 1000 < 900 THEN 'train'
+                      WHEN ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT % 1000 < 950 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM comp)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+    FROM s GROUP BY split ORDER BY split""",
+    doc="Leakage-safe train/val/test split: the 90/5/5 hash split "
+    "keyed on the near-dup COMPONENT label instead of the doc id, so "
+    "an entire duplicate cluster lands in ONE split and no near-dup "
+    "pair can straddle train/test (per-doc hashing leaks: a trained "
+    "model is evaluated on near-copies of its training docs — the "
+    "benchmark-inflation bug decontamination chases after the fact, "
+    "prevented here at assignment time). In-query certification: the "
+    "straddling-pair count is asserted ZERO (RuntimeError otherwise). "
+    "Returned rows are the per-split doc/component census; the oracle "
+    "replays components via DuckDB's recursive-CTE fixpoint and the "
+    "identical md5 permille arithmetic. Plan: the CC closure's ~3 "
+    "node-keyed rounds (LSH components are shallow), then a pure-map "
+    "split assignment — adding docs later never moves an existing "
+    "cluster between splits (the incremental-append contract "
+    "hash_split already gives per-doc).",
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    from meteo_etl_spark.functions.sampling import hash_split
+    from meteo_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("node").alias("doc_id"), "component")
+    assigned = hash_split(
+        cc, "component", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "component", "split")
+    assigned = assigned.localCheckpoint(eager=True)  # CC is iterative;
+    # sever lineage so the guard join and the census don't re-run it
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddle = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    if straddle:
+        raise RuntimeError(
+            f"leakage-safe split leaked: {straddle} near-dup pairs "
+            "straddle splits"
+        )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking + TF-IDF term scoring
 # ---------------------------------------------------------------------------
