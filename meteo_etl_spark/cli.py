@@ -213,6 +213,26 @@ def _build_parser() -> argparse.ArgumentParser:
     cv.add_argument(
         "--partition-by", default=None, metavar="COL[,COL..]",
     )
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="fold a streaming-ingested ANN index's batch=<id> "
+        "generations into one consolidated generation (run at a "
+        "stream-quiescent point; crash-safe plan sidecar + idempotent "
+        "recovery; the newest real batch is never folded)",
+    )
+    ac.add_argument("--path", required=True, help="persisted ANN index path")
+
+    ad = sub.add_parser(
+        "ann-delete",
+        help="tombstone-delete vector ids from a persisted ANN index "
+        "(O(deletes) append; suppressed from serving at the next "
+        "query, physically removed at the next ann-compact fold)",
+    )
+    ad.add_argument("--path", required=True, help="persisted ANN index path")
+    ad.add_argument(
+        "--ids", required=True, help="comma-separated vector ids"
+    )
     return ap
 
 
@@ -459,6 +479,22 @@ def main(argv: Sequence[str] | None = None) -> int:
         )
         n = read_table_as(spark, args.dest, args.dest_format, like=df).count()
         print(f"rows={n} dest={args.dest} format={args.dest_format}")
+        return 0
+
+    if args.command == "ann-compact":
+        import json as _json
+
+        from meteo_etl_spark.functions.similarity import compact_ann_index
+
+        print(_json.dumps(compact_ann_index(spark, args.path)))
+        return 0
+
+    if args.command == "ann-delete":
+        from meteo_etl_spark.functions.similarity import delete_from_ann_index
+
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        n = delete_from_ann_index(spark, args.path, ids)
+        print(f"tombstoned={n}")
         return 0
 
     if args.command == "dashboard":

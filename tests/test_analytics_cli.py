@@ -310,3 +310,51 @@ def test_convert_cli_roundtrips_through_orc_and_csv(spark, tmp_path, capsys):
     assert sorted(map(tuple, back.collect()), key=repr) == sorted(
         map(tuple, spark.read.parquet(src).collect()), key=repr
     )
+
+
+def test_cli_ann_delete_and_compact(spark, tmp_path, capsys):
+    """The ANN maintenance surface: ann-delete tombstones ids (served
+    results drop them at the next query), ann-compact folds committed
+    generations and reports its plan stats as one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+    from meteo_etl_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "cliidx")
+    handler = sim.lsh_ingest_foreach_batch(spark, idx)
+    for w in range(3):
+        handler(
+            emb.filter(F.col("vec_id") % 3 == w).select("vec_id", "embedding"),
+            w,
+        )
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    top = sim.query_lsh_index(spark, idx, qv, k=3, exclude_id=0).collect()
+    doomed = [r["vec_id"] for r in top[:2]]
+
+    rc = cli.main(
+        ["ann-delete", "--path", idx, "--ids", ",".join(map(str, doomed))]
+    )
+    assert rc == 0
+    assert "tombstoned=2" in capsys.readouterr().out
+    served = {
+        r["vec_id"]
+        for r in sim.query_lsh_index(spark, idx, qv, k=3, exclude_id=0).collect()
+    }
+    assert not served & set(doomed)
+
+    rc = cli.main(["ann-compact", "--path", idx])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["folded"] == [0, 1] and stats["newgen"] == -1
+    served2 = {
+        r["vec_id"]
+        for r in sim.query_lsh_index(spark, idx, qv, k=3, exclude_id=0).collect()
+    }
+    assert served2 == served

@@ -135,3 +135,44 @@ def test_sq8_reconstruction_bound_on_hypothesis_corpus(spark):
     ).first()["dq"]
     for i, y in enumerate(clamped):
         assert abs(y - hi[i]) <= 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=40
+    ),
+    frac=st.integers(min_value=1, max_value=1000),
+)
+def test_waterfill_closed_form_invariants(weights, frac):
+    """The water-fill pivot math (sampling.waterfill_allocation's
+    closed form, mirrored by tests/test_llm_ops._ref_waterfill and the
+    docs_budget_waterfill oracle) must satisfy, for ANY weight set and
+    budget fraction: 0 <= alloc_i <= w_i; every capped key shares ONE
+    level; every uncapped key ships whole and sits at or under it; and
+    the total allocation equals min(budget, total) up to fp rounding
+    of the single division."""
+    from tests.test_llm_ops import _ref_waterfill
+
+    pairs = [(f"k{i:03d}", w) for i, w in enumerate(weights)]
+    out, budget = _ref_waterfill(pairs, frac)
+    total = sum(weights)
+    by_key = dict(pairs)
+    levels = {a for a, c in out.values() if c}
+    assert len(levels) <= 1
+    for k, (alloc, capped) in out.items():
+        w = by_key[k]
+        assert -1e-9 <= alloc <= w + 1e-9
+        if capped:
+            assert alloc == next(iter(levels))
+        else:
+            assert alloc == float(w)
+            if levels:
+                assert w <= next(iter(levels)) + 1e-9
+    got = sum(a for a, _ in out.values())
+    want = min(budget, total)
+    # the only fp op is ONE correctly-rounded division replicated over
+    # the capped keys: total error <= ~budget * 2^-52 * n_capped —
+    # bound it by a relative tolerance well above that, far below any
+    # allocation-sized discrepancy
+    assert math.isclose(got, want, rel_tol=1e-11, abs_tol=1e-6)
