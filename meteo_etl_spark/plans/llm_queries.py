@@ -2187,6 +2187,105 @@ def _duck_ivf_dots(v: str) -> str:
 
 
 @query(
+    "sim_ivf_nprobe_curve",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    asn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d
+            FROM c),
+    q AS (SELECT v AS qv, d AS qd FROM asn WHERE vec_id = 0),
+    pr AS (SELECT j, ROW_NUMBER() OVER (ORDER BY qd[j] DESC, j) AS prank
+           FROM q, UNNEST(range(1, {sim.IVF_LISTS + 1})) AS g(j)),
+    s AS (SELECT a.vec_id,
+                 {_duck_dot('a.v', 'qv')} / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM asn a, q WHERE a.vec_id <> 0),
+    top5 AS (SELECT vec_id FROM s ORDER BY sim_raw DESC, vec_id LIMIT 5),
+    ranked AS (SELECT a.vec_id, pr.prank
+               FROM asn a JOIN pr ON pr.j = a.lst WHERE a.vec_id <> 0),
+    tot AS (SELECT COUNT(*) AS t FROM ranked)
+    SELECT n AS nprobe,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS n_cand,
+           ROUND(CAST(COUNT(r.vec_id) AS DOUBLE) / MAX(tot.t), 4)
+             AS cand_frac,
+           CAST(SUM(CASE WHEN r.vec_id IN (SELECT vec_id FROM top5)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS top5_covered
+    FROM UNNEST(range(1, {sim.IVF_LISTS + 1})) AS g(n)
+    CROSS JOIN tot
+    LEFT JOIN ranked r ON r.prank <= n
+    GROUP BY n ORDER BY n""",
+    doc="IVF serving-tuning curve: for every nprobe 1..8, the "
+    "candidate count, the corpus fraction scanned, and how many of "
+    "the exact top-5 are already reachable — THE operating table a "
+    "serving deployment reads to pick nprobe (recall budget vs scan "
+    "budget) before building the index, completing the route-audit "
+    "family the way dedup_threshold_sweep completes the dedup "
+    "verify: ONE assignment pass, every operating point derived from "
+    "it. Plan: corpus list assignment is one scan; per-probe-rank "
+    "counts collapse to <= IVF_LISTS rows before the cumulative "
+    "8x8 expansion; the exact top-5 comes from the brute-force "
+    "baseline scan. At 100 TB both passes are single scans and the "
+    "curve itself is list-count-sized.",
+    bench=True,
+)
+def sim_ivf_nprobe_curve(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    dots = [
+        sim._dot_py(qv, sim.ivf_centroid(j)) for j in range(sim.IVF_LISTS)
+    ]
+    order = sorted(range(sim.IVF_LISTS), key=lambda j: (-dots[j], j))
+    prank_of_list = {j + 1: r + 1 for r, j in enumerate(order)}
+
+    v = F.col("embedding").cast("array<double>")
+    base = fan_out(emb).select("vec_id", v.alias("v"))
+    expr = None
+    for lst, pr in prank_of_list.items():
+        cond = sim.ivf_list_of(F.col("v")) == lst
+        expr = F.when(cond, pr) if expr is None else expr.when(cond, pr)
+    ranked = base.filter(F.col("vec_id") != 0).select(
+        "vec_id", expr.alias("prank")
+    )
+    top5 = {
+        r["vec_id"]
+        for r in sim.brute_force_topk(emb, query_id=0, k=5).collect()
+    }
+    # the distributed work collapses to <= IVF_LISTS rows here; the
+    # 8-point curve assembles from them (the audit-panel discipline)
+    per_rank = {
+        r["prank"]: (r["n"], r["hit"])
+        for r in ranked.groupBy("prank")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("vec_id").isin(list(top5)).cast("int")
+            ).alias("hit"),
+        )
+        .collect()
+    }
+    total = sum(n for n, _ in per_rank.values())
+    rows = []
+    cum_n = cum_hit = 0
+    for n in range(1, sim.IVF_LISTS + 1):
+        dn, dh = per_rank.get(n, (0, 0))
+        cum_n += dn
+        cum_hit += dh
+        rows.append((n, cum_n, cum_hit))
+    curve = spark.createDataFrame(
+        rows, "nprobe long, n_cand long, top5_covered long"
+    )
+    return curve.select(
+        "nprobe",
+        "n_cand",
+        F.round(F.col("n_cand").cast("double") / F.lit(total), 4).alias(
+            "cand_frac"
+        ),
+        "top5_covered",
+    ).orderBy("nprobe")
+
+
+@query(
     "sim_ann_ivf",
     f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),

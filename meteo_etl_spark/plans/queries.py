@@ -1909,6 +1909,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_filtered_topk",  # metadata-filtered vector search (label predicate pushed into the scan before any vector math) (never)
     "sim_hard_negatives",  # contrastive hard-negative mining: per-anchor top-3 different-label neighbors, one corpus scan for the whole panel (never)
     "docs_leakage_safe_split",  # component-keyed 90/5/5 split — whole near-dup clusters land in one split; straddling-pair count asserted zero in-query (never)
+    "sim_ivf_nprobe_curve",  # nprobe operating curve (candidate count / scan fraction / top-5 coverage per probe depth) — the pick-nprobe table from one assignment pass (never)
 )
 
 
