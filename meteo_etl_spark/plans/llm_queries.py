@@ -1986,6 +1986,31 @@ def mm_decode_meta(spark, sf_dir):
     )
 
 
+@query(
+    "mm_frame_sample",
+    """WITH m AS (SELECT doc_id,
+                         1 + octet_length(encode(text)) % 5 AS frames
+           FROM documents)
+       SELECT doc_id, CAST(UNNEST(range(0, frames, 2)) AS BIGINT)
+                AS frame_idx
+       FROM m ORDER BY doc_id, frame_idx""",
+    doc="Multimodal frame SAMPLING plumbing (the video half of the "
+    "decode contract): mapInPandas decode stub -> native "
+    "explode(sequence(0, frames-1, every)) — frame selection stays "
+    "JVM-side (only frame DECODE would be Python), one row per kept "
+    "frame index at every=2. The oracle restates the fake codec's "
+    "frame count and the stride arithmetic in SQL, so the hash check "
+    "covers decode -> explode end to end. At 100 TB the explode "
+    "multiplies rows BEFORE any Python ever runs, so a downstream "
+    "per-frame decode sees exactly the sampled fraction.",
+    bench=True,
+)
+def mm_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.with_binary_payload(docs))
+    return mm.sample_frames(decoded, every=2).orderBy("doc_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Text repetition / PII scrubbing
 # ---------------------------------------------------------------------------

@@ -1910,6 +1910,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_hard_negatives",  # contrastive hard-negative mining: per-anchor top-3 different-label neighbors, one corpus scan for the whole panel (never)
     "docs_leakage_safe_split",  # component-keyed 90/5/5 split — whole near-dup clusters land in one split; straddling-pair count asserted zero in-query (never)
     "sim_ivf_nprobe_curve",  # nprobe operating curve (candidate count / scan fraction / top-5 coverage per probe depth) — the pick-nprobe table from one assignment pass (never)
+    "mm_frame_sample",  # video-half decode contract: mapInPandas stub -> JVM-side explode frame sampling at every=2, hash-checked end to end (never)
 )
 
 
