@@ -1129,6 +1129,108 @@ def basket_part_pairs(spark, sf_dir):
     )
 
 
+#: bounded rule-table head for basket_rules.
+_BASKET_RULES_TOPK = 50
+
+
+@query(
+    "basket_rules",
+    f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb
+          FROM items),
+    cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM items GROUP BY l_partkey),
+    p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(COUNT(*) AS BIGINT) AS sab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY pa, pb HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}),
+    r AS (SELECT pa AS antecedent, pb AS consequent, sab FROM p
+          UNION ALL SELECT pb, pa, sab FROM p)
+    SELECT antecedent, consequent, sab AS support,
+           CAST((1000000 * sab) // ca.c AS BIGINT) AS confidence_ppm,
+           CAST((1000000 * sab * n.nb) // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+    FROM r JOIN cnt ca ON ca.l_partkey = antecedent
+           JOIN cnt cb ON cb.l_partkey = consequent
+           CROSS JOIN n
+    ORDER BY confidence_ppm DESC, lift_ppm DESC, antecedent, consequent
+    LIMIT {_BASKET_RULES_TOPK}""",
+    doc="Association rules over the basket pair census (the Agrawal "
+    "et al. support/confidence/lift table on basket_part_pairs' "
+    "distinct-basket pairs, both rule directions): confidence = "
+    "P(consequent|antecedent) and lift = P(ab)/(P(a)P(b)) in exact "
+    "integer ppm — BIGINT division only, both engines replay "
+    "bit-for-bit (the docs_bigram_fluency determinism discipline). "
+    "Plan: the basket self-join stays bounded by TPC-H's <= 7-line "
+    "orders; item counts and the 1-row basket total broadcast into "
+    "the rule table; total order (confidence DESC, lift DESC, pair) "
+    "makes the top-k cut partitioning-invariant. The recommender/"
+    "affinity table every retail-ish pipeline derives once the pair "
+    "census exists.",
+    bench=True,
+)
+def basket_rules(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nb")
+    )
+    cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("sab"))
+        .filter(F.col("sab") >= BASKET_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "sab",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "sab",
+        )
+    )
+    ca = cnt.select(
+        F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_a")
+    )
+    cb = cnt.select(
+        F.col("l_partkey").alias("consequent"), F.col("c").alias("c_b")
+    )
+    return (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sab").alias("support"),
+            F.expr("(1000000 * sab) div c_a").alias("confidence_ppm"),
+            F.expr("(1000000 * sab * nb) div (c_a * c_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(
+            F.desc("confidence_ppm"),
+            F.desc("lift_ppm"),
+            "antecedent",
+            "consequent",
+        )
+        .limit(_BASKET_RULES_TOPK)
+    )
+
+
 @query(
     "events_percent_rank",
     """WITH r AS (SELECT event_type,

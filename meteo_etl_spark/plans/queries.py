@@ -1911,6 +1911,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_leakage_safe_split",  # component-keyed 90/5/5 split — whole near-dup clusters land in one split; straddling-pair count asserted zero in-query (never)
     "sim_ivf_nprobe_curve",  # nprobe operating curve (candidate count / scan fraction / top-5 coverage per probe depth) — the pick-nprobe table from one assignment pass (never)
     "mm_frame_sample",  # video-half decode contract: mapInPandas stub -> JVM-side explode frame sampling at every=2, hash-checked end to end (never)
+    "basket_rules",  # association rules (support/confidence/lift in exact integer ppm, both directions) over the bounded basket pair census (never)
 )
 
 

@@ -64,6 +64,7 @@ SCALAR_BROADCAST_OK = {
     "docs_balanced_sample",  # 1-row min-class-count scalar crossed into the ranked frame
     "sim_filtered_topk",  # the single query vector crossed into the label-filtered candidates
     "sim_hard_negatives",  # the 5-row (data-independent anchor panel) crossed into one corpus scan
+    "basket_rules",  # 1-row basket-count scalar crossed into the bounded rule table
 }
 
 
