@@ -1129,6 +1129,85 @@ def basket_part_pairs(spark, sf_dir):
     )
 
 
+#: candidate watermark delays (seconds) audited by
+#: events_watermark_audit — the grid a streaming deployment picks from.
+_WM_DELAYS_SEC = (0, 60, 300, 900, 3600, 14400)
+
+
+@query(
+    "events_watermark_audit",
+    f"""WITH r AS (SELECT event_type, epoch_us(ts) AS us,
+                 MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                     ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS frontier
+          FROM events),
+    l AS (SELECT frontier - us AS late_us FROM r),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM l),
+    d AS (SELECT CAST(UNNEST(ARRAY{list(_WM_DELAYS_SEC)}) AS BIGINT)
+                   AS delay_sec)
+    SELECT d.delay_sec,
+           CAST(SUM(CASE WHEN l.late_us > d.delay_sec * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST((1000000 * SUM(CASE WHEN l.late_us > d.delay_sec * 1000000
+                                    THEN 1 ELSE 0 END)) // MAX(n.total)
+                AS BIGINT) AS dropped_ppm
+    FROM d CROSS JOIN l CROSS JOIN n
+    GROUP BY d.delay_sec ORDER BY d.delay_sec""",
+    doc="Watermark-delay audit — the pick-the-delay table a streaming "
+    "deployment reads BEFORE setting withWatermark (the third "
+    "operating-curve sibling of sim_ivf_nprobe_curve and "
+    "dedup_threshold_sweep): per candidate delay, how many events "
+    "would arrive LATER than that delay behind the running per-type "
+    "event-time frontier (arrival order = the monotone ingestion id) "
+    "and be dropped from a windowed aggregate — state-bound budget vs "
+    "completeness, quantified from the data instead of guessed. "
+    "Lateness is exact integer microseconds; the drop fraction is "
+    "integer ppm, so the oracle replays bit-for-bit. Plan: the "
+    "frontier is one per-type ordered window (each partition bounded "
+    "by its type's stream — no global single-partition sort), then "
+    "one conditional aggregate over the delay grid (6x row expansion "
+    "before map-side combine). In production this audit runs on a "
+    "bounded recent window of the feed, not the full history.",
+    bench=True,
+)
+def events_watermark_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        (F.max(epoch_us("ts")).over(w) - epoch_us("ts")).alias("late_us")
+    )
+    delays = F.explode(
+        F.array(*[F.lit(int(d)).cast("long") for d in _WM_DELAYS_SEC])
+    ).alias("delay_sec")
+    total = late.count()
+    return (
+        late.select("late_us", delays)
+        .groupBy("delay_sec")
+        .agg(
+            F.sum(
+                (
+                    F.col("late_us")
+                    > F.col("delay_sec") * F.lit(1000000).cast("long")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_dropped")
+        )
+        .select(
+            F.col("delay_sec").cast("long").alias("delay_sec"),
+            "n_dropped",
+            F.expr(f"(1000000 * n_dropped) div {int(total)}").alias(
+                "dropped_ppm"
+            ),
+        )
+        .orderBy("delay_sec")
+    )
+
+
 #: bounded rule-table head for basket_rules.
 _BASKET_RULES_TOPK = 50
 

@@ -1912,6 +1912,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ivf_nprobe_curve",  # nprobe operating curve (candidate count / scan fraction / top-5 coverage per probe depth) — the pick-nprobe table from one assignment pass (never)
     "mm_frame_sample",  # video-half decode contract: mapInPandas stub -> JVM-side explode frame sampling at every=2, hash-checked end to end (never)
     "basket_rules",  # association rules (support/confidence/lift in exact integer ppm, both directions) over the bounded basket pair census (never)
+    "events_watermark_audit",  # pick-the-watermark-delay table: per candidate delay, events arriving later than the per-type frontier by more than it (dropped_ppm) (never)
 )
 
 
