@@ -6986,6 +6986,72 @@ def dedup_containment(spark, sf_dir):
     return dd.containment_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+#: containment thresholds audited by dedup_containment_sweep — the
+#: grid curate stage 2c's CONTAINMENT_THRESHOLD is picked from.
+_CONTAIN_SWEEP = (0.5, 0.7, 0.8, 0.9, 0.95, 1.0)
+
+
+@query(
+    "dedup_containment_sweep",
+    f"""WITH {_DUCK_SHINGLES},
+    dfc AS (SELECT tok, COUNT(*) AS dfc FROM ex GROUP BY tok),
+    rare AS (SELECT ex.doc_id, ex.tok FROM ex JOIN dfc USING (tok)
+             WHERE dfc BETWEEN 2 AND {dd.CONTAINMENT_DF_MAX}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    v AS (SELECT cd.doc_a, cd.doc_b,
+                 ROUND(CAST(len(list_intersect(p.s, q.s)) AS DOUBLE)
+                       / CAST(least(len(p.s), len(q.s)) AS DOUBLE), 3)
+                   AS cont
+          FROM cand cd
+          JOIN sh p ON p.doc_id = cd.doc_a
+          JOIN sh q ON q.doc_id = cd.doc_b),
+    th AS (SELECT UNNEST([{', '.join(f'{t}::DOUBLE' for t in _CONTAIN_SWEEP)}]) AS t)
+    SELECT t,
+           CAST(SUM(CASE WHEN cont >= t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN cont >= t THEN doc_a END)
+                + COUNT(DISTINCT CASE WHEN cont >= t THEN doc_b END)
+                AS BIGINT) AS n_docs_touched
+    FROM v, th GROUP BY t ORDER BY t""",
+    doc="Containment operating-point sweep — the tuning table behind "
+    "curate stage 2c's threshold (the dedup_threshold_sweep pattern "
+    "applied to the asymmetric measure): from ONE rare-shingle "
+    "candidate pass and ONE cached-set verify frame, the passing-pair "
+    f"count and touched-doc census at every threshold in "
+    f"{_CONTAIN_SWEEP} — choose the containment cut (and predict the "
+    "drop volume) without re-running the posting join per candidate "
+    "value. Honest scope: counts are over the df-bounded candidate "
+    "set (pairs whose every shared shingle has df > df_max never "
+    "block), the documented trade the R13_CURATE.md audit quantifies "
+    "at 0.9. Plan: the dedup_containment shape plus a 6x explode and "
+    "a 6-row aggregate.",
+    bench=True,
+)
+def dedup_containment_sweep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.containment_pairs(docs, threshold=0.0)
+    ts = F.explode(
+        F.array(*[F.lit(float(t)) for t in _CONTAIN_SWEEP])
+    ).alias("t")
+    hit = F.col("containment") >= F.col("t")
+    return (
+        pairs.select("doc_a", "doc_b", "containment", ts)
+        .groupBy("t")
+        .agg(
+            F.sum(hit.cast("int")).cast("long").alias("n_pairs"),
+            (
+                F.countDistinct(F.when(hit, F.col("doc_a")))
+                + F.countDistinct(F.when(hit, F.col("doc_b")))
+            )
+            .cast("long")
+            .alias("n_docs_touched"),
+        )
+        .orderBy("t")
+    )
+
+
 @query(
     "docs_winnow_overlap",
     f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

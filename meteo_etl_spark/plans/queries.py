@@ -1913,6 +1913,7 @@ _DEFERRED: tuple[str, ...] = (
     "mm_frame_sample",  # video-half decode contract: mapInPandas stub -> JVM-side explode frame sampling at every=2, hash-checked end to end (never)
     "basket_rules",  # association rules (support/confidence/lift in exact integer ppm, both directions) over the bounded basket pair census (never)
     "events_watermark_audit",  # pick-the-watermark-delay table: per candidate delay, events arriving later than the per-type frontier by more than it (dropped_ppm) (never)
+    "dedup_containment_sweep",  # containment threshold operating table (pairs + touched docs per cut) from one rare-shingle candidate pass — stage 2c's tuning table (never)
 )
 
 
