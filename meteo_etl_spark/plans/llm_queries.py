@@ -401,6 +401,93 @@ def sim_topk_cosine(spark, sf_dir):
     return sim.brute_force_topk(emb, query_id=0, k=10)
 
 
+@query(
+    "emb_hygiene_audit",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+    n AS (SELECT vec_id,
+                 CAST(ROUND(sqrt({_duck_dot('v', 'v')}) * 1000000)
+                      AS BIGINT) AS norm_u
+          FROM v),
+    r AS (SELECT norm_u,
+                 ROW_NUMBER() OVER (ORDER BY norm_u, vec_id) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM n)
+    SELECT CAST(d AS BIGINT) AS decile,
+           MAX(CASE WHEN rn = CASE WHEN d = 0 THEN 1
+                                   ELSE (d * cnt + 9) // 10 END
+                    THEN norm_u END) / 1000000.0 AS norm
+    FROM r, UNNEST(range(0, 11)) AS g(d)
+    GROUP BY d ORDER BY d""",
+    doc="Embedding hygiene audit — the index-readiness gate run "
+    "BEFORE any ANN build: the query RAISES in-query (RuntimeError) "
+    "if ANY vector is non-finite, wrongly-sized, or zero-norm — the "
+    "three states that silently poison cosine routing (NaN compares "
+    "false everywhere, a zero vector divides to NaN at rank time, a "
+    "short vector reads nulls under the band/subspace layouts the "
+    "sign-band validator guards against) — and returns the exact "
+    "nearest-rank norm deciles (min..max), the scale table that "
+    "decides whether SQ8 ranges / int8 scales need retraining. "
+    "Determinism: norms are the oracle-parity sequential fold, "
+    "integer-microscaled before ranking (Type-1 nearest-rank, the "
+    "events_value_percentiles discipline). Plan: ONE corpus scan for "
+    "the three gate counters and the norm projection, then a "
+    "rank-pick over integer norms; at 100 TB the gate aggregate "
+    "combines map-side and only the 11-row decile table leaves.",
+    bench=True,
+)
+def emb_hygiene_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = fan_out(emb).select("vec_id", v.alias("v"))
+    gate = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.size("v") != sim.EMBEDDING_DIM).cast("int")
+        ).alias("n_badsize"),
+        F.sum(
+            F.exists(
+                "v", lambda x: x.isNaN() | (F.abs(x) == float("inf"))
+            ).cast("int")
+        ).alias("n_nonfinite"),
+        F.sum((sim.dot(F.col("v"), F.col("v")) == 0.0).cast("int")).alias(
+            "n_zero"
+        ),
+    ).collect()[0]
+    if gate["n_badsize"] or gate["n_nonfinite"] or gate["n_zero"]:
+        raise RuntimeError(
+            "embedding corpus fails the index-readiness gate: "
+            f"{gate['n_badsize']} wrong-dim, {gate['n_nonfinite']} "
+            f"non-finite, {gate['n_zero']} zero-norm of {gate['n']}"
+        )
+    norm_u = F.round(sim.norm(F.col("v")) * 1000000).cast("long")
+    ranked = base.select(
+        norm_u.alias("norm_u"),
+        F.row_number()
+        .over(Window.orderBy(F.round(sim.norm(F.col("v")) * 1000000).cast("long"), "vec_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    pick = F.when(
+        F.col("d") == 0, F.lit(1)
+    ).otherwise(F.expr("(d * cnt + 9) div 10"))
+    return (
+        ranked.select(
+            "norm_u",
+            "rn",
+            "cnt",
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in range(11)])
+            ).alias("d"),
+        )
+        .filter(F.col("rn") == pick)
+        .groupBy("d")
+        .agg((F.max("norm_u") / F.lit(1000000.0)).alias("norm"))
+        .select(F.col("d").alias("decile"), "norm")
+        .orderBy("decile")
+    )
+
+
 #: metadata predicate for the filtered-search demo and the panel size
 #: for hard-negative mining (data-independent constants, like the
 #: recall-audit panel).

@@ -1914,6 +1914,7 @@ _DEFERRED: tuple[str, ...] = (
     "basket_rules",  # association rules (support/confidence/lift in exact integer ppm, both directions) over the bounded basket pair census (never)
     "events_watermark_audit",  # pick-the-watermark-delay table: per candidate delay, events arriving later than the per-type frontier by more than it (dropped_ppm) (never)
     "dedup_containment_sweep",  # containment threshold operating table (pairs + touched docs per cut) from one rare-shingle candidate pass — stage 2c's tuning table (never)
+    "emb_hygiene_audit",  # index-readiness gate (RAISES on zero-norm/non-finite/wrong-dim) + exact nearest-rank norm deciles (never)
 )
 
 

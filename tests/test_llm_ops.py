@@ -1493,6 +1493,36 @@ def test_compact_ann_index_folds_generations_and_serves_identically(
     assert topk() == after_growth
 
 
+def test_emb_hygiene_gate_raises_on_poisoned_corpus(spark, tmp_path):
+    """The emb_hygiene_audit index-readiness gate must RAISE on each
+    of the three poison states (zero-norm, non-finite, wrong dim) —
+    the negative paths the hash-green driver row can't exercise."""
+    import pytest
+
+    from meteo_etl_spark.functions import similarity as sim
+    from meteo_etl_spark.plans import queries as Q
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    fn = Q.get("emb_hygiene_audit").fn
+    dim = sim.EMBEDDING_DIM
+    cases = {
+        "zero-norm": [(10**6, [0.0] * dim)],
+        "non-finite": [(10**6, [float("nan")] + [1.0] * (dim - 1))],
+        "wrong-dim": [(10**6, [1.0] * (dim - 3))],
+    }
+    for name, rows in cases.items():
+        bad = emb.select("vec_id", "embedding").unionByName(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            )
+        )
+        out = str(tmp_path / name.replace("-", "_"))
+        bad.write.parquet(f"{out}/embeddings.parquet")
+        # reuse the real corpus for the other tables the loader may touch
+        with pytest.raises(RuntimeError, match="index-readiness"):
+            fn(spark, out).collect()
+
+
 def test_ann_tombstone_delete_suppresses_and_compaction_applies(
     spark, tmp_path
 ):
