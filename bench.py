@@ -159,35 +159,43 @@ def main(argv: list[str] | None = None) -> None:
             shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
-    # Noise-floor context (median-of-3 certified runs, written by
-    # tools/certify_bench.py) is emitted as its OWN stdout line, and a
-    # compact pointer rides in the headline instead of the full blob.
-    # r12 lesson: embedding the certified_runs object in the single
-    # headline line pushed `metric`/`value` past the driver's
-    # tail-capture window — BENCH_r12.json landed with parsed:null.
-    # The headline JSON must be the LAST line and stay small (r12
-    # verdict 'what's wrong' #1 / next-round order #2).
-    ev = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "bench_evidence",
-        "CERTIFIED_RUNS.json",
-    )
+    # The driver tail-captures only the LAST 2000 chars of stdout, so
+    # the final line must stay tiny FOREVER, independent of roster
+    # growth. r12 embedded certified_runs in the headline; r13 still
+    # embedded the 72-entry per-query dict (~3.4 KB) — both rounds
+    # landed parsed:null (r13 verdict 'what's wrong' #1). Layout now:
+    #   line 1 (optional): {"certified_runs": ...}   noise-floor context
+    #   line 2:            {"queries": ..., "errors": ...}  full detail
+    #   line 3 (LAST):     compact headline, pinned <= 1500 chars by
+    #                      tests/test_contract.py::test_bench_emits_contract_json
+    # plus a sidecar copy of the detail at bench_evidence/BENCH_QUERIES_LAST.json.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    ev = os.path.join(repo_dir, "bench_evidence", "CERTIFIED_RUNS.json")
     try:
         with open(ev) as f:
             certified = json.load(f)
         print(json.dumps({"certified_runs": certified}))
-        out["certified_runs_path"] = "bench_evidence/CERTIFIED_RUNS.json"
     except (OSError, ValueError):
         pass
+    detail: dict = {"queries": timings}
+    if errors:
+        detail["errors"] = errors
+    print(json.dumps(detail))
+    queries_path = "bench_evidence/BENCH_QUERIES_LAST.json"
+    try:
+        with open(os.path.join(repo_dir, queries_path), "w") as f:
+            json.dump({"sf": sf, "total": total, **detail}, f, indent=1)
+    except OSError:
+        queries_path = "(stdout line above)"
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_path": queries_path,
+    }
     print(json.dumps(out))
 
 
