@@ -1897,24 +1897,34 @@ _DEFERRED: tuple[str, ...] = (
     "emb_quant_audit",  # int8 quantization audit: emb_sq8_audit + emb_binary_quant_audit (incoming) same audit shape; emb_pq_audit stays (in-window r8-r12, 5× green)
     "emb_outliers",  # centroid-distance outliers: emb_pca_variance moment folds stay (in-window r8-r12, 5× green)
     "rollup_incremental_agg",  # incremental rollup maintenance: events_sketch_rollup stays; events_cms_merge_topk (incoming) is the merge-maintenance twin (in-window r8-r12, 5× green)
-    # New in round 13, deferred at birth (oracle-verified at sf0.001
-    # AND sf0.01 in-session). ROUND-14 ROTATION BACKLOG:
-    "docs_unigram_seed_vocab",  # unigram trainer stage 1 (seed substring census) as a hash-pinned table — shrinks the trainer's rows-only surface to the EM loop (never)
-    "events_kll_merge_quantiles",  # KLL merged-daily vs single-pass rank-band certification under the driver gate — the CMS merge-maintenance twin for quantiles (never)
-    "docs_budget_waterfill",  # water-filling capped-mixture allocation (max-min fair token budget across sources) — closed-form, bit-reproducible level (never)
-    "events_stream_dedup",  # dropDuplicatesWithinWatermark drain with cross-wave + in-batch duplicate injection; oracle = plain SELECT, stream must suppress every duplicate; side-effecting (never)
-    "docs_ccnet_buckets",  # CCNet head/middle/tail tertiles per source over the bigram-LM fluency — the keep-head-and-middle operating table (never)
-    "docs_boilerplate_chunks",  # per-source template census (chunk hash in >=3 distinct docs of one source) — the boilerplate-strip decision table (never)
-    "sim_ann_serve_deleted",  # tombstone-delete serving: served == route ranks 3-7 after deleting top-2, pruning still asserted; side-effecting (never)
-    "sim_filtered_topk",  # metadata-filtered vector search (label predicate pushed into the scan before any vector math) (never)
-    "sim_hard_negatives",  # contrastive hard-negative mining: per-anchor top-3 different-label neighbors, one corpus scan for the whole panel (never)
-    "docs_leakage_safe_split",  # component-keyed 90/5/5 split — whole near-dup clusters land in one split; straddling-pair count asserted zero in-query (never)
-    "sim_ivf_nprobe_curve",  # nprobe operating curve (candidate count / scan fraction / top-5 coverage per probe depth) — the pick-nprobe table from one assignment pass (never)
-    "mm_frame_sample",  # video-half decode contract: mapInPandas stub -> JVM-side explode frame sampling at every=2, hash-checked end to end (never)
-    "basket_rules",  # association rules (support/confidence/lift in exact integer ppm, both directions) over the bounded basket pair census (never)
-    "events_watermark_audit",  # pick-the-watermark-delay table: per candidate delay, events arriving later than the per-type frontier by more than it (dropped_ppm) (never)
-    "dedup_containment_sweep",  # containment threshold operating table (pairs + touched docs per cut) from one rare-shingle candidate pass — stage 2c's tuning table (never)
-    "emb_hygiene_audit",  # index-readiness gate (RAISES on zero-norm/non-finite/wrong-dim) + exact nearest-rank norm deciles (never)
+    # Round-14 rotation (r13 verdict order #2): ALL 16 r13 newborns
+    # (docs_unigram_seed_vocab, events_kll_merge_quantiles,
+    # docs_budget_waterfill, events_stream_dedup, docs_ccnet_buckets,
+    # docs_boilerplate_chunks, sim_ann_serve_deleted, sim_filtered_topk,
+    # sim_hard_negatives, docs_leakage_safe_split, sim_ivf_nprobe_curve,
+    # mm_frame_sample, basket_rules, events_watermark_audit,
+    # dedup_containment_sweep, emb_hygiene_audit) leave this ledger and
+    # enter the window for their first driver rows — once green in
+    # CORRECTNESS_r14, every query registered before round 14 has
+    # carried a driver row at least once (189/189 cumulative driver
+    # certification). Rotated OUT to make room, each a ≥4×-driver-green
+    # veteran with an in-window or incoming shape twin:
+    "events_sliding_window",  # sliding window agg: events_kll_merge_quantiles (incoming) windowed-bucket agg; events_scd2_stream windowed stream stays (in-window r8-r13, 6× green)
+    "emb_cluster_prototypes",  # centroid prototype fold: emb_sq8_audit/emb_rp_audit assignment kernels stay (in-window r8-r13, 6× green)
+    "events_grouping_sets",  # Expand rollup census: events_cms_merge_topk grouped merge stays (in-window r8-r13, 6× green)
+    "dedup_canonical",  # CC keep-policy closure: docs_leakage_safe_split (incoming) runs the same connected-components route (in-window r8-r13, 6× green)
+    "sim_ann_recall_tuned",  # tuned-route recall audit: sim_ivf_nprobe_curve (incoming) is the same operating-curve shape (in-window r10-r13, 4× green)
+    "dedup_lsh_recall",  # LSH candidate recall audit: dedup_containment_sweep (incoming) same candidate-route audit; dedup_threshold_sweep stays (in-window r8-r13, 6× green)
+    "docs_quality_rules",  # Gopher rule census: docs_ccnet_buckets (incoming) quality operating table; docs_langid_confusion stays (in-window r8-r13, 6× green)
+    "docs_token_budget_sample",  # token-budget prefix cut: docs_budget_waterfill (incoming) is the allocation twin (in-window r8-r13, 6× green)
+    "docs_drift_report",  # share/chi-square drift: docs_ccnet_buckets (incoming) tertile-share shapes (in-window r8-r13, 6× green)
+    "docs_chunk_dedup_rewrite",  # chunk-hash dedup rewrite: docs_boilerplate_chunks (incoming) same chunk-hash census (in-window r8-r13, 6× green)
+    "events_key_skew_report",  # per-key skew census: events_watermark_audit (incoming) per-type frontier audit (in-window r8-r13, 6× green)
+    "docs_bpe_pairs",  # BPE pair census: docs_unigram_seed_vocab (incoming) substring census twin; docs_bpe_merges stays (in-window r8-r13, 6× green)
+    "events_anomaly_mad",  # ranked MAD fences: events_kll_merge_quantiles (incoming) rank-band certification (in-window r8-r13, 6× green)
+    "docs_oov_rate",  # vocab coverage: docs_unigram_seed_vocab (incoming) vocab census; docs_unigram_vocab stays (in-window r8-r13, 6× green)
+    "events_scd2_pit_join",  # point-in-time interval probe: events_scd2_stream (bit-identical history twin) stays (in-window r9-r13, 5× green)
+    "events_sketch_rollup",  # mergeable sketch rollup: events_cms_merge_topk stays; events_kll_merge_quantiles (incoming) is the quantile-merge twin (in-window r10-r13, 4× green)
 )
 
 

@@ -133,22 +133,20 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-13 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-14 rotation
     must_be_in_window = {
-        # round-13 rotation: the nineteen r12 newborns take their
-        # first driver check — once green in CORRECTNESS_r13, every
-        # query registered before round 13 has carried a driver row at
-        # least once (173/173 cumulative driver certification).
-        "sim_ann_serve_lsh", "sim_ann_serve_ivfpq",
-        "sim_ann_serve_ivfsq8", "events_cms_topk",
-        "events_cms_merge_topk", "emb_binary_quant_audit",
-        "dedup_embedding_bitlsh", "emb_rp_audit",
-        "docs_classifier_calibration", "emb_sq8_audit",
-        "dedup_containment", "docs_winnow_overlap",
-        "dedup_threshold_sweep", "docs_ngram_diversity",
-        "docs_balanced_sample", "docs_langid_confusion",
-        "dedup_source_overlap", "docs_unigram_vocab",
-        "docs_tokenizer_compare",
+        # round-14 rotation: the sixteen r13 newborns take their
+        # first driver check — once green in CORRECTNESS_r14, every
+        # query registered before round 14 has carried a driver row at
+        # least once (189/189 cumulative driver certification).
+        "docs_unigram_seed_vocab", "events_kll_merge_quantiles",
+        "docs_budget_waterfill", "events_stream_dedup",
+        "docs_ccnet_buckets", "docs_boilerplate_chunks",
+        "sim_ann_serve_deleted", "sim_filtered_topk",
+        "sim_hard_negatives", "docs_leakage_safe_split",
+        "sim_ivf_nprobe_curve", "mm_frame_sample",
+        "basket_rules", "events_watermark_audit",
+        "dedup_containment_sweep", "emb_hygiene_audit",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
