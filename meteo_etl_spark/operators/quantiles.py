@@ -173,3 +173,100 @@ def exact_percentiles(
     raise RuntimeError(
         f"exact_percentiles failed to bracket {qs} on {col!r} after {_max_retries} retries"
     )
+
+
+def exact_nearest_rank(
+    df: DataFrame,
+    col: str,
+    ranks: list[int],
+    *,
+    n: int | None = None,
+    accuracy: int = 10_000,
+    max_slice: int = DEFAULT_MAX_SLICE,
+    _max_retries: int = 4,
+) -> list:
+    """Exact nearest-rank (Type-1) order statistics of ``df[col]``.
+
+    ``ranks`` are 1-based target ranks (rank 1 = min, rank n = max);
+    returns the value at each rank, in order. Unlike
+    ``exact_percentiles`` there is NO interpolation — the result is an
+    actual element of the column — so the answer is bit-identical to a
+    ``ROW_NUMBER() = rank`` pick on any engine, with none of the
+    last-ulp FP-interpolation divergence risk and none of the global
+    sort: the same bracket+refine discipline (sketch locates, never
+    answers; brackets validated by size engine-side before any
+    collect) at O(slice) memory and 2-3 embarrassingly parallel scans.
+
+    ``n`` (the column count) may be passed when the caller already has
+    it from a prior aggregate (saves the count pass).
+    """
+    c = F.col(col)
+    if n is None:
+        n = df.agg(F.count(c).alias("n")).collect()[0].n
+    if n == 0:
+        return [None] * len(ranks)
+    if any(r < 1 or r > n for r in ranks):
+        raise ValueError(f"ranks {ranks} out of bounds for n={n}")
+    if n <= max_slice:
+        # Small column: one sorted buffer answers every rank.
+        values = df.agg(
+            F.sort_array(F.collect_list(c)).alias("s")
+        ).collect()[0].s
+        return [values[r - 1] for r in ranks]
+
+    # Bracket each rank as a quantile interval around (r-1)/(n-1);
+    # FP error in the ratio only widens/narrows the LOCATING bracket,
+    # never the answer (the exact rank is re-derived from the exact
+    # `below` count inside the slice).
+    eps_q = 1.0 / accuracy
+    for _ in range(_max_retries):
+        lo_qs = [max(0.0, (r - 1) / (n - 1) - eps_q) if n > 1 else 0.0 for r in ranks]
+        hi_qs = [min(1.0, (r - 1) / (n - 1) + eps_q) if n > 1 else 1.0 for r in ranks]
+        first = df.agg(
+            F.approx_percentile(
+                c, F.array(*[F.lit(q) for q in lo_qs]), F.lit(accuracy)
+            ).alias("lo"),
+            F.approx_percentile(
+                c, F.array(*[F.lit(q) for q in hi_qs]), F.lit(accuracy)
+            ).alias("hi"),
+        ).collect()[0]
+        los, his = list(first.lo), list(first.hi)
+
+        size_aggs = []
+        for i, (lo, hi) in enumerate(zip(los, his)):
+            size_aggs.append(F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"below{i}"))
+            size_aggs.append(
+                F.sum(F.when((c >= lo) & (c <= hi), 1).otherwise(0)).alias(f"size{i}")
+            )
+        second = df.agg(*size_aggs).collect()[0]
+        if any((second[f"size{i}"] or 0) > max_slice for i in range(len(ranks))):
+            accuracy *= 4
+            eps_q = 1.0 / accuracy
+            continue
+
+        slice_aggs = [
+            F.sort_array(
+                F.collect_list(F.when((c >= lo) & (c <= hi), c))
+            ).alias(f"slice{i}")
+            for i, (lo, hi) in enumerate(zip(los, his))
+        ]
+        third = df.agg(*slice_aggs).collect()[0]
+
+        out = []
+        ok = True
+        for i, r in enumerate(ranks):
+            below = second[f"below{i}"] or 0
+            values = third[f"slice{i}"]
+            k = r - 1  # 0-based exact integer order statistic
+            if not (below <= k < below + len(values)):
+                ok = False  # sketch erred past its bound — widen, retry
+                break
+            out.append(values[k - below])
+        if ok:
+            return out
+        accuracy *= 4
+        eps_q = 1.0 / accuracy
+    raise RuntimeError(
+        f"exact_nearest_rank failed to bracket ranks {ranks} on {col!r}"
+        f" after {_max_retries} retries"
+    )

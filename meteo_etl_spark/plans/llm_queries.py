@@ -431,12 +431,21 @@ def sim_topk_cosine(spark, sf_dir):
     "Determinism: norms are the oracle-parity sequential fold, "
     "integer-microscaled before ranking (Type-1 nearest-rank, the "
     "events_value_percentiles discipline). Plan: ONE corpus scan for "
-    "the three gate counters and the norm projection, then a "
-    "rank-pick over integer norms; at 100 TB the gate aggregate "
-    "combines map-side and only the 11-row decile table leaves.",
+    "the three gate counters and the norm projection, then the "
+    "bounded-memory bracket+refine rank pick "
+    "(operators/quantiles.exact_nearest_rank — sketch locates, exact "
+    "counts answer) over integer norms; the first cut ranked with a "
+    "full-corpus ``row_number().over(Window.orderBy(...))``, which "
+    "plans a single-partition WindowExec — one executor sorts every "
+    "embedding row at 100 TB (r13 verdict 'what's wrong' #2). Now no "
+    "global sort anywhere: every pass is a map+partial-aggregate job "
+    "and only the 11-row decile table plus an O(slice) bracket ever "
+    "leave the executors.",
     bench=True,
 )
 def emb_hygiene_audit(spark, sf_dir):
+    from meteo_etl_spark.operators.quantiles import exact_nearest_rank
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     base = fan_out(emb).select("vec_id", v.alias("v"))
@@ -460,32 +469,19 @@ def emb_hygiene_audit(spark, sf_dir):
             f"{gate['n_badsize']} wrong-dim, {gate['n_nonfinite']} "
             f"non-finite, {gate['n_zero']} zero-norm of {gate['n']}"
         )
-    norm_u = F.round(sim.norm(F.col("v")) * 1000000).cast("long")
-    ranked = base.select(
-        norm_u.alias("norm_u"),
-        F.row_number()
-        .over(Window.orderBy(F.round(sim.norm(F.col("v")) * 1000000).cast("long"), "vec_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    n = gate["n"]
+    norms = base.select(
+        F.round(sim.norm(F.col("v")) * 1000000).cast("long").alias("norm_u")
     )
-    pick = F.when(
-        F.col("d") == 0, F.lit(1)
-    ).otherwise(F.expr("(d * cnt + 9) div 10"))
-    return (
-        ranked.select(
-            "norm_u",
-            "rn",
-            "cnt",
-            F.explode(
-                F.array(*[F.lit(d).cast("long") for d in range(11)])
-            ).alias("d"),
-        )
-        .filter(F.col("rn") == pick)
-        .groupBy("d")
-        .agg((F.max("norm_u") / F.lit(1000000.0)).alias("norm"))
-        .select(F.col("d").alias("decile"), "norm")
-        .orderBy("decile")
-    )
+    # Type-1 nearest-rank targets: decile 0 = min (rank 1), decile d =
+    # rank ceil(d*n/10). Ties on norm_u need no vec_id tiebreak — equal
+    # norm_u values are indistinguishable in the output.
+    ranks = [1] + [(d * n + 9) // 10 for d in range(1, 11)]
+    picked = exact_nearest_rank(norms, "norm_u", ranks, n=n)
+    return spark.createDataFrame(
+        [(d, u / 1000000.0) for d, u in zip(range(11), picked)],
+        schema="decile long, norm double",
+    ).orderBy("decile")
 
 
 #: metadata predicate for the filtered-search demo and the panel size

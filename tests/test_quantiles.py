@@ -91,3 +91,51 @@ def test_describe_routes_to_bracket_path(spark, monkeypatch, tmp_path):
         f = fast[r.measure]
         for k in ("count", "mean", "std", "min", "p25", "p50", "p75", "max"):
             assert math.isclose(r[k], f[k], rel_tol=1e-12), (r.measure, k)
+
+
+def test_nearest_rank_bracket_matches_sorted_truth(spark, lineitem):
+    """exact_nearest_rank (bracket path forced) must return the exact
+    order statistics a full sort would — the emb_hygiene_audit decile
+    contract after the r13 single-partition-WindowExec fix."""
+    from meteo_etl_spark.operators.quantiles import exact_nearest_rank
+
+    vals = sorted(
+        r.v for r in lineitem.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+        ).collect()
+    )
+    n = len(vals)
+    ranks = [1] + [(d * n + 9) // 10 for d in range(1, 11)]
+    ints = lineitem.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    got = exact_nearest_rank(ints, "v", ranks, max_slice=50)
+    assert got == [vals[r - 1] for r in ranks]
+    # passing a precomputed n must not change the answer
+    assert exact_nearest_rank(ints, "v", ranks, n=n, max_slice=50) == got
+
+
+def test_nearest_rank_small_column_and_duplicates(spark, lineitem):
+    from meteo_etl_spark.operators.quantiles import exact_nearest_rank
+
+    ints = lineitem.select(F.col("l_quantity").cast("long").alias("v"))
+    vals = sorted(r.v for r in ints.collect())
+    n = len(vals)
+    ranks = [1, n // 2, n]
+    # small-column shortcut (default max_slice) and the bracket path on
+    # a duplicate-heavy column must agree with the sorted truth
+    assert exact_nearest_rank(ints, "v", ranks) == [vals[r - 1] for r in ranks]
+    assert exact_nearest_rank(ints, "v", ranks, max_slice=2000) == [
+        vals[r - 1] for r in ranks
+    ]
+
+
+def test_nearest_rank_bounds_and_empty(spark):
+    from meteo_etl_spark.operators.quantiles import exact_nearest_rank
+
+    empty = spark.createDataFrame([], "x long")
+    assert exact_nearest_rank(empty, "x", [1, 5]) == [None, None]
+    one = spark.createDataFrame([(7,)], "x long")
+    assert exact_nearest_rank(one, "x", [1]) == [7]
+    with pytest.raises(ValueError, match="out of bounds"):
+        exact_nearest_rank(one, "x", [2])
