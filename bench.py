@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> None:
         "--names",
         nargs="*",
         help="restrict the roster to these query names (targeted re-reads; "
-        "names outside the bench roster are still accepted)",
+        "registered non-roster names are accepted — side-effecting ones "
+        "time scratch I/O, a warning says so; unregistered names fail)",
     )
     ap.add_argument(
         "--serve",
@@ -68,6 +69,22 @@ def main(argv: list[str] | None = None) -> None:
     # e2e in their pytest suites instead.
     if cli.names:
         allq = _q.all_queries()
+        unknown = sorted(set(cli.names) - set(allq))
+        if unknown:
+            ap.error(
+                f"unknown query names: {', '.join(unknown)} — not in the "
+                "registry (see plans/queries.all_queries())"
+            )
+        side_effecting = [n for n in cli.names if not allq[n].bench]
+        if side_effecting:
+            import sys
+
+            print(
+                "warning: non-bench (side-effecting or excluded) names "
+                f"requested: {', '.join(side_effecting)} — their walls "
+                "measure scratch I/O, not plan cost",
+                file=sys.stderr,
+            )
         bench_specs = {n: allq[n] for n in cli.names}
     else:
         bench_specs = {n: s for n, s in _q.all_queries().items() if s.bench}

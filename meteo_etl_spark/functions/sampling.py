@@ -213,15 +213,20 @@ def waterfill_allocation(
     produced it); the two 1-row scalars (total/count, pivot level)
     broadcast into it — the decorrelated-scalar shape. Nothing
     touches the fact table here."""
-    w = Window.orderBy(weight_col, key_col)
+    # Every weight reference is the SAME per-row long cast: a
+    # fractional weight column would otherwise make the budget
+    # (computed from the raw sum) silently disagree with the prefix
+    # sums (computed from truncated rows) and break the documented
+    # Σ alloc = B contract (r13 advice). Truncation-at-the-row is the
+    # single normalization everywhere.
+    wl = F.col(weight_col).cast("long")
+    w = Window.orderBy(wl, key_col)
     ranked = weights.select(
         F.col(key_col).alias("key"),
-        F.col(weight_col).cast("long").alias("weight"),
+        wl.alias("weight"),
         F.row_number().over(w).alias("rk"),
         F.coalesce(
-            F.sum(weight_col).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
+            F.sum(wl).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         )
         .cast("long")
@@ -229,8 +234,8 @@ def waterfill_allocation(
     )
     tot = weights.agg(
         F.expr(
-            f"CAST(sum({weight_col}) * {int(budget_frac_permille)} AS LONG)"
-            " DIV 1000"
+            f"sum(CAST({weight_col} AS LONG))"
+            f" * {int(budget_frac_permille)} DIV 1000"
         ).alias("budget"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )

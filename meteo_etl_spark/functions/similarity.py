@@ -2834,17 +2834,16 @@ def compact_ann_index(spark, path: str) -> dict:
             except Exception:
                 done = False
         if done:
-            for b in plan["folded"]:
-                io.rmtree(f"{root}/batch={int(b)}")
+            _rmtree_verified(io, [f"{root}/batch={int(b)}" for b in plan["folded"]], plan_path)
         else:
-            io.rmtree(gen_dir)
+            _rmtree_verified(io, [gen_dir], plan_path)
         io.unlink(plan_path)
 
     ids = batch_ids()
     reals = [b for b in ids if b >= 0]
     keep_max = max(reals) if reals else None
     fold = [b for b in ids if b != keep_max]
-    if len(fold) < 2:
+    if not fold:
         return {"folded": [], "newgen": 0, "n_rows": 0}
     newgen = min(0, min(ids)) - 1
 
@@ -2856,6 +2855,15 @@ def compact_ann_index(spark, path: str) -> dict:
     # legal redelivery would re-append them
     df = _suppress_tombstones(spark, root, df)
     n_rows = df.count()
+    if len(fold) == 1:
+        # A lone foldable generation is still rewritten when it holds
+        # tombstoned rows (the delete_from_ann_index promise: physical
+        # removal at the next compact, even with nothing to merge) —
+        # but a clean lone generation is left alone, otherwise every
+        # compact would rewrite the previous compact's output forever.
+        n_raw = spark.read.parquet(f"{root}/batch={int(fold[0])}").count()
+        if n_raw == n_rows:
+            return {"folded": [], "newgen": 0, "n_rows": 0}
     # 2. exclusive plan publish — the single-writer guard
     ok = io.publish_exclusive(
         plan_path,
@@ -2889,11 +2897,32 @@ def compact_ann_index(spark, path: str) -> dict:
             f"rows, expected {n_rows} — plan left in place for "
             "recovery; sources untouched"
         )
-    # 5. delete sources, then the plan
-    for b in fold:
-        io.rmtree(f"{root}/batch={int(b)}")
+    # 5. delete sources (each delete VERIFIED — a silently failed
+    # rmtree would leave a batch served twice with no plan left to
+    # repair it), then the plan
+    _rmtree_verified(io, [f"{root}/batch={int(b)}" for b in fold], plan_path)
     io.unlink(plan_path)
     return {"folded": fold, "newgen": newgen, "n_rows": n_rows}
+
+
+def _rmtree_verified(io, dirs: list, plan_path: str) -> None:
+    """Remove each directory and ASSERT it is gone, raising BEFORE the
+    caller can unlink the compaction plan. LocalIO.rmtree is
+    shutil.rmtree(ignore_errors=True): a permissions failure is
+    silent, and unlinking the plan after one would strand the index
+    with BOTH the consolidated generation and the un-deleted source
+    batch on disk — rows served twice, and no sidecar left for
+    recovery to repair it. Raising here keeps the index in the
+    recoverable plan-present state (re-invoking runs recovery, which
+    retries these same verified deletes)."""
+    for d in dirs:
+        io.rmtree(d)
+        if io.isdir(d):
+            raise RuntimeError(
+                f"compact_ann_index: failed to delete {d} — plan left "
+                f"at {plan_path}; index is in the recoverable "
+                "plan-present state (fix permissions and re-invoke)"
+            )
 
 
 #: tombstone subdirectory for deleted vector ids — the underscore

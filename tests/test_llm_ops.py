@@ -615,6 +615,26 @@ def test_waterfill_matches_reference_and_conserves_budget(spark):
     assert relaid == got
 
 
+def test_waterfill_fractional_weights_keep_budget_contract(spark):
+    """r13 advice: a DOUBLE weight column must not desync the budget
+    (raw sum) from the prefix sums (per-row casts) — both now run on
+    the same per-row long truncation, so Σ alloc = B still holds and
+    the result equals the integer-weight run on the truncated values."""
+    from meteo_etl_spark.functions.sampling import waterfill_allocation
+
+    frac = [("a", 100.9), ("b", 7.2), ("c", 900.5), ("d", 250.99), ("e", 3.1)]
+    df = spark.createDataFrame(frac, "source string, n_tokens double")
+    got = {
+        r["key"]: (r["alloc"], r["capped"])
+        for r in waterfill_allocation(df, "source", "n_tokens").collect()
+    }
+    want, budget = _ref_waterfill(
+        [(k, int(v)) for k, v in frac], 500
+    )
+    assert got == want
+    assert abs(sum(a for a, _ in got.values()) - budget) < 1e-6
+
+
 def test_waterfill_edges(spark):
     from meteo_etl_spark.functions.sampling import waterfill_allocation
 
@@ -1598,6 +1618,89 @@ def test_ann_tombstone_delete_suppresses_and_compaction_applies(
         spark, pq, qv, emb, k=5, n_cand=50, exclude_id=0
     ).collect()
     assert px not in {r["vec_id"] for r in after} and len(after) == 5
+
+
+def test_compact_single_batch_fold_applies_tombstones(spark, tmp_path):
+    """r13 advice: with only ONE foldable generation, tombstoned rows
+    must still be physically removed at the next ann-compact (the
+    generation is rewritten with suppression applied); a CLEAN lone
+    generation stays untouched (no rewrite churn); and a silently
+    failed source delete must RAISE with the plan left in place — the
+    recoverable state — never unlink the plan over a double-served
+    batch."""
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions import similarity as sim
+    from meteo_etl_spark.operators import fsio
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "sidx")
+    handler = sim.lsh_ingest_foreach_batch(spark, idx)
+    waves = [
+        emb.filter(F.col("vec_id") % 3 == w).select("vec_id", "embedding")
+        for w in range(3)
+    ]
+    for w in range(3):
+        handler(waves[w], w)
+    stats = sim.compact_ann_index(spark, idx)
+    assert stats["folded"] == [0, 1]
+
+    # lone clean consolidation: still nothing to do
+    assert sim.compact_ann_index(spark, idx)["folded"] == []
+
+    # tombstone a vector living in the folded generation (vec % 3 < 2)
+    victim = int(
+        spark.read.parquet(idx)
+        .filter(F.col("batch") == -1)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    sim.delete_from_ann_index(spark, idx, [victim])
+    stats2 = sim.compact_ann_index(spark, idx)
+    assert stats2["folded"] == [-1]  # single-batch fold happened
+    physically = (
+        spark.read.parquet(idx)
+        .filter((F.col("vec_id") == victim) & (F.col("batch") < 0))
+        .count()
+    )
+    assert physically == 0
+    # and the rewrite converges: next compact is a no-op again
+    assert sim.compact_ann_index(spark, idx)["folded"] == []
+
+    # failed source delete: plan must survive and the call must raise
+    import json as _json
+    import os
+
+    real_rmtree = fsio.LocalIO.rmtree
+    try:
+        fsio.LocalIO.rmtree = lambda self, p: None  # silent failure
+        sim.delete_from_ann_index(
+            spark,
+            idx,
+            [
+                int(
+                    spark.read.parquet(idx)
+                    .filter(F.col("batch") < 0)
+                    .agg(F.min("vec_id"))
+                    .collect()[0][0]
+                )
+            ],
+        )
+        with pytest.raises(RuntimeError, match="failed to delete"):
+            sim.compact_ann_index(spark, idx)
+        plan_file = os.path.join(idx, sim._COMPACT_PLAN)
+        assert os.path.isfile(plan_file)  # recoverable plan-present state
+        plan = _json.loads(open(plan_file).read())
+    finally:
+        fsio.LocalIO.rmtree = real_rmtree
+    # recovery (real deletes restored) completes the crashed fold
+    # idempotently: consolidated generation verified, sources removed
+    before = (
+        spark.read.parquet(idx).filter(~F.col("batch").isin(plan["folded"]))
+    ).count()
+    stats3 = sim.compact_ann_index(spark, idx)
+    assert not os.path.isfile(plan_file)
+    assert spark.read.parquet(idx).count() == before
 
 
 def test_ivfpq_streaming_ingest_grows_exactly(spark, tmp_path):
