@@ -6175,6 +6175,85 @@ def emb_pca_variance(spark, sf_dir):
 
 
 @query(
+    "emb_gram_census",
+    f"""WITH u AS (SELECT list_transform(embedding::DOUBLE[], x ->
+                    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xu
+            FROM embeddings),
+    e AS (SELECT i, xu[i] AS x
+          FROM u, UNNEST(generate_series(1, {_DIM})) AS g(i)),
+    m AS (SELECT i, SUM(x) AS s FROM e GROUP BY i),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    ps AS (SELECT i, j, SUM(xu[i] * xu[j]) AS sp
+           FROM u,
+                UNNEST(generate_series(1, {_DIM})) AS g(i),
+                UNNEST(generate_series(i, {_DIM})) AS h(j)
+           GROUP BY i, j)
+    SELECT CAST(p.i - 1 AS INTEGER) AS dim_i,
+           CAST(p.j - 1 AS INTEGER) AS dim_j,
+           CAST(floor((CAST(nn.n AS DOUBLE) * CAST(p.sp AS DOUBLE)
+                       - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE))
+                      / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0))
+                      / 1000000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS cov_e9
+    FROM ps p
+    JOIN m mi ON p.i = mi.i
+    JOIN m mj ON p.j = mj.i
+    CROSS JOIN nn
+    ORDER BY dim_i, dim_j""",
+    doc="The PCA pipeline's entire DISTRIBUTED stage as a hash-pinned "
+    "table (r13 verdict order #7): the full sample-covariance upper "
+    "triangle (d(d+1)/2 rows, 1e-9-snapped), assembled from the SAME "
+    "pca.moment_census integer sufficient statistics emb_pca_variance "
+    "feeds to the driver-side eigendecomposition — so everything "
+    "before the non-SQL-expressible numpy.linalg.eigh now carries a "
+    "DuckDB hash and only the eigensolve itself stays rows-only. "
+    "Determinism: the census sums are order-free exact integers "
+    "(decimal(38,0) / HUGEINT); the covariance is one fixed chain of "
+    "correctly-rounded double ops over them, identical in both "
+    "engines (the emb_dim_corr discipline). Plan: ONE corpus scan, "
+    "one map-combined O(d^2) aggregate; the marginal/count rows "
+    "broadcast back onto the dimension-sized pair frame — nothing "
+    "corpus-sized shuffles or reaches the driver.",
+    bench=True,
+)
+def emb_gram_census(spark, sf_dir):
+    from meteo_etl_spark.functions.pca import moment_census
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cens = moment_census(fan_out(emb), "embedding", _DIM)
+    nrow = F.broadcast(
+        cens.filter(F.col("i") == -1).select(F.col("sp").alias("n"))
+    )
+    marg = cens.filter((F.col("i") >= 0) & (F.col("j") == -1))
+    si = F.broadcast(
+        marg.select(F.col("i").alias("i"), F.col("sp").alias("s_i"))
+    )
+    sj = F.broadcast(
+        marg.select(F.col("i").alias("j"), F.col("sp").alias("s_j"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_e9 = F.floor(
+        (dbl("n") * dbl("sp") - dbl("s_i") * dbl("s_j"))
+        / (dbl("n") * (dbl("n") - F.lit(1.0)))
+        / F.lit(1000000000000.0)
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cens.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+        .join(si, "i")
+        .join(sj, "j")
+        .crossJoin(nrow)
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            cov_e9.alias("cov_e9"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+@query(
     "events_anomaly_mad",
     """WITH v AS (SELECT event_type,
                     CAST(ROUND(value * 100) AS BIGINT) AS v

@@ -1925,6 +1925,10 @@ _DEFERRED: tuple[str, ...] = (
     "docs_oov_rate",  # vocab coverage: docs_unigram_seed_vocab (incoming) vocab census; docs_unigram_vocab stays (in-window r8-r13, 6× green)
     "events_scd2_pit_join",  # point-in-time interval probe: events_scd2_stream (bit-identical history twin) stays (in-window r9-r13, 5× green)
     "events_sketch_rollup",  # mergeable sketch rollup: events_cms_merge_topk stays; events_kll_merge_quantiles (incoming) is the quantile-merge twin (in-window r10-r13, 4× green)
+    # New in round 14, deferred at birth (oracle-verified at sf0.001
+    # AND sf0.01 under two shuffle layouts in-session). ROUND-15
+    # ROTATION BACKLOG:
+    "emb_gram_census",  # the PCA pipeline's distributed stage hash-pinned: full covariance upper triangle from the moment census — shrinks emb_pca_variance's rows-only surface to the driver eigensolve (never)
 )
 
 
