@@ -95,6 +95,7 @@ def main(argv: list[str] | None = None) -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    serve_recall: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
         try:
@@ -158,18 +159,29 @@ def main(argv: list[str] | None = None) -> None:
                 ),
             ),
         }
+        # exact ground truth for the served recall@5 column (r13
+        # verdict order #5): a future index change that trades recall
+        # for wall time must be visible in the SAME certified artifact
+        exact5 = {
+            r.vec_id
+            for r in sim.brute_force_topk(emb, query_id=0, k=5).collect()
+        }
         try:
             for name, (build, query) in serve_specs.items():
                 p = os.path.join(scratch, name)
                 try:
                     build(p)  # untimed: one-time index construction
                     best = float("inf")
+                    rows = []
                     for _ in range(2):
                         spark.catalog.clearCache()
                         t0 = time.perf_counter()
-                        query(p).collect()
+                        rows = query(p).collect()
                         best = min(best, time.perf_counter() - t0)
                     timings[name] = round(best, 4)
+                    serve_recall[name] = round(
+                        len({r.vec_id for r in rows} & exact5) / 5.0, 4
+                    )
                 except Exception as exc:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         finally:
@@ -195,6 +207,8 @@ def main(argv: list[str] | None = None) -> None:
     except (OSError, ValueError):
         pass
     detail: dict = {"queries": timings}
+    if serve_recall:
+        detail["serve_recall"] = serve_recall
     if errors:
         detail["errors"] = errors
     print(json.dumps(detail))

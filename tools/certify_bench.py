@@ -30,16 +30,35 @@ def main() -> int:
     totals = []
     sf = None
     n_queries = None
+    serve_walls: dict[str, list[float]] = {}
+    serve_recalls: dict[str, list[float]] = {}
     for path in args.runs:
+        # bench.py emits the headline as the LAST stdout line and the
+        # per-query detail (queries / serve_recall / errors) as its own
+        # PRECEDING line (r13 verdict order #1: the final line must stay
+        # roster-independent under the driver's 2000-char tail capture).
+        # Merge them here; single-line legacy run files still parse.
+        objs = []
         with open(path) as f:
-            run = json.loads(f.read().strip().splitlines()[-1])
+            for line in f.read().strip().splitlines():
+                if line.strip():
+                    try:
+                        objs.append(json.loads(line))
+                    except ValueError:
+                        pass
+        run = objs[-1]
+        detail = next(
+            (o for o in objs if "queries" in o and "metric" not in o), {}
+        )
+        queries = run.get("queries", detail.get("queries", {}))
+        errors = run.get("errors", detail.get("errors", {}))
         # a run with failed queries sums only the survivors — its
         # artificially low total must never be certified as noise-floor
         # context (r12 self-review)
-        if run.get("errors"):
+        if errors:
             print(
                 f"refusing to certify {path}: run has errors "
-                f"{sorted(run['errors'])}",
+                f"{sorted(errors)}",
                 file=sys.stderr,
             )
             return 1
@@ -50,17 +69,24 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 1
-        if n_queries is not None and len(run.get("queries", {})) != n_queries:
+        if n_queries is not None and len(queries) != n_queries:
             print(
                 f"refusing to certify {path}: roster size "
-                f"{len(run.get('queries', {}))} != {n_queries} of earlier "
+                f"{len(queries)} != {n_queries} of earlier "
                 "runs",
                 file=sys.stderr,
             )
             return 1
         totals.append(float(run["value"]))
         sf = run.get("sf", sf)
-        n_queries = len(run.get("queries", {}))
+        n_queries = len(queries)
+        # serve rows carry wall AND served recall@5 (r13 verdict order
+        # #5): an index change that trades recall for speed must show
+        # in this one artifact
+        for name, rec in detail.get("serve_recall", {}).items():
+            serve_recalls.setdefault(name, []).append(float(rec))
+            if name in queries:
+                serve_walls.setdefault(name, []).append(float(queries[name]))
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True,
@@ -79,6 +105,18 @@ def main() -> int:
         "max_total_sec": round(max(totals), 2),
         "runs": [os.path.basename(p) for p in args.runs],
     }
+    if serve_recalls:
+        out["serve"] = {
+            name: {
+                "wall_sec_best": round(min(serve_walls.get(name, [0.0])), 4),
+                "wall_sec_median": round(
+                    statistics.median(serve_walls.get(name, [0.0])), 4
+                ),
+                "recall_at_5": round(min(recs), 4),
+                "recall_runs": sorted(round(r, 4) for r in recs),
+            }
+            for name, recs in sorted(serve_recalls.items())
+        }
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_evidence",
