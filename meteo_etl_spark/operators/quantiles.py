@@ -208,11 +208,20 @@ def exact_nearest_rank(
     if any(r < 1 or r > n for r in ranks):
         raise ValueError(f"ranks {ranks} out of bounds for n={n}")
     if n <= max_slice:
-        # Small column: one sorted buffer answers every rank.
-        values = df.agg(
-            F.sort_array(F.collect_list(c)).alias("s")
-        ).collect()[0].s
-        return [values[r - 1] for r in ranks]
+        # Small column: one sorted buffer answers every rank. The rank
+        # pick happens ENGINE-side (element_at on the agg buffer) so
+        # only len(ranks) scalars ever cross to the driver — the
+        # collect stays panel-sized even when the column is ~max_slice.
+        row = (
+            df.agg(F.sort_array(F.collect_list(c)).alias("s"))
+            .select(
+                F.array(
+                    *[F.element_at("s", int(r)) for r in ranks]
+                ).alias("p")
+            )
+            .collect()[0]
+        )
+        return list(row.p)
 
     # Bracket each rank as a quantile interval around (r-1)/(n-1);
     # FP error in the ratio only widens/narrows the LOCATING bracket,
@@ -244,26 +253,29 @@ def exact_nearest_rank(
             eps_q = 1.0 / accuracy
             continue
 
-        slice_aggs = [
-            F.sort_array(
-                F.collect_list(F.when((c >= lo) & (c <= hi), c))
-            ).alias(f"slice{i}")
-            for i, (lo, hi) in enumerate(zip(los, his))
-        ]
-        third = df.agg(*slice_aggs).collect()[0]
-
-        out = []
+        # Pass 2b: brackets proven small — pick each order statistic
+        # ENGINE-side (element_at against the sorted slice buffer), so
+        # only len(ranks) scalars reach the driver, never a slice.
         ok = True
-        for i, r in enumerate(ranks):
+        pick_aggs = []
+        for i, (r, lo, hi) in enumerate(zip(ranks, los, his)):
             below = second[f"below{i}"] or 0
-            values = third[f"slice{i}"]
+            size = second[f"size{i}"] or 0
             k = r - 1  # 0-based exact integer order statistic
-            if not (below <= k < below + len(values)):
+            if not (below <= k < below + size):
                 ok = False  # sketch erred past its bound — widen, retry
                 break
-            out.append(values[k - below])
+            pick_aggs.append(
+                F.element_at(
+                    F.sort_array(
+                        F.collect_list(F.when((c >= lo) & (c <= hi), c))
+                    ),
+                    int(k - below + 1),
+                ).alias(f"v{i}")
+            )
         if ok:
-            return out
+            third = df.agg(*pick_aggs).collect()[0]
+            return [third[f"v{i}"] for i in range(len(ranks))]
         accuracy *= 4
         eps_q = 1.0 / accuracy
     raise RuntimeError(
