@@ -1090,6 +1090,51 @@ def orders_rfm_segments(spark, sf_dir):
 
 
 @query(
+    "events_global_rank",
+    """WITH v AS (SELECT event_id,
+                    CAST(ROUND(value * 100) AS BIGINT) AS v
+             FROM events),
+    r AS (SELECT event_id, v,
+                 ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM v)
+    SELECT rn, event_id, v FROM r
+    WHERE rn % 97 = 0 OR rn = 1 OR rn = n
+    ORDER BY rn""",
+    doc="Global total-order rank over the FACT table, probed at every "
+    "97th rank (plus min and max) — the distributed-rank "
+    "certification row for operators/ranking.global_row_number: the "
+    "oracle computes the same ranks with an engine-native "
+    "ROW_NUMBER() OVER (ORDER BY ...) (DuckDB sorts in one process; "
+    "that is the oracle's privilege, not the engine's), while the "
+    "Spark side runs the boundary-sketch bucket route — the rank "
+    "values must agree EXACTLY, ties and all, at every scale factor "
+    "and shuffle layout. Plan: one approx_percentile boundary "
+    "aggregate, one hash shuffle on the bucket id, a PARTITIONED "
+    "per-bucket window, broadcast cumulative offsets — no "
+    "single-partition WindowExec anywhere (the structural guard in "
+    "test_plan_guards rejects one); per-task memory is one bucket's "
+    "sort, ~n/64 plus the largest tie group, never the table.",
+    bench=True,
+)
+def events_global_rank(spark, sf_dir):
+    from meteo_etl_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    n = ev.count()
+    ranked = global_row_number(ev, [("v", "asc"), ("event_id", "asc")])
+    return (
+        ranked.filter(
+            (F.col("rn") % 97 == 0) | (F.col("rn") == 1) | (F.col("rn") == n)
+        )
+        .select("rn", "event_id", "v")
+        .orderBy("rn")
+    )
+
+
+@query(
     "docs_constraint_audit",
     """WITH a AS (SELECT
         CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS c0,

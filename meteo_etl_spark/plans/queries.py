@@ -1929,6 +1929,7 @@ _DEFERRED: tuple[str, ...] = (
     # AND sf0.01 under two shuffle layouts in-session). ROUND-15
     # ROTATION BACKLOG:
     "emb_gram_census",  # the PCA pipeline's distributed stage hash-pinned: full covariance upper triangle from the moment census — shrinks emb_pca_variance's rows-only surface to the driver eigensolve (never)
+    "events_global_rank",  # distributed global rank (ranking.global_row_number) probed every 97th rank vs the oracle's native ROW_NUMBER — the corpus-scale certification of the bucket+offset route (never)
 )
 
 
