@@ -3257,6 +3257,77 @@ def dedup_components(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_sizes",
+    f"""WITH RECURSIVE {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN cnt p ON p.doc_id = doc_a
+              JOIN cnt q ON q.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(p.n + q.n - c AS DOUBLE)
+                      >= {dd.JACCARD_THRESHOLD}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM walk GROUP BY node),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_would_drop
+    FROM sizes GROUP BY sz ORDER BY sz""",
+    doc="Near-dup cluster size histogram — the dedup OPERATING table "
+    "read before committing a canonical-keep policy: how many "
+    "duplicate clusters exist at each size, how many docs they hold, "
+    "and how many a keep-one policy would drop (Σ n_would_drop = the "
+    "corpus's total dedup yield; the size-1 row is the untouched "
+    "singleton mass). Components come from the SAME bounded "
+    "MinHash-LSH pair route as dedup_components/dedup_canonical (the "
+    "banded candidate join, never all-pairs); the oracle replays them "
+    "via DuckDB's recursive-CTE fixpoint. Plan: pairs -> ~3 "
+    "node-keyed CC rounds -> two key-bounded aggregates; the "
+    "histogram is at most |distinct sizes| rows — scale-free output "
+    "from corpus-sized input.",
+    bench=True,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    from meteo_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("long").alias(
+                "n_would_drop"
+            ),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_would_drop",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
     "docs_leakage_safe_split",
     f"""WITH RECURSIVE {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES},
     pairs AS (SELECT doc_a, doc_b FROM common
