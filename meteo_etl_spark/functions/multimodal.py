@@ -175,3 +175,50 @@ def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:
             F.sequence(F.lit(0), F.col("frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+#: fake audio framing constants (wav2vec-style 25ms window / 20ms hop
+#: at a pretend 16kHz would be 400/320 samples — kept literal here).
+AUDIO_CHUNK = 400
+AUDIO_HOP = 320
+AUDIO_SAMPLES_PER_BYTE = 2  # fake codec: 16-bit mono, n_samples = bytes*2
+
+
+def chunk_audio(
+    decoded: DataFrame,
+    chunk: int = AUDIO_CHUNK,
+    hop: int = AUDIO_HOP,
+) -> DataFrame:
+    """Explode one row per overlapping audio chunk — the audio half of
+    the multimodal sampling contract (wav2vec/Whisper-style framing:
+    fixed window, fixed hop). Chunk *selection* is native
+    explode/sequence (JVM-side, integer arithmetic); only sample
+    *decode* would be Python. Input is :func:`decode_media` output
+    (``n_bytes`` drives the fake sample count); emits
+    ``(doc_id, chunk_idx, start_sample, end_sample)`` with the final
+    chunk truncated at the stream end. At 100 TB the explode fans out
+    BEFORE any Python runs, so a downstream per-chunk featurizer sees
+    exactly the framed fraction."""
+    n_samples = (
+        F.col("n_bytes") * F.lit(AUDIO_SAMPLES_PER_BYTE)
+    ).cast("long")
+    base = decoded.select("doc_id", n_samples.alias("n_samples"))
+    n_chunks = F.expr(f"(n_samples - 1) div {int(hop)} + 1")
+    start = (F.col("chunk_idx") * F.lit(int(hop))).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            "n_samples",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("start_sample"),
+            F.least(start + F.lit(int(chunk)), F.col("n_samples"))
+            .cast("long")
+            .alias("end_sample"),
+        )
+    )

@@ -2333,6 +2333,39 @@ def mm_frame_sample(spark, sf_dir):
     return mm.sample_frames(decoded, every=2).orderBy("doc_id", "frame_idx")
 
 
+@query(
+    "mm_audio_chunks",
+    f"""WITH m AS (SELECT doc_id,
+                          octet_length(encode(text))
+                            * {mm.AUDIO_SAMPLES_PER_BYTE} AS n_samples
+           FROM documents)
+       SELECT doc_id,
+              CAST(g.i AS BIGINT) AS chunk_idx,
+              CAST(g.i * {mm.AUDIO_HOP} AS BIGINT) AS start_sample,
+              CAST(LEAST(g.i * {mm.AUDIO_HOP} + {mm.AUDIO_CHUNK}, n_samples)
+                   AS BIGINT) AS end_sample
+       FROM m, UNNEST(range(0, (n_samples - 1) // {mm.AUDIO_HOP} + 1))
+                 AS g(i)
+       ORDER BY doc_id, chunk_idx""",
+    doc="Multimodal audio CHUNKING plumbing (the audio half of the "
+    "sampling contract, sibling of mm_frame_sample's video half): "
+    "decode stub -> native explode(sequence) framing at "
+    f"window={mm.AUDIO_CHUNK}/hop={mm.AUDIO_HOP} samples "
+    "(wav2vec-style overlapping windows, final chunk truncated at "
+    "stream end) — chunk selection stays JVM-side integer "
+    "arithmetic; only sample DECODE would be Python. The oracle "
+    "restates the fake codec's sample count and the framing "
+    "arithmetic in SQL, so the hash covers decode -> explode end to "
+    "end. At 100 TB the fan-out happens before any Python runs and "
+    "a per-chunk featurizer sees exactly the framed fraction.",
+    bench=True,
+)
+def mm_audio_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.with_binary_payload(docs))
+    return mm.chunk_audio(decoded).orderBy("doc_id", "chunk_idx")
+
+
 # ---------------------------------------------------------------------------
 # Text repetition / PII scrubbing
 # ---------------------------------------------------------------------------

@@ -1931,6 +1931,7 @@ _DEFERRED: tuple[str, ...] = (
     "emb_gram_census",  # the PCA pipeline's distributed stage hash-pinned: full covariance upper triangle from the moment census — shrinks emb_pca_variance's rows-only surface to the driver eigensolve (never)
     "events_global_rank",  # distributed global rank (ranking.global_row_number) probed every 97th rank vs the oracle's native ROW_NUMBER — the corpus-scale certification of the bucket+offset route (never)
     "dedup_cluster_sizes",  # near-dup component size histogram (keep-policy yield table) over the bounded LSH pair route; oracle = recursive-CTE CC fixpoint (never)
+    "mm_audio_chunks",  # audio-half framing contract: decode stub -> JVM explode windowing at 400/320 samples, hash-checked end to end (never)
 )
 
 

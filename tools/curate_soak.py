@@ -118,9 +118,16 @@ def main() -> int:
             # the substring/classifier variants change the judged text
             # or flag set, so the base ledger is not comparable)
             if not substring and not classifier:
+                # containment_dedup=True: drop_ledger's own default is
+                # off (ad-hoc building block), but this replay must
+                # mirror curate_corpus's release default — at sf0.1 the
+                # mismatch was invisible (0 injected-corpus containment
+                # pairs); the 10x corpus surfaced it (R14_CURATE.md)
                 led = {
                     r.doc_id: r.reason
-                    for r in drop_ledger(train, eval_docs).collect()
+                    for r in drop_ledger(
+                        train, eval_docs, containment_dedup=True
+                    ).collect()
                 }
                 bad = [d for d in shipped if led[d] not in ("kept",)]
                 assert not bad, bad[:5]
@@ -152,6 +159,7 @@ def main() -> int:
                         use_train,
                         use_eval,
                         rewritten=ext_rewritten,
+                        containment_dedup=True,  # mirror the release default
                         classifier_model=use_model,
                         classifier_keep=("en",),
                     ).collect()
