@@ -39,11 +39,25 @@ def main() -> int:
     train, eval_docs = docs.filter(~is_eval), docs.filter(is_eval)
     n_train, n_eval = train.count(), eval_docs.count()
 
+    def shuffle_totals() -> tuple[int, int]:
+        """Cumulative (read, write) shuffle bytes across executors from
+        the JVM status store — per-variant deltas quantify the shuffle
+        footprint next to each wall (r13 verdict order #4 asked for
+        wall + shuffle numbers at the 10x scale)."""
+        store = spark.sparkContext._jsc.sc().statusStore()
+        ex = store.executorList(True)
+        r = w = 0
+        for i in range(ex.size()):
+            e = ex.apply(i)
+            r += e.totalShuffleRead()
+            w += e.totalShuffleWrite()
+        return r, w
+
     lines = [
         f"corpus: {args.sf_dir} — {n_train} train docs, {n_eval} eval docs",
         "",
-        "| variant | wall (s) | reasons | splits | packs | shipped docs | shards | tokens excised |",
-        "|---|---|---|---|---|---|---|---|",
+        "| variant | wall (s) | shuffle read (MB) | shuffle write (MB) | reasons | splits | packs | shipped docs | shards | tokens excised |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     from meteo_etl_spark.functions.classify import (
         inject_class_signal,
@@ -83,6 +97,7 @@ def main() -> int:
         use_eval = eval_sep if injected else eval_docs
         use_model = model_sep if injected else model
         try:
+            sh_r0, sh_w0 = shuffle_totals()
             t0 = time.monotonic()
             stats = curate_corpus(
                 use_train,
@@ -93,6 +108,9 @@ def main() -> int:
                 classifier_keep=("en",) if classifier else (),
             )
             wall = time.monotonic() - t0
+            sh_r1, sh_w1 = shuffle_totals()
+            sh_read_mb = (sh_r1 - sh_r0) / 1e6
+            sh_write_mb = (sh_w1 - sh_w0) / 1e6
             # the text form the ledger judged: excised when stage 2b ran
             judged = use_train
             if substring:
@@ -221,6 +239,7 @@ def main() -> int:
             reasons = dict(sorted(stats.reasons.items()))
             lines.append(
                 f"| {variant} | {wall:.1f} "
+                f"| {sh_read_mb:.1f} | {sh_write_mb:.1f} "
                 f"| {reasons} | {dict(sorted(stats.splits.items()))} "
                 f"| {stats.n_packs} | {len(shipped)} "
                 f"| {len(stats.shards)} | {stats.n_tokens_excised} |"
