@@ -1932,6 +1932,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_global_rank",  # distributed global rank (ranking.global_row_number) probed every 97th rank vs the oracle's native ROW_NUMBER — the corpus-scale certification of the bucket+offset route (never)
     "dedup_cluster_sizes",  # near-dup component size histogram (keep-policy yield table) over the bounded LSH pair route; oracle = recursive-CTE CC fixpoint (never)
     "mm_audio_chunks",  # audio-half framing contract: decode stub -> JVM explode windowing at 400/320 samples, hash-checked end to end (never)
+    "events_kmv_user_overlap",  # KMV/theta sketch set ops: per-type distinct estimates + pairwise union/intersection from mergeable 64-minima relations; oracle replays the sketch bit-for-bit (never)
 )
 
 

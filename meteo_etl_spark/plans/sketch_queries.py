@@ -212,3 +212,152 @@ def events_kll_merge_quantiles(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_kmv_user_overlap",
+    """WITH h AS (SELECT DISTINCT event_type,
+                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv
+             FROM events),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM h GROUP BY event_type),
+    r AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+    per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ns, MAX(hv) AS kth
+            FROM sk GROUP BY event_type),
+    est AS (SELECT event_type,
+                   CASE WHEN ns < 64 THEN ns
+                        ELSE CAST(floor(63.0 * 1152921504606846976.0
+                                        / CAST(kth AS DOUBLE) + 0.5) AS BIGINT)
+                   END AS est
+            FROM per),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM n a JOIN n b ON a.event_type < b.event_type),
+    m AS (SELECT p.type_a, p.type_b, s.hv
+          FROM pairs p JOIN sk s ON s.event_type = p.type_a
+          UNION
+          SELECT p.type_a, p.type_b, s.hv
+          FROM pairs p JOIN sk s ON s.event_type = p.type_b),
+    ru AS (SELECT type_a, type_b, hv,
+                  ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY hv) AS rn
+           FROM m),
+    pu AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS ns, MAX(hv) AS kth
+           FROM ru WHERE rn <= 64 GROUP BY type_a, type_b),
+    eu AS (SELECT type_a, type_b,
+                  CASE WHEN ns < 64 THEN ns
+                       ELSE CAST(floor(63.0 * 1152921504606846976.0
+                                       / CAST(kth AS DOUBLE) + 0.5) AS BIGINT)
+                  END AS est_union
+           FROM pu)
+    SELECT e.type_a, e.type_b, ea.est AS est_a, eb.est AS est_b,
+           e.est_union,
+           GREATEST(0, ea.est + eb.est - e.est_union) AS est_intersect,
+           na.n AS exact_a, nb.n AS exact_b
+    FROM eu e
+    JOIN est ea ON ea.event_type = e.type_a
+    JOIN est eb ON eb.event_type = e.type_b
+    JOIN n na ON na.event_type = e.type_a
+    JOIN n nb ON nb.event_type = e.type_b
+    ORDER BY type_a, type_b""",
+    bench=True,
+    doc="KMV (theta) sketch set operations — the audience-overlap "
+    "table HLL cannot produce: per event type, a 64-minima KMV "
+    "sketch of user_id; per type PAIR, the distinct-user estimates "
+    "for each side, their UNION (merge the two sketch relations, "
+    "re-rank, keep 64 — unions are closed over KMV), and the "
+    "INTERSECTION via inclusion-exclusion, beside the exact per-type "
+    "counts. Everything is deterministic integer/one-division-double "
+    "arithmetic over md5 hashes, so the DuckDB oracle replays the "
+    "sketch bit-for-bit. Plan (functions/sketches.kmv_sketch): one "
+    "map-combined distinct shuffle, a key-bounded census, then the "
+    "k-min rank runs over a PREFILTERED survivor frame (hv below "
+    "~slack*k/n of the hash space — validated engine-side, raises on "
+    "the e^-k miss) so the per-type window sorts O(slack*k) rows at "
+    "any corpus size; pair frames are <= 2k rows each. The oracle "
+    "ranks everything — single-node exactness is its privilege; the "
+    "k-min SET is identical either way.",
+)
+def events_kmv_user_overlap(spark, sf_dir):
+    from meteo_etl_spark.functions.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", KMV_K).localCheckpoint()
+    counts = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("ns"), F.max("hv").alias("kth")
+    )
+    est = per.select(
+        F.col("key"), kmv_estimate(F.col("ns"), F.col("kth"), KMV_K).alias("est")
+    )
+    # pair panel: one census-sized collect (|types| ~ a handful — the
+    # audit-panel collect class), then two equi joins pull each side's
+    # sketch rows; UNION dedups shared hashes, the pair-keyed window
+    # re-ranks <= 2k rows per pair.
+    types = sorted(r["key"] for r in est.select("key").collect())
+    pair_rows = [
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+    ]
+    pairs = spark.createDataFrame(pair_rows, "type_a string, type_b string")
+    m = (
+        pairs.join(sk.select(F.col("key").alias("type_a"), "hv"), "type_a")
+        .select("type_a", "type_b", "hv")
+        .unionByName(
+            pairs.join(
+                sk.select(F.col("key").alias("type_b"), "hv"), "type_b"
+            ).select("type_a", "type_b", "hv")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    pu = (
+        m.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("ns"), F.max("hv").alias("kth"))
+    )
+    eu = pu.select(
+        "type_a",
+        "type_b",
+        kmv_estimate(F.col("ns"), F.col("kth"), KMV_K).alias("est_union"),
+    )
+    ea = est.select(F.col("key").alias("type_a"), F.col("est").alias("est_a"))
+    eb = est.select(F.col("key").alias("type_b"), F.col("est").alias("est_b"))
+    na = counts.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("exact_a")
+    )
+    nb = counts.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("exact_b")
+    )
+    return (
+        eu.join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -156,3 +156,88 @@ def test_cms_estimate_rejects_grouped_sketches(spark, ev):
     b = {r["user_id"]: r["n_cms"]
          for r in sk.cms_estimate(whole, cand, "user_id").collect()}
     assert a == b
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV invariants: the sketch IS the k smallest distinct hashes
+    (prefilter changes nothing), unions are closed (merge+re-rank of
+    two sketches == sketch of the concatenated input), the estimator
+    is exact below k and within the ~1/sqrt(k) band above it, and the
+    prefilter validation raises when sabotaged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meteo_etl_spark.functions.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("k"),
+        (F.col("id") % 997).alias("v"),
+    )
+    sk = kmv_sketch(df, "k", "v")
+    got = {
+        r["key"]: r["hvs"]
+        for r in sk.groupBy("key")
+        .agg(F.sort_array(F.collect_list("hv")).alias("hvs"))
+        .collect()
+    }
+    # ground truth: k smallest distinct hashes per key, no prefilter
+    truth = {
+        r["k"]: r["hvs"][:KMV_K]
+        for r in df.select("k", kmv_hash(F.col("v")).alias("hv"))
+        .distinct()
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("hv")).alias("hvs"))
+        .collect()
+    }
+    assert got == truth
+
+    # estimator: exact below k; within 3/sqrt(k-2) above it (uniform
+    # hashes; 3 sigma on the deterministic md5 draw for this data)
+    per = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("ns"), F.max("hv").alias("kth")
+    )
+    ests = {
+        r["key"]: r["e"]
+        for r in per.select(
+            "key", kmv_estimate(F.col("ns"), F.col("kth")).alias("e")
+        ).collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.select("k", "v").distinct().groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for key, n in exact.items():
+        if n < KMV_K:
+            assert ests[key] == n
+        else:
+            assert abs(ests[key] - n) / n < 3 / (KMV_K - 2) ** 0.5, (
+                key, ests[key], n,
+            )
+
+    # union closure: sketch(A ∪ B rows) == merge(sketch A, sketch B)
+    both = kmv_sketch(
+        df.withColumn("k", F.lit("ab")), "k", "v"
+    ).select("hv")
+    merged = (
+        sk.select("hv").distinct().orderBy("hv").limit(KMV_K)
+    )
+    assert sorted(r.hv for r in both.collect()) == sorted(
+        r.hv for r in merged.collect()
+    )
+
+    # small column: sketch holds the whole set
+    tiny = spark.createDataFrame(
+        [("x", i) for i in range(10)], "k string, v long"
+    )
+    assert kmv_sketch(tiny, "k", "v").count() == 10
+
+    # sabotaged slack -> validation must raise, never under-sketch
+    with pytest.raises(RuntimeError, match="k-minima"):
+        kmv_sketch(df, "k", "v", slack=0)
