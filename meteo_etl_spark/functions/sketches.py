@@ -385,9 +385,16 @@ def kmv_sketch(
     size — never a per-key sort of all distinct values. The filter is
     validated engine-side (≥ min(n, k) survivors per key) and raises
     on the astronomically-unlikely miss instead of under-sketching."""
-    vals = df.select(
-        F.col(key_col).alias("key"), kmv_hash(F.col(value_col)).alias("hv")
-    ).distinct()
+    # NULL values hash to NULL, which would sort ahead of every real
+    # minimum and corrupt the sketch — distinct-count semantics ignore
+    # NULL anyway (COUNT(DISTINCT x) does), so drop them at the scan.
+    vals = (
+        df.select(
+            F.col(key_col).alias("key"), kmv_hash(F.col(value_col)).alias("hv")
+        )
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+    )
     counts = vals.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     thr = F.when(F.col("n") <= k, F.lit(KMV_SPACE)).otherwise(
         F.least(
