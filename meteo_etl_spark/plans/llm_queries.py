@@ -3540,6 +3540,127 @@ def docs_tfidf_topk(spark, sf_dir):
     )
 
 
+#: BM25 retrieval constants: the Robertson k1/b defaults, a fixed
+#: 3-term query panel (data-independent literals, the sim_ann_recall
+#: panel discipline), and every fractional constant injected into BOTH
+#: engines from the SAME Python float (repr round-trips the exact
+#: double, so "1.2" can never parse to different bits).
+_BM25_TERMS = ("join", "hash", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K1P1 = _BM25_K1 + 1.0
+_BM25_TOPK = 10
+
+
+@query(
+    "docs_bm25_topk",
+    f"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                   FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM t GROUP BY doc_id),
+    g AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nd FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t WHERE tok IN {_BM25_TERMS!r}
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t WHERE tok IN {_BM25_TERMS!r} GROUP BY tok),
+    s AS (SELECT tf.doc_id, tf.tok,
+                 ((CAST(g.nd AS DOUBLE) + 1) / (CAST(df.df AS DOUBLE) + 1))
+                 * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1P1!r})
+                    / (CAST(tf.tf AS DOUBLE)
+                       + {_BM25_K1!r} * (1 - {_BM25_B!r}
+                          + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE)
+                             / (CAST(g.tot AS DOUBLE)
+                                / CAST(g.nd AS DOUBLE)))))) AS sc
+          FROM tf JOIN dl USING (doc_id) CROSS JOIN g JOIN df USING (tok)),
+    p AS (SELECT doc_id,
+                 MAX(CASE WHEN tok = '{_BM25_TERMS[0]}' THEN sc END) AS s0,
+                 MAX(CASE WHEN tok = '{_BM25_TERMS[1]}' THEN sc END) AS s1,
+                 MAX(CASE WHEN tok = '{_BM25_TERMS[2]}' THEN sc END) AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM s GROUP BY doc_id),
+    f AS (SELECT doc_id, n_terms,
+                 CAST(floor((COALESCE(s0, 0) + COALESCE(s1, 0)
+                             + COALESCE(s2, 0)) * 1000000 + 0.5)
+                      AS BIGINT) AS score_u
+          FROM p)
+    SELECT doc_id, n_terms, score_u / 1000000.0 AS score
+    FROM f ORDER BY score_u DESC, doc_id LIMIT {_BM25_TOPK}""",
+    doc="BM25 retrieval over the corpus for a fixed 3-term query "
+    f"panel {_BM25_TERMS} — the production keyword-retrieval scorer "
+    "beside docs_tfidf_topk's per-doc characteristic terms. Variant "
+    "note (documented, deliberate): idf is the log-free rational "
+    "(N+1)/(df+1) — IEEE division is correctly rounded on both "
+    "engines where ln() is not; k1=1.2, b=0.75 with full "
+    "length-normalization (dl/avgdl). Determinism: one fixed chain "
+    "of correctly-rounded double ops per (doc, term); the per-doc "
+    "SUM pivots the 3 terms into columns and adds them in literal "
+    "order (a groupBy SUM over doubles would re-associate under "
+    "partitioning); ranking keys on the 1e-6-snapped integer, ties "
+    "on doc_id. Plan: tf prunes to the query terms BEFORE its "
+    "aggregate (the scan's explode feeds a 3-term filter); df is a "
+    "3-row broadcast; dl joins doc-keyed; the (tot, nd) census is a "
+    "1-row broadcast cross — linear work and a TakeOrderedAndProject "
+    "top-k, never a global sort.",
+    bench=True,
+)
+def docs_bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.sum("dl").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    qt = toks.filter(F.col("tok").isin(list(_BM25_TERMS)))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qt.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    avgdl = dbl("tot") / dbl("nd")
+    sc = ((dbl("nd") + F.lit(1.0)) / (dbl("df") + F.lit(1.0))) * (
+        (dbl("tf") * F.lit(_BM25_K1P1))
+        / (
+            dbl("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (dbl("dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfreq), "tok")
+        .select("doc_id", "tok", sc.alias("sc"))
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("sc"))).alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    total = (
+        F.coalesce(F.col("s0"), F.lit(0.0))
+        + F.coalesce(F.col("s1"), F.lit(0.0))
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            "n_terms",
+            F.floor(total * F.lit(1000000) + F.lit(0.5))
+            .cast("long")
+            .alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", "n_terms", (F.col("score_u") / F.lit(1000000.0)).alias("score"))
+    )
+
+
 @query(
     "dedup_edit_distance",
     f"""WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES}

@@ -1933,6 +1933,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_cluster_sizes",  # near-dup component size histogram (keep-policy yield table) over the bounded LSH pair route; oracle = recursive-CTE CC fixpoint (never)
     "mm_audio_chunks",  # audio-half framing contract: decode stub -> JVM explode windowing at 400/320 samples, hash-checked end to end (never)
     "events_kmv_user_overlap",  # KMV/theta sketch set ops: per-type distinct estimates + pairwise union/intersection from mergeable 64-minima relations; oracle replays the sketch bit-for-bit (never)
+    "docs_bm25_topk",  # BM25 retrieval (rational log-free idf, k1=1.2 b=0.75, full dl/avgdl normalization) for a fixed 3-term panel — top-10 by snapped score (never)
 )
 
 

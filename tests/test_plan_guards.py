@@ -66,6 +66,7 @@ SCALAR_BROADCAST_OK = {
     "sim_hard_negatives",  # the 5-row (data-independent anchor panel) crossed into one corpus scan
     "basket_rules",  # 1-row basket-count scalar crossed into the bounded rule table
     "emb_gram_census",  # 1-row census count (the (-1,-1) moment row) crossed into the d(d+1)/2-row covariance frame (emb_dim_corr's shape)
+    "docs_bm25_topk",  # 1-row (total tokens, doc count) census crossed into the query-term tf rows for the dl/avgdl normalization
 }
 
 
