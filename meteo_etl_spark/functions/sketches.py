@@ -441,3 +441,71 @@ def kmv_estimate(ns: Column, kth: Column, k: int = KMV_K) -> Column:
             + F.lit(0.5)
         ).cast("long")
     )
+
+
+def kmv_merge_foreach_batch(
+    spark,
+    store_path: str,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+):
+    """``foreachBatch`` handler maintaining a persisted per-key KMV
+    relation under a stream — the sketch-column maintenance pattern
+    (Druid/BigQuery) for distinct counting with SET OPERATIONS over
+    unbounded feeds. Idempotent by construction: the sketch is a set
+    union + k-min, so an at-least-once redelivery merges to the same
+    relation (no dedup bookkeeping needed — the property the
+    events_stream_kmv query certifies).
+
+    Scale shape: incoming rows hash map-side and are pre-filtered by
+    the existing per-key k-th minimum (the classic KMV insert filter —
+    once a key's sketch is full, only hashes BELOW its kth can change
+    it, so a mature sketch admits ~k/n of the stream); the merge ranks
+    ≤ k + admitted rows per key. The store itself is k x |keys| rows —
+    panel-sized — and is rewritten atomically via collect +
+    overwrite."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        incoming = (
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                kmv_hash(F.col(value_col)).alias("hv"),
+            )
+            .filter(F.col("hv").isNotNull())
+            .distinct()
+        )
+        try:
+            existing = sess.read.parquet(store_path).select("key", "hv")
+            has_store = True
+        except Exception:
+            has_store = False
+        if has_store:
+            gate = existing.groupBy("key").agg(
+                F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__kth")
+            )
+            incoming = (
+                incoming.join(F.broadcast(gate), "key", "left")
+                .filter(
+                    F.col("__n").isNull()
+                    | (F.col("__n") < k)
+                    | (F.col("hv") < F.col("__kth"))
+                )
+                .select("key", "hv")
+            )
+            merged = existing.unionByName(incoming).distinct()
+        else:
+            merged = incoming
+        w = Window.partitionBy("key").orderBy("hv")
+        rows = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("key", "hv")
+            .collect()  # panel-sized: <= k x |keys|
+        )
+        sess.createDataFrame(rows, schema="key string, hv long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(store_path)
+
+    return handle

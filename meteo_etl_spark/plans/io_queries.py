@@ -534,6 +534,121 @@ def events_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "events_stream_kmv",
+    """WITH h AS (SELECT DISTINCT event_type,
+                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv
+             FROM events),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
+          FROM h GROUP BY event_type),
+    r AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ns, MAX(hv) AS kth
+            FROM r WHERE rn <= 64 GROUP BY event_type)
+    SELECT p.event_type,
+           n.exact_users,
+           CASE WHEN p.ns < 64 THEN p.ns
+                ELSE CAST(floor(63.0 * 1152921504606846976.0
+                                / CAST(p.kth AS DOUBLE) + 0.5) AS BIGINT)
+           END AS est_users,
+           p.ns
+    FROM per p JOIN n USING (event_type)
+    ORDER BY event_type""",
+    doc="STREAMING KMV-sketch maintenance certification "
+    "(sketches.kmv_merge_foreach_batch): the events feed drains "
+    "through a real Structured-Streaming file source in two "
+    "availableNow waves into a foreachBatch handler that maintains a "
+    "persisted per-type KMV relation — with every 5th wave-1 event "
+    "REDELIVERED in wave 2, because the whole point of a KMV store "
+    "under an at-least-once source is that set-union + k-min is "
+    "idempotent and needs no dedup bookkeeping. The handler applies "
+    "the classic insert filter (a mature key admits only hashes "
+    "below its k-th minimum, ~k/n of the stream). In-query "
+    "certification: the maintained relation must EQUAL the one-shot "
+    "batch sketch of the same corpus (RuntimeError otherwise); the "
+    "returned per-type exact/estimate/size rows are then fully "
+    "deterministic md5 arithmetic, so the oracle hash certifies the "
+    "stream produced exactly the batch answer. Side-effecting "
+    "(scratch feed/checkpoint/store); excluded from the bench roster.",
+)
+def events_stream_kmv(spark, sf_dir):
+    from meteo_etl_spark.functions.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_merge_foreach_batch,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wave1 = ev.filter(F.col("ts") < cut)
+    wave2 = ev.filter(F.col("ts") >= cut)
+    redelivered = wave1.filter(F.col("event_id") % 5 == 0)
+    feed = _scratch("kmv_feed")
+    store = _scratch("kmv_store")
+    ckpt = _scratch("kmv_ckpt")
+    schema = ev.schema
+    handler = kmv_merge_foreach_batch(spark, store, "event_type", "user_id")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(feed)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.write.mode("append").parquet(feed)
+        drain()
+        wave2.unionByName(redelivered).write.mode("append").parquet(feed)
+        drain()
+        maintained = spark.read.parquet(store).select("key", "hv")
+        batch = kmv_sketch(ev, "event_type", "user_id", KMV_K)
+        diff = maintained.exceptAll(batch).unionByName(
+            batch.exceptAll(maintained)
+        )
+        n_diff = diff.count()
+        if n_diff:
+            raise RuntimeError(
+                f"streamed KMV relation diverges from the batch sketch "
+                f"by {n_diff} rows — merge is not idempotent/lossless"
+            )
+        exact = (
+            ev.select("event_type", "user_id")
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("exact_users"))
+        )
+        per = maintained.groupBy("key").agg(
+            F.count(F.lit(1)).alias("ns"), F.max("hv").alias("kth")
+        )
+        return (
+            per.select(
+                F.col("key").alias("event_type"),
+                kmv_estimate(F.col("ns"), F.col("kth"), KMV_K).alias(
+                    "est_users"
+                ),
+                "ns",
+            )
+            .join(exact, "event_type")
+            .select("event_type", "exact_users", "est_users", "ns")
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "rollup_incremental_agg",
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
               COUNT(*) AS n,

@@ -1934,6 +1934,7 @@ _DEFERRED: tuple[str, ...] = (
     "mm_audio_chunks",  # audio-half framing contract: decode stub -> JVM explode windowing at 400/320 samples, hash-checked end to end (never)
     "events_kmv_user_overlap",  # KMV/theta sketch set ops: per-type distinct estimates + pairwise union/intersection from mergeable 64-minima relations; oracle replays the sketch bit-for-bit (never)
     "docs_bm25_topk",  # BM25 retrieval (rational log-free idf, k1=1.2 b=0.75, full dl/avgdl normalization) for a fixed 3-term panel — top-10 by snapped score (never)
+    "events_stream_kmv",  # streaming KMV maintenance: foreachBatch merge with redelivery injection, maintained relation asserted equal to the one-shot batch sketch; side-effecting (never)
 )
 
 

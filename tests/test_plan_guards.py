@@ -36,6 +36,7 @@ SIDE_EFFECTING = {
     "sim_ann_serve_lsh",  # builds a scratch persisted tuned-LSH index then serves from it
     "sim_ann_serve_ivfpq",  # builds a scratch persisted IVF-PQ (codes-only) index then serves from it
     "sim_ann_serve_deleted",  # builds a scratch persisted index, tombstone-deletes, then serves
+    "events_stream_kmv",  # drives a real streaming drain maintaining a scratch persisted KMV store
 }
 
 #: BroadcastNestedLoopJoin allowlist: 1-row (or k-row, k tiny and
