@@ -1925,16 +1925,22 @@ _DEFERRED: tuple[str, ...] = (
     "docs_oov_rate",  # vocab coverage: docs_unigram_seed_vocab (incoming) vocab census; docs_unigram_vocab stays (in-window r8-r13, 6× green)
     "events_scd2_pit_join",  # point-in-time interval probe: events_scd2_stream (bit-identical history twin) stays (in-window r9-r13, 5× green)
     "events_sketch_rollup",  # mergeable sketch rollup: events_cms_merge_topk stays; events_kll_merge_quantiles (incoming) is the quantile-merge twin (in-window r10-r13, 4× green)
-    # New in round 14, deferred at birth (oracle-verified at sf0.001
-    # AND sf0.01 under two shuffle layouts in-session). ROUND-15
-    # ROTATION BACKLOG:
-    "emb_gram_census",  # the PCA pipeline's distributed stage hash-pinned: full covariance upper triangle from the moment census — shrinks emb_pca_variance's rows-only surface to the driver eigensolve (never)
-    "events_global_rank",  # distributed global rank (ranking.global_row_number) probed every 97th rank vs the oracle's native ROW_NUMBER — the corpus-scale certification of the bucket+offset route (never)
-    "dedup_cluster_sizes",  # near-dup component size histogram (keep-policy yield table) over the bounded LSH pair route; oracle = recursive-CTE CC fixpoint (never)
-    "mm_audio_chunks",  # audio-half framing contract: decode stub -> JVM explode windowing at 400/320 samples, hash-checked end to end (never)
-    "events_kmv_user_overlap",  # KMV/theta sketch set ops: per-type distinct estimates + pairwise union/intersection from mergeable 64-minima relations; oracle replays the sketch bit-for-bit (never)
-    "docs_bm25_topk",  # BM25 retrieval (rational log-free idf, k1=1.2 b=0.75, full dl/avgdl normalization) for a fixed 3-term panel — top-10 by snapped score (never)
-    "events_stream_kmv",  # streaming KMV maintenance: foreachBatch merge with redelivery injection, maintained relation asserted equal to the one-shot batch sketch; side-effecting (never)
+    # Round-15 rotation (r14 verdict order #1): ALL 7 r14 newborns
+    # (emb_gram_census, events_global_rank, dedup_cluster_sizes,
+    # mm_audio_chunks, events_kmv_user_overlap, docs_bm25_topk,
+    # events_stream_kmv) leave this ledger and enter the window for
+    # their first driver rows — once green in CORRECTNESS_r15, every
+    # query registered before round 15 has carried a driver row at
+    # least once (196/196 cumulative driver certification). Rotated OUT
+    # to make room, the seven most-certified window veterans, each with
+    # an in-window or incoming shape twin:
+    "jdbc_upsert_agg",  # Derby JDBC upsert+agg: events_stream_kmv (incoming) exercises the same keyed-merge maintenance; q15 family 8× green (in-window r6-r14, 9× green)
+    "docs_dup_spans",  # winnowed duplicate spans: docs_winnow_overlap stays (same fingerprint route); dedup_containment stays (in-window r10-r14, 5× green)
+    "docs_substring_dedup_rewrite",  # span excision rewrite: docs_boilerplate_chunks stays (chunk-hash census + rewrite shape) (in-window r10-r14, 5× green)
+    "events_scd2_stream",  # streaming SCD2 history: events_stream_dedup stays (same redelivery harness); events_stream_kmv (incoming) same foreachBatch merge (in-window r10-r14, 5× green)
+    "sim_route_choice",  # measured ANN route pick: the four sim_ann_serve_* routes stay (same audit+serve surface) (in-window r10-r14, 4× green)
+    "docs_classifier_confusion",  # classifier confusion matrix: docs_classifier_report/skill/calibration stay (same scoring route) (in-window r10-r14, 4× green)
+    "docs_classifier_report",  # per-class P/R/F1: docs_classifier_skill + chargram_skill stay (same model+scoring) (in-window r10-r14, 4× green)
 )
 
 

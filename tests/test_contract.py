@@ -133,20 +133,16 @@ def test_correctness_window_composition_is_pinned():
     Update this list deliberately when rotating (_DEFERRED ledger)."""
     import __spark_entry__ as e
 
-    window = list(e.queries())[:50]  # pinned roster: round-14 rotation
+    window = list(e.queries())[:50]  # pinned roster: round-15 rotation
     must_be_in_window = {
-        # round-14 rotation: the sixteen r13 newborns take their
-        # first driver check — once green in CORRECTNESS_r14, every
-        # query registered before round 14 has carried a driver row at
-        # least once (189/189 cumulative driver certification).
-        "docs_unigram_seed_vocab", "events_kll_merge_quantiles",
-        "docs_budget_waterfill", "events_stream_dedup",
-        "docs_ccnet_buckets", "docs_boilerplate_chunks",
-        "sim_ann_serve_deleted", "sim_filtered_topk",
-        "sim_hard_negatives", "docs_leakage_safe_split",
-        "sim_ivf_nprobe_curve", "mm_frame_sample",
-        "basket_rules", "events_watermark_audit",
-        "dedup_containment_sweep", "emb_hygiene_audit",
+        # round-15 rotation: the seven r14 newborns take their first
+        # driver check — once green in CORRECTNESS_r15, every query
+        # registered before round 15 has carried a driver row at least
+        # once (196/196 cumulative driver certification).
+        "emb_gram_census", "events_global_rank",
+        "dedup_cluster_sizes", "mm_audio_chunks",
+        "events_kmv_user_overlap", "docs_bm25_topk",
+        "events_stream_kmv",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"window lost contract entries: {sorted(missing)}"
