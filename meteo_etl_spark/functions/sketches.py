@@ -476,12 +476,18 @@ def kmv_merge_foreach_batch(
             .filter(F.col("hv").isNotNull())
             .distinct()
         )
-        try:
-            existing = sess.read.parquet(store_path).select("key", "hv")
-            has_store = True
-        except Exception:
-            has_store = False
+        # Probe store existence explicitly (Hadoop FS, works for any
+        # scheme) so that ONLY "no store yet" takes the bootstrap path.
+        # A transient/corrupt read error on an EXISTING store must
+        # propagate — silently overwriting with the current batch would
+        # discard all accumulated sketch history and break the lossless
+        # maintenance contract events_stream_kmv certifies.
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        has_store = jpath.getFileSystem(hconf).exists(jpath)
         if has_store:
+            existing = sess.read.parquet(store_path).select("key", "hv")
             gate = existing.groupBy("key").agg(
                 F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__kth")
             )
@@ -498,13 +504,17 @@ def kmv_merge_foreach_batch(
         else:
             merged = incoming
         w = Window.partitionBy("key").orderBy("hv")
-        rows = (
+        folded = (
             merged.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("key", "hv")
-            .collect()  # panel-sized: <= k x |keys|
         )
-        sess.createDataFrame(rows, schema="key string, hv long").coalesce(
+        # schema follows the key column's actual type (string, long, …)
+        # rather than a hardcoded literal — the merge logic above is
+        # type-agnostic and the store must be too
+        out_schema = folded.schema
+        rows = folded.collect()  # panel-sized: <= k x |keys|
+        sess.createDataFrame(rows, schema=out_schema).coalesce(
             1
         ).write.mode("overwrite").parquet(store_path)
 

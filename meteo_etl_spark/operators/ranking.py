@@ -55,16 +55,28 @@ def global_row_number(
     rn_col: str = "rn",
     n_buckets: int = DEFAULT_RANK_BUCKETS,
     accuracy: int = 10_000,
+    counts_out: dict | None = None,
 ) -> DataFrame:
     """``df`` plus a 1-based global ``row_number`` column over the
     total order ``order_by`` (list of ``(column, "asc"|"desc")``),
     computed without any single-partition sort.
 
-    Requirements: the FIRST order column must be numeric and non-null
-    (it is the bucketing key; remaining columns are tie-breakers and
-    may be any orderable type). The produced ranks are exactly those
-    of ``row_number().over(Window.orderBy(...))`` — same values, same
+    Requirements: the FIRST order column must be numeric (it is the
+    bucketing key; remaining columns are tie-breakers and may be any
+    orderable type). NULLs in the first key are routed to a dedicated
+    bucket matching Spark's window null ordering — FIRST for ``asc``,
+    LAST for ``desc`` — never silently mis-bucketed (a NULL key makes
+    every boundary comparison NULL, so without the explicit route the
+    row would land in bucket 0, wrong for ``desc``). The produced
+    ranks are exactly those of
+    ``row_number().over(Window.orderBy(...))`` — same values, same
     tie resolution — only the physical plan differs.
+
+    ``counts_out``: optional dict the function fills with ``{"n":
+    total_rows, "bucket_counts": {bucket: rows}}`` — the per-bucket
+    census it already computes. Callers needing the table's row count
+    (e.g. a max-rank probe, NTILE math) read it from here instead of
+    paying a second full scan.
     """
     first_name, first_dir = order_by[0]
     key = F.col(first_name)
@@ -83,6 +95,11 @@ def global_row_number(
         bucket = F.size(F.filter(arr, cmp)).cast("int")
     else:
         bucket = F.lit(0)
+    # NULL first-key rows: Spark's asc window = NULLS FIRST → a bucket
+    # strictly below every non-null bucket; desc = NULLS LAST → one
+    # strictly above (non-null buckets top out at len(bounds)).
+    null_bucket = -1 if first_dir.lower() == "asc" else len(bounds) + 1
+    bucket = F.when(key.isNull(), F.lit(null_bucket)).otherwise(bucket)
     bucketed = df.withColumn("__rank_bkt", bucket)
 
     # Cumulative offsets from the tiny per-bucket census (≤ n_buckets
@@ -92,6 +109,9 @@ def global_row_number(
         r["__rank_bkt"]: r["c"]
         for r in bucketed.groupBy("__rank_bkt").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    if counts_out is not None:
+        counts_out["n"] = sum(counts.values())
+        counts_out["bucket_counts"] = dict(counts)
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
@@ -145,15 +165,17 @@ def global_ntile(
     """``df`` plus an exact ``NTILE(n_tiles) OVER (ORDER BY ...)``
     column, computed via :func:`global_row_number` (no
     single-partition WindowExec). ``n`` may be passed when the caller
-    already holds the row count."""
+    already holds the row count; otherwise it is read from the rank
+    route's own bucket census (no extra scan)."""
+    tmp = f"__{tile_col}_rn"
+    census: dict = {}
+    ranked = global_row_number(
+        df, order_by, rn_col=tmp, n_buckets=n_buckets, counts_out=census
+    )
     if n is None:
-        n = df.count()
+        n = census["n"]
     if n == 0:
         return df.withColumn(tile_col, F.lit(None).cast("long"))
-    tmp = f"__{tile_col}_rn"
-    ranked = global_row_number(
-        df, order_by, rn_col=tmp, n_buckets=n_buckets
-    )
     return ranked.withColumn(
         tile_col, ntile_from_rank(F.col(tmp), n, n_tiles)
     ).drop(tmp)

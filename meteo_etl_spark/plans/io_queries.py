@@ -538,7 +538,8 @@ def events_stream_dedup(spark, sf_dir):
     """WITH h AS (SELECT DISTINCT event_type,
                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                       AS hv
-             FROM events),
+             FROM events
+             WHERE user_id IS NOT NULL),
     n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
           FROM h GROUP BY event_type),
     r AS (SELECT event_type, hv,
@@ -620,8 +621,11 @@ def events_stream_kmv(spark, sf_dir):
                 f"streamed KMV relation diverges from the batch sketch "
                 f"by {n_diff} rows — merge is not idempotent/lossless"
             )
+        # mirror the sketch's drop-at-scan rule: NULL user_ids carry no
+        # hash, so the exact census must exclude them too
         exact = (
             ev.select("event_type", "user_id")
+            .filter(F.col("user_id").isNotNull())
             .distinct()
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("exact_users"))

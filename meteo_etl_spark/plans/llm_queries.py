@@ -1123,8 +1123,13 @@ def events_global_rank(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
     )
-    n = ev.count()
-    ranked = global_row_number(ev, [("v", "asc"), ("event_id", "asc")])
+    # the max-rank probe needs n — read it from the rank route's own
+    # bucket census instead of paying a separate ev.count() scan
+    census: dict = {}
+    ranked = global_row_number(
+        ev, [("v", "asc"), ("event_id", "asc")], counts_out=census
+    )
+    n = census["n"]
     return (
         ranked.filter(
             (F.col("rn") % 97 == 0) | (F.col("rn") == 1) | (F.col("rn") == n)

@@ -219,7 +219,8 @@ def events_kll_merge_quantiles(spark, sf_dir):
     """WITH h AS (SELECT DISTINCT event_type,
                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                       AS hv
-             FROM events),
+             FROM events
+             WHERE user_id IS NOT NULL),
     n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
           FROM h GROUP BY event_type),
     r AS (SELECT event_type, hv,
@@ -290,8 +291,11 @@ def events_kmv_user_overlap(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     sk = kmv_sketch(ev, "event_type", "user_id", KMV_K).localCheckpoint()
+    # mirror the sketch's drop-at-scan rule: NULL user_ids carry no
+    # hash, so the exact census must exclude them too
     counts = (
         ev.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))

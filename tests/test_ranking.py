@@ -89,3 +89,46 @@ def test_global_ntile_empty_and_bad_direction(spark):
         global_row_number(
             spark.range(3).select(F.col("id").alias("v")), [("v", "up")]
         ).collect()
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_global_row_number_null_first_key(spark, direction):
+    """NULL first-key rows must rank exactly where the native window
+    puts them (asc -> NULLS FIRST, desc -> NULLS LAST) — the r14
+    advice: without an explicit route a NULL key lands in bucket 0,
+    silently wrong for desc."""
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("id") * 48271) % 199)
+        .alias("v"),
+    )
+    w = Window.orderBy(
+        F.col("v").asc() if direction == "asc" else F.col("v").desc(),
+        F.col("k").asc(),
+    )
+    exp = {
+        r.k: r.rn
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        r.k: r.rn
+        for r in global_row_number(
+            df, [("v", direction), ("k", "asc")], n_buckets=16
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_row_number_counts_out_census(spark, frames):
+    """counts_out must report the exact total row count and a bucket
+    census that sums to it — the no-second-scan contract
+    events_global_rank's max-rank probe relies on."""
+    census = {}
+    df = global_row_number(
+        frames["uniform"], [("v", "asc"), ("k", "asc")],
+        n_buckets=16, counts_out=census,
+    )
+    assert census["n"] == 5000
+    assert sum(census["bucket_counts"].values()) == 5000
+    assert df.filter(F.col("rn") == census["n"]).count() == 1

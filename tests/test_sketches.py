@@ -241,3 +241,54 @@ def test_kmv_sketch_properties(spark):
     # sabotaged slack -> validation must raise, never under-sketch
     with pytest.raises(RuntimeError, match="k-minima"):
         kmv_sketch(df, "k", "v", slack=0)
+
+
+def test_kmv_foreach_batch_store_semantics(spark, tmp_path):
+    """kmv_merge_foreach_batch store contract (r14 advice): a MISSING
+    store bootstraps; a CORRUPT existing store raises (never silently
+    overwritten with just the current batch); a numeric key column
+    persists with its real type (schema derived from the merge, not a
+    hardcoded 'key string' literal)."""
+    import pytest
+
+    from meteo_etl_spark.functions.sketches import (
+        kmv_merge_foreach_batch,
+        kmv_sketch,
+    )
+
+    store = str(tmp_path / "store")
+    handler = kmv_merge_foreach_batch(spark, store, "k", "v")
+    df1 = spark.range(0, 400).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 211).alias("v")
+    )
+    handler(df1, 0)
+    # numeric key column round-trips with its real type
+    persisted = spark.read.parquet(store)
+    assert dict(persisted.dtypes)["key"] == "bigint"
+
+    # second wave incl. full redelivery of wave 1 -> merge must equal
+    # the one-shot batch sketch of the union
+    df2 = spark.range(300, 900).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 211).alias("v")
+    )
+    handler(df2.unionByName(df1), 1)
+    maintained = spark.read.parquet(store).select("key", "hv")
+    batch = kmv_sketch(df1.unionByName(df2), "k", "v")
+    assert (
+        maintained.exceptAll(batch).count() == 0
+        and batch.exceptAll(maintained).count() == 0
+    )
+
+    # corrupt the existing store: the read error must PROPAGATE, and
+    # the accumulated store must survive untouched
+    import glob
+    import os
+
+    before = sorted(os.path.basename(p) for p in glob.glob(store + "/*.parquet"))
+    for p in glob.glob(store + "/*.parquet"):
+        with open(p, "wb") as f:
+            f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        handler(df1, 2)
+    after = sorted(os.path.basename(p) for p in glob.glob(store + "/*.parquet"))
+    assert after == before, "a failed read must not rewrite the store"

@@ -106,11 +106,22 @@ def main() -> int:
         "runs": [os.path.basename(p) for p in args.runs],
     }
     if serve_recalls:
+        # a serve_recall entry with NO matching timing row means the
+        # query errored after recall was recorded — refuse to certify
+        # rather than fabricate a 0.0-second wall (r14 advice)
+        unwalled = sorted(set(serve_recalls) - set(serve_walls))
+        if unwalled:
+            print(
+                "refusing to certify: serve_recall entries without any "
+                f"timing row: {unwalled}",
+                file=sys.stderr,
+            )
+            return 1
         out["serve"] = {
             name: {
-                "wall_sec_best": round(min(serve_walls.get(name, [0.0])), 4),
+                "wall_sec_best": round(min(serve_walls[name]), 4),
                 "wall_sec_median": round(
-                    statistics.median(serve_walls.get(name, [0.0])), 4
+                    statistics.median(serve_walls[name]), 4
                 ),
                 "recall_at_5": round(min(recs), 4),
                 "recall_runs": sorted(round(r, 4) for r in recs),
