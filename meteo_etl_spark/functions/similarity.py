@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.operators.parallelism import fan_out
@@ -652,6 +652,15 @@ def ann_lsh_topk(
 IVF_LISTS = 8
 IVF_NPROBE = 2
 
+#: serving-quality bar for the TUNED default probe depth: the smallest
+#: nprobe whose MINIMUM recall@k over the build-time audit panel clears
+#: this is stored in the index meta and becomes the query-time default
+#: (r14 verdict order #2 — a fixed nprobe=2 shipped recall@5 = 0.2 on
+#: the bench corpus; a route that is fast by skipping 80 % of true
+#: neighbors is not a legitimate speed win).
+IVF_RECALL_TARGET = 0.8
+IVF_TUNE_PANEL = 8
+
 
 def ivf_centroid(k: int, dim: int = EMBEDDING_DIM) -> list[float]:
     """Deterministic centroid k: per-component values in [-1, 1)
@@ -775,6 +784,42 @@ def ann_ivf_topk(
     )
 
 
+def _tuned_nprobe_meta(
+    emb: DataFrame,
+    *,
+    centroids: list[list[float]] | None,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Meta-sidecar fragment recording the recall-justified default
+    probe depth (:func:`ivf_operating_point`) — shared by every
+    IVF-family build so the tuned default and its evidence always
+    travel WITH the index."""
+    op = ivf_operating_point(
+        emb, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    return {
+        "nprobe_default": op["nprobe"],
+        "nprobe_tuning": {
+            "target_recall": op["target_recall"],
+            "k": op["k"],
+            "n_queries": op["n_queries"],
+            "min_recall_at_default": op["min_recall_at_default"],
+        },
+    }
+
+
+def _resolve_nprobe(nprobe: int | None, meta: dict | None) -> int:
+    """The serve-time probe depth: an explicit caller value wins; else
+    the index's tuned ``nprobe_default`` (recall-justified at build
+    time); else the legacy pinned constant (pre-tuning indexes)."""
+    if nprobe is not None:
+        return int(nprobe)
+    if meta is not None and "nprobe_default" in meta:
+        return int(meta["nprobe_default"])
+    return IVF_NPROBE
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -782,6 +827,7 @@ def build_ivf_index(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tune_nprobe: bool = True,
 ) -> None:
     """Persist the corpus as an IVF inverted file: one pass routes
     every vector to its argmax-dot centroid list and lands it under
@@ -813,6 +859,12 @@ def build_ivf_index(
             "n_lists": len(centroids),
             "centroids": [[float(x) for x in c] for c in centroids],
         }
+    if tune_nprobe:
+        meta.update(
+            _tuned_nprobe_meta(
+                emb, centroids=centroids, id_col=id_col, vec_col=vec_col
+            )
+        )
     corpus.write.mode("overwrite").partitionBy("lst").parquet(path)
     _write_ann_meta(emb.sparkSession, path, meta)
 
@@ -823,7 +875,7 @@ def query_ivf_index(
     query_vec: list[float],
     *,
     k: int = 5,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k over the persisted IVF index: the query's best ``nprobe``
@@ -837,8 +889,15 @@ def query_ivf_index(
     a TRAINED index (built with ``centroids=``), the probes are
     computed against the centroids STORED in the sidecar, so the
     query routes with exactly the quantizer the build used (same
-    first-max/lowest-list tie order as ``ivf_route_join``)."""
+    first-max/lowest-list tie order as ``ivf_route_join``).
+
+    ``nprobe=None`` (the default) serves at the index's TUNED depth —
+    the smallest nprobe whose min-recall@k over the build-time audit
+    panel cleared ``IVF_RECALL_TARGET`` (stored in the sidecar as
+    ``nprobe_default``); an explicit value overrides it (e.g. the
+    oracle-parity queries pin nprobe=2)."""
     meta = _read_ann_meta(spark, path)
+    nprobe = _resolve_nprobe(nprobe, meta)
     cents = None
     if meta is not None and "centroids" in meta:
         _check_ann_meta(spark, path, {"kind": "ivf"}, meta=meta)
@@ -864,6 +923,113 @@ def query_ivf_index(
         .limit(k)
         .select("vec_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def ivf_operating_point(
+    emb: DataFrame,
+    *,
+    target_recall: float = IVF_RECALL_TARGET,
+    n_queries: int = IVF_TUNE_PANEL,
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Measured IVF operating point: the smallest ``nprobe`` whose
+    MINIMUM recall@``k`` over an ``n_queries`` audit panel (the
+    lowest-id vectors — deterministic, includes the serving smoke
+    query) reaches ``target_recall``, plus the full coverage curve.
+
+    This is the per-index twin of the ``sim_ivf_nprobe_curve``
+    operating table: list coverage of the exact top-k IS recall for
+    the IVF-flat route (exact cosine re-ranks every covered
+    candidate) and an upper bound for the codes-only routes. The
+    min-over-panel criterion is deliberately conservative: a MEAN
+    target lets individual queries ship far below the bar.
+
+    Plan: ONE corpus scan assigns lists and scores the broadcast
+    query panel (``n_queries`` cosines per row — audit-sized, the
+    ``ann_recall`` shape); a per-query window keeps the exact top-k
+    (panel-bounded state), and the ``n_queries × k`` (probe-rank,
+    query) pairs collapse driver-side into the ≤ ``n_lists``-point
+    curve. At 100 TB this is one pass over the corpus at build time —
+    the price of never shipping an untested default."""
+    n_lists = len(centroids) if centroids is not None else IVF_LISTS
+    cents = (
+        [list(map(float, c)) for c in centroids]
+        if centroids is not None
+        else [ivf_centroid(j) for j in range(IVF_LISTS)]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    if centroids is None:
+        corpus = base.withColumn("lst", ivf_list_of(F.col("v")))
+    else:
+        corpus = ivf_route_join(base, cents, vec_col="v", out_col="lst")
+
+    panel_rows = (
+        base.orderBy("vec_id").limit(n_queries).collect()
+    )  # audit-panel-sized collect
+    if not panel_rows:
+        raise ValueError("ivf_operating_point: empty corpus")
+    panel = []
+    for r in panel_rows:
+        qv = [float(x) for x in r["v"]]
+        dots = [_dot_py(qv, c) for c in cents]
+        order = sorted(range(n_lists), key=lambda j: (-dots[j], j))
+        prank_of_list = [0] * n_lists
+        for rank, j in enumerate(order):
+            prank_of_list[j] = rank + 1
+        panel.append((int(r["vec_id"]), qv, prank_of_list))
+    spark = emb.sparkSession
+    panel_df = spark.createDataFrame(
+        panel, "qid long, qv array<double>, prank_arr array<int>"
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id")
+    topk = (
+        corpus.join(F.broadcast(panel_df), on=F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.element_at(F.col("prank_arr"), F.col("lst").cast("int")).alias(
+                "prank"
+            ),
+            cosine(F.col("v"), F.col("qv")).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "prank")
+        .collect()  # n_queries × k rows
+    )
+    by_q: dict[int, list[int]] = {}
+    for r in topk:
+        by_q.setdefault(r["qid"], []).append(r["prank"])
+    curve = {}
+    chosen = n_lists
+    for npb in range(1, n_lists + 1):
+        hits = [
+            sum(1 for p in pranks if p <= npb) for pranks in by_q.values()
+        ]
+        rec = [h / float(len(p)) for h, p in zip(hits, by_q.values())]
+        curve[npb] = {
+            "min_recall": round(min(rec), 4),
+            "mean_recall": round(sum(rec) / len(rec), 4),
+            # integer twins of the recalls — the hash-stable form the
+            # sim_ann_operating_point oracle certifies
+            "min_hits": min(hits),
+            "sum_hits": sum(hits),
+        }
+        if curve[npb]["min_recall"] >= target_recall and chosen == n_lists:
+            chosen = npb
+    return {
+        "nprobe": chosen,
+        "k": k,
+        "n_queries": len(by_q),
+        "target_recall": target_recall,
+        "min_recall_at_default": curve[chosen]["min_recall"],
+        "curve": curve,
+    }
 
 
 def _codes_from_rows(
@@ -1390,6 +1556,7 @@ def build_ivfpq_index(
     codebook: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tune_nprobe: bool = True,
 ) -> None:
     """Persist the corpus as an IVF-PQ inverted file — the faiss
     serving architecture and THE memory lever at 100 TB: each entry
@@ -1440,18 +1607,21 @@ def build_ivfpq_index(
         .partitionBy("batch", "lst")
         .parquet(path)
     )
-    _write_ann_meta(
-        emb.sparkSession,
-        path,
-        {
-            "kind": "ivfpq",
-            "n_lists": IVF_LISTS,
-            "n_sub": n_sub,
-            "sub_dim": sub_dim,
-            "n_codes": n_codes,
-            "codebook": codes,
-        },
-    )
+    meta = {
+        "kind": "ivfpq",
+        "n_lists": IVF_LISTS,
+        "n_sub": n_sub,
+        "sub_dim": sub_dim,
+        "n_codes": n_codes,
+        "codebook": codes,
+    }
+    if tune_nprobe:
+        meta.update(
+            _tuned_nprobe_meta(
+                emb, centroids=None, id_col=id_col, vec_col=vec_col
+            )
+        )
+    _write_ann_meta(emb.sparkSession, path, meta)
 
 
 def _ivfpq_encode(
@@ -1578,7 +1748,7 @@ def query_ivfpq_index(
     *,
     k: int = 5,
     n_cand: int = 100,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1613,6 +1783,7 @@ def query_ivfpq_index(
     _check_ann_meta(
         spark, path, {"kind": "ivfpq", "n_lists": IVF_LISTS}, meta=meta
     )
+    nprobe = _resolve_nprobe(nprobe, meta)
     codes = meta["codebook"]
     n_sub = int(meta["n_sub"])
     sub_dim = int(meta["sub_dim"])
@@ -1738,6 +1909,7 @@ def build_ann_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tune_nprobe: bool = True,
 ) -> None:
     """Build the persisted index FOR a chosen route — the missing arc
     that closes the audit loop (r10 verdict order #3):
@@ -1753,7 +1925,10 @@ def build_ann_index(
             f"{sorted(ANN_ROUTE_PARAMS)}"
         )
     if route == "ivf":
-        build_ivf_index(emb, path, id_col=id_col, vec_col=vec_col)
+        build_ivf_index(
+            emb, path, id_col=id_col, vec_col=vec_col,
+            tune_nprobe=tune_nprobe,
+        )
     else:
         p = ANN_ROUTE_PARAMS[route]
         build_lsh_index(
@@ -1774,12 +1949,14 @@ def query_ann_index(
     *,
     k: int = 5,
     exclude_id: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index built by
     :func:`build_ann_index` for the same route: partition-pruned scan
     of the probed lists/buckets, exact-cosine re-rank — the plan
     carries PartitionFilters either way (asserted by the serving
-    e2e tests)."""
+    e2e tests). ``nprobe`` applies to the ivf route only (None =
+    the index's tuned default); LSH routes probe by bucket."""
     if route not in ANN_ROUTE_PARAMS:
         raise ValueError(
             f"unknown ANN route {route!r}; expected one of "
@@ -1787,7 +1964,8 @@ def query_ann_index(
         )
     if route == "ivf":
         return query_ivf_index(
-            spark, path, query_vec, k=k, exclude_id=exclude_id
+            spark, path, query_vec, k=k, exclude_id=exclude_id,
+            nprobe=nprobe,
         )
     p = ANN_ROUTE_PARAMS[route]
     return query_lsh_index(
@@ -2622,6 +2800,7 @@ def build_ivfsq8_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBEDDING_DIM,
+    tune_nprobe: bool = True,
 ) -> None:
     """Persist the corpus as an IVF-SQ8 inverted file: (vec_id, dim
     8-bit codes) under argmax-dot ``lst=<k>`` partitions (the
@@ -2648,17 +2827,20 @@ def build_ivfsq8_index(
         .partitionBy("batch", "lst")
         .parquet(path)
     )
-    _write_ann_meta(
-        emb.sparkSession,
-        path,
-        {
-            "kind": "ivfsq8",
-            "n_lists": IVF_LISTS,
-            "dim": dim,
-            "lo": lo,
-            "hi": hi,
-        },
-    )
+    meta = {
+        "kind": "ivfsq8",
+        "n_lists": IVF_LISTS,
+        "dim": dim,
+        "lo": lo,
+        "hi": hi,
+    }
+    if tune_nprobe:
+        meta.update(
+            _tuned_nprobe_meta(
+                emb, centroids=None, id_col=id_col, vec_col=vec_col
+            )
+        )
+    _write_ann_meta(emb.sparkSession, path, meta)
 
 
 def query_ivfsq8_index(
@@ -2669,7 +2851,7 @@ def query_ivfsq8_index(
     *,
     k: int = 5,
     n_cand: int = 100,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2692,6 +2874,7 @@ def query_ivfsq8_index(
     _check_ann_meta(
         spark, path, {"kind": "ivfsq8", "n_lists": IVF_LISTS}, meta=meta
     )
+    nprobe = _resolve_nprobe(nprobe, meta)
     lo = [float(x) for x in meta["lo"]]
     hi = [float(x) for x in meta["hi"]]
     dim = int(meta["dim"])

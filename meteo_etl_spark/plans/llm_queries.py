@@ -14,6 +14,8 @@ so summation order — and therefore the last ulp — is identical.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2686,6 +2688,76 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
 
 
 @query(
+    "sim_ann_operating_point",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    asn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d FROM c),
+    q AS (SELECT vec_id AS qid, v AS qv, d AS qd FROM asn
+          ORDER BY vec_id LIMIT {sim.IVF_TUNE_PANEL}),
+    pr AS (SELECT qid, j,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY qd[j] DESC, j) AS prank
+           FROM q, UNNEST(range(1, {sim.IVF_LISTS + 1})) AS g(j)),
+    s AS (SELECT q.qid, a.vec_id, a.lst,
+                 {_duck_dot('a.v', 'q.qv')} / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('q.qv', 'q.qv')})) AS sim_raw
+          FROM asn a, q WHERE a.vec_id <> q.qid),
+    topk AS (SELECT qid, lst FROM (
+               SELECT qid, lst,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY sim_raw DESC, vec_id) AS rn
+               FROM s) WHERE rn <= 5),
+    tp AS (SELECT t.qid, pr.prank
+           FROM topk t JOIN pr ON pr.qid = t.qid AND pr.j = t.lst),
+    hits AS (SELECT g.n AS nprobe, t.qid,
+                    CAST(SUM(CASE WHEN t.prank <= g.n THEN 1 ELSE 0 END)
+                         AS BIGINT) AS h
+             FROM UNNEST(range(1, {sim.IVF_LISTS + 1})) AS g(n), tp t
+             GROUP BY g.n, t.qid),
+    curve AS (SELECT nprobe, CAST(MIN(h) AS BIGINT) AS min_hits,
+                     CAST(SUM(h) AS BIGINT) AS sum_hits
+              FROM hits GROUP BY nprobe),
+    pick AS (SELECT COALESCE(MIN(nprobe), {sim.IVF_LISTS}) AS c
+             FROM curve
+             WHERE min_hits >= {math.ceil(sim.IVF_RECALL_TARGET * 5)})
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe, c.min_hits, c.sum_hits,
+           (c.nprobe = p.c) AS chosen
+    FROM curve c CROSS JOIN pick p ORDER BY c.nprobe""",
+    doc="The recall-justified serve-default certification (r14 "
+    "verdict order #2): ivf_operating_point — the EXACT tuner every "
+    "build_ivf*/ivfpq/ivfsq8 call runs to stamp nprobe_default into "
+    "the index sidecar — replayed against a native-SQL oracle. Per "
+    f"nprobe 1..{sim.IVF_LISTS}, the MIN and SUM of exact-top-5 "
+    f"coverage hits over the {sim.IVF_TUNE_PANEL}-query audit panel "
+    "(lowest vec_ids), and the chosen flag on the smallest depth "
+    f"whose min-recall@5 clears {sim.IVF_RECALL_TARGET} (hits >= "
+    f"{math.ceil(sim.IVF_RECALL_TARGET * 5)}/5 — integer arithmetic, "
+    "hash-stable). This row set IS the evidence that a default-probe "
+    "query cannot ship 1-in-5 of the true neighbors again: the "
+    "stored default is derived from a measured curve, not a "
+    "constant. Plan: ONE corpus scan assigns lists and scores the "
+    "broadcast panel (the ann_recall shape), a per-query window "
+    "keeps top-5 (panel-bounded state), and the curve assembles "
+    "driver-side from panel*k probe ranks.",
+    bench=True,
+)
+def sim_ann_operating_point(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    op = sim.ivf_operating_point(emb)
+    rows = [
+        (
+            int(npb),
+            int(e["min_hits"]),
+            int(e["sum_hits"]),
+            bool(npb == op["nprobe"]),
+        )
+        for npb, e in sorted(op["curve"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe long, min_hits long, sum_hits long, chosen boolean"
+    ).orderBy("nprobe")
+
+
+@query(
     "sim_ann_ivf",
     f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
@@ -2758,13 +2830,18 @@ def sim_ann_serve_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     scratch = tempfile.mkdtemp(prefix="annserve_")
     try:
-        sim.build_ann_index("ivf", emb, f"{scratch}/idx")
+        sim.build_ann_index("ivf", emb, f"{scratch}/idx", tune_nprobe=False)  # query pins the parity depth
         qv = [
             float(x)
             for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         ]
+        # nprobe pinned at the oracle-parity depth (the SQL replays the
+        # p1/p2 two-probe arithmetic literally); the index's TUNED
+        # default serves real traffic and is certified by
+        # sim_ann_operating_point + the bench serve-recall artifact
         got = sim.query_ann_index(
-            "ivf", spark, f"{scratch}/idx", qv, k=5, exclude_id=0
+            "ivf", spark, f"{scratch}/idx", qv, k=5, exclude_id=0,
+            nprobe=sim.IVF_NPROBE,
         )
         plan = got._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
@@ -5719,7 +5796,8 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
     scratch = tempfile.mkdtemp(prefix="annserveivfpq_")
     try:
         sim.build_ivfpq_index(
-            emb, f"{scratch}/idx", n_sub=PQ_M, sub_dim=PQ_SUB, n_codes=PQ_K
+            emb, f"{scratch}/idx", n_sub=PQ_M, sub_dim=PQ_SUB, n_codes=PQ_K,
+            tune_nprobe=False,  # query pins the parity depth
         )
         qv = [
             float(x)
@@ -5737,6 +5815,7 @@ def sim_ann_serve_ivfpq(spark, sf_dir):
             emb,
             k=PQ_TOPK,
             n_cand=PQ_CAND,
+            nprobe=sim.IVF_NPROBE,  # oracle-parity depth (SQL replays p1/p2)
             exclude_id=0,
         )
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -7641,7 +7720,7 @@ def sim_ann_serve_ivfsq8(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     scratch = tempfile.mkdtemp(prefix="annserveivfsq8_")
     try:
-        sim.build_ivfsq8_index(emb, f"{scratch}/idx")
+        sim.build_ivfsq8_index(emb, f"{scratch}/idx", tune_nprobe=False)  # query pins the parity depth
         qv = [
             float(x)
             for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -7653,6 +7732,7 @@ def sim_ann_serve_ivfsq8(spark, sf_dir):
             emb,
             k=SQ8_TOPK,
             n_cand=SQ8_CAND,
+            nprobe=sim.IVF_NPROBE,  # oracle-parity depth (SQL replays p1/p2)
             exclude_id=0,
         )
         plan = got._jdf.queryExecution().executedPlan().toString()

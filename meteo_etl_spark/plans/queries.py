@@ -1941,6 +1941,10 @@ _DEFERRED: tuple[str, ...] = (
     "sim_route_choice",  # measured ANN route pick: the four sim_ann_serve_* routes stay (same audit+serve surface) (in-window r10-r14, 4× green)
     "docs_classifier_confusion",  # classifier confusion matrix: docs_classifier_report/skill/calibration stay (same scoring route) (in-window r10-r14, 4× green)
     "docs_classifier_report",  # per-class P/R/F1: docs_classifier_skill + chargram_skill stay (same model+scoring) (in-window r10-r14, 4× green)
+    # New in round 15, deferred at birth (oracle-verified at sf0.001
+    # AND sf0.01 under two shuffle layouts in-session). ROUND-16
+    # ROTATION BACKLOG:
+    "sim_ann_operating_point",  # recall-justified serve-default certification: the build-time nprobe tuner (min/sum top-5 coverage hits over the 8-query audit panel, chosen = smallest depth clearing the 0.8 bar) replayed hash-for-hash by a native-SQL oracle (never)
 )
 
 

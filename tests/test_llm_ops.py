@@ -895,8 +895,19 @@ def test_route_choice_drives_persisted_serving_end_to_end(spark, tmp_path):
         sim.build_ann_index(route, emb, idx)
         row0 = emb.orderBy("vec_id").limit(1).collect()[0]
         qv = [float(x) for x in row0.embedding]
+        # the ivf side serves at the PARITY depth here (the in-memory
+        # twin below is the fixed two-probe route); the tuned default
+        # stamped by the build is asserted separately
+        if route == "ivf":
+            meta = sim._read_ann_meta(spark, idx)
+            assert meta["nprobe_default"] >= 1
+            assert (
+                meta["nprobe_tuning"]["min_recall_at_default"]
+                >= sim.IVF_RECALL_TARGET
+            )
         got = sim.query_ann_index(
-            route, spark, idx, qv, k=5, exclude_id=row0.vec_id
+            route, spark, idx, qv, k=5, exclude_id=row0.vec_id,
+            nprobe=sim.IVF_NPROBE if route == "ivf" else None,
         )
         rows = got.collect()
         assert len(rows) == 5
