@@ -129,6 +129,251 @@ def _execute_prepared(
             ps.close()
 
 
+def _query_strings(spark: SparkSession, url: str, sql: str) -> list[str]:
+    """Driver-side single-column string query (ledger reads are one
+    tiny metadata row set — a Spark JDBC relation per probe would be
+    pure overhead, same reasoning as the prepared-statement writes)."""
+    with driver_connection(spark, url) as conn:
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            out = []
+            while rs.next():
+                out.append(rs.getString(1))
+            return out
+        finally:
+            st.close()
+
+
+def _column_meta(
+    spark: SparkSession, url: str, table: str
+) -> dict[str, tuple[str, int]]:
+    """``{lowercase column: (TYPE_NAME, COLUMN_SIZE)}`` from JDBC
+    metadata — the shape probe the retype migration uses to decide
+    whether a legacy column actually needs work."""
+    with driver_connection(spark, url) as conn:
+        md = conn.getMetaData()
+        out: dict[str, tuple[str, int]] = {}
+        for name in (table, table.upper(), table.lower()):
+            rs = md.getColumns(None, None, name, None)
+            while rs.next():
+                out[rs.getString("COLUMN_NAME").lower()] = (
+                    (rs.getString("TYPE_NAME") or "").upper(),
+                    int(rs.getInt("COLUMN_SIZE")),
+                )
+            if out:
+                break
+        return out
+
+
+def _try_statements(
+    spark: SparkSession, url: str, candidates: list[str]
+) -> None:
+    """Run the first candidate statement the engine accepts — the
+    dialect shim for DDL with no portable spelling (Derby renames with
+    ``RENAME COLUMN t.c TO x``, the SQL standard and Postgres/DuckDB
+    with ``ALTER TABLE t RENAME COLUMN c TO x``)."""
+    last: Exception | None = None
+    for sql in candidates:
+        try:
+            _execute_prepared(spark, url, sql, [])
+            return
+        except Exception as exc:  # try the next dialect spelling
+            last = exc
+    assert last is not None
+    raise last
+
+
+def _rename_column(
+    spark: SparkSession, url: str, table: str, old: str, new: str
+) -> None:
+    _try_statements(
+        spark,
+        url,
+        [
+            f'RENAME COLUMN {table}."{old}" TO "{new}"',
+            f'ALTER TABLE {table} RENAME COLUMN "{old}" TO "{new}"',
+        ],
+    )
+
+
+def _retype_column_with_cast(
+    spark: SparkSession, url: str, table: str, col: str, new_type: str
+) -> None:
+    """Change a column's declared type IN PLACE, preserving data:
+    first the engine's native widen (``SET DATA TYPE`` — Derby only
+    widens VARCHAR lengths; Postgres ``TYPE``), else the portable
+    four-step dance: add a temp column of the target type, ``UPDATE
+    .. SET tmp = CAST(col ..)``, drop the old column, rename the temp
+    into its name. The dance does not re-declare NOT NULL (the
+    engine's NOT NULLs are enforced at CREATE; migrated legacy
+    columns stay nullable — same posture as the additive widening
+    path, where evolution columns are nullable by design)."""
+    try:
+        _try_statements(
+            spark,
+            url,
+            [
+                f'ALTER TABLE {table} ALTER COLUMN "{col}" '
+                f"SET DATA TYPE {new_type}",
+                f'ALTER TABLE {table} ALTER COLUMN "{col}" TYPE {new_type}',
+            ],
+        )
+        return
+    except Exception:
+        pass  # native widen refused (e.g. type family change) — dance
+    tmp = f"{col}__mig"
+    _execute_prepared(
+        spark, url, f'ALTER TABLE {table} ADD COLUMN "{tmp}" {new_type}', []
+    )
+    _execute_prepared(
+        spark,
+        url,
+        f'UPDATE {table} SET "{tmp}" = CAST("{col}" AS {new_type})',
+        [],
+    )
+    _execute_prepared(
+        spark, url, f'ALTER TABLE {table} DROP COLUMN "{col}"', []
+    )
+    _rename_column(spark, url, table, tmp, col)
+
+
+#: ledger of applied non-additive migrations — the engine's mirror of
+#: the reference's alembic version table: one row per applied revision,
+#: so each migration runs exactly once per database even across
+#: process restarts and mixed-version rollouts.
+_MIGRATION_LEDGER = "meteo_schema_migrations"
+
+
+def _ensure_ledger(spark: SparkSession, url: str) -> None:
+    if jdbc_table_exists(spark, url, _MIGRATION_LEDGER):
+        return
+    try:
+        _execute_prepared(
+            spark,
+            url,
+            f"CREATE TABLE {_MIGRATION_LEDGER} ("
+            '"revision" VARCHAR(64) NOT NULL PRIMARY KEY, '
+            '"applied_at" TIMESTAMP NOT NULL)',
+            [],
+        )
+    except Exception:
+        # lost a concurrent-create race — fine as long as it exists
+        if not jdbc_table_exists(spark, url, _MIGRATION_LEDGER):
+            raise
+
+
+def _applied_revisions(spark: SparkSession, url: str) -> set[str]:
+    _ensure_ledger(spark, url)
+    return set(
+        _query_strings(
+            spark, url, f'SELECT "revision" FROM {_MIGRATION_LEDGER}'
+        )
+    )
+
+
+def _stamp_revision(spark: SparkSession, url: str, revision: str) -> None:
+    try:
+        _execute_prepared(
+            spark,
+            url,
+            f"INSERT INTO {_MIGRATION_LEDGER} "
+            '("revision", "applied_at") VALUES (?, ?)',
+            [("str", revision), ("ts", datetime.now())],
+        )
+    except Exception:
+        # a concurrent migrator stamped it first — the revision is
+        # applied either way (every step below is precondition-guarded
+        # and value-idempotent, so a double run is harmless)
+        if revision not in _applied_revisions(spark, url):
+            raise
+
+
+def _mig_status_domain(spark: SparkSession, url: str) -> None:
+    """Mirror of reference revision a1cbf11c1945 (status → enum): fold
+    legacy free-text status values into the declared domain — the
+    reference's own data migration remaps ``finished`` → ``success``
+    and case-folds before attaching the enum
+    (`alembic/versions/a1cbf11c1945_change_fetch_status_to_enum.py:24-28`)
+    — then enforce the domain in-database with a named CHECK (the
+    engine's portable stand-in for the Postgres enum). Out-of-domain
+    values the remap cannot fold make the ADD CONSTRAINT fail loudly —
+    exactly what a migration should do with unmappable data."""
+    _execute_prepared(
+        spark,
+        url,
+        f'UPDATE {CONTROL_TABLE} SET "status" = LOWER("status")',
+        [],
+    )
+    _execute_prepared(
+        spark,
+        url,
+        f"UPDATE {CONTROL_TABLE} SET \"status\" = 'success' "
+        "WHERE \"status\" = 'finished'",
+        [],
+    )
+    statuses = ", ".join(f"'{s}'" for s in FETCH_STATUSES)
+    _execute_prepared(
+        spark,
+        url,
+        f"ALTER TABLE {CONTROL_TABLE} ADD CONSTRAINT "
+        f'"fetch_status_domain_ck" CHECK ("status" IN ({statuses}))',
+        [],
+    )
+
+
+def _mig_error_data_rename(spark: SparkSession, url: str) -> None:
+    """Mirror of reference revision 4bcfdcf6e86a (response_data →
+    error_data, request_url retype): a legacy raw-response column is
+    RENAMED into ``error_data`` — data preserved, unlike the
+    reference's add+drop which discards it; the engine can afford the
+    stronger form because the column family is storage-compatible —
+    and ``request_url`` is widened in place to the declared
+    VARCHAR(2048) when the legacy declaration is narrower or a
+    different type family (``_retype_column_with_cast``)."""
+    cols = {c.lower() for c in jdbc_table_columns(spark, url, CONTROL_TABLE)}
+    if "error_data" not in cols:
+        for legacy in ("response_data", "raw_response_data"):
+            if legacy in cols:
+                _rename_column(spark, url, CONTROL_TABLE, legacy, "error_data")
+                break
+    meta = _column_meta(spark, url, CONTROL_TABLE)
+    if "request_url" in meta:
+        type_name, size = meta["request_url"]
+        if type_name != "VARCHAR" or size < 2048:
+            _retype_column_with_cast(
+                spark, url, CONTROL_TABLE, "request_url", "VARCHAR(2048)"
+            )
+
+
+#: the declared non-additive migration chain, applied IN ORDER before
+#: the additive widening pass — the engine's re-expression of the
+#: reference's alembic history for ``fetch_metadata`` (additive steps
+#: need no entry here; `ensure_control_table`'s widening pass already
+#: subsumes them, cf. 3967a578f902/4bcfdcf6e86a's add_column calls).
+_MIGRATIONS: tuple[tuple[str, Any], ...] = (
+    ("a1cbf11c1945_status_domain", _mig_status_domain),
+    ("4bcfdcf6e86a_error_data_rename", _mig_error_data_rename),
+)
+
+
+def _run_migrations(spark: SparkSession, url: str) -> None:
+    applied = _applied_revisions(spark, url)
+    for revision, fn in _MIGRATIONS:
+        if revision in applied:
+            continue
+        fn(spark, url)
+        _stamp_revision(spark, url, revision)
+
+
+def _stamp_all(spark: SparkSession, url: str) -> None:
+    """A freshly created table is already the post-migration shape —
+    record every revision as applied without running it (alembic's
+    ``stamp head``)."""
+    for revision, _ in _MIGRATIONS:
+        _stamp_revision(spark, url, revision)
+
+
 #: URLs whose control table this process has already created/migrated —
 #: ensure_control_table is called once per fetch registration (the
 #: per-job hot path), and the schema cannot regress mid-process, so the
@@ -138,13 +383,17 @@ _ENSURED_URLS: set[str] = set()
 
 def ensure_control_table(spark: SparkSession, url: str) -> None:
     """Create the control table, or — when an older-shape table already
-    exists — widen it additively (``ALTER TABLE .. ADD COLUMN`` per
-    declared column it lacks, in nullable form so existing rows read
-    back with NULLs). This is the database mirror of the parquet
-    store's additive-only evolution policy (`schemas.validate_evolution`)
-    and of the reference's migration discipline: its alembic revisions
-    add nullable columns to the live table rather than rebuild it
-    (e.g. `alembic/versions/3967a578f902_*.py` adds ``payload_path``).
+    exists — migrate it IN PLACE: first the declared non-additive
+    chain (``_MIGRATIONS``: column rename, value remap + CHECK,
+    retype-with-cast — each applied once per database, recorded in the
+    ``meteo_schema_migrations`` ledger exactly as the reference's
+    alembic version table records its revisions), then the additive
+    widening pass (``ALTER TABLE .. ADD COLUMN`` per declared column
+    it lacks, in nullable form so existing rows read back with NULLs
+    — the database mirror of the parquet store's additive-only policy,
+    `schemas.validate_evolution`). Non-additive steps run FIRST so a
+    legacy ``response_data`` is renamed into ``error_data`` before the
+    widening pass could add a fresh empty ``error_data`` beside it.
 
     Idempotent and memoized per URL within the process."""
     if url in _ENSURED_URLS:
@@ -152,15 +401,17 @@ def ensure_control_table(spark: SparkSession, url: str) -> None:
     if not jdbc_table_exists(spark, url, CONTROL_TABLE):
         try:
             _execute_prepared(spark, url, _ddl(), [])
+            _stamp_all(spark, url)  # created at the post-migration shape
             _ENSURED_URLS.add(url)
             return  # freshly created — already the declared shape
         except Exception:
             # Lost a concurrent-create race: fine as long as it exists
             # now — but the winner may run OLDER code (mixed-version
             # rollout) and have created the pre-evolution shape, so
-            # fall through to the widening pass instead of memoizing.
+            # fall through to the migration pass instead of memoizing.
             if not jdbc_table_exists(spark, url, CONTROL_TABLE):
                 raise
+    _run_migrations(spark, url)
     existing = {c.lower() for c in jdbc_table_columns(spark, url, CONTROL_TABLE)}
     for c in _COLUMNS:
         if c.lower() in existing:

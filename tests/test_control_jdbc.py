@@ -321,3 +321,104 @@ def test_lost_create_race_still_widens_old_shape_table(
 
     cols = {c.lower() for c in jdbc.jdbc_table_columns(spark, url, "FETCH_METADATA")}
     assert {"payload_path", "finished_at", "error_data", "response_status"} <= cols
+
+
+def test_non_additive_migration_rename_remap_and_check(spark, tmp_path):
+    """The declared non-additive chain (reference alembic revisions
+    a1cbf11c1945 + 4bcfdcf6e86a re-expressed): a legacy table with a
+    ``raw_response_data`` column, free-text status values (mixed case,
+    the pre-enum ``finished``) and a narrow ``request_url`` is — in ONE
+    ensure_control_table call — renamed (data preserved), value-folded
+    into the declared status domain, CHECK-enforced in-database, and
+    retyped to VARCHAR(2048); a second ensure is a no-op (ledgered)."""
+    from meteo_etl_spark.pipeline import control_jdbc
+
+    if not jdbc.driver_available(spark, jdbc.DERBY_DRIVER):
+        pytest.skip("Derby driver not on JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/mig/db;create=true"
+
+    jdbc._execute_update(
+        spark,
+        url,
+        'CREATE TABLE fetch_metadata ('
+        '"id" VARCHAR(36) NOT NULL PRIMARY KEY, '
+        '"created_at" TIMESTAMP NOT NULL, '
+        '"request_timestamp" TIMESTAMP NOT NULL, '
+        '"request_params" VARCHAR(4000), '
+        '"request_url" VARCHAR(512) NOT NULL, '
+        '"status" VARCHAR(16) NOT NULL, '
+        '"raw_response_data" VARCHAR(4000))',
+    )
+    jdbc._execute_update(
+        spark,
+        url,
+        "INSERT INTO fetch_metadata VALUES "
+        "('00000000-0000-0000-0000-000000000001', "
+        "TIMESTAMP('2025-01-01 00:00:00'), TIMESTAMP('2025-01-01 00:00:00'), "
+        "'{}', 'https://old.example/v1', 'FINISHED', '{\"hourly\": {}}'), "
+        "('00000000-0000-0000-0000-000000000002', "
+        "TIMESTAMP('2025-01-02 00:00:00'), TIMESTAMP('2025-01-02 00:00:00'), "
+        "'{}', 'https://old.example/v2', 'Pending', NULL)",
+    )
+
+    control_jdbc._ENSURED_URLS.discard(url)
+    control_jdbc.ensure_control_table(spark, url)
+
+    cols = {c.lower() for c in jdbc.jdbc_table_columns(spark, url, "FETCH_METADATA")}
+    assert "raw_response_data" not in cols  # renamed, not added-beside
+    assert "error_data" in cols
+    meta = control_jdbc._column_meta(spark, url, "fetch_metadata")
+    assert meta["request_url"] == ("VARCHAR", 2048)
+
+    wh = Warehouse(str(tmp_path / "wh"), control_jdbc_url=url)
+    rows = {r.id: r for r in control.read_fetch_metadata(spark, wh).collect()}
+    legacy = rows["00000000-0000-0000-0000-000000000001"]
+    assert legacy.error_data == '{"hourly": {}}'  # data survived the rename
+    assert legacy.status == "success"  # finished -> success, case-folded
+    assert legacy.request_url == "https://old.example/v1"  # retype kept data
+    assert rows["00000000-0000-0000-0000-000000000002"].status == "pending"
+
+    # the CHECK is enforced in-database on the migrated table
+    with pytest.raises(Exception, match="(?i)check|constraint"):
+        jdbc._execute_update(
+            spark,
+            url,
+            "INSERT INTO fetch_metadata "
+            '("id", "created_at", "request_timestamp", "request_url", "status") '
+            "VALUES ('00000000-0000-0000-0000-00000000000f', "
+            "TIMESTAMP('2025-01-03 00:00:00'), TIMESTAMP('2025-01-03 00:00:00'), "
+            "'https://old.example/v3', 'bogus')",
+        )
+
+    # ledgered: both revisions recorded, re-ensure runs nothing new
+    applied = control_jdbc._applied_revisions(spark, url)
+    assert {rev for rev, _ in control_jdbc._MIGRATIONS} <= applied
+    control_jdbc._ENSURED_URLS.discard(url)
+    control_jdbc.ensure_control_table(spark, url)
+    assert len(control.read_fetch_metadata(spark, wh).collect()) == 2
+
+    # and the migrated table serves the full current lifecycle
+    from datetime import datetime
+
+    fid = control_jdbc.insert_fetch_metadata(
+        spark, url, "https://new.example/v1", {"a": "1"}, datetime(2025, 2, 1)
+    )
+    control_jdbc.update_fetch_metadata(
+        spark, url, fid, status="success", response_status=200,
+        error_data=None, payload_path="/tmp/p", now=datetime(2025, 2, 1, 1),
+    )
+    rows = {r.id: r for r in control.read_fetch_metadata(spark, wh).collect()}
+    assert rows[fid].finished_at is not None
+
+
+def test_fresh_create_stamps_ledger_and_skips_migrations(spark, db_warehouse):
+    """A table created by current code is already the post-migration
+    shape: every declared revision is stamped at create time (alembic
+    'stamp head'), so no migration DDL ever touches it."""
+    from meteo_etl_spark.pipeline import control_jdbc
+
+    url = db_warehouse.control_jdbc_url
+    control_jdbc._ENSURED_URLS.discard(url)
+    control_jdbc.ensure_control_table(spark, url)
+    applied = control_jdbc._applied_revisions(spark, url)
+    assert applied == {rev for rev, _ in control_jdbc._MIGRATIONS}
