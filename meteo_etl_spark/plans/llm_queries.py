@@ -6391,6 +6391,83 @@ def docs_bpe_merges(spark, sf_dir):
     return bpe.bpe_train(fan_out(docs), _BPE_N_MERGES)
 
 
+#: unrolled merge budget for the hash-pinned docs_bpe_merges_k4 twin.
+_BPE_K4 = 4
+
+
+def _bpe_k4_oracle() -> str:
+    """DuckDB replay of the first ``_BPE_K4`` BPE merge steps.
+
+    The un-SQL-able part of BPE is the greedy leftmost-first
+    non-overlapping merge apply. Trick: encode each word's symbol
+    array as a ``chr(31)``-DOUBLE-separated string wrapped in
+    separators (``␟␟h␟␟e␟␟y␟␟``); symbols never contain the
+    separator, so the pattern ``␟a␟␟b␟`` matches exactly the
+    adjacent symbol pairs (a, b) — one full boundary between a and b,
+    half a boundary on each flank — and SQL ``replace()`` (leftmost,
+    non-overlapping, no rescan of replaced output) applies the merge
+    with PRECISELY apply_merge's greedy fold semantics: chained
+    occurrences keep a spare separator on each side so ``[a,b,a,b]``
+    collapses to ``[ab,ab]``, while ``[a,a,a]`` under (a,a) yields
+    ``[aa,a]``. Each unrolled step is then census → total-order
+    argmax → replace, all in SQL."""
+    s1 = "chr(31)"
+    s2 = "repeat(chr(31), 2)"
+    parts = [
+        f"""WITH w AS (SELECT UNNEST(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS word
+            FROM documents),
+    v0 AS (SELECT {s2} || regexp_replace(word, '(.)', '\\1' || {s2}, 'g')
+                  AS s, COUNT(*) AS freq
+           FROM w GROUP BY word)"""
+    ]
+    for i in range(_BPE_K4):
+        parts.append(
+            f"""sy{i} AS (SELECT list_filter(string_split(s, {s2}),
+                                x -> x <> '') AS syms, freq FROM v{i}),
+    p{i} AS (SELECT syms[j] AS a, syms[j + 1] AS b,
+                    CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM sy{i}, UNNEST(generate_series(1, length(syms) - 1)) AS g(j)
+             GROUP BY a, b),
+    m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{i + 1} AS (SELECT replace(v.s,
+                        {s1} || m.a || {s2} || m.b || {s1},
+                        {s1} || m.a || m.b || {s1}) AS s, v.freq
+             FROM v{i} v CROSS JOIN m{i} m)"""
+        )
+        # ORDER BY "rank" keeps the final projection deterministic
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({i} AS INTEGER) AS "rank", a, b, a || b AS merged, '
+        f"cnt AS pair_count FROM m{i}"
+        for i in range(_BPE_K4)
+    )
+    return ",\n    ".join(parts) + f'\n    {selects} ORDER BY "rank"'
+
+
+@query(
+    "docs_bpe_merges_k4",
+    _bpe_k4_oracle(),
+    doc="The hash-pinned unrolled twin of docs_bpe_merges (r14 verdict "
+    "order #5, the events_user_pagerank unrolling precedent): the "
+    "first 4 merge decisions of the SAME trainer (functions/bpe."
+    "bpe_train — word histogram, map-combined pair census, total-order "
+    "argmax, greedy fold rewrite), replayed step-for-step by a "
+    "native-SQL oracle whose merge-apply is a separator-encoded "
+    "string replace with provably identical leftmost-first "
+    "non-overlapping semantics. Turns the tokenizer trainer's first k "
+    "steps from a rows-only check into a value-hash-certified one; "
+    "the full 8-merge run stays covered by docs_bpe_merges + the "
+    "pure-Python reference trainer in tests/test_bpe.py. Plan: "
+    "identical to docs_bpe_merges at k=4 — one corpus scan, then "
+    "vocab-table-only iterations.",
+)
+def docs_bpe_merges_k4(spark, sf_dir):
+    from meteo_etl_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(fan_out(docs), _BPE_K4)
+
+
 #: top-k most-correlated dimension pairs reported by emb_dim_corr.
 _DIMCORR_TOPK = 20
 

@@ -1945,6 +1945,7 @@ _DEFERRED: tuple[str, ...] = (
     # AND sf0.01 under two shuffle layouts in-session). ROUND-16
     # ROTATION BACKLOG:
     "sim_ann_operating_point",  # recall-justified serve-default certification: the build-time nprobe tuner (min/sum top-5 coverage hits over the 8-query audit panel, chosen = smallest depth clearing the 0.8 bar) replayed hash-for-hash by a native-SQL oracle (never)
+    "docs_bpe_merges_k4",  # hash-pinned unrolled BPE twin: first 4 merge decisions of bpe_train replayed in SQL (separator-encoded replace = the greedy fold, census -> total-order argmax per step) — shrinks the rows-only set (never)
 )
 
 
