@@ -1946,6 +1946,7 @@ _DEFERRED: tuple[str, ...] = (
     # ROTATION BACKLOG:
     "sim_ann_operating_point",  # recall-justified serve-default certification: the build-time nprobe tuner (min/sum top-5 coverage hits over the 8-query audit panel, chosen = smallest depth clearing the 0.8 bar) replayed hash-for-hash by a native-SQL oracle (never)
     "docs_bpe_merges_k4",  # hash-pinned unrolled BPE twin: first 4 merge decisions of bpe_train replayed in SQL (separator-encoded replace = the greedy fold, census -> total-order argmax per step) — shrinks the rows-only set (never)
+    "events_rank_skew_stress",  # rank route under 50%-one-key skew: whole tie group in ONE bucket, ranks exactly ROW_NUMBER's; bucket ceiling certified by tests/test_ranking.py::test_skew_stress_bucket_ceiling (never)
 )
 
 
