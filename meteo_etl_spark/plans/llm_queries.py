@@ -3686,9 +3686,10 @@ _BM25_K1P1 = _BM25_K1 + 1.0
 _BM25_TOPK = 10
 
 
-@query(
-    "docs_bm25_topk",
-    f"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+#: the BM25 oracle CTE chain ending in ``f(doc_id, n_terms, score_u)``
+#: — shared verbatim by docs_bm25_topk and docs_hybrid_rrf so both
+#: oracles replay the IDENTICAL correctly-rounded double chain.
+_BM25_ORACLE_CORE = f"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                    FROM documents),
     dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
            FROM t GROUP BY doc_id),
@@ -3718,7 +3719,12 @@ _BM25_TOPK = 10
                  CAST(floor((COALESCE(s0, 0) + COALESCE(s1, 0)
                              + COALESCE(s2, 0)) * 1000000 + 0.5)
                       AS BIGINT) AS score_u
-          FROM p)
+          FROM p)"""
+
+
+@query(
+    "docs_bm25_topk",
+    f"""{_BM25_ORACLE_CORE}
     SELECT doc_id, n_terms, score_u / 1000000.0 AS score
     FROM f ORDER BY score_u DESC, doc_id LIMIT {_BM25_TOPK}""",
     doc="BM25 retrieval over the corpus for a fixed 3-term query "
@@ -3740,6 +3746,24 @@ _BM25_TOPK = 10
     bench=True,
 )
 def docs_bm25_topk(spark, sf_dir):
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("score_u") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """The shared BM25 scoring chain (doc_id, n_terms, score_u) for the
+    fixed ``_BM25_TERMS`` panel — docs_bm25_topk's exact expression
+    tree, factored so the hybrid-retrieval fusion reuses the identical
+    correctly-rounded double chain (any drift would hash-split the two
+    queries' oracles)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -3781,17 +3805,115 @@ def docs_bm25_topk(spark, sf_dir):
         + F.coalesce(F.col("s1"), F.lit(0.0))
         + F.coalesce(F.col("s2"), F.lit(0.0))
     )
-    return (
-        pivoted.select(
-            "doc_id",
-            "n_terms",
-            F.floor(total * F.lit(1000000) + F.lit(0.5))
-            .cast("long")
-            .alias("score_u"),
-        )
+    return pivoted.select(
+        "doc_id",
+        "n_terms",
+        F.floor(total * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("score_u"),
+    )
+
+
+#: reciprocal-rank-fusion constants: the standard RRF damping k=60
+#: (Cormack et al. 2009), per-arm candidate depth, fused output size.
+_RRF_K = 60
+_RRF_ARM_K = 30
+_RRF_TOPK = 20
+
+
+@query(
+    "docs_hybrid_rrf",
+    f"""{_BM25_ORACLE_CORE},
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC,
+                                              doc_id) AS lex_rank
+            FROM (SELECT doc_id, score_u FROM f
+                  ORDER BY score_u DESC, doc_id LIMIT {_RRF_ARM_K})),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    cs AS (SELECT vec_id,
+                  {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+           FROM v, q WHERE vec_id <> 0),
+    sem AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_raw DESC,
+                                              vec_id) AS sem_rank
+            FROM (SELECT vec_id, sim_raw FROM cs
+                  ORDER BY sim_raw DESC, vec_id LIMIT {_RRF_ARM_K})),
+    u AS (SELECT COALESCE(l.doc_id, sm.vec_id) AS doc_id,
+                 CAST(l.lex_rank AS BIGINT) AS lex_rank,
+                 CAST(sm.sem_rank AS BIGINT) AS sem_rank,
+                 CAST(floor((COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                             + COALESCE(1.0 / ({_RRF_K} + sm.sem_rank), 0))
+                            * 1000000000 + 0.5) AS BIGINT) AS rrf_u
+          FROM lex l FULL OUTER JOIN sem sm ON l.doc_id = sm.vec_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf_u / 1000000000.0 AS rrf_score
+    FROM u ORDER BY rrf_u DESC, doc_id LIMIT {_RRF_TOPK}""",
+    doc="Hybrid retrieval with reciprocal-rank fusion — the standard "
+    "two-arm retrieval stack of RAG and training-data curation "
+    "(Cormack et al. 2009: RRF beats either arm alone and needs no "
+    "score calibration because it consumes RANKS, not scores): the "
+    f"BM25 lexical arm (docs_bm25_topk's exact scoring chain over the "
+    f"{_BM25_TERMS} panel) and the embedding-cosine semantic arm "
+    "(query = vec 0, the serve-smoke anchor) each contribute their "
+    f"top-{_RRF_ARM_K}; a document's fused score is "
+    f"sum(1/({_RRF_K}+rank)) over the arms it appears in, 1e-9-snapped "
+    "for hash-stable ordering, doc_id ties. Plan: each arm ends in "
+    "TakeOrderedAndProject (no global sort); the rank windows run "
+    f"over the {_RRF_ARM_K}-row arm frames (bounded, allowlisted); "
+    "fusion is a full-outer equi-join of two constant-size frames. At "
+    "100 TB each arm is one linear scan + top-k — exactly how a real "
+    "hybrid retriever composes (IVF/LSH can replace the brute arm "
+    "with the same fusion stage).",
+    bench=True,
+)
+def docs_hybrid_rrf(spark, sf_dir):
+    lex_w = Window.orderBy(F.desc("score_u"), "doc_id")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score_u")
         .orderBy(F.desc("score_u"), "doc_id")
-        .limit(_BM25_TOPK)
-        .select("doc_id", "n_terms", (F.col("score_u") / F.lit(1000000.0)).alias("score"))
+        .limit(_RRF_ARM_K)
+        .withColumn("lex_rank", F.row_number().over(lex_w).cast("long"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = fan_out(emb).select("vec_id", v.alias("v"))
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem_w = Window.orderBy(F.desc("sim_raw"), "vec_id")
+    sem = (
+        corpus.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", sim.cosine(F.col("v"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), "vec_id")
+        .limit(_RRF_ARM_K)
+        .withColumn("sem_rank", F.row_number().over(sem_w).cast("long"))
+    )
+    rrf = F.floor(
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        )
+        * F.lit(1000000000)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            rrf.alias("rrf_u"),
+        )
+        .orderBy(F.desc("rrf_u"), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.col("rrf_u") / F.lit(1000000000.0)).alias("rrf_score"),
+        )
     )
 
 

@@ -1947,6 +1947,7 @@ _DEFERRED: tuple[str, ...] = (
     "sim_ann_operating_point",  # recall-justified serve-default certification: the build-time nprobe tuner (min/sum top-5 coverage hits over the 8-query audit panel, chosen = smallest depth clearing the 0.8 bar) replayed hash-for-hash by a native-SQL oracle (never)
     "docs_bpe_merges_k4",  # hash-pinned unrolled BPE twin: first 4 merge decisions of bpe_train replayed in SQL (separator-encoded replace = the greedy fold, census -> total-order argmax per step) — shrinks the rows-only set (never)
     "events_rank_skew_stress",  # rank route under 50%-one-key skew: whole tie group in ONE bucket, ranks exactly ROW_NUMBER's; bucket ceiling certified by tests/test_ranking.py::test_skew_stress_bucket_ceiling (never)
+    "docs_hybrid_rrf",  # hybrid retrieval: BM25 lexical arm + embedding-cosine semantic arm fused by reciprocal-rank fusion (k=60, 1e-9-snapped), full-outer over the two top-30 arm frames (never)
 )
 
 
