@@ -1005,6 +1005,18 @@ def ivf_operating_point(
     by_q: dict[int, list[int]] = {}
     for r in topk:
         by_q.setdefault(r["qid"], []).append(r["prank"])
+    if not by_q:
+        # degenerate corpus (a single vector has no neighbors to
+        # audit): serve at FULL probe depth — the conservative default
+        # that can never under-recall — with the emptiness recorded
+        return {
+            "nprobe": n_lists,
+            "k": k,
+            "n_queries": 0,
+            "target_recall": target_recall,
+            "min_recall_at_default": 0.0,
+            "curve": {},
+        }
     curve = {}
     chosen = n_lists
     for npb in range(1, n_lists + 1):

@@ -2343,3 +2343,48 @@ def test_tokenizer_compare_accounting(spark):
             if w:
                 total += len(ugm.viterbi_segment(w, costs))
     assert rows["unigram"]["n_pieces"] == total
+
+
+def test_ivf_operating_point_curve_and_degenerate(spark, tmp_path):
+    """The build-time nprobe tuner (r14 verdict order #2): the curve's
+    hit counts are nondecreasing in probe depth, full depth always
+    reaches min-recall 1.0 (every list covered = exact top-k covered),
+    the chosen default is the SMALLEST depth clearing the target, and
+    the stamped index meta carries the evidence. A single-vector
+    corpus (no neighbors to audit) must not crash the build: it serves
+    at full depth with n_queries=0 recorded."""
+    from meteo_etl_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    op = sim.ivf_operating_point(emb)
+    assert op["n_queries"] >= 1 and op["k"] == 5
+    npbs = sorted(op["curve"])
+    assert npbs == list(range(1, sim.IVF_LISTS + 1))
+    for a, b in zip(npbs, npbs[1:]):
+        assert op["curve"][a]["min_hits"] <= op["curve"][b]["min_hits"]
+        assert op["curve"][a]["sum_hits"] <= op["curve"][b]["sum_hits"]
+    assert op["curve"][sim.IVF_LISTS]["min_recall"] == 1.0
+    clearing = [
+        n for n in npbs
+        if op["curve"][n]["min_recall"] >= op["target_recall"]
+    ]
+    assert op["nprobe"] == (clearing[0] if clearing else sim.IVF_LISTS)
+    assert op["min_recall_at_default"] == op["curve"][op["nprobe"]]["min_recall"]
+
+    # stamped into the sidecar by the build, resolved at query time
+    idx = str(tmp_path / "tuned_idx")
+    sim.build_ivf_index(emb, idx)
+    meta = sim._read_ann_meta(spark, idx)
+    assert meta["nprobe_default"] == op["nprobe"]
+    assert meta["nprobe_tuning"]["n_queries"] == op["n_queries"]
+
+    one = emb.filter(F.col("vec_id") == 0)
+    op1 = sim.ivf_operating_point(one)
+    assert op1 == {
+        "nprobe": sim.IVF_LISTS, "k": 5, "n_queries": 0,
+        "target_recall": sim.IVF_RECALL_TARGET,
+        "min_recall_at_default": 0.0, "curve": {},
+    }
+    idx1 = str(tmp_path / "one_idx")
+    sim.build_ivf_index(one, idx1)  # must not raise
+    assert sim._read_ann_meta(spark, idx1)["nprobe_default"] == sim.IVF_LISTS
