@@ -172,3 +172,39 @@ def test_skew_stress_bucket_ceiling(spark):
     # pinned measurement for the evidence note (printed, not asserted):
     print(f"SKEW_CEILING n={n} buckets={n_buckets} "
           f"tie_bucket={counts[0]} max_other={rest[-1]}")
+
+
+@pytest.mark.parametrize(
+    "qname", ["events_global_rank", "events_rank_skew_stress"]
+)
+def test_rank_queries_plan_with_exactly_two_driver_actions(
+    spark, monkeypatch, qname
+):
+    """r14 verdict order #4, pinned: building the rank queries' plan
+    costs exactly TWO driver actions — the boundary sketch collect and
+    the bucket-census collect inside global_row_number — and never a
+    separate count() scan for the max-rank probe (the census's n is
+    reused via counts_out)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4 and its methods are overridden by classic
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from meteo_etl_spark.plans import queries as Q
+
+    calls = {"collect": 0, "count": 0}
+    orig_collect = DataFrame.collect
+    orig_count = DataFrame.count
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    Q.get(qname).fn(spark, "/root/testdata/sf0.001")
+    assert calls["count"] == 0, "max-rank probe must reuse the census n"
+    assert calls["collect"] == 2, calls
