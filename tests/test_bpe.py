@@ -196,3 +196,64 @@ def test_encode_property_vs_reference(spark, texts):
     ]
     for text, toks in got:
         assert toks == _ref_encode(text, merges), (text, merges)
+
+
+# --- the docs_bpe_merges_k4 oracle's merge-apply encoding ------------
+# The SQL twin applies a merge as ONE replace() over a chr(31)-double-
+# separated symbol string. This property pins the encoding's claim:
+# replace on the encoded form == the greedy fold, for ANY symbol list
+# and pair — including chained ([a,b,a,b]) and overlapping ([a,a,a])
+# occurrences and multi-char (already-merged) symbols.
+
+_S = "\x1f"
+
+
+def _encode(syms) -> str:
+    return _S * 2 + (_S * 2).join(syms) + _S * 2 if syms else _S * 2
+
+
+def _decode(s: str) -> tuple[str, ...]:
+    return tuple(x for x in s.split(_S * 2) if x != "")
+
+
+def _replace_apply(syms, a: str, b: str):
+    pat = _S + a + _S * 2 + b + _S
+    rep = _S + a + b + _S
+    return _decode(_encode(list(syms)).replace(pat, rep))
+
+
+_sym = st.text(alphabet="ab☃x", min_size=1, max_size=3)
+
+
+@given(
+    syms=st.lists(_sym, min_size=0, max_size=12),
+    a=_sym,
+    b=_sym,
+)
+@settings(max_examples=300, deadline=None)
+def test_separator_replace_equals_greedy_fold(syms, a, b):
+    assert _replace_apply(tuple(syms), a, b) == _ref_apply(tuple(syms), a, b)
+
+
+def test_separator_replace_matches_duckdb_replace():
+    """And DuckDB's replace() agrees with Python str.replace on the
+    encoded form (both leftmost, non-overlapping, no rescan) — the
+    exact expression docs_bpe_merges_k4's oracle runs."""
+    import duckdb
+
+    cases = [
+        (("a", "b", "a", "b"), "a", "b"),
+        (("a", "a", "a"), "a", "a"),
+        (("a", "a", "b"), "a", "b"),
+        (("x", "a", "b", "b"), "a", "b"),
+        (("ab", "b", "ab"), "ab", "b"),
+    ]
+    con = duckdb.connect()
+    for syms, a, b in cases:
+        enc = _encode(list(syms))
+        got = con.execute(
+            "SELECT replace(?, chr(31) || ? || repeat(chr(31), 2) || ? "
+            "|| chr(31), chr(31) || ? || chr(31))",
+            [enc, a, b, a + b],
+        ).fetchone()[0]
+        assert _decode(got) == _ref_apply(syms, a, b), (syms, a, b)
