@@ -273,6 +273,7 @@ def _applied_revisions(spark: SparkSession, url: str) -> set[str]:
 
 
 def _stamp_revision(spark: SparkSession, url: str, revision: str) -> None:
+    _ensure_ledger(spark, url)
     try:
         _execute_prepared(
             spark,
@@ -296,9 +297,15 @@ def _mig_status_domain(spark: SparkSession, url: str) -> None:
     and case-folds before attaching the enum
     (`alembic/versions/a1cbf11c1945_change_fetch_status_to_enum.py:24-28`)
     — then enforce the domain in-database with a named CHECK (the
-    engine's portable stand-in for the Postgres enum). Out-of-domain
-    values the remap cannot fold make the ADD CONSTRAINT fail loudly —
-    exactly what a migration should do with unmappable data."""
+    engine's portable stand-in for the Postgres enum).
+
+    The migration's DATA contract is verified by a count query and
+    fails loudly on unmappable values. The constraint ATTACH is
+    best-effort by dialect: some engines cannot add a CHECK to an
+    existing table (DuckDB's ALTER TABLE has no ADD CONSTRAINT) — the
+    domain is then still verified clean here and enforced Python-side
+    before every write (pipeline/control.py, the same belt-and-braces
+    split as the reference's pydantic + DB CHECK layering)."""
     _execute_prepared(
         spark,
         url,
@@ -313,13 +320,32 @@ def _mig_status_domain(spark: SparkSession, url: str) -> None:
         [],
     )
     statuses = ", ".join(f"'{s}'" for s in FETCH_STATUSES)
-    _execute_prepared(
-        spark,
-        url,
-        f"ALTER TABLE {CONTROL_TABLE} ADD CONSTRAINT "
-        f'"fetch_status_domain_ck" CHECK ("status" IN ({statuses}))',
-        [],
+    bad = int(
+        _query_strings(
+            spark,
+            url,
+            f"SELECT COUNT(*) FROM {CONTROL_TABLE} "
+            f'WHERE "status" NOT IN ({statuses})',
+        )[0]
     )
+    if bad:
+        raise LoadError(
+            f"status-domain migration: {bad} row(s) hold values outside "
+            f"{FETCH_STATUSES} that the declared remap cannot fold"
+        )
+    try:
+        _execute_prepared(
+            spark,
+            url,
+            f"ALTER TABLE {CONTROL_TABLE} ADD CONSTRAINT "
+            f'"fetch_status_domain_ck" CHECK ("status" IN ({statuses}))',
+            [],
+        )
+    except Exception:
+        # dialect without ADD CONSTRAINT support (or a rival migrator
+        # attached it first): the data is verified in-domain above and
+        # Python-side validation guards every future write
+        pass
 
 
 def _mig_error_data_rename(spark: SparkSession, url: str) -> None:
@@ -340,7 +366,9 @@ def _mig_error_data_rename(spark: SparkSession, url: str) -> None:
     meta = _column_meta(spark, url, CONTROL_TABLE)
     if "request_url" in meta:
         type_name, size = meta["request_url"]
-        if type_name != "VARCHAR" or size < 2048:
+        # size <= 0 (or huge) = the engine's VARCHAR is unbounded
+        # (e.g. DuckDB) — nothing to widen
+        if type_name != "VARCHAR" or 0 < size < 2048:
             _retype_column_with_cast(
                 spark, url, CONTROL_TABLE, "request_url", "VARCHAR(2048)"
             )

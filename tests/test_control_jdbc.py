@@ -419,6 +419,15 @@ def test_fresh_create_stamps_ledger_and_skips_migrations(spark, db_warehouse):
 
     url = db_warehouse.control_jdbc_url
     control_jdbc._ENSURED_URLS.discard(url)
-    control_jdbc.ensure_control_table(spark, url)
+
+    def boom(*a, **k):  # the fresh-create path must never reach here
+        raise AssertionError("migration DDL ran on a fresh create")
+
+    real = control_jdbc._run_migrations
+    control_jdbc._run_migrations = boom
+    try:
+        control_jdbc.ensure_control_table(spark, url)
+    finally:
+        control_jdbc._run_migrations = real
     applied = control_jdbc._applied_revisions(spark, url)
     assert applied == {rev for rev, _ in control_jdbc._MIGRATIONS}
