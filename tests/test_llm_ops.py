@@ -2130,7 +2130,8 @@ def test_ivfsq8_rerank_recovers_quantization_loss(spark):
             served = [
                 r["vec_id"]
                 for r in sim.query_ivfsq8_index(
-                    spark, idx, qv, emb, k=5, n_cand=100, exclude_id=qid
+                    spark, idx, qv, emb, k=5, n_cand=100, exclude_id=qid,
+                    nprobe=sim.IVF_NPROBE,  # the driver twin below probes at this fixed depth
                 ).collect()
             ]
             # truth restricted to the same probed lists: rebuild the
