@@ -738,6 +738,7 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Top-k via IVF routing: corpus rows keep only their inverted-list
     id (one pass, broadcastable state: the centroid literals); the
@@ -771,7 +772,7 @@ def ann_ivf_topk(
             F.array_position(F.col("m"), F.array_max("m")).alias("p2"),
         )
     )
-    return (
+    top = (
         corpus.filter(F.col("vec_id") != query_id)
         .join(
             F.broadcast(q),
@@ -780,7 +781,21 @@ def ann_ivf_topk(
         .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("sim_raw"))
         .orderBy(F.desc("sim_raw"), "vec_id")
         .limit(k)
-        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+    if rank_col is not None:
+        # rank over the k-row top frame (bounded — k is a caller
+        # constant, never the corpus): the consumer-side position for
+        # fusion stages like docs_hybrid_rrf_routed
+        top = top.withColumn(
+            rank_col,
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim_raw"), "vec_id"))
+            .cast("long"),
+        )
+    return top.select(
+        "vec_id",
+        F.round("sim_raw", 6).alias("sim"),
+        *([rank_col] if rank_col is not None else []),
     )
 
 

@@ -3918,6 +3918,101 @@ def docs_hybrid_rrf(spark, sf_dir):
 
 
 @query(
+    "docs_hybrid_rrf_routed",
+    f"""{_BM25_ORACLE_CORE},
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC,
+                                              doc_id) AS lex_rank
+            FROM (SELECT doc_id, score_u FROM f
+                  ORDER BY score_u DESC, doc_id LIMIT {_RRF_ARM_K})),
+    sv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc2 AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM sv),
+    sasn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d
+             FROM sc2),
+    sq0 AS (SELECT v AS qv, lst AS p1, d AS qd FROM sasn WHERE vec_id = 0),
+    sq AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM sq0),
+    ss AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM sasn, sq WHERE vec_id <> 0 AND (lst = p1 OR lst = p2)),
+    sem AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_raw DESC,
+                                              vec_id) AS sem_rank
+            FROM (SELECT vec_id, sim_raw FROM ss
+                  ORDER BY sim_raw DESC, vec_id LIMIT {_RRF_ARM_K})),
+    u AS (SELECT COALESCE(l.doc_id, sm.vec_id) AS doc_id,
+                 CAST(l.lex_rank AS BIGINT) AS lex_rank,
+                 CAST(sm.sem_rank AS BIGINT) AS sem_rank,
+                 CAST(floor((COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                             + COALESCE(1.0 / ({_RRF_K} + sm.sem_rank), 0))
+                            * 1000000000 + 0.5) AS BIGINT) AS rrf_u
+          FROM lex l FULL OUTER JOIN sem sm ON l.doc_id = sm.vec_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf_u / 1000000000.0 AS rrf_score
+    FROM u ORDER BY rrf_u DESC, doc_id LIMIT {_RRF_TOPK}""",
+    doc="docs_hybrid_rrf on the SCALE path: the semantic arm routes "
+    f"through the IVF coarse quantizer ({sim.IVF_LISTS} lists, "
+    f"nprobe={sim.IVF_NPROBE} — sim_ann_ivf's exact probe arithmetic) "
+    "instead of a brute corpus scan, then fuses with the BM25 lexical "
+    "arm by the same 1e-9-snapped reciprocal-rank formula. This is "
+    "how a production hybrid retriever actually composes at 100 TB — "
+    "the ANN candidate route feeds the fusion stage unchanged (the "
+    "brute-arm twin docs_hybrid_rrf is the recall baseline; comparing "
+    "the two result sets measures what IVF routing costs the FUSED "
+    "list, not just the semantic arm). Plan: the semantic arm scans "
+    "only the probed lists (partition-prunable when persisted), "
+    "TakeOrderedAndProject top-30, bounded arm-rank windows, "
+    "constant-size full-outer fusion.",
+    bench=True,
+)
+def docs_hybrid_rrf_routed(spark, sf_dir):
+    lex_w = Window.orderBy(F.desc("score_u"), "doc_id")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score_u")
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(_RRF_ARM_K)
+        .withColumn("lex_rank", F.row_number().over(lex_w).cast("long"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = sim.ann_ivf_topk(
+        emb, query_id=0, k=_RRF_ARM_K, rank_col="sem_rank"
+    ).select("vec_id", "sem_rank")
+    rrf = F.floor(
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        )
+        * F.lit(1000000000)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            rrf.alias("rrf_u"),
+        )
+        .orderBy(F.desc("rrf_u"), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.col("rrf_u") / F.lit(1000000000.0)).alias("rrf_score"),
+        )
+    )
+
+
+@query(
     "dedup_edit_distance",
     f"""WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_CTES}
     SELECT cd.doc_a, cd.doc_b,

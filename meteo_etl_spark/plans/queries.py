@@ -1948,6 +1948,7 @@ _DEFERRED: tuple[str, ...] = (
     "docs_bpe_merges_k4",  # hash-pinned unrolled BPE twin: first 4 merge decisions of bpe_train replayed in SQL (separator-encoded replace = the greedy fold, census -> total-order argmax per step) — shrinks the rows-only set (never)
     "events_rank_skew_stress",  # rank route under 50%-one-key skew: whole tie group in ONE bucket, ranks exactly ROW_NUMBER's; bucket ceiling certified by tests/test_ranking.py::test_skew_stress_bucket_ceiling (never)
     "docs_hybrid_rrf",  # hybrid retrieval: BM25 lexical arm + embedding-cosine semantic arm fused by reciprocal-rank fusion (k=60, 1e-9-snapped), full-outer over the two top-30 arm frames (never)
+    "docs_hybrid_rrf_routed",  # the scale-path twin: semantic arm through the IVF probe route (sim_ann_ivf arithmetic) feeding the same RRF fusion stage (never)
 )
 
 
