@@ -3886,35 +3886,7 @@ def docs_hybrid_rrf(spark, sf_dir):
         .limit(_RRF_ARM_K)
         .withColumn("sem_rank", F.row_number().over(sem_w).cast("long"))
     )
-    rrf = F.floor(
-        (
-            F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
-            )
-        )
-        * F.lit(1000000000)
-        + F.lit(0.5)
-    ).cast("long")
-    return (
-        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
-        .select(
-            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
-            "lex_rank",
-            "sem_rank",
-            rrf.alias("rrf_u"),
-        )
-        .orderBy(F.desc("rrf_u"), "doc_id")
-        .limit(_RRF_TOPK)
-        .select(
-            "doc_id",
-            "lex_rank",
-            "sem_rank",
-            (F.col("rrf_u") / F.lit(1000000000.0)).alias("rrf_score"),
-        )
-    )
+    return _rrf_fuse(lex, sem)
 
 
 @query(
@@ -3981,6 +3953,12 @@ def docs_hybrid_rrf_routed(spark, sf_dir):
     sem = sim.ann_ivf_topk(
         emb, query_id=0, k=_RRF_ARM_K, rank_col="sem_rank"
     ).select("vec_id", "sem_rank")
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex, sem):
+    """The shared RRF fusion tail (docs_hybrid_rrf's exact expression
+    chain over two ranked arm frames)."""
     rrf = F.floor(
         (
             F.coalesce(
@@ -4008,6 +3986,127 @@ def docs_hybrid_rrf_routed(spark, sf_dir):
             "lex_rank",
             "sem_rank",
             (F.col("rrf_u") / F.lit(1000000000.0)).alias("rrf_score"),
+        )
+    )
+
+
+def _route_cost_oracle() -> str:
+    """DuckDB replay of BOTH fused lists (brute + IVF-routed semantic
+    arm over the shared BM25 lexical arm) compared head-to-head."""
+    fuse = (
+        "SELECT COALESCE(l.doc_id, sm.vec_id) AS doc_id, "
+        f"CAST(floor((COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0) "
+        f"+ COALESCE(1.0 / ({_RRF_K} + sm.sem_rank), 0)) "
+        "* 1000000000 + 0.5) AS BIGINT) AS rrf_u "
+        "FROM lex l FULL OUTER JOIN {sem} sm ON l.doc_id = sm.vec_id"
+    )
+    pos = (
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id)"
+        " AS pos FROM (SELECT doc_id, rrf_u FROM {fused} "
+        f"ORDER BY rrf_u DESC, doc_id LIMIT {_RRF_TOPK})"
+    )
+    return f"""{_BM25_ORACLE_CORE},
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC,
+                                              doc_id) AS lex_rank
+            FROM (SELECT doc_id, score_u FROM f
+                  ORDER BY score_u DESC, doc_id LIMIT {_RRF_ARM_K})),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    cs AS (SELECT vec_id,
+                  {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+           FROM v, q WHERE vec_id <> 0),
+    bsem AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_raw DESC,
+                                               vec_id) AS sem_rank
+             FROM (SELECT vec_id, sim_raw FROM cs
+                   ORDER BY sim_raw DESC, vec_id LIMIT {_RRF_ARM_K})),
+    rc2 AS (SELECT vec_id, v, {_duck_ivf_dots('v')} AS d FROM v),
+    rasn AS (SELECT vec_id, v, list_position(d, list_max(d)) AS lst, d
+             FROM rc2),
+    rq0 AS (SELECT v AS qv, lst AS p1, d AS qd FROM rasn WHERE vec_id = 0),
+    rq AS (SELECT qv, p1,
+                 list_position(
+                   list_transform(range(1, {sim.IVF_LISTS + 1}),
+                     i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END),
+                   list_max(
+                     list_transform(range(1, {sim.IVF_LISTS + 1}),
+                       i -> CASE WHEN i = p1 THEN -1e18 ELSE qd[i] END))) AS p2
+          FROM rq0),
+    rs AS (SELECT vec_id,
+                 {_duck_dot('v', 'qv')} / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS sim_raw
+          FROM rasn, rq WHERE vec_id <> 0 AND (lst = p1 OR lst = p2)),
+    rsem AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_raw DESC,
+                                               vec_id) AS sem_rank
+             FROM (SELECT vec_id, sim_raw FROM rs
+                   ORDER BY sim_raw DESC, vec_id LIMIT {_RRF_ARM_K})),
+    bu AS ({fuse.format(sem='bsem')}),
+    ru AS ({fuse.format(sem='rsem')}),
+    bp AS ({pos.format(fused='bu')}),
+    rp AS ({pos.format(fused='ru')})
+    SELECT CAST(SUM(CASE WHEN b.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                         THEN ABS(b.pos - r.pos) ELSE 0 END)
+                AS BIGINT) AS rank_displacement,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_brute,
+           CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_routed
+    FROM bp b FULL OUTER JOIN rp r ON b.doc_id = r.doc_id"""
+
+
+@query(
+    "docs_hybrid_route_cost",
+    _route_cost_oracle(),
+    doc="The routing-cost audit the docs_hybrid_rrf_routed doc "
+    "promises: BOTH fused top-20 lists — brute semantic arm vs the "
+    "IVF-probed arm, over the shared BM25 lexical arm — compared "
+    "head-to-head in one row: common members, summed rank "
+    "displacement over the common set, and the members each side "
+    "holds exclusively. This measures what the ANN route costs the "
+    "FUSED retrieval result (the quantity a user deciding "
+    "brute-vs-routed actually cares about), not just the semantic "
+    "arm's recall. Plan: the two fused frames are the registered "
+    "queries' own plans (constant-size by construction); positions "
+    "are windows over the 20-row fused frames; the comparison is a "
+    "full-outer join of two 20-row relations into one aggregate row.",
+)
+def docs_hybrid_route_cost(spark, sf_dir):
+    pos_w = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    bp = (
+        docs_hybrid_rrf(spark, sf_dir)
+        .select("doc_id", "rrf_score")
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    rp = (
+        docs_hybrid_rrf_routed(spark, sf_dir)
+        .select("doc_id", "rrf_score")
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    both = F.col("b_doc").isNotNull() & F.col("r_doc").isNotNull()
+    return (
+        bp.select(
+            F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos")
+        )
+        .join(
+            rp.select(
+                F.col("doc_id").alias("r_doc"), F.col("pos").alias("r_pos")
+            ),
+            F.col("b_doc") == F.col("r_doc"),
+            "full_outer",
+        )
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_common"),
+            F.sum(
+                F.when(both, F.abs(F.col("b_pos") - F.col("r_pos"))).otherwise(0)
+            )
+            .cast("long")
+            .alias("rank_displacement"),
+            F.sum(F.when(F.col("r_doc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("only_brute"),
+            F.sum(F.when(F.col("b_doc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("only_routed"),
         )
     )
 

@@ -1949,6 +1949,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_rank_skew_stress",  # rank route under 50%-one-key skew: whole tie group in ONE bucket, ranks exactly ROW_NUMBER's; bucket ceiling certified by tests/test_ranking.py::test_skew_stress_bucket_ceiling (never)
     "docs_hybrid_rrf",  # hybrid retrieval: BM25 lexical arm + embedding-cosine semantic arm fused by reciprocal-rank fusion (k=60, 1e-9-snapped), full-outer over the two top-30 arm frames (never)
     "docs_hybrid_rrf_routed",  # the scale-path twin: semantic arm through the IVF probe route (sim_ann_ivf arithmetic) feeding the same RRF fusion stage (never)
+    "docs_hybrid_route_cost",  # routing-cost audit: both fused top-20s (brute vs IVF-routed arm) compared head-to-head — common members, rank displacement, exclusive members (never)
 )
 
 

@@ -70,6 +70,7 @@ SCALAR_BROADCAST_OK = {
     "docs_bm25_topk",  # 1-row (total tokens, doc count) census crossed into the query-term tf rows for the dl/avgdl normalization
     "docs_hybrid_rrf",  # same BM25 1-row census cross (lexical arm) + the single query vector crossed into the corpus (semantic arm)
     "docs_hybrid_rrf_routed",  # same BM25 census cross + the 1-row probe-list relation broadcast into the IVF-routed candidates (sim_ann_ivf's shape)
+    "docs_hybrid_route_cost",  # composes both hybrid queries' plans (their documented census/query-vector/probe-list broadcasts), nothing new
 }
 
 
@@ -87,6 +88,7 @@ GLOBAL_WINDOW_OK = {
     "docs_token_budget_sample",  # cumulative over the fixed 1024-bucket histogram (per-bucket window is partitioned; only the bucket rollup is global)
     "docs_hybrid_rrf",  # arm-rank windows over the two top-K-limited arm frames (K=30, data-independent constant — TakeOrderedAndProject feeds them, never the corpus)
     "docs_hybrid_rrf_routed",  # same bounded arm-rank windows (the semantic arm's rank runs over ann_ivf_topk's top-K frame)
+    "docs_hybrid_route_cost",  # the same bounded arm windows plus position windows over the two 20-row FUSED frames (constant-size by construction)
 }
 
 
