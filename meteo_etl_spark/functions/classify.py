@@ -259,7 +259,12 @@ def score_documents(
     document. score = sum(tf * freq_ppm) over the document's tokens
     (exact BIGINT); argmax breaks ties on the lexicographically
     smallest class. Documents with no vocabulary overlap get
-    ``OOV_LABEL`` with score 0 via an anti-join — never dropped.
+    ``OOV_LABEL`` with score 0 — never dropped: one LEFT join from the
+    id spine, coalescing the miss side (the former union(pred,
+    anti-join) shape evaluated the whole train+score subtree twice —
+    once for hits, once inside the anti-join; the outer join keeps a
+    single evaluation and the same rows, assuming ids are unique as
+    everywhere in this engine).
     """
     num = _doc_class_scores(docs, model, id_col=id_col, text_col=text_col)
     w = Window.partitionBy(id_col).orderBy(
@@ -270,16 +275,15 @@ def score_documents(
         .where(F.col("rk") == 1)
         .select(id_col, F.col("cls").alias("pred_cls"), "score")
     )
-    oov = (
+    return (
         docs.select(id_col)
-        .join(pred.select(id_col), id_col, "left_anti")
+        .join(pred, id_col, "left")
         .select(
             id_col,
-            F.lit(OOV_LABEL).alias("pred_cls"),
-            F.lit(0).cast("long").alias("score"),
+            F.coalesce("pred_cls", F.lit(OOV_LABEL)).alias("pred_cls"),
+            F.coalesce("score", F.lit(0).cast("long")).alias("score"),
         )
     )
-    return pred.unionByName(oov)
 
 
 def classifier_report(
@@ -893,16 +897,17 @@ def score_documents_chargram(
         .where(F.col("rk") == 1)
         .select(id_col, F.col("cls").alias("pred_cls"), "score")
     )
-    oov = (
+    # Same single-evaluation outer-join shape as score_documents: the
+    # union(pred, anti-join) form computed the scoring subtree twice.
+    return (
         docs.select(id_col)
-        .join(pred.select(id_col), id_col, "left_anti")
+        .join(pred, id_col, "left")
         .select(
             id_col,
-            F.lit(OOV_LABEL).alias("pred_cls"),
-            F.lit(0).cast("long").alias("score"),
+            F.coalesce("pred_cls", F.lit(OOV_LABEL)).alias("pred_cls"),
+            F.coalesce("score", F.lit(0).cast("long")).alias("score"),
         )
     )
-    return pred.unionByName(oov)
 
 
 def chargram_confusion(

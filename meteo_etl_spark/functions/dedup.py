@@ -441,15 +441,7 @@ def winnow_overlap_pairs(
         .select("h")
     )
     rare = ex.join(rare_keys, "h")
-    cand = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _bounded_posting_pairs(rare, "h")
     fa = fps.select(F.col("id").alias("doc_a"), F.col("fh").alias("fh_a"))
     fb = fps.select(F.col("id").alias("doc_b"), F.col("fh").alias("fh_b"))
     return (
@@ -471,6 +463,37 @@ def winnow_overlap_pairs(
 #: <= df^2 candidate pairs — bounding df bounds the fan-out).
 CONTAINMENT_THRESHOLD = 0.9
 CONTAINMENT_DF_MAX = 10
+
+
+def _bounded_posting_pairs(rare: DataFrame, key: str) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from an ALREADY
+    df-bounded posting frame ``(id, key)`` — every two postings of a
+    key pair up.
+
+    One grouped collect + pair expansion replaces the posting
+    self-join (r15 optimization: one exchange instead of the
+    join's two + the same distinct, and no join-sort of the posting
+    frame). Scale-safe because it runs strictly AFTER the df census
+    has discarded hot keys: ``collect_set`` holds <= df_max ids per
+    key by construction (the census+join stays the first pass exactly
+    so no stop-key's postings are ever aggregated or shuffled here),
+    and the expanded pair array is <= df_max^2/2 elements."""
+    return (
+        rare.groupBy(key)
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, x -> "
+                    "transform(filter(ids, y -> x < y), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def containment_pairs(
@@ -511,15 +534,7 @@ def containment_pairs(
         .select("s")
     )
     rare = ex.join(rare_keys, "s")
-    cand = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _bounded_posting_pairs(rare, "s")
     sa = sh_docs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_docs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")

@@ -388,46 +388,65 @@ def kmv_sketch(
     # NULL values hash to NULL, which would sort ahead of every real
     # minimum and corrupt the sketch — distinct-count semantics ignore
     # NULL anyway (COUNT(DISTINCT x) does), so drop them at the scan.
+    #
+    # Job/pass discipline (r15 optimization): the eager validation used
+    # to run the whole scan+distinct pipeline a second (and third) time
+    # — one count() action over counts⋈scount, then every caller action
+    # recomputed vals again. Now vals is cached once, the FINAL sketch
+    # is materialized in the same first job (localCheckpoint — the
+    # output is k x |keys| rows, panel-sized at any corpus scale), the
+    # validation count reads the cache + the materialized sketch, and
+    # the cache is dropped before returning. Net: one full pass over
+    # the input instead of three, identical rows, identical eager
+    # raise-on-miss semantics.
     vals = (
         df.select(
             F.col(key_col).alias("key"), kmv_hash(F.col(value_col)).alias("hv")
         )
         .filter(F.col("hv").isNotNull())
         .distinct()
+        .cache()
     )
-    counts = vals.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
-    thr = F.when(F.col("n") <= k, F.lit(KMV_SPACE)).otherwise(
-        F.least(
-            F.lit(KMV_SPACE),
-            (F.lit(float(slack * k * KMV_SPACE)) / F.col("n")).cast("long"),
+    try:
+        counts = vals.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        thr = F.when(F.col("n") <= k, F.lit(KMV_SPACE)).otherwise(
+            F.least(
+                F.lit(KMV_SPACE),
+                (F.lit(float(slack * k * KMV_SPACE)) / F.col("n")).cast("long"),
+            )
         )
-    )
-    surv = vals.join(F.broadcast(counts.select("key", thr.alias("thr"), "n")), "key").filter(
-        F.col("hv") < F.col("thr")
-    )
-    # validate from the COUNTS side: a key whose survivors were all
-    # filtered away has no survivor row at all and must still fail
-    scount = surv.groupBy("key").agg(F.count(F.lit(1)).alias("s"))
-    bad = (
-        counts.join(scount, "key", "left")
-        .filter(
-            F.coalesce(F.col("s"), F.lit(0)) < F.least(F.col("n"), F.lit(k))
+        surv = vals.join(
+            F.broadcast(counts.select("key", thr.alias("thr"), "n")), "key"
+        ).filter(F.col("hv") < F.col("thr"))
+        w = Window.partitionBy("key").orderBy("hv")
+        sk = (
+            surv.select("key", "hv")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("key"), "hv")
+            .localCheckpoint()
         )
-        .count()
-    )
-    if bad:
-        raise RuntimeError(
-            f"kmv_sketch: prefilter lost k-minima for {bad} key(s) — "
-            f"raise slack above {slack} (p ~ e^-k per key; if this "
-            "fires, inspect the hash column for non-uniformity)"
+        # validate from the COUNTS side: a key whose survivors were all
+        # filtered away has no sketch row at all and must still fail.
+        # Post-rank counts are equivalent to the former pre-rank check:
+        # survivors >= least(n, k)  <=>  min(survivors, k) >= least(n, k).
+        scount = sk.groupBy("key").agg(F.count(F.lit(1)).alias("s"))
+        bad = (
+            counts.join(scount, "key", "left")
+            .filter(
+                F.coalesce(F.col("s"), F.lit(0)) < F.least(F.col("n"), F.lit(k))
+            )
+            .count()
         )
-    w = Window.partitionBy("key").orderBy("hv")
-    return (
-        surv.select("key", "hv")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(F.col("key"), "hv")
-    )
+        if bad:
+            raise RuntimeError(
+                f"kmv_sketch: prefilter lost k-minima for {bad} key(s) — "
+                f"raise slack above {slack} (p ~ e^-k per key; if this "
+                "fires, inspect the hash column for non-uniformity)"
+            )
+    finally:
+        vals.unpersist()
+    return sk
 
 
 def kmv_estimate(ns: Column, kth: Column, k: int = KMV_K) -> Column:

@@ -290,7 +290,9 @@ def events_kmv_user_overlap(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch(ev, "event_type", "user_id", KMV_K).localCheckpoint()
+    # kmv_sketch already returns a materialized (localCheckpoint'd)
+    # frame — its multi-branch reuse below recomputes nothing.
+    sk = kmv_sketch(ev, "event_type", "user_id", KMV_K)
     # mirror the sketch's drop-at-scan rule: NULL user_ids carry no
     # hash, so the exact census must exclude them too
     counts = (
