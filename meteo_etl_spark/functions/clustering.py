@@ -45,6 +45,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.lits import ilit
 from meteo_etl_spark.functions.similarity import EMBEDDING_DIM
 from meteo_etl_spark.operators.parallelism import fan_out
 
@@ -148,7 +149,7 @@ def quantize(vec: Column) -> Column:
 
 def _sqdist(qv: Column, centroid: list[int]) -> Column:
     """Exact integer squared L2 distance to a literal centroid."""
-    c = F.array(*[F.lit(int(w)) for w in centroid])
+    c = ilit([int(w) for w in centroid])
     return F.aggregate(
         F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

@@ -40,6 +40,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.lits import dlit
+
 #: micro-unit snap used for the integer sufficient statistics.
 _U = 1_000_000.0
 
@@ -186,7 +188,7 @@ def pca_project(
     literal arrays inside the plan (k*d doubles — bytes, not data), and
     every projection is one sequential ``zip_with`` + ``aggregate``
     fold per component. No UDF, no shuffle, one scan."""
-    mean_lit = F.array(*[F.lit(m) for m in model.mean])
+    mean_lit = dlit(model.mean)
     centered = F.zip_with(
         F.transform(vec_col, lambda x: x.cast("double")),
         mean_lit,
@@ -194,7 +196,7 @@ def pca_project(
     )
     projections = []
     for comp in model.components:
-        w = F.array(*[F.lit(c) for c in comp])
+        w = dlit(comp)
         projections.append(
             F.aggregate(
                 F.zip_with(centered, w, lambda x, c: x * c),

@@ -28,6 +28,7 @@ import json
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.lits import dlit, dlit2
 from meteo_etl_spark.operators.parallelism import fan_out
 
 try:  # the Arrow projection kernel is optional — expression fallback
@@ -110,7 +111,9 @@ def _bucket(v: Column, table: int, planes: int = LSH_PLANES) -> Column:
     at any data scale. Per-row arithmetic and bit order are identical
     (sequential fold per plane, in plane order), so every persisted
     index layout and oracle hash is unchanged."""
-    planes_lit = F.lit([hyperplane(table, p) for p in range(planes)])
+    # dlit2: the same Literal node in ONE py4j round trip instead of
+    # planes*dim (r15 — construction cost, not plan shape)
+    planes_lit = dlit2([hyperplane(table, p) for p in range(planes)])
     return F.array_join(
         F.transform(
             planes_lit,
@@ -595,7 +598,7 @@ def query_lsh_index(
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     cand = _suppress_tombstones(spark, path, cand)
-    qcol = F.array(*[F.lit(x) for x in qv])
+    qcol = dlit(qv)
     # a vector in both tables' matching buckets appears twice — dedup
     cand = cand.select("vec_id", "v").dropDuplicates(["vec_id"])
     return (
@@ -677,7 +680,7 @@ def _centroid_dots(v: Column) -> Column:
     (sequential folds — deterministic, oracle-mirrored). One
     ``transform`` over a single constant-folded centroid literal —
     same O(1)-expression-size rationale as ``_bucket``."""
-    cents_lit = F.lit([ivf_centroid(k) for k in range(IVF_LISTS)])
+    cents_lit = dlit2([ivf_centroid(k) for k in range(IVF_LISTS)])
     return F.transform(cents_lit, lambda c: dot(v, c))
 
 
@@ -931,7 +934,7 @@ def query_ivf_index(
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     cand = _suppress_tombstones(spark, path, cand)
-    qcol = F.array(*[F.lit(x) for x in qv])
+    qcol = dlit(qv)
     return (
         cand.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
         .orderBy(F.desc("sim_raw"), "vec_id")
@@ -1222,7 +1225,7 @@ def spherical_pq_codebook(
             )
             cents = [_unit(c) or list(c) for c in seeds[m]]
             for _ in range(iters):
-                lit = F.lit(cents)
+                lit = dlit2(cents)
                 stats = (
                     chunk.select(
                         _pq_best_code(F.col("ch"), lit).alias("code"),
@@ -1290,7 +1293,7 @@ def pq_reconstruct(vcol: Column, codes: list[list[list[float]]]) -> Column:
     sub_dim = len(codes[0][0])
     parts = []
     for m in range(n_sub):
-        lit = F.lit(codes[m])
+        lit = dlit2(codes[m])
         ch = F.slice(vcol, m * sub_dim + 1, sub_dim)
         parts.append(F.element_at(lit, _pq_best_code(ch, lit) + 1))
     return F.concat(*parts)
@@ -1517,7 +1520,7 @@ def pq_encode(vcol: Column, codes: list[list[list[float]]]) -> Column:
     ids = []
     for m in range(n_sub):
         ch = F.slice(vcol, m * sub_dim + 1, sub_dim)
-        ids.append(_pq_best_code(ch, F.lit(codes[m])).cast("int"))
+        ids.append(_pq_best_code(ch, dlit2(codes[m])).cast("int"))
     return F.array(*ids)
 
 
@@ -1834,7 +1837,7 @@ def query_ivfpq_index(
     cand = _suppress_tombstones(spark, path, cand)
 
     def lut_fold(lut):
-        table = F.lit(lut)
+        table = dlit2(lut)
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
             F.lit(0.0),
@@ -1902,7 +1905,7 @@ def _pruned_shortlist_rerank(
         fan_out(emb_full.filter(F.col(id_col).isin(short)))
         .select(F.col(id_col).alias("vec_id"), v.alias("v"))
     )
-    qcol = F.array(*[F.lit(x) for x in qv])
+    qcol = dlit(qv)
     return (
         full.select("vec_id", cosine(F.col("v"), qcol).alias("sim_raw"))
         .orderBy(F.desc("sim_raw"), "vec_id")
@@ -2774,8 +2777,8 @@ def sq8_codes(
     /(hi-lo)*255), 0, 255); degenerate dims (hi == lo) encode 0 (the
     decode returns lo there, which IS the stored value). Identical
     textual arithmetic to :func:`sq8_dequantized`'s encode half."""
-    lo_l = F.lit(lo).cast("array<double>")
-    hi_l = F.lit(hi).cast("array<double>")
+    lo_l = dlit(lo)
+    hi_l = dlit(hi)
 
     def enc(i: Column) -> Column:
         x = F.element_at(vcol, i)
@@ -2805,8 +2808,8 @@ def sq8_decode(
     """array<double> reconstruction from stored codes: lo + code *
     (hi-lo)/255; degenerate dims return lo. The index-side decode —
     unlike :func:`sq8_dequantized` it never sees the original vector."""
-    lo_l = F.lit(lo).cast("array<double>")
-    hi_l = F.lit(hi).cast("array<double>")
+    lo_l = dlit(lo)
+    hi_l = dlit(hi)
 
     def dec(i: Column) -> Column:
         a = F.element_at(lo_l, i)
@@ -2915,7 +2918,7 @@ def query_ivfsq8_index(
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     cand = _suppress_tombstones(spark, path, cand)
-    qcol = F.array(*[F.lit(x) for x in qv])
+    qcol = dlit(qv)
     dq = sq8_decode(F.col("codes"), lo, hi, dim=dim)
     adc = cand.select("vec_id", cosine(dq, qcol).alias("s_adc"))
     return _pruned_shortlist_rerank(

@@ -75,25 +75,30 @@ def merged_distinct_estimate(rollup: DataFrame) -> int:
     return int(est)
 
 
+def kll_merge_fold(list_col: str) -> Column:
+    """Fold a ``collect_list`` of KLL sketches into one merged sketch.
+    ``kll_sketch_merge_double`` is a BINARY scalar (no union aggregate
+    exists for KLL), so the list is folded JVM-side with
+    ``F.aggregate``. ``try_element_at`` keeps an EMPTY list a NULL
+    (callers raise their own ValueError) instead of dying in ANSI
+    element_at's INVALID_ARRAY_INDEX."""
+    return F.aggregate(
+        F.slice(F.col(list_col), 2, F.greatest(F.size(list_col) - 1, F.lit(0))),
+        F.try_element_at(F.col(list_col), F.lit(1)),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+
+
 def merged_quantiles(rollup: DataFrame, probs: list[float]) -> list[float]:
     """Quantile estimates at ``probs`` from the merge of all rollup
     rows' KLL sketches (rank-error-bounded, mergeable without loss of
-    the guarantee). ``kll_sketch_merge_double`` is a BINARY scalar (no
-    union aggregate exists for KLL), so the rollup's sketches are
-    collect_list'ed into one row (rows·~KB — bounded by the rollup
-    cardinality, not the fact) and folded JVM-side with
-    ``F.aggregate``."""
+    the guarantee). The rollup's sketches are collect_list'ed into one
+    row (rows·~KB — bounded by the rollup cardinality, not the fact)
+    and folded with :func:`kll_merge_fold`."""
     packed = rollup.agg(F.collect_list("kll_sk").alias("l"))
-    # try_element_at: an EMPTY rollup must reach the ValueError below,
-    # not die in ANSI element_at's INVALID_ARRAY_INDEX
-    merged = F.aggregate(
-        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
-        F.try_element_at(F.col("l"), F.lit(1)),
-        lambda acc, s: F.kll_sketch_merge_double(acc, s),
-    )
     row = packed.select(
         F.kll_sketch_get_quantile_double(
-            merged, F.array(*[F.lit(float(p)) for p in probs])
+            kll_merge_fold("l"), F.array(*[F.lit(float(p)) for p in probs])
         ).alias("qs")
     ).collect()[0]["qs"]
     if row is None:

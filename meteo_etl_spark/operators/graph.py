@@ -72,6 +72,10 @@ def connected_components(
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.min("albl").alias("nbr_min"))
             )
+            # lazy checkpoint + count = ONE job per round: the count
+            # action materializes the checkpoint it filters (eager=True
+            # ran a separate materialization job first — same data,
+            # same O(1) lineage, one fewer scheduler round trip)
             merged = (
                 labels.join(nbr, "node", "left")
                 .select(
@@ -79,7 +83,7 @@ def connected_components(
                     "label",
                     F.coalesce("nbr_min", F.col("label")).alias("m"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             improvable = merged.filter(F.col("m") < F.col("label")).count()
             labels = merged.select(

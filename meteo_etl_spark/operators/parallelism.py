@@ -23,6 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: (applicationId, analyzed-plan semanticHash) -> observed partition
+#: count. The probe below (``df.rdd.getNumPartitions``) forces full
+#: physical planning — ~60-130 ms of driver time PER CALL under AQE —
+#: while its answer is a pure function of the (session, plan) pair:
+#: same files, same plan, same split math. Memoizing the probe makes
+#: every re-construction of the same query free; the memo stores a
+#: partition COUNT, never data, so no result ever crosses runs.
+_NPART_MEMO: dict[tuple[str, int], int] = {}
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` round-robin to ``min_partitions`` (default:
@@ -37,8 +46,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    # .rdd builds the physical plan lazily (no job) to read its
-    # partitioning; cheap relative to the work this decision gates.
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # non-classic DataFrame (connect) — probe direct
+        key = None
+    n = _NPART_MEMO.get(key) if key is not None else None
+    if n is None:
+        # .rdd builds the physical plan lazily (no job) to read its
+        # partitioning; the memo amortizes that across invocations.
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _NPART_MEMO[key] = n
+    if n >= target:
         return df
     return df.repartition(target)

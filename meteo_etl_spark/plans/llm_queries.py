@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from meteo_etl_spark.functions.epoch import epoch_ms, epoch_us
+from meteo_etl_spark.functions.lits import dlit, ilit
 from meteo_etl_spark.functions.classify import (
     CHAR_FEAT_BUCKETS as _CLS_CHAR_BUCKETS,
     SIGNAL_DEN as _CLS_SIGNAL_DEN,
@@ -2686,10 +2687,8 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
     # feeds the top-5 pick and the per-rank census as cheap follow-on
     # jobs (first cut ran the argmax 8x inside a when-chain plus a
     # second full scan for brute force: 2.99 s -> this shape at sf0.1)
-    prank_arr = F.array(
-        *[F.lit(prank_of_list[l]) for l in range(1, sim.IVF_LISTS + 1)]
-    )
-    qcol = F.array(*[F.lit(x) for x in qv])
+    prank_arr = ilit([prank_of_list[l] for l in range(1, sim.IVF_LISTS + 1)])
+    qcol = dlit(qv)
     scored = (
         base.filter(F.col("vec_id") != 0)
         .select(

@@ -40,7 +40,7 @@ def events_sketch_rollup(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
-    rollup = sk.sketch_rollup(ev, [day], "user_id", "value").persist()
+    rollup = sk.sketch_rollup(ev, [day], "user_id", "value")
     exact_daily = (
         ev.groupBy(day)
         .agg(
@@ -50,9 +50,17 @@ def events_sketch_rollup(spark, sf_dir):
         .persist()
     )
     try:
-        # per-day HLL certification: max relative error across days,
-        # one scalar collected
-        maxerr = (
+        # ALL sketch-side certification inputs in ONE job (r15: the
+        # per-day max-rel-err scalar, the merged HLL estimate and the
+        # merged-KLL quantiles previously ran as two serial actions
+        # over the same rollup; this query's wall is ~90% per-job
+        # driver overhead, so they fold into one aggregate over
+        # rollup ⋈ exact_daily — an inner join on day, which preserves
+        # exactly the rollup rows since both sides group the same
+        # events by the same day). Then ONE fact scan certifies the
+        # exact side. 2 jobs + the returned frame's own action.
+        probs = [0.5, 0.9, 0.99]
+        packed = (
             rollup.join(exact_daily, "day")
             .agg(
                 F.max(
@@ -61,19 +69,28 @@ def events_sketch_rollup(spark, sf_dir):
                         - F.col("n_users").cast("double")
                     )
                     / F.col("n_users")
-                ).alias("e")
+                ).alias("e"),
+                F.hll_sketch_estimate(
+                    F.hll_union_agg("hll_sk", F.lit(True))
+                ).alias("est"),
+                F.collect_list("kll_sk").alias("l"),
             )
-            .collect()[0]["e"]
         )
+        row = packed.select(
+            "e",
+            "est",
+            F.kll_sketch_get_quantile_double(
+                sk.kll_merge_fold("l"),
+                F.array(*[F.lit(float(p)) for p in probs]),
+            ).alias("qs"),
+        ).collect()[0]
+        maxerr = row["e"]
         if maxerr is None or maxerr > 0.05:
             raise RuntimeError(f"per-day HLL estimate off by {maxerr}")
-        # merged estimates in ONE rollup job, then ALL exact
-        # certification inputs (total distinct + every quantile's
-        # exact rank) in ONE fact scan — this query's wall was ~90%
-        # per-job driver overhead across 7 jobs (exec 0.2 s), so the
-        # certification work is batched: 3 jobs, 1 fact scan.
-        probs = [0.5, 0.9, 0.99]
-        merged_est, quantiles = sk.merged_summary(rollup, probs)
+        if row["est"] is None or row["qs"] is None:
+            raise ValueError("merged_summary: empty rollup (no sketches)")
+        merged_est = int(row["est"])
+        quantiles = [float(x) for x in row["qs"]]
         cert = ev.agg(
             F.countDistinct("user_id").alias("d"),
             *sk.exact_rank_columns("value", quantiles),
@@ -100,8 +117,7 @@ def events_sketch_rollup(spark, sf_dir):
         )
     finally:
         # the returned frame rebuilds from source lazily after the
-        # unpersist; both caches live only for the certification scans
-        rollup.unpersist()
+        # unpersist; the cache lives only for the certification scan
         exact_daily.unpersist()
 
 
@@ -145,39 +161,52 @@ def events_kll_merge_quantiles(spark, sf_dir):
         F.kll_sketch_agg_double(
             F.col("value").cast("double"), F.lit(sk.KLL_K)
         ).alias("kll_sk")
-    ).persist()
+    )
     probs = [0.5, 0.9, 0.99]
-    try:
-        merged_q = sk.merged_quantiles(rollup, probs)
-        single_row = ev.agg(
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    # merged-daily AND single-pass quantiles in ONE job (r15: they ran
+    # as two serial 1-row actions; the 1-row × 1-row cross joins the
+    # independent aggregates so both subtrees execute inside one job —
+    # the allowlisted scalar-broadcast shape)
+    m = (
+        rollup.agg(F.collect_list("kll_sk").alias("l"))
+        .select(
             F.kll_sketch_get_quantile_double(
-                F.kll_sketch_agg_double(
-                    F.col("value").cast("double"), F.lit(sk.KLL_K)
-                ),
-                F.array(*[F.lit(float(p)) for p in probs]),
-            ).alias("qs")
-        ).collect()[0]["qs"]
-        single_q = [float(x) for x in single_row]
-        # ONE exact fact scan certifies all 6 estimates (the
-        # events_sketch_rollup batching discipline)
-        cert = ev.agg(
-            *sk.exact_rank_columns("value", merged_q + single_q)
-        ).collect()[0]
-        for i, p in enumerate(probs):
-            sk.certify_quantile_rank_value(
-                cert[f"_rank_{i}"],
-                p,
-                rank_tol=0.02,
-                context=f"merged-daily p{p}: estimate {merged_q[i]}",
-            )
-            sk.certify_quantile_rank_value(
-                cert[f"_rank_{i + len(probs)}"],
-                p,
-                rank_tol=0.02,
-                context=f"single-pass p{p}: estimate {single_q[i]}",
-            )
-    finally:
-        rollup.unpersist()
+                sk.kll_merge_fold("l"), parr
+            ).alias("mq")
+        )
+    )
+    s = ev.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double(
+                F.col("value").cast("double"), F.lit(sk.KLL_K)
+            ),
+            parr,
+        ).alias("sq")
+    )
+    both = m.crossJoin(s).collect()[0]
+    if both["mq"] is None:
+        raise ValueError("merged_quantiles: empty rollup (no sketches)")
+    merged_q = [float(x) for x in both["mq"]]
+    single_q = [float(x) for x in both["sq"]]
+    # ONE exact fact scan certifies all 6 estimates (the
+    # events_sketch_rollup batching discipline)
+    cert = ev.agg(
+        *sk.exact_rank_columns("value", merged_q + single_q)
+    ).collect()[0]
+    for i, p in enumerate(probs):
+        sk.certify_quantile_rank_value(
+            cert[f"_rank_{i}"],
+            p,
+            rank_tol=0.02,
+            context=f"merged-daily p{p}: estimate {merged_q[i]}",
+        )
+        sk.certify_quantile_rank_value(
+            cert[f"_rank_{i + len(probs)}"],
+            p,
+            rank_tol=0.02,
+            context=f"single-pass p{p}: estimate {single_q[i]}",
+        )
     v = F.round(F.col("value") * 100).cast("long")
     base = ev.select(day, v.alias("v"))
     w = Window.partitionBy("day").orderBy("v")
@@ -308,15 +337,22 @@ def events_kmv_user_overlap(spark, sf_dir):
     est = per.select(
         F.col("key"), kmv_estimate(F.col("ns"), F.col("kth"), KMV_K).alias("est")
     )
-    # pair panel: one census-sized collect (|types| ~ a handful — the
-    # audit-panel collect class), then two equi joins pull each side's
-    # sketch rows; UNION dedups shared hashes, the pair-keyed window
-    # re-ranks <= 2k rows per pair.
-    types = sorted(r["key"] for r in est.select("key").collect())
-    pair_rows = [
-        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
-    ]
-    pairs = spark.createDataFrame(pair_rows, "type_a string, type_b string")
+    # pair panel: the type-key census self-joined on < (r15: this was
+    # a driver collect + createDataFrame — one whole extra job at
+    # build time; the lazy non-equi self-join over the ≤|event_types|-
+    # row key frame plans a tiny broadcast nested loop, exactly the
+    # oracle's `n a JOIN n b ON a < b` shape, and keeps the query
+    # single-action). Two equi joins then pull each side's sketch
+    # rows; UNION dedups shared hashes, the pair-keyed window re-ranks
+    # <= 2k rows per pair.
+    ks = sk.select("key").distinct()
+    pairs = (
+        ks.select(F.col("key").alias("type_a"))
+        .join(
+            ks.select(F.col("key").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
     m = (
         pairs.join(sk.select(F.col("key").alias("type_a"), "hv"), "type_a")
         .select("type_a", "type_b", "hv")

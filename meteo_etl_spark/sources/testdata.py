@@ -16,10 +16,45 @@ from meteo_etl_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (applicationId, realpath, mtime_ns, size) -> reader DataFrame.
+#: ``spark.read.parquet`` pays schema inference + relation resolution
+#: (~30-60 ms of driver round trips) on EVERY call; the resulting
+#: DataFrame is a lazy plan, so handing the same one back is
+#: semantically identical — every action still scans the parquet
+#: files. The stat-based key drops the memo entry the moment the
+#: file/directory is rewritten (new mtime or size), preserving the
+#: re-read-after-merge snapshot rule. No row data is ever memoized.
+_READER_MEMO: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def _memo_key(
+    spark: SparkSession, path: str
+) -> tuple[str, str, int, int] | None:
+    try:
+        st = os.stat(path)
+        return (
+            spark.sparkContext.applicationId,
+            os.path.realpath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except Exception:
+        return None
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    key = _memo_key(spark, f"{sf_dir}/{name}.parquet")
+    if key is not None and key in _READER_MEMO:
+        return _READER_MEMO[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if key is not None:
+        _READER_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver has shipped events.ts under two parquet encodings:
         #   * TIMESTAMP(NANOS) — the vectorized reader rejects it, so we

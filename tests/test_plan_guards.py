@@ -71,6 +71,8 @@ SCALAR_BROADCAST_OK = {
     "docs_hybrid_rrf",  # same BM25 1-row census cross (lexical arm) + the single query vector crossed into the corpus (semantic arm)
     "docs_hybrid_rrf_routed",  # same BM25 census cross + the 1-row probe-list relation broadcast into the IVF-routed candidates (sim_ann_ivf's shape)
     "docs_hybrid_route_cost",  # composes both hybrid queries' plans (their documented census/query-vector/probe-list broadcasts), nothing new
+    "events_kll_merge_quantiles",  # 1-row merged-KLL aggregate crossed with the 1-row single-pass aggregate so both certification subtrees run in ONE job
+    "events_kmv_user_overlap",  # pair panel: the ≤|event_types|-row key census self-joined on < (the oracle's n a JOIN n b shape) — sketch-bounded, never corpus-sized
 }
 
 
