@@ -37,6 +37,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.lits import dlit
 from meteo_etl_spark.functions.similarity import EMBEDDING_DIM, dot
 from meteo_etl_spark.operators.parallelism import fan_out
 
@@ -64,10 +65,11 @@ def random_project(
     / sqrt(out_dim), each dot a sequential fold against a literal
     coefficient array — whole-stage codegen, no Python in the path."""
     scale = float(out_dim) ** 0.5
+    # dlit: each plane literal in ONE py4j round trip (r15 — the
+    # per-element F.lit form cost ~out_dim*dim round trips per call)
     return F.array(
         *[
-            dot(vcol, F.lit(rp_plane(k, dim)).cast("array<double>"))
-            / F.lit(scale)
+            dot(vcol, dlit(rp_plane(k, dim))) / F.lit(scale)
             for k in range(out_dim)
         ]
     )

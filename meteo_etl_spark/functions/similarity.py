@@ -2669,17 +2669,32 @@ def sq8_train_ranges(
     dim: int = EMBEDDING_DIM,
 ) -> tuple[list[float], list[float]]:
     """One aggregate pass -> per-dimension (lo, hi) range lists. The
-    collect is d-scalar-sized (the codebook/centroid discipline), and
+    collect is d-row-sized (the codebook/centroid discipline), and
     min/max of doubles are order-invariant, so the trained ranges are
-    identical at any partitioning."""
+    identical at any partitioning.
+
+    Shape (r15): posexplode + groupBy(dim) instead of a 2·dim-column
+    aggregate — the 128-AggregateExpression plan cost ~1.3 s of pure
+    driver analysis/planning PER CALL (construction-bound, guide §1);
+    the exploded form is a constant-size plan and the same min/max
+    values. The shuffle is dim keys wide — trivially key-bounded."""
     v = F.col(vec_col).cast("array<double>")
-    aggs = []
-    for i in range(dim):
-        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"lo{i}"))
-        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"hi{i}"))
-    row = emb.agg(*aggs).collect()[0]
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    rows = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    by_dim = {int(r["i"]): r for r in rows}
+    missing = [i for i in range(dim) if i not in by_dim]
+    if missing:
+        raise ValueError(
+            f"sq8_train_ranges: no values observed for dims {missing[:5]}"
+            f"{'…' if len(missing) > 5 else ''} (corpus empty or vectors "
+            f"shorter than dim={dim})"
+        )
+    lo = [float(by_dim[i]["lo"]) for i in range(dim)]
+    hi = [float(by_dim[i]["hi"]) for i in range(dim)]
     return lo, hi
 
 

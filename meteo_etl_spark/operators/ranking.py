@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from meteo_etl_spark.functions.lits import dlit, num_lit_array
+
 #: default bucket fan-out for the range-partitioned rank. 64 buckets
 #: over 32 local cores keeps every core busy; at cluster scale pass
 #: ~2-4x the executor-core count.
@@ -83,14 +85,12 @@ def global_row_number(
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(
-        F.approx_percentile(
-            key, F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
-        ).alias("bounds")
+        F.approx_percentile(key, dlit(qs), F.lit(accuracy)).alias("bounds")
     ).collect()[0]
     bounds = sorted(set(row.bounds or []))  # dedup collapsed quantiles
 
     if bounds:
-        arr = F.array(*[F.lit(b) for b in bounds])
+        arr = num_lit_array(bounds)
         cmp = (lambda b: key > b) if first_dir.lower() == "asc" else (lambda b: key < b)
         bucket = F.size(F.filter(arr, cmp)).cast("int")
     else:
