@@ -90,6 +90,177 @@ def buffering_percentile_safe(df: DataFrame, *, max_bytes: int | None = None) ->
     return True
 
 
+#: histogram fan-out per refinement level of
+#: ``exact_percentiles_intkey`` — 2^16 cells collapse a 64-bit value
+#: range in <= 4 levels while each level's collected histogram stays
+#: <= ~65k two-int rows per pending range.
+INTKEY_BUCKETS = 1 << 16
+
+#: Spark integral simpleString() names accepted by the intkey path.
+_INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def exact_percentiles_intkey(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = INTKEY_BUCKETS,
+) -> list[float | None]:
+    """Exact linear-interpolation percentiles of an INTEGRAL column by
+    fixed-width histogram selection — no per-value buffer anywhere.
+
+    The sketch-free sibling of :func:`exact_percentiles` for integer
+    keys (guide §2.3 "shuffle fewer bytes" + §5 bounded memory): each
+    refinement level buckets the candidate value range into
+    ``n_buckets`` fixed-width cells with ONE map-side-combinable
+    ``groupBy().count()`` — the shuffle carries <= ``n_buckets``
+    (cell, count) rows, never values — the driver walks the histogram
+    to locate the cell holding each needed order statistic, and the
+    next level re-buckets only those cells (all pending ranges share
+    one scan via a CASE router). A level whose cell width reaches 1
+    IS the (value, count) census, so the order statistics are read
+    off directly. A 64-bit range collapses in <= 4 levels: the whole
+    computation is <= 5 embarrassingly-parallel count scans with
+    O(n_buckets) driver memory — the exact-percentile plan that
+    survives any scale, and locally ~2x cheaper than the buffering
+    ``F.percentile`` aggregate (each pass is a plain count shuffle;
+    nothing sorts or holds the column).
+
+    Interpolation mirrors Spark's ``Percentile.getPercentile`` double
+    arithmetic term for term ((higher-pos)*v_lo + (pos-lower)*v_hi at
+    pos = (n-1)*q), so results are bit-identical to ``F.percentile``
+    (pinned by tests/test_quantiles.py against random columns).
+
+    NULLs are excluded, matching ``F.percentile``. Raises on a
+    non-integral column dtype — route doubles to
+    :func:`exact_percentiles`.
+    """
+    if not qs:
+        return []
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"percentages must be within [0, 1], got {qs}")
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in _INT_TYPES:
+        raise ValueError(
+            f"exact_percentiles_intkey needs an integral column, got "
+            f"{col!r}: {dt} — use exact_percentiles for continuous keys"
+        )
+    c = F.col(col)
+    first = df.agg(
+        F.count(c).alias("n"), F.min(c).alias("lo"), F.max(c).alias("hi")
+    ).collect()[0]
+    n = int(first.n)
+    if n == 0:
+        return [None] * len(qs)
+    vmin, vmax = int(first.lo), int(first.hi)
+    if vmax - vmin >= (1 << 63) - 1:
+        # `c - vmin` could wrap int64 (non-ANSI arithmetic wraps
+        # silently -> wrong cells); a column spanning the whole signed
+        # range is a hash, not a measurement — refuse loudly.
+        raise ValueError(
+            f"exact_percentiles_intkey: value range [{vmin}, {vmax}] "
+            "spans >= 2^63; rebase the column or use exact_percentiles"
+        )
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    positions = [(n - 1) * float(q) for q in qs]
+    ks = sorted(
+        {int(math.floor(p)) for p in positions}
+        | {int(math.ceil(p)) for p in positions}
+    )
+    # per unresolved order statistic k: candidate value range
+    # [lo, hi] and the exact count of values below lo.
+    state: dict[int, tuple[int, int, int]] = {k: (vmin, vmax, 0) for k in ks}
+    values: dict[int, int] = {}
+    # each level divides every pending range's width by n_buckets, so
+    # this many levels provably reach width 1 (+2 slack, a hard stop)
+    max_levels = (
+        math.ceil(math.log(max(vmax - vmin, 1) + 1) / math.log(n_buckets)) + 2
+    )
+    for _level in range(max_levels):
+        pend: dict[tuple[int, int], list[int]] = {}
+        for k in ks:
+            if k in values:
+                continue
+            lo, hi, _below = state[k]
+            if lo == hi:
+                values[k] = lo  # singleton range: resolved scan-free
+            else:
+                pend.setdefault((lo, hi), []).append(k)
+        if not pend:
+            break
+        ranges = sorted(pend)
+        widths = [
+            max(1, -(-(hi - lo + 1) // n_buckets)) for lo, hi in ranges
+        ]
+        marks = None
+        for i, ((lo, hi), w) in enumerate(zip(ranges, widths)):
+            cond = (c >= F.lit(lo)) & (c <= F.lit(hi))
+            # integer DIV keeps cell math exact on the full int64
+            # domain (a double round-trip is lossy past 2^53).
+            cell = F.expr(f"(`{col}` - {lo}L) DIV {w}L")
+            branch = F.struct(F.lit(i).alias("rid"), cell.alias("cell"))
+            marks = F.when(cond, branch) if marks is None else marks.when(cond, branch)
+        hist = (
+            df.select(marks.alias("m"))
+            .where(F.col("m").isNotNull())
+            .groupBy("m")
+            .count()
+            .collect()
+        )
+        per_range: dict[int, list[tuple[int, int]]] = {}
+        for row in hist:
+            per_range.setdefault(row.m.rid, []).append(
+                (int(row.m.cell), int(row["count"]))
+            )
+        for i, ((lo, hi), w) in enumerate(zip(ranges, widths)):
+            ks_here = sorted(pend[(lo, hi)])
+            belows = {state[k][2] for k in ks_here}
+            if len(belows) != 1:  # same range => same below, by induction
+                raise RuntimeError(
+                    "exact_percentiles_intkey: inconsistent below-counts "
+                    f"for shared range {lo}..{hi}: {sorted(belows)}"
+                )
+            cum = belows.pop()
+            idx = 0
+            for cell, cnt in sorted(per_range.get(i, [])):
+                lo_v = lo + cell * w
+                hi_v = min(hi, lo_v + w - 1)
+                while idx < len(ks_here) and cum <= ks_here[idx] < cum + cnt:
+                    k = ks_here[idx]
+                    if w == 1:
+                        values[k] = lo_v
+                    else:
+                        state[k] = (lo_v, hi_v, cum)
+                    idx += 1
+                cum += cnt
+            if idx != len(ks_here):
+                raise RuntimeError(
+                    "exact_percentiles_intkey: histogram walk lost order "
+                    f"statistics {ks_here[idx:]} in range {lo}..{hi} "
+                    "(counts changed between passes?)"
+                )
+    missing = [k for k in ks if k not in values]
+    if missing:
+        raise RuntimeError(
+            f"exact_percentiles_intkey: unresolved order statistics "
+            f"{missing} after refinement limit"
+        )
+    out: list[float | None] = []
+    for pos in positions:
+        lo_k = int(math.floor(pos))
+        hi_k = int(math.ceil(pos))
+        v_lo = float(values[lo_k])
+        if hi_k == lo_k:
+            out.append(v_lo)
+        else:
+            # exactly Percentile.getPercentile's expression, in the
+            # same evaluation order (Python floats are IEEE doubles).
+            out.append((hi_k - pos) * v_lo + (pos - lo_k) * float(values[hi_k]))
+    return out
+
+
 def exact_percentiles(
     df: DataFrame,
     col: str,

@@ -144,10 +144,11 @@ def q4(spark, sf_dir):
     doc="A3 8-statistic summary (pandas describe parity) — exact "
     "F.percentile with linear interpolation (percentile_approx would "
     "break the oracle); single-pass aggregate with ONE array-form "
-    "percentile buffer. The buffering aggregate is the right plan up "
-    "to ~10M values; past that, operators/quantiles.exact_percentiles "
-    "computes the same exact result with bounded memory "
-    "(approx-bracket + refine, 2 scans). Mean and percentiles run in "
+    "percentile buffer while the input provably fits a reducer "
+    "buffer; past that, operators/quantiles.exact_percentiles_intkey "
+    "computes the same exact result by integer histogram selection — "
+    "<= 3 narrow count-only scans, O(2^16) driver memory, no "
+    "per-value buffer at any scale. Mean and percentiles run in "
     "exact integer 1e-4 space: interpolation fractions are quarters "
     "and the values are 2-decimal, so every intermediate is an exact "
     "integer-valued double — bit-identical across engines (a rounded "
@@ -159,7 +160,7 @@ def q5(spark, sf_dir):
     from meteo_etl_spark.operators.parallelism import fan_out
     from meteo_etl_spark.operators.quantiles import (
         buffering_percentile_safe,
-        exact_percentiles,
+        exact_percentiles_intkey,
     )
 
     # Prune to the one aggregated column BEFORE fanning out so the
@@ -173,15 +174,24 @@ def q5(spark, sf_dir):
     if buffering_percentile_safe(base):
         # One array-form percentile aggregate: a single value buffer is
         # built/merged instead of three (measured 2.1x on the whole
-        # query). Safe only while every value fits one reducer buffer.
+        # query). Safe only while every value fits one reducer buffer,
+        # and locally CHEAPER than the histogram path (r15 opt A/B:
+        # 2.56 s vs 3.84 s at sf0.1 — one job beats four narrow jobs
+        # until the buffer merge dominates).
         pcts_col = F.percentile(pe4, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
     else:
-        # 100 TB path: bounded-memory bracket+refine (2-3 extra scans,
-        # O(slice) reducer memory instead of O(n)); identical values.
-        p25, p50, p75 = exact_percentiles(
-            li.select(pe4.alias("pe4")), "pe4", [0.25, 0.50, 0.75]
+        # 100 TB path (r15 opt): integer histogram selection — <= 3
+        # narrow count-only scans, O(2^16) driver memory, NO per-value
+        # buffer anywhere, and bit-identical interpolation (pinned in
+        # tests/test_quantiles.py). Replaces the sketch bracket+refine
+        # route here (same exactness, fewer/cheaper passes: counts
+        # only, no approx_percentile sketch, no retry loop).
+        p25, p50, p75 = exact_percentiles_intkey(
+            base.select(pe4.alias("pe4")), "pe4", [0.25, 0.50, 0.75]
         )
-        pcts_col = F.array(F.lit(p25), F.lit(p50), F.lit(p75))
+        pcts_col = F.array(
+            *[F.lit(v).cast("double") for v in (p25, p50, p75)]
+        )
     return li.agg(
         F.count(c).alias("n"),
         F.sum(_cents(c)).alias("price_e2"),

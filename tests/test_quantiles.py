@@ -139,3 +139,85 @@ def test_nearest_rank_bounds_and_empty(spark):
     assert exact_nearest_rank(one, "x", [1]) == [7]
     with pytest.raises(ValueError, match="out of bounds"):
         exact_nearest_rank(one, "x", [2])
+
+
+# ---------------------------------------------------------------------------
+# exact_percentiles_intkey (r15 opt): histogram selection for integer
+# keys must be BIT-identical to F.percentile — same double
+# interpolation, zero tolerance.
+# ---------------------------------------------------------------------------
+
+
+def _intkey_reference(df, col, qs):
+    row = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0]
+    return list(row[0])
+
+
+def test_intkey_bit_identical_on_pe4(spark, lineitem):
+    """The q5 shape: cents*100 of l_extendedprice. == comparison —
+    interpolation parity is exact, not approximate."""
+    from meteo_etl_spark.operators.quantiles import exact_percentiles_intkey
+
+    ints = lineitem.select(
+        (F.round(F.col("l_extendedprice") * 100).cast("long") * 100).alias("pe4")
+    )
+    got = exact_percentiles_intkey(ints, "pe4", QS)
+    assert got == _intkey_reference(ints, "pe4", QS)
+
+
+def test_intkey_bit_identical_random_qs_and_negatives(spark):
+    """Adversarial percentages (irrational positions) over a column
+    spanning negatives — the driver-side interpolation must replay
+    Spark's Percentile.getPercentile double arithmetic exactly."""
+    import random
+
+    from meteo_etl_spark.operators.quantiles import exact_percentiles_intkey
+
+    rng = random.Random(0xC0FFEE)
+    vals = [rng.randint(-(10**12), 10**12) for _ in range(5_000)] + [
+        rng.randint(-5, 5) for _ in range(5_000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    qs = [0.0, 1.0] + [rng.random() for _ in range(9)]
+    got = exact_percentiles_intkey(df, "v", qs)
+    assert got == _intkey_reference(df, "v", qs)
+
+
+def test_intkey_duplicate_heavy_small_range(spark, lineitem):
+    """l_quantity as integers: 50 distinct values — every cell width
+    collapses to 1 on the first refinement."""
+    from meteo_etl_spark.operators.quantiles import exact_percentiles_intkey
+
+    ints = lineitem.select(F.col("l_quantity").cast("long").alias("q"))
+    got = exact_percentiles_intkey(ints, "q", QS)
+    assert got == _intkey_reference(ints, "q", QS)
+
+
+def test_intkey_nulls_empty_and_dtype_contract(spark):
+    from meteo_etl_spark.operators.quantiles import exact_percentiles_intkey
+
+    empty = spark.createDataFrame([], "v bigint")
+    assert exact_percentiles_intkey(empty, "v", [0.5]) == [None]
+    nulls = spark.createDataFrame([(None,), (7,), (9,)], "v bigint")
+    assert exact_percentiles_intkey(nulls, "v", [0.5]) == _intkey_reference(
+        nulls, "v", [0.5]
+    )
+    dbl = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="integral column"):
+        exact_percentiles_intkey(dbl, "v", [0.5])
+    one = spark.createDataFrame([(42,)], "v bigint")
+    with pytest.raises(ValueError, match=r"within \[0, 1\]"):
+        exact_percentiles_intkey(one, "v", [1.5])
+
+
+def test_intkey_tiny_buckets_forces_deep_refinement(spark):
+    """n_buckets=2 forces ~log2(range) refinement levels — the range
+    walk, below-count bookkeeping and singleton shortcut all exercise."""
+    from meteo_etl_spark.operators.quantiles import exact_percentiles_intkey
+
+    vals = [0, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 10**9, -(10**9)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = exact_percentiles_intkey(df, "v", QS, n_buckets=2)
+    assert got == _intkey_reference(df, "v", QS)
